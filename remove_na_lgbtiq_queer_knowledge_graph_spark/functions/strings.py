@@ -1,0 +1,122 @@
+"""Scalar string helpers (reference family F1-F4, F8-F9 in SURVEY.md §2.9).
+
+Everything here is a *column expression* built from JVM-side builtins so
+it stays inside whole-stage codegen — the reference's vectorized R string
+helpers (``kabrutils::clean_string``, ``extract_id``, ``remove_lang``,
+OpenRefine fingerprint at
+``data-gathering/analysis/open-refine-fingerprint.R:15-23``) map 1:1.
+
+Only transliteration (stringi ``de-ASCII; Latin-ASCII``) needs more than
+builtins; we cover the reference's actual character inventory (German
+umlauts + common Latin diacritics) with ``translate``/``regexp_replace``
+chains, which keeps it codegen'd instead of dropping to a pandas UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# German-specific first (ä→ae per de-ASCII), then generic Latin-ASCII.
+_DE_MAP = [("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("Ä", "Ae"), ("Ö", "Oe"), ("Ü", "Ue"), ("ß", "ss")]
+_SRC = "àáâãåāçèéêëēìíîïīñòóôõøōùúûūýÿÀÁÂÃÅĀÇÈÉÊËĒÌÍÎÏĪÑÒÓÔÕØŌÙÚÛŪÝ"
+_DST = "aaaaaaceeeeeiiiiinooooooouuuuyyAAAAAACEEEEEIIIIINOOOOOOOUUUUY"
+
+
+def transliterate(col: Column) -> Column:
+    """de-ASCII; Latin-ASCII transliteration as codegen'd expressions.
+
+    Reference: ``stri_trans_general(x, "de-ASCII; Latin-ASCII")``
+    (``open-refine-fingerprint.R:22``, ``book-authors-viaf.R:21``).
+    """
+    out = col
+    for src, dst in _DE_MAP:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return F.translate(out, _SRC, _DST)
+
+
+def clean_string(col: Column) -> Column:
+    """Normalize a name: trim, collapse whitespace, lower, transliterate.
+
+    Reference: ``kabrutils::clean_string`` used at
+    ``entity-resolution/entities/01-within-entities.R:25``.
+    """
+    out = F.lower(F.trim(col))
+    out = transliterate(out)
+    return F.regexp_replace(out, r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """OpenRefine key-collision fingerprint.
+
+    trim → lower → strip punctuation/digits → transliterate → split on
+    whitespace → unique → sort → rejoin.  Reference:
+    ``open-refine-fingerprint.R:15-23``.
+    """
+    out = F.lower(F.trim(col))
+    out = transliterate(out)
+    out = F.regexp_replace(out, r"[^\p{L} ]", "")
+    toks = F.array_sort(F.array_distinct(F.split(F.trim(F.regexp_replace(out, r"\s+", " ")), " ")))
+    return F.array_join(F.filter(toks, lambda t: t != F.lit("")), " ")
+
+
+def remove_lang(col: Column) -> Column:
+    """Strip a SPARQL language tag: ``"Name"@de`` → ``Name``.
+
+    Reference: ``remove_lang`` at
+    ``data-publishing/wikidata/entities/create-persons.R:23``.
+    """
+    return F.regexp_replace(F.regexp_replace(col, r"@[a-zA-Z-]+$", ""), r'^"|"$', "")
+
+
+def extract_id(col: Column, pattern: str = r"[QP][0-9]+") -> Column:
+    """Extract a Wikibase Q/P id from an IRI.
+
+    Reference: ``extract_id`` used at ``analysis/network/01-get-data.R:22``.
+    """
+    return F.regexp_extract(col, f"({pattern})", 1)
+
+
+def strip_markers(col: Column, markers: list[str]) -> Column:
+    """Remove org-form markers ("verlag", "gmbh", …) anywhere in a name.
+
+    Reference: marker strip at
+    ``entity-resolution/entities/03-within-entities-v2-incl-chronik.R:32-34``
+    with the blocklist in ``static/string-mapping.yml:82-96``.
+    """
+    if not markers:
+        return col
+    alternation = "|".join(markers)
+    out = F.regexp_replace(col, rf"(?i)\b({alternation})\b", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def char_ngrams(col: Column, n: int = 2) -> Column:
+    """Character n-gram array (letters only), the reference's shingling.
+
+    Reference: ``tokens(what="character") %>% tokens_keep("[A-Za-z]") %>%
+    tokens_ngrams(n=2)`` (``01-within-entities.R:40-44``).  Expressed with
+    higher-order functions so it stays JVM-side: strip non-letters, then
+    slide a window of ``n`` over the char sequence.
+    """
+    s = F.regexp_replace(F.lower(col), r"[^a-z]", "")
+    # sequence(1, len-n+1) → substr(s, i, n); empty array when too short
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: s.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram (shingle) array over whitespace-tokenized text."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

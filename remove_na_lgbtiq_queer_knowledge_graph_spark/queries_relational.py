@@ -1,0 +1,881 @@
+"""Relational operator queries (SURVEY.md §2.2-2.9) with DuckDB oracles.
+
+Each entry exercises one operator family from the reference inventory on
+the driver's star schema.  Spark side is declarative DataFrame API —
+Catalyst handles pushdown/pruning/join selection; `.explain` on any of
+these shows PushedFilters on the parquet scans and broadcast joins for
+the dim tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .spec import QuerySpec, dsum, t
+
+
+def _dec_sum(col, alias: str):
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: A1 string_agg + J1 joins + W2 window dedupe (SURVEY §7 phase 0)
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by order revenue, with an ordered
+    string_agg of their order priorities — mirrors the reference's
+    books-per-author aggregation (`from-citavi/books.R:55-57`) + left
+    join + keep-first window (`chronik/02:36-38`).
+
+    Scale notes: per-customer agg is a map-side-combinable shuffle on
+    o_custkey; customer/nation/region are broadcast dims; the window
+    partitions by nation (25 keys here; at 100 TB partition count follows
+    the dim cardinality, no global sort).
+    """
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+
+    co = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "revenue"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+    )
+    joined = (
+        co.join(customer, co.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "r_name", "c_custkey", "c_name", "n_orders", "revenue", "priorities", "rk")
+    )
+
+
+_FLAGSHIP_SQL = f"""
+WITH co AS (
+  SELECT o_custkey,
+         count(*) AS n_orders,
+         {dsum('o_totalprice', 'revenue')},
+         array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_name, r_name, c_custkey, c_name, n_orders, revenue, priorities, rk
+FROM (
+  SELECT n.n_name, r.r_name, c.c_custkey, c.c_name, co.n_orders, co.revenue, co.priorities,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n.n_nationkey ORDER BY co.revenue DESC, c.c_custkey) AS BIGINT) AS rk
+  FROM co JOIN customer c ON co.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A-family aggregations
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped groupBy+multi-agg (A-family stress; 8-agg scan)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity', 'sum_qty')},
+       {dsum('l_extendedprice', 'sum_base_price')},
+       {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def string_agg_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: glue_collapse per key (`books.R:55-57`) — ordered, so
+    deterministic under any partitioning."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))), ","
+        ).alias("lines")
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',') AS lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def freq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: count(name, sort=T) %>% filter(n>1) (`chronik/02:126-129`)."""
+    part = t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 10)
+    )
+
+
+_FREQ_SQL = "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand HAVING count(*) > 10"
+
+
+def groupby_max_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: summarise_all(max) flag-merge (`chronik/02:389-391`)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.max("c_custkey").alias("max_custkey"),
+        F.max("c_nationkey").alias("max_nationkey"),
+    )
+
+
+_GBMAX_SQL = """
+SELECT c_mktsegment, max(c_acctbal) AS max_acctbal, max(c_custkey) AS max_custkey,
+       max(c_nationkey) AS max_nationkey
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def distinct_count_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct counts + totals (`analyse-number-of-items.R:27-38`)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        _dec_sum(F.col("l_quantity"), "total_qty"),
+    )
+
+
+_DCOUNT_SQL = f"""
+SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+       {dsum('l_quantity', 'total_qty')}
+FROM lineitem
+"""
+
+
+def horizontal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: row-wise horizontal aggregate (rowSums, `04-persons.R:298-299`)."""
+    li = t(spark, sf_dir, "lineitem")
+    zero_flags = (
+        F.when(F.col("l_discount") == 0, 1).otherwise(0)
+        + F.when(F.col("l_tax") == 0, 1).otherwise(0)
+        + F.when(F.col("l_quantity") == 0, 1).otherwise(0)
+    )
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        zero_flags.cast("long").alias("n_zero_fields"),
+    )
+
+
+_HORIZ_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST((CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN l_tax = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_fields
+FROM lineitem
+"""
+
+
+def year_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: SPARQL-style COUNT(DISTINCT) per year
+    (`plot-full-network.qmd:171-177`)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+_YEAR_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+
+def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: histogram via explicit bucketing (`plot-full-network.qmd:130-139`)."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+_HIST_SQL = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# P-family: projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+def filter_project_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4: select/rename + isin + regex + null-handling
+    (`chronik/01-within-chronik-ner.R:16-21`, 349 regex uses)."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .filter(F.col("c_name").rlike("00[0-9]$"))
+        .filter(F.col("c_acctbal").isNotNull())
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal"),
+        )
+    )
+
+
+_FILTER_SQL = """
+SELECT c_custkey AS custkey, c_name AS name, COALESCE(c_acctbal, 0.0) AS acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND regexp_matches(c_name, '00[0-9]$')
+  AND c_acctbal IS NOT NULL
+"""
+
+
+def distinct_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: distinct on a key subset (`chronik/02:236`, 432 uses)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: created_at-style time-range filter
+    (`entities/02-other-duplicates.R:12`)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("ts") >= F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+            & (F.col("ts") < F.to_timestamp(F.lit("2024-01-03 00:00:00")))
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+_TIMERANGE_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+"""
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: sample — expressed as a deterministic hash-mod filter so it is
+    reproducible across engines and cluster sizes (`sample_n`,
+    `get-data-from-wikidata.R:13`)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_SAMPLE_SQL = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 97 = 0"
+
+
+# ---------------------------------------------------------------------------
+# J-family joins
+# ---------------------------------------------------------------------------
+
+def join_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the workhorse equi left join (353 uses) — order enriched with
+    customer attrs; dim side broadcast."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c.select("c_custkey", "c_name", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+_JOIN_LEFT_SQL = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def anti_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: anti-join exclusion — customers with no orders
+    (`lobid/02-search-via-author-title.R:36-49` idiom)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: semi join — customers having a pending ('P') order
+    (`chronik/02:244-248` inner_join+distinct idiom)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "P"), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10/J11: multi-column and renamed-key joins
+    (`02-other-duplicates.R:63`)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("l_quantity"), "qty"))
+    )
+
+
+_MULTIKEY_SQL = f"""
+SELECT p_brand, s_nationkey, count(*) AS n, {dsum('l_quantity', 'qty')}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_nationkey
+"""
+
+
+def argmax_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12/A4: best-match-per-group after a join — richest customer per
+    nation (`book-authors-viaf.R:52-58` keep-max-score)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    best = (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return best.join(F.broadcast(n), best.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ARGMAX_SQL = """
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) c JOIN nation ON c_nationkey = n_nationkey
+WHERE rk = 1
+"""
+
+
+def self_join_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7: self-join candidate pairs with a blocking key — suppliers
+    paired within a nation, id_1 < id_2 (`expand_grid` + first-letter
+    block at `entities/03:64-78`).  The equi-join on the block key is
+    what keeps this from being a cross join at scale."""
+    s = t(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("id_1"),
+        F.col("s_name").alias("name_1"),
+        F.col("s_nationkey").alias("block"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("id_2"),
+        F.col("s_name").alias("name_2"),
+        F.col("s_nationkey").alias("block"),
+    )
+    return a.join(b, "block").filter(F.col("id_1") < F.col("id_2")).select(
+        "block", "id_1", "id_2", "name_1", "name_2"
+    )
+
+
+_SELFJOIN_SQL = """
+SELECT a.s_nationkey AS block, a.s_suppkey AS id_1, b.s_suppkey AS id_2,
+       a.s_name AS name_1, b.s_name AS name_2
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+"""
+
+
+def levenshtein_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/F8: fuzzy string-distance join, blocked — pairs of supplier
+    names within edit distance 2, same nation block
+    (`stringdist_inner_join` max_dist=2 at `lobid/01:97`).  Blocking +
+    the builtin `levenshtein` keeps it JVM-side and sub-quadratic."""
+    s = t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("id_1"), F.col("s_name").alias("name_1"),
+                 F.col("s_nationkey").alias("block"))
+    b = s.select(F.col("s_suppkey").alias("id_2"), F.col("s_name").alias("name_2"),
+                 F.col("s_nationkey").alias("block"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("dist", F.levenshtein("name_1", "name_2").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("id_1", "id_2", "name_1", "name_2", "dist")
+    )
+
+
+_LEV_SQL = """
+SELECT a.s_suppkey AS id_1, b.s_suppkey AS id_2, a.s_name AS name_1, b.s_name AS name_2,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# W-family windows
+# ---------------------------------------------------------------------------
+
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: surrogate key via row_number over a total order
+    (`books.R:160-163`).  At 100 TB prefer monotonically_increasing_id
+    (no global sort); row_number kept here because the reference's ids
+    are dense and the oracle needs determinism."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_name")
+    return c.select("c_name").withColumn("name_id", F.row_number().over(w).cast("long"))
+
+
+_SURR_SQL = """
+SELECT c_name, CAST(ROW_NUMBER() OVER (ORDER BY c_name) AS BIGINT) AS name_id
+FROM customer
+"""
+
+
+def keep_first_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: keep-first-per-group dedupe — first order per customer by
+    date (`chronik/02:36-38`)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_KEEPFIRST_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def elect_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: ordered-first election — per nation, elect the max-custkey
+    customer name as canonical (`chronik/02:250-254` id_new = first(id)
+    after arrange(desc(id)))."""
+    c = t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_custkey").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_name").over(w).alias("canonical_name"),
+    )
+
+
+_ELECT_SQL = """
+SELECT c_custkey, c_nationkey,
+       first_value(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_custkey DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canonical_name
+FROM customer
+"""
+
+
+def dense_rank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: dense_rank(desc(value)) (`entities/03:76`)."""
+    s = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey", "s_nationkey", "s_acctbal",
+        F.dense_rank().over(w).cast("long").alias("rank"),
+    )
+
+
+_DENSE_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS BIGINT) AS rank
+FROM supplier
+"""
+
+
+def longest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: longest-string-per-group selection (`04-persons.R:289-295`)."""
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.length("p_name").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_name").alias("longest_name"))
+    )
+
+
+_LONGEST_SQL = """
+SELECT p_brand, p_name AS longest_name
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY length(p_name) DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn = 1
+"""
+
+
+def fill_down_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: tidyr fill-down — carry the last non-null value forward
+    (`themengeschichtspfad.R:68`).  Partitioned by user so the window
+    parallelizes (the global variant serializes — see
+    operators.relational.fill_down)."""
+    e = t(spark, sf_dir, "events")
+    nulled = e.withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return nulled.select(
+        "event_id", "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+_FILLDOWN_SQL = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# O-family sorts / limits
+# ---------------------------------------------------------------------------
+
+def top_k_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: global sort + limit (top-20 orders).  Spark plans this as
+    TakeOrderedAndProject — no full global sort materialized."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# U-family set ops
+# ---------------------------------------------------------------------------
+
+def union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: bind_rows with column alignment (`poster-books/01:34`)."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cc = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind"),
+    )
+    ss = s.select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind"),
+    )
+    return cc.unionByName(ss)
+
+
+_UNION_SQL = """
+SELECT c_custkey AS id, c_name AS name, c_nationkey AS nationkey, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, 'supplier' FROM supplier
+"""
+
+
+def set_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set-minus — nations with customers but no suppliers."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+_MINUS_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# R-family reshape
+# ---------------------------------------------------------------------------
+
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: separate_rows — explode part names into words
+    (`books.R:131-134`)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+
+
+_EXPLODE_SQL = """
+SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+"""
+
+
+def split_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: separate one column into several (`books.R:47`) —
+    '5-LOW' → (5, 'LOW')."""
+    o = t(spark, sf_dir, "orders")
+    parts = F.split("o_orderpriority", "-")
+    return o.select(
+        "o_orderkey",
+        parts.getItem(0).cast("long").alias("priority_num"),
+        parts.getItem(1).alias("priority_label"),
+    )
+
+
+_SPLIT_SQL = """
+SELECT o_orderkey,
+       CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS priority_num,
+       string_split(o_orderpriority, '-')[2] AS priority_label
+FROM orders
+"""
+
+
+def melt_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: pivot_longer — numeric customer attrs to (variable, value)
+    (67 uses, e.g. `04-persons.R:528-533`)."""
+    c = t(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE), 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (variable, value)",
+    )
+
+
+_MELT_SQL = """
+SELECT c_custkey, 'acctbal' AS variable, CAST(c_acctbal AS DOUBLE) AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+"""
+
+
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: pivot_wider — order-status counts per customer
+    (`12-events.R:48`).  Explicit pivot values skip the discovery scan."""
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_custkey",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_custkey,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# F-family scalar functions
+# ---------------------------------------------------------------------------
+
+def case_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: case_when cascade (152 uses, `04-persons.R:147-158`)."""
+    c = t(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 2500, "silver")
+        .otherwise("bronze")
+    )
+    return c.groupBy(tier.alias("tier")).agg(F.count("*").alias("n"))
+
+
+_CASE_SQL = """
+SELECT CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+            WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 2500 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       count(*) AS n
+FROM customer GROUP BY 1
+"""
+
+
+def iri_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/G19 prelude: IRI building by template (`kg_v1.yml:31`)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        F.concat(F.lit("http://example.com/customer/"), F.col("c_custkey")).alias("iri"),
+        F.col("c_name").alias("label"),
+    )
+
+
+_IRI_SQL = """
+SELECT 'http://example.com/customer/' || CAST(c_custkey AS VARCHAR) AS iri,
+       c_name AS label
+FROM customer
+"""
+
+
+def regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: extract_id — numeric id out of a formatted name
+    (`network/01-get-data.R:22`)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_name",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("extracted_id"),
+    )
+
+
+_REGEX_ID_SQL = """
+SELECT c_name, CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS extracted_id
+FROM customer
+"""
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: JSON field extraction (`lobid/01:44-46` jq filters)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def fingerprint_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: OpenRefine fingerprint key-collision grouping
+    (`open-refine-fingerprint.R:15-23`) over part names."""
+    from .functions.strings import fingerprint
+
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(fingerprint(F.col("p_name")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_FP_SQL = """
+SELECT fp, count(*) AS n FROM (
+  SELECT array_to_string(
+           list_sort(list_distinct(
+             list_filter(string_split(trim(regexp_replace(
+               regexp_replace(lower(trim(p_name)), '[^a-z ]', '', 'g'),
+               '\\s+', ' ', 'g')), ' '), x -> x <> ''))), ' ') AS fp
+  FROM part
+) GROUP BY fp
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
+    "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
+    "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
+    "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),
+    "agg_groupby_max_all": QuerySpec(groupby_max_all, _GBMAX_SQL),
+    "agg_distinct_count_totals": QuerySpec(distinct_count_totals, _DCOUNT_SQL),
+    "agg_horizontal_rowwise": QuerySpec(horizontal_agg, _HORIZ_SQL),
+    "agg_year_distinct": QuerySpec(year_distinct_agg, _YEAR_SQL),
+    "agg_histogram_buckets": QuerySpec(histogram_buckets, _HIST_SQL),
+    "filter_project_regex": QuerySpec(filter_project_regex, _FILTER_SQL),
+    "filter_distinct_keyed": QuerySpec(distinct_keyed, _DISTINCT_SQL),
+    "filter_time_range": QuerySpec(time_range_filter, _TIMERANGE_SQL),
+    "filter_deterministic_sample": QuerySpec(deterministic_sample, _SAMPLE_SQL),
+    "join_left_enrich": QuerySpec(join_left_enrich, _JOIN_LEFT_SQL),
+    "join_anti_incremental": QuerySpec(anti_join_incremental, _ANTI_SQL),
+    "join_semi_active": QuerySpec(semi_join_active, _SEMI_SQL),
+    "join_multi_key": QuerySpec(multi_key_join, _MULTIKEY_SQL),
+    "join_argmax_best_match": QuerySpec(argmax_best_match, _ARGMAX_SQL),
+    "join_self_blocked_pairs": QuerySpec(self_join_blocked_pairs, _SELFJOIN_SQL),
+    "join_levenshtein_blocked": QuerySpec(levenshtein_blocked_join, _LEV_SQL),
+    "window_surrogate_keys": QuerySpec(surrogate_keys, _SURR_SQL),
+    "window_keep_first_dedupe": QuerySpec(keep_first_dedupe, _KEEPFIRST_SQL),
+    "window_elect_canonical": QuerySpec(elect_canonical, _ELECT_SQL),
+    "window_dense_rank": QuerySpec(dense_rank_scores, _DENSE_SQL),
+    "window_longest_per_group": QuerySpec(longest_per_group, _LONGEST_SQL),
+    "window_fill_down": QuerySpec(fill_down_events, _FILLDOWN_SQL),
+    "sort_top_k_global": QuerySpec(top_k_global, _TOPK_SQL),
+    "setop_union_align": QuerySpec(union_align, _UNION_SQL),
+    "setop_minus": QuerySpec(set_minus, _MINUS_SQL),
+    "reshape_explode_words": QuerySpec(explode_words, _EXPLODE_SQL),
+    "reshape_split_columns": QuerySpec(split_columns, _SPLIT_SQL),
+    "reshape_melt_long": QuerySpec(melt_long, _MELT_SQL),
+    "reshape_pivot_status": QuerySpec(pivot_status_counts, _PIVOT_SQL),
+    "fn_case_cascade": QuerySpec(case_cascade, _CASE_SQL),
+    "fn_iri_template": QuerySpec(iri_template, _IRI_SQL),
+    "fn_regex_extract_id": QuerySpec(regex_extract_ids, _REGEX_ID_SQL),
+    "fn_json_extract": QuerySpec(json_extract_props, _JSON_SQL),
+    "fn_fingerprint_keys": QuerySpec(fingerprint_keys, _FP_SQL),
+}

@@ -1,0 +1,58 @@
+"""Parquet star-schema sources.
+
+Mirrors the reference's ingestion layer (SQLite/MySQL/CSV scans —
+``data-gathering/from-citavi/books.R:11-25``, lazy ``tbl()`` scans at
+``entity-resolution/entities/01-within-entities.R:9-13``) as columnar
+parquet scans: Catalyst pushes predicates and prunes columns into the
+scan, which is what dbplyr's SQL pushdown did in the reference.
+
+At 100 TB these would be partitioned/bucketed catalog tables; the scan
+API is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..spec import t as _load
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _load(spark, sf_dir, name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL entry points)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def append_sink(df: DataFrame, path: str) -> None:
+    """Append-log sink (reference: ``dbAppendTable``,
+    ``01-within-entities.R:68-70``)."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite_sink(df: DataFrame, path: str) -> None:
+    """Overwrite sink (reference: ``dbWriteTable``,
+    ``chronik-after-ner.R:55-57``)."""
+    df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,59 @@
+"""Query-spec plumbing for the driver contract.
+
+A :class:`QuerySpec` pairs a Spark query callable ``(spark, sf_dir) ->
+DataFrame`` with the equivalent ANSI SQL that DuckDB runs as the
+correctness oracle.  ``oracle=None`` marks genuinely non-SQL-expressible
+ops (stateful streaming, iterative fixpoints) — the driver then records a
+weaker rows-only check.
+
+Determinism rules used by every spec (so order-insensitive value hashes
+match across engines):
+
+- double SUM/AVG go through ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS
+  DOUBLE)`` on both sides — decimal addition is exact and associative, so
+  Spark's partial-aggregate order vs DuckDB's single-threaded order can't
+  change bits;
+- every window/rank is ordered by a total key (unique tie-break column);
+- similarity scores are rounded before thresholding/ranking so float
+  association differences (1e-15) can't flip a comparison;
+- computed integer columns are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a star-schema table.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read nanos as long and convert with integer division
+    (``div`` stays in long space — double division would lose µs
+    precision at 1.7e18 ns epochs).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# SQL fragments for the decimal-sum determinism trick.
+def dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
