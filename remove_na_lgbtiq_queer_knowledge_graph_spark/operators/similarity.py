@@ -1,0 +1,188 @@
+"""Similarity-join operators — the ER core (SURVEY.md §2.10, J8/J9/T1-T8).
+
+The reference builds char-2-gram document-feature matrices with quanteda
+and takes all-pairs cosine/jaccard above a threshold
+(``entity-resolution/entities/01-within-entities.R:40-49``,
+``analysis/find-duplicates-authors.R:49-61``), always *blocked* first
+(same first letter / same NER label — ``entities/03:67``) because the
+unblocked problem is quadratic.
+
+Spark-first design, two physical paths behind one API:
+
+- **exact path** (default): explode n-grams → inverted-index self-join on
+  (block, gram) → per-pair dot product; cosine = dot/(|a||b|), jaccard =
+  |∩|/|∪|.  All JVM-side; the join key (block, gram) keeps the shuffle
+  proportional to the inverted-index postings, not n².  A document-
+  frequency cut (``max_df``) drops stop-grams whose postings lists would
+  otherwise dominate the join — the standard scale lever.
+- **LSH path**: ``ml.feature.MinHashLSH.approxSimilarityJoin`` over
+  hashed gram sets for jaccard at 100 TB scale (threshold pushed into the
+  LSH join, SURVEY §4).
+
+Scores are rounded to 6 decimals so float association order can never
+flip a threshold comparison across engines/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.strings import char_ngrams
+
+
+def gram_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, block…, gram, cnt) char-n-gram term counts (quanteda dfm)."""
+    block_cols = block_cols or []
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy("id", *block_cols, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    min_sim: float = 0.75,
+    metric: str = "cosine",
+    block_cols: list[str] | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs similarity ≥ ``min_sim`` via blocked inverted-index join.
+
+    Returns (id_1, id_2, value) with id_1 < id_2, value rounded to 6dp.
+    ``metric``: 'cosine' over gram counts or 'jaccard' over gram sets.
+    ``max_df`` drops grams occurring in more than that many docs (postings
+    cut; at 100 TB this is what bounds the self-join).
+
+    Reference: ``calc_similarity(..., min_sim)``
+    ``01-within-entities.R:48-49``; jaccard ``find-duplicates-authors.R:49``.
+    """
+    block_cols = block_cols or []
+    grams = gram_counts(df, id_col, text_col, n, block_cols)
+    if metric == "jaccard":
+        grams = grams.withColumn("cnt", F.lit(1))
+    if max_df is not None:
+        heavy = grams.groupBy("gram").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_df
+        )
+        grams = grams.join(F.broadcast(heavy.select("gram")), "gram", "left_anti")
+
+    norms = grams.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("norm"),
+        F.sum("cnt").alias("card"),
+    )
+
+    a = grams.select(
+        *[F.col(c).alias(f"{c}__b") for c in block_cols],
+        F.col("id").alias("id_1"), F.col("gram").alias("gram"),
+        F.col("cnt").alias("cnt_1"),
+    )
+    b = grams.select(
+        *[F.col(c).alias(f"{c}__b") for c in block_cols],
+        F.col("id").alias("id_2"), F.col("gram").alias("gram"),
+        F.col("cnt").alias("cnt_2"),
+    )
+    join_keys = [f"{c}__b" for c in block_cols] + ["gram"]
+    dots = (
+        a.join(b, join_keys)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.sum(F.col("cnt_1") * F.col("cnt_2")).alias("dot"))
+    )
+
+    n1 = norms.select(F.col("id").alias("id_1"), F.col("norm").alias("norm_1"),
+                      F.col("card").alias("card_1"))
+    n2 = norms.select(F.col("id").alias("id_2"), F.col("norm").alias("norm_2"),
+                      F.col("card").alias("card_2"))
+    paired = dots.join(n1, "id_1").join(n2, "id_2")
+
+    if metric == "cosine":
+        value = F.col("dot") / (F.col("norm_1") * F.col("norm_2"))
+    elif metric == "jaccard":
+        value = F.col("dot") / (F.col("card_1") + F.col("card_2") - F.col("dot"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    return (
+        paired.withColumn("value", F.round(value, 6))
+        .filter(F.col("value") >= min_sim)
+        .select("id_1", "id_2", "value")
+    )
+
+
+def candidate_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    min_sim: float = 0.5,
+    num_hash_tables: int = 8,
+    vocab_size: int = 1 << 18,
+) -> DataFrame:
+    """Approximate jaccard pairs via MinHash LSH — the 100 TB path.
+
+    ``approxSimilarityJoin`` prunes to bucket-colliding pairs, so cost
+    follows the number of near-duplicates, not n².  Reference thresholds
+    map directly: jaccard distance threshold = 1 - min_sim.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        char_ngrams(F.col(text_col), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=vocab_size, binary=True)
+    fdf = tf.transform(feats)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables)
+    model = lsh.fit(fdf)
+    pairs = model.approxSimilarityJoin(fdf, fdf, 1.0 - min_sim, distCol="dist")
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id_1"),
+            F.col("datasetB.id").alias("id_2"),
+            F.round(1.0 - F.col("dist"), 6).alias("value"),
+        )
+        .filter(F.col("id_1") < F.col("id_2"))
+    )
+
+
+def string_distance_join(
+    left: DataFrame, right: DataFrame, left_col: str, right_col: str,
+    *, max_dist: int = 2, block_cols: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """J8: blocked fuzzy join on levenshtein distance
+    (``fuzzyjoin::stringdist_inner_join`` max_dist 2-3,
+    ``lobid/01-search-via-isbn.R:97``)."""
+    conds = [F.col(f"l.{a}") == F.col(f"r.{b}") for a, b in (block_cols or [])]
+    joined = left.alias("l").join(right.alias("r"), conds if conds else None)
+    return joined.withColumn(
+        "dist", F.levenshtein(F.col(f"l.{left_col}"), F.col(f"r.{right_col}"))
+    ).filter(F.col("dist") <= max_dist)
+
+
+def meta_ensemble(pairs_with_names: DataFrame, name_1: str = "name_1",
+                  name_2: str = "name_2") -> DataFrame:
+    """T8: multi-metric ensemble — cosine + jaccard + 2/levenshtein.
+
+    Reference: ``meta_sim = cosine + jaccard + 2/lv``
+    (``find-duplicates-authors.R:204-210``) with relevance cutoffs
+    cosine ≥ 0.5, jaccard ≥ 0.3, lev < 3.
+    """
+    lev = F.levenshtein(F.col(name_1), F.col(name_2))
+    lev_term = F.when(lev == 0, F.lit(2.0)).otherwise(F.lit(2.0) / lev)
+    return pairs_with_names.withColumn("lev", lev.cast("long")).withColumn(
+        "meta_sim", F.round(F.col("cosine") + F.col("jaccard") + lev_term, 6)
+    )

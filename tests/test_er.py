@@ -1,0 +1,51 @@
+"""Connected-components / resolve_entities unit tests (SURVEY §2.10 T9-T10).
+
+Replaces the reference's regression pins on manually-merged ids
+(`chronik/02:187-205,410-428`) with explicit component fixtures,
+including the transitive case its 2-round update_ids got wrong
+(`chronik/03:113-121`)."""
+
+from pyspark.sql import functions as F
+
+from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.er import (
+    connected_components,
+    resolve_entities,
+    update_ids,
+)
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_transitivity(spark):
+    # A 6-node chain needs >2 propagation rounds — the exact case the
+    # reference's manual 2-round remap mishandled.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["src", "dst"]
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_resolve_entities_election_and_singletons(spark):
+    ents = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "solo")], ["id", "name"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_1", "id_2"])
+    got = {r.id: (r.id_new, r.name_new) for r in resolve_entities(ents, pairs).collect()}
+    # canonical = max id member (3, 'c'); singleton maps to itself
+    assert got[1] == (3, "c") and got[2] == (3, "c") and got[3] == (3, "c")
+    assert got[9] == (9, "solo")
+
+
+def test_update_ids(spark):
+    facts = spark.createDataFrame([(1, 10.0), (2, 20.0), (9, 5.0)], ["eid", "v"])
+    mapping = spark.createDataFrame([(1, 3), (2, 3)], ["id", "id_new"])
+    got = update_ids(facts, mapping, "eid")
+    agg = {r.eid: r.total for r in got.groupBy("eid").agg(F.sum("v").alias("total")).collect()}
+    assert agg == {3: 30.0, 9: 5.0}
