@@ -1,0 +1,192 @@
+"""BGP (basic graph pattern) planner over a triples DataFrame
+(SURVEY.md §2.11 G1-G13, §3.2).
+
+The reference runs SPARQL against Blazegraph/Wikidata endpoints (20+
+``.rq`` files).  Internally we plan the SPARQL-algebra subset those
+queries use directly onto DataFrame operations:
+
+- triple pattern → filtered scan of the triples DF (bound terms become
+  equality predicates — pushed into the parquet scan by Catalyst);
+- pattern conjunction → joins on shared variables;
+- OPTIONAL → left join (G2); UNION → unionByName (G3); FILTER → filter
+  (G4); FILTER NOT EXISTS / MINUS → left_anti (G5/G6); VALUES → isin
+  (G7); BIND → withColumn (G8); property path ``p1/p2`` → chained
+  patterns, ``p*`` → iterative fixpoint (G9, see ``transitive_closure``).
+
+Join order: patterns are planned most-bound-first (§4 rewrite 3 —
+selective patterns like ``BIND(fg:Q225307...)`` become point filters
+before joins); beyond that Catalyst + AQE reorder freely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+@dataclass(frozen=True)
+class Pattern:
+    s: str
+    p: str
+    o: str
+
+    def bound_count(self) -> int:
+        return sum(0 if _is_var(x) else 1 for x in (self.s, self.p, self.o))
+
+
+def _scan(triples: DataFrame, pat: Pattern) -> DataFrame:
+    """One triple pattern → filtered scan with var-named columns.
+
+    Bound terms become equality filters (pushed to the scan); a variable
+    repeated within one pattern (``?x p ?x``) becomes a self-equality
+    filter.
+    """
+    df = triples
+    sel: dict[str, object] = {}
+    for term, col in ((pat.s, "subject"), (pat.p, "predicate"), (pat.o, "object")):
+        if not _is_var(term):
+            df = df.filter(F.col(col) == term)
+        elif term[1:] in sel:
+            df = df.filter(F.col(col) == F.col(sel[term[1:]]))
+        else:
+            sel[term[1:]] = col
+    return df.select(*[F.col(c).alias(v) for v, c in sel.items()])
+
+
+def _join_vars(left: DataFrame, right: DataFrame) -> list[str]:
+    return [c for c in left.columns if c in right.columns]
+
+
+class BGPQuery:
+    """Composable BGP query builder.
+
+    >>> q = (BGPQuery(triples)
+    ...      .where(("?c", "inNation", "?n"), ("?n", "name", "?nname"))
+    ...      .optional(("?c", "segment", "?seg"))
+    ...      .values("nname", ["NATION_1"])
+    ...      .select("c", "nname", "seg"))
+    """
+
+    def __init__(self, triples: DataFrame):
+        self._triples = triples
+        self._df: DataFrame | None = None
+
+    def _merge(self, df: DataFrame, how: str = "inner") -> "BGPQuery":
+        if self._df is None:
+            if how != "inner":
+                raise ValueError("first pattern group must be required")
+            self._df = df
+        else:
+            on = _join_vars(self._df, df)
+            self._df = self._df.join(df, on, how) if on else self._df.crossJoin(df)
+        return self
+
+    def _group(self, patterns: tuple[tuple[str, str, str], ...]) -> DataFrame:
+        pats = sorted((Pattern(*p) for p in patterns),
+                      key=lambda p: -p.bound_count())
+        df = _scan(self._triples, pats[0])
+        for pat in pats[1:]:
+            nxt = _scan(self._triples, pat)
+            on = _join_vars(df, nxt)
+            df = df.join(nxt, on) if on else df.crossJoin(nxt)
+        return df
+
+    def where(self, *patterns: tuple[str, str, str]) -> "BGPQuery":
+        return self._merge(self._group(patterns))
+
+    def optional(self, *patterns: tuple[str, str, str]) -> "BGPQuery":
+        """G2: OPTIONAL group → left join on the shared variables."""
+        return self._merge(self._group(patterns), "left")
+
+    def not_exists(self, *patterns: tuple[str, str, str]) -> "BGPQuery":
+        """G5/G6: FILTER NOT EXISTS / MINUS → anti join."""
+        assert self._df is not None
+        sub = self._group(patterns)
+        on = _join_vars(self._df, sub)
+        self._df = self._df.join(sub, on, "left_anti")
+        return self
+
+    def union(self, other: "BGPQuery") -> "BGPQuery":
+        """G3: UNION of pattern groups (columns aligned by name)."""
+        assert self._df is not None and other._df is not None
+        self._df = self._df.unionByName(other._df, allowMissingColumns=True)
+        return self
+
+    def values(self, var: str, allowed: list[str]) -> "BGPQuery":
+        """G7: VALUES inline table → isin."""
+        assert self._df is not None
+        self._df = self._df.filter(F.col(var).isin(allowed))
+        return self
+
+    def filter(self, cond: Column) -> "BGPQuery":
+        """G4: FILTER expression."""
+        assert self._df is not None
+        self._df = self._df.filter(cond)
+        return self
+
+    def bind(self, var: str, expr: Column) -> "BGPQuery":
+        """G8: BIND(expr AS ?var)."""
+        assert self._df is not None
+        self._df = self._df.withColumn(var, expr)
+        return self
+
+    def select(self, *vars: str, distinct: bool = False) -> DataFrame:
+        assert self._df is not None
+        out = self._df.select(*vars)
+        return out.distinct() if distinct else out
+
+
+def path_seq(triples: DataFrame, preds: list[str]) -> DataFrame:
+    """G9 sequence path ``p1/p2/...`` → chained joins; returns (src, dst)."""
+    df = None
+    for i, p in enumerate(preds):
+        step = triples.filter(F.col("predicate") == p).select(
+            F.col("subject").alias(f"h{i}"), F.col("object").alias(f"h{i+1}")
+        )
+        df = step if df is None else df.join(step, f"h{i}")
+    return df.select(F.col("h0").alias("src"), F.col(f"h{len(preds)}").alias("dst"))
+
+
+def transitive_closure(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_iter: int = 20, reflexive: bool = False,
+) -> DataFrame:
+    """G9 ``p*``/``p+`` — iterative join to fixpoint with lineage
+    truncation per round (``checkpoint`` pattern, SURVEY §4).
+
+    Doubles path length each iteration (repeated squaring), so 20
+    iterations cover diameter 2^20 — termination is by fixpoint, and the
+    per-round ``localCheckpoint`` keeps the plan from growing.  Returns
+    distinct (src, dst) pairs; ``reflexive=True`` adds the zero-length
+    paths (``p*`` vs ``p+`` semantics).
+    """
+    closure = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    closure = closure.localCheckpoint()
+    n = closure.count()
+    for _ in range(max_iter):
+        hop = (
+            closure.alias("a")
+            .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        new = closure.union(hop).distinct().localCheckpoint()
+        m = new.count()
+        if m == n:
+            closure = new
+            break
+        closure, n = new, m
+    if reflexive:
+        nodes = (
+            closure.select("src").union(closure.select(F.col("dst").alias("src")))
+            .distinct()
+        )
+        closure = closure.union(
+            nodes.select(F.col("src"), F.col("src").alias("dst"))
+        ).distinct()
+    return closure

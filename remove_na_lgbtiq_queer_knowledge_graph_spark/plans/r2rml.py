@@ -1,0 +1,119 @@
+"""R2RML-style triple materialization (SURVEY.md §2.11 G19, §3.3).
+
+The reference materializes its KG from relational tables through
+YARRRML/R2RML mappings (``data-modeling/mappings/kg_v1.yml:28-83``, run by
+kglab/morph-kgc at ``data-modeling/create-rdf.py:8-21``).  A mapping is:
+logical source (table/query) + subject template + predicate-object pairs
+(constants, columns, or *referencing object maps with join conditions* —
+``kg_v1.yml:46-51``).
+
+Spark-first: each triples-map row-set is a ``select`` with a
+``format_string`` subject template; referencing maps become DataFrame
+joins; the graph is the ``unionByName`` of all maps.  One declarative
+plan — Catalyst prunes the source scans per map and the union is
+partition-parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Template:
+    """IRI template ``prefix + column`` (e.g. ``ex_book:$(book_id)``,
+    ``kg_v1.yml:31``)."""
+
+    prefix: str
+    column: str
+
+    def expr(self) -> Column:
+        return F.concat(F.lit(self.prefix), F.col(self.column).cast("string"))
+
+
+@dataclass(frozen=True)
+class RefObjectMap:
+    """Referencing object map: object = other map's subject, linked by a
+    join condition (``kg_v1.yml:46-51``)."""
+
+    parent_table: str
+    parent_subject: Template
+    child_key: str
+    parent_key: str
+
+
+@dataclass(frozen=True)
+class TriplesMap:
+    source: str                       # table name in `tables`
+    subject: Template
+    po: list[tuple[str, object]] = field(default_factory=list)
+    # obj: Template (IRI), Column-producing str (column name),
+    # ("const", value), or RefObjectMap
+
+
+def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFrame:
+    """Materialize all triples maps into one (subject, predicate, object)
+    DataFrame — strings throughout, nulls dropped (a null column produces
+    no triple, matching R2RML semantics)."""
+    parts: list[DataFrame] = []
+    for m in maps:
+        src = tables[m.source]
+        subj = m.subject.expr().alias("subject")
+        for pred, obj in m.po:
+            if isinstance(obj, RefObjectMap):
+                parent = tables[obj.parent_table].select(
+                    F.col(obj.parent_key).alias("__pk"),
+                    obj.parent_subject.expr().alias("__obj"),
+                )
+                part = (
+                    src.join(parent, F.col(obj.child_key) == F.col("__pk"))
+                    .select(subj, F.lit(pred).alias("predicate"),
+                            F.col("__obj").alias("object"))
+                )
+            else:
+                if isinstance(obj, Template):
+                    oc = obj.expr()
+                elif isinstance(obj, tuple) and obj[0] == "const":
+                    oc = F.lit(obj[1])
+                else:
+                    oc = F.col(obj).cast("string")
+                part = src.select(
+                    subj, F.lit(pred).alias("predicate"), oc.alias("object")
+                )
+            parts.append(part.filter(F.col("object").isNotNull()))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def star_schema_maps() -> list[TriplesMap]:
+    """The driver star schema as a KG: customers/suppliers → nations →
+    regions (FIXTURES.md §10 graph fixture)."""
+    return [
+        TriplesMap(
+            "customer", Template("c:", "c_custkey"),
+            [("type", ("const", "Customer")),
+             ("name", "c_name"),
+             ("segment", "c_mktsegment"),
+             ("inNation", Template("n:", "c_nationkey"))],
+        ),
+        TriplesMap(
+            "supplier", Template("s:", "s_suppkey"),
+            [("type", ("const", "Supplier")),
+             ("name", "s_name"),
+             ("inNation", Template("n:", "s_nationkey"))],
+        ),
+        TriplesMap(
+            "nation", Template("n:", "n_nationkey"),
+            [("name", "n_name"),
+             ("inRegion", Template("r:", "n_regionkey"))],
+        ),
+        TriplesMap(
+            "region", Template("r:", "r_regionkey"),
+            [("name", "r_name")],
+        ),
+    ]

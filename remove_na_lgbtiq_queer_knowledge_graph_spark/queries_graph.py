@@ -1,0 +1,290 @@
+"""Graph / triples / BGP queries (SURVEY.md §2.11) with DuckDB oracles.
+
+The oracle SQL rebuilds the same triples table as a CTE and runs the
+SPARQL-algebra operation as relational SQL — so the BGP planner's join
+semantics are checked end-to-end, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.graph import degrees, neighborhood, two_hop
+from .plans.bgp import BGPQuery, path_seq, transitive_closure
+from .plans.r2rml import materialize, star_schema_maps
+from .spec import QuerySpec, t
+
+_TRIPLES_CTE = """
+triples AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS subject, 'type' AS predicate, 'Customer' AS object FROM customer
+  UNION ALL SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'name', c_name FROM customer
+  UNION ALL SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'segment', c_mktsegment FROM customer
+  UNION ALL SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'inNation', 'n:' || CAST(c_nationkey AS VARCHAR) FROM customer
+  UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'type', 'Supplier' FROM supplier
+  UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'name', s_name FROM supplier
+  UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'inNation', 'n:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'name', n_name FROM nation
+  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'inRegion', 'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL SELECT 'r:' || CAST(r_regionkey AS VARCHAR), 'name', r_name FROM region
+)
+"""
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {name: t(spark, sf_dir, name)
+              for name in ("customer", "supplier", "nation", "region")}
+    return materialize(tables, star_schema_maps())
+
+
+def graph_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19: R2RML-style materialization of the star schema into triples
+    (`kg_v1.yml:28-83`, `create-rdf.py:15`)."""
+    return _triples(spark, sf_dir)
+
+
+_MATERIALIZE_SQL = f"WITH {_TRIPLES_CTE} SELECT subject, predicate, object FROM triples"
+
+
+def graph_bgp_region_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G11: BGP conjunction — every entity in region ASIA with its
+    name (4-pattern join, the `network-00-starting-point.rq` shape)."""
+    q = BGPQuery(_triples(spark, sf_dir)).where(
+        ("?e", "inNation", "?n"),
+        ("?n", "inRegion", "?r"),
+        ("?r", "name", "ASIA"),
+        ("?e", "name", "?ename"),
+    )
+    return q.select("e", "ename", distinct=True)
+
+
+_BGP_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT DISTINCT t1.subject AS e, t4.object AS ename
+FROM triples t1
+JOIN triples t2 ON t1.object = t2.subject AND t2.predicate = 'inRegion'
+JOIN triples t3 ON t2.object = t3.subject AND t3.predicate = 'name' AND t3.object = 'ASIA'
+JOIN triples t4 ON t1.subject = t4.subject AND t4.predicate = 'name'
+WHERE t1.predicate = 'inNation'
+"""
+
+
+def graph_optional_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: OPTIONAL — names of all typed entities with segment if
+    present (suppliers have none → null, `lokale-from-factgrid.rq:29-38`)."""
+    q = (
+        BGPQuery(_triples(spark, sf_dir))
+        .where(("?e", "type", "?etype"), ("?e", "name", "?ename"))
+        .optional(("?e", "segment", "?seg"))
+    )
+    return q.select("e", "etype", "ename", "seg")
+
+
+_OPTIONAL_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT t1.subject AS e, t1.object AS etype, t2.object AS ename, t3.object AS seg
+FROM triples t1
+JOIN triples t2 ON t1.subject = t2.subject AND t2.predicate = 'name'
+LEFT JOIN triples t3 ON t1.subject = t3.subject AND t3.predicate = 'segment'
+WHERE t1.predicate = 'type'
+"""
+
+
+def graph_values_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7+G4: VALUES inline table + FILTER regex
+    (`db_all_person_relations.rq:36-45`, `companions_and_relations.rq:76`)."""
+    q = (
+        BGPQuery(_triples(spark, sf_dir))
+        .where(("?n", "inRegion", "?r"), ("?r", "name", "?rname"),
+               ("?n", "name", "?nname"))
+        .values("rname", ["EUROPE", "ASIA"])
+        .filter(F.col("nname").rlike("_1?[0-9]$"))
+    )
+    return q.select("nname", "rname")
+
+
+_VALUES_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT t3.object AS nname, t2.object AS rname
+FROM triples t1
+JOIN triples t2 ON t1.object = t2.subject AND t2.predicate = 'name'
+JOIN triples t3 ON t1.subject = t3.subject AND t3.predicate = 'name'
+WHERE t1.predicate = 'inRegion'
+  AND t2.object IN ('EUROPE', 'ASIA')
+  AND regexp_matches(t3.object, '_1?[0-9]$')
+"""
+
+
+def graph_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: FILTER NOT EXISTS — nations without suppliers
+    (`get_factgrid_ids_from_wikidata.rq:18-21`)."""
+    q = (
+        BGPQuery(_triples(spark, sf_dir))
+        .where(("?n", "inRegion", "?r"), ("?n", "name", "?nname"))
+        .not_exists(("?s", "inNation", "?n"), ("?s", "type", "Supplier"))
+    )
+    return q.select("n", "nname")
+
+
+_NOTEXISTS_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT t1.subject AS n, t2.object AS nname
+FROM triples t1
+JOIN triples t2 ON t1.subject = t2.subject AND t2.predicate = 'name'
+WHERE t1.predicate = 'inRegion'
+  AND NOT EXISTS (
+    SELECT 1 FROM triples s1 JOIN triples s2 ON s1.subject = s2.subject
+    WHERE s1.predicate = 'inNation' AND s1.object = t1.subject
+      AND s2.predicate = 'type' AND s2.object = 'Supplier'
+  )
+"""
+
+
+def graph_bind_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8+F9: BIND with an id-extraction expression
+    (`companions_and_relations.rq:38-43`; `extract_id`)."""
+    q = (
+        BGPQuery(_triples(spark, sf_dir))
+        .where(("?e", "type", "Customer"), ("?e", "name", "?ename"))
+        .bind("eid", F.regexp_extract(F.col("e"), r"([0-9]+)$", 1).cast("long"))
+        .filter(F.col("eid") % 100 == 0)
+    )
+    return q.select("e", "ename", "eid")
+
+
+_BIND_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT t1.subject AS e, t2.object AS ename,
+       CAST(regexp_extract(t1.subject, '([0-9]+)$', 1) AS BIGINT) AS eid
+FROM triples t1
+JOIN triples t2 ON t1.subject = t2.subject AND t2.predicate = 'name'
+WHERE t1.predicate = 'type' AND t1.object = 'Customer'
+  AND CAST(regexp_extract(t1.subject, '([0-9]+)$', 1) AS BIGINT) % 100 = 0
+"""
+
+
+def graph_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 sequence path inNation/inRegion — entity → region in one hop
+    pair (`companions_and_relations.rq:59` `fgt:P2/fgt:P3` shape)."""
+    return path_seq(_triples(spark, sf_dir), ["inNation", "inRegion"])
+
+
+_PATHSEQ_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT t1.subject AS src, t2.object AS dst
+FROM triples t1 JOIN triples t2 ON t1.object = t2.subject
+WHERE t1.predicate = 'inNation' AND t2.predicate = 'inRegion'
+"""
+
+
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic hierarchy for `p*`: nation k → nation k-1 (a 25-deep
+    chain — deep enough that one- or two-round expansion fails)."""
+    n = t(spark, sf_dir, "nation")
+    return n.filter(F.col("n_nationkey") > 0).select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), (F.col("n_nationkey") - 1).cast("string")).alias("dst"),
+    )
+
+
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 `p*` transitive closure by iterative squaring to fixpoint
+    (`persons_factgrid_wikidata.rq:28` `P3*`) over a 25-deep chain."""
+    return transitive_closure(_chain_edges(spark, sf_dir))
+
+
+_CLOSURE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS src,
+         'n:' || CAST(n_nationkey - 1 AS VARCHAR) AS dst
+  FROM nation WHERE n_nationkey > 0
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src, dst FROM reach
+"""
+
+
+def _entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = _triples(spark, sf_dir)
+    return tri.filter(F.col("predicate").isin("inNation", "inRegion")).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+
+
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15: degree centrality over the membership edges
+    (`02-look-into-data.R:47`)."""
+    return degrees(_entity_edges(spark, sf_dir))
+
+
+_DEGREES_SQL = f"""
+WITH {_TRIPLES_CTE},
+edges AS (
+  SELECT subject AS src, object AS dst FROM triples
+  WHERE predicate IN ('inNation', 'inRegion')
+),
+ends AS (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+SELECT node, count(*) AS degree FROM ends GROUP BY node
+"""
+
+
+def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14: 2-hop motif (a)-[]->(b)-[]->(c) — entity → nation → region
+    (`network-00-starting-point.rq:11-16`)."""
+    return two_hop(_entity_edges(spark, sf_dir))
+
+
+_TWOHOP_SQL = f"""
+WITH {_TRIPLES_CTE},
+edges AS (
+  SELECT subject AS src, object AS dst FROM triples
+  WHERE predicate IN ('inNation', 'inRegion')
+)
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+"""
+
+
+def graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 parameterized: all nodes within 2 undirected hops of region
+    r:0 with min distance (`analysis/network/01-get-data.R:27-45`)."""
+    nb = neighborhood(_entity_edges(spark, sf_dir), "r:0", 2)
+    return nb.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+_NEIGHBORHOOD_SQL = f"""
+WITH {_TRIPLES_CTE},
+edges AS (
+  SELECT subject AS src, object AS dst FROM triples
+  WHERE predicate IN ('inNation', 'inRegion')
+),
+sym AS (SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges),
+d1 AS (SELECT DISTINCT v AS node FROM sym WHERE u = 'r:0' AND v <> 'r:0'),
+d2 AS (
+  SELECT DISTINCT s.v AS node
+  FROM d1 JOIN sym s ON d1.node = s.u
+  WHERE s.v <> 'r:0' AND s.v NOT IN (SELECT node FROM d1)
+)
+SELECT 'r:0' AS node, CAST(0 AS BIGINT) AS dist
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
+    "graph_bgp_region_members": QuerySpec(graph_bgp_region_members, _BGP_SQL),
+    "graph_optional_segment": QuerySpec(graph_optional_segment, _OPTIONAL_SQL),
+    "graph_values_filter": QuerySpec(graph_values_filter, _VALUES_SQL),
+    "graph_not_exists": QuerySpec(graph_not_exists, _NOTEXISTS_SQL),
+    "graph_bind_extract": QuerySpec(graph_bind_extract, _BIND_SQL),
+    "graph_path_seq": QuerySpec(graph_path_seq, _PATHSEQ_SQL),
+    "graph_transitive_closure": QuerySpec(graph_transitive_closure, _CLOSURE_SQL),
+    "graph_degrees": QuerySpec(graph_degrees, _DEGREES_SQL),
+    "graph_two_hop": QuerySpec(graph_two_hop, _TWOHOP_SQL),
+    "graph_neighborhood": QuerySpec(graph_neighborhood, _NEIGHBORHOOD_SQL),
+}
