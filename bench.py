@@ -1,0 +1,71 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink so the full plan executes
+(a bare .count() would let Catalyst prune expensive projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# One per operator family — scan/agg, joins, windows, ER, graph, dedup,
+# ANN, text, streaming.
+HEADLINE = [
+    "flagship_top_customers",
+    "agg_pricing_summary",
+    "join_multi_key",
+    "window_keep_first_dedupe",
+    "er_cosine_pairs",
+    "er_resolve_entities",
+    "graph_bgp_region_members",
+    "graph_transitive_closure",
+    "dedup_minhash_pairs",
+    "dedup_jaccard_pairs",
+    "ann_brute_topk",
+    "text_quality",
+    "stream_tumbling_daily",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.range(1).count()  # session warmup outside timings
+
+    specs = all_specs()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

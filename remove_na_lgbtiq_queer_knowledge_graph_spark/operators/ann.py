@@ -1,0 +1,139 @@
+"""Approximate-nearest-neighbor operators over embedding columns
+(BASELINE.json scale extensions: similarity search).
+
+Embeddings are ``array<float>`` columns.  All arithmetic casts to double
+*before* multiplying (float math differs across engines; double products
+of float inputs are exact), folds in index order, and rounds the final
+cosine to 6 decimals — so results are bit-stable and oracle-checkable.
+
+- ``brute_force_topk``: exact baseline — queries × corpus join, cosine,
+  window top-k.  Fine when |queries| is modest; at 100 TB corpus scale
+  broadcast the queries and the scan stays one pass, no shuffle of the
+  corpus.
+- ``bucketed_topk``: sign-bit (axis-aligned LSH) bucketing — candidates
+  share the leading-dimension sign pattern, top-k within bucket.  The
+  recall/cost dial is ``n_bits``; an IVF-style coarse quantizer would
+  slot in the same shape (bucket id = nearest centroid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered fold of elementwise double products."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+def brute_force_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself).  Queries are broadcast — the corpus scan
+    is a single pass at any scale."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
+def sign_bucket(vec_col: str | Column, n_bits: int = 8) -> Column:
+    """Axis-aligned LSH bucket: sign bits of the first ``n_bits`` dims."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = [
+        F.when(F.element_at(c, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+def bucketed_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 3, n_bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k among same-bucket candidates.  The bucket equi-join
+    replaces the cross join — cost scales with bucket occupancy (n/2^bits
+    expected), the classic recall-for-throughput trade."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"),
+        sign_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv"),
+        sign_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame, min_sim: float, block_col: str | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ min_sim (semantic dedupe),
+    optionally blocked (same label/cluster) to avoid the full n²."""
+    sel = [F.col(id_col).alias("id"), _dvec(vec_col).alias("v")]
+    if block_col:
+        sel.append(F.col(block_col).alias("blk"))
+    base = vectors.select(*sel)
+    a = base.select(
+        *( [F.col("blk")] if block_col else [] ),
+        F.col("id").alias("id_1"), F.col("v").alias("v1"),
+    )
+    b = base.select(
+        *( [F.col("blk")] if block_col else [] ),
+        F.col("id").alias("id_2"), F.col("v").alias("v2"),
+    )
+    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_sim)
+    )

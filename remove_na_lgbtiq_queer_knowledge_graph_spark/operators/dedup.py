@@ -1,0 +1,153 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+scale extensions; streaming twin of the reference's batch dedupe W2/J4).
+
+All signatures are engine-independent by construction: hashes are md5
+over explicit strings (not engine-native hash functions), so every
+operator here is checkable against an external SQL oracle and stable
+across Spark versions/partitionings.
+
+Scale notes: exact dedup is a hash groupBy (map-side combinable);
+MinHash/SimHash signatures are per-row (embarrassingly parallel); the
+LSH band join shuffles on (band, bucket) — cardinality follows the
+number of *near-duplicate candidates*, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.strings import word_ngrams
+
+
+def norm_tokens(col: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5 groupBy; groups with >1 member are duplicates."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("hash"))
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def exact_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup keeping the min-id representative per hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+             extra_cols: list[str] | None = None) -> DataFrame:
+    """Distinct word-n-gram shingles per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signature(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """MinHash signature columns h0..h{k-1}: min over shingles of
+    md5(seed|shingle).  md5-based so the signature is identical in any
+    engine; min over hex strings = min over the uniform hash order."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_band_pairs(
+    sig: DataFrame, num_hashes: int = 12, band_size: int = 3
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    With k=12, r=3 the collision curve ~ s^3 per band: jaccard 0.9 pairs
+    collide w.p. ≥ 95%, jaccard 0.3 pairs w.p. ~10% — the standard
+    near-dup operating point.
+    """
+    bands = None
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"h{b * band_size + i}") for i in range(band_size)]
+        part = sig.select(
+            "id", F.lit(b).alias("band"), F.concat(*cols).alias("bucket")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("id").alias("id_1"), "band", "bucket")
+    b2 = bands.select(F.col("id").alias("id_2"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
+def simhash(sh: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash signature as a bit string.
+
+    Bit b of a shingle = whether md5(b|shingle) starts with a hex digit
+    in 0-7 (an unbiased hash-derived coin, no hex→int conversion needed —
+    keeps the oracle expressible in plain SQL).  Document bit b = sign of
+    the sum of ±1 votes over its shingles.
+    """
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle"))), 1, 1)
+                .isin(*"01234567"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = sh.groupBy("id").agg(*votes)
+    bit_cols = [
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return agg.select("id", F.concat(*bit_cols).alias("simhash"))
+
+
+def jaccard_pairs(
+    sh: DataFrame, min_sim: float = 0.8, block_col: str | None = None
+) -> DataFrame:
+    """Exact n-gram jaccard pairs ≥ min_sim via inverted-index self-join
+    (optionally blocked).  ``sh`` from :func:`shingles`."""
+    keys = ([block_col] if block_col else []) + ["shingle"]
+    cards = sh.groupBy("id").agg(F.count("*").alias("card"))
+    a = sh.select(*([F.col(block_col)] if block_col else []),
+                  F.col("id").alias("id_1"), "shingle")
+    b = sh.select(*([F.col(block_col)] if block_col else []),
+                  F.col("id").alias("id_2"), "shingle")
+    inter = (
+        a.join(b, keys)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("inter"))
+    )
+    c1 = cards.select(F.col("id").alias("id_1"), F.col("card").alias("card_1"))
+    c2 = cards.select(F.col("id").alias("id_2"), F.col("card").alias("card_2"))
+    return (
+        inter.join(c1, "id_1")
+        .join(c2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("card_1") + F.col("card_2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_sim)
+        .select("id_1", "id_2", "jaccard")
+    )

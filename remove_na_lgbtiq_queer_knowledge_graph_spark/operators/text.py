@@ -1,0 +1,92 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+scale extensions): language-ID heuristic, quality scoring, token
+counting, document fingerprinting.  All JVM-side column expressions —
+the hot path of a 100 TB text pipeline must not leave codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import norm_tokens
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(words)))
+
+
+def lang_id(df: DataFrame, text_col: str) -> DataFrame:
+    """N-gram/stopword language heuristic: argmax of per-language
+    stopword hit counts, 'und' (unknown) when nothing scores.  Ties break
+    by fixed language order — deterministic everywhere."""
+    toks = norm_tokens(F.col(text_col))
+    out = df
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"__{lang}", _hits(toks, words))
+    best = F.greatest(*[F.col(f"__{lang}") for lang in STOPWORDS])
+    pred = F.lit("unknown")
+    for lang in reversed(list(STOPWORDS)):
+        pred = F.when(
+            (F.col(f"__{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    out = out.withColumn("predicted_lang", pred)
+    return out.drop(*[f"__{lang}" for lang in STOPWORDS])
+
+
+def token_counts(text: Column) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish regex token count).
+
+    The regex tokenizer splits into letter runs, digit runs, and single
+    punctuation marks — the shape of a byte-level BPE pre-tokenizer."""
+    ws = F.size(norm_tokens(text))
+    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return ws, bpe
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring features: length, token counts, mean token length,
+    punctuation ratio, stopword ratio, and a case_when quality tier."""
+    text = F.col(text_col)
+    toks = norm_tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
+    mean_tok = F.round(
+        (n_chars - (n_tokens - 1)) / n_tokens, 6
+    )  # chars minus separators over tokens
+    stop_ratio = F.round(stop_hits / n_tokens, 6)
+    punct_ratio = F.round(punct / n_chars, 6)
+    tier = (
+        F.when((n_tokens >= 50) & (stop_ratio > 0), "high")
+        .when(n_tokens >= 20, "medium")
+        .otherwise("low")
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        punct.cast("long").alias("n_punct"),
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        tier.alias("quality_tier"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set —
+    the document-level analogue of the OpenRefine key fingerprint
+    (`open-refine-fingerprint.R:15-23`), order/whitespace-insensitive."""
+    toks = norm_tokens(F.col(text_col))
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

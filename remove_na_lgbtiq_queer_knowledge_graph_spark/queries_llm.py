@@ -1,0 +1,325 @@
+"""LLM-training-data pipeline queries (BASELINE.json scale extensions):
+dedup (exact / MinHash-LSH / SimHash / n-gram jaccard / embedding
+cosine), similarity search (brute-force + bucketed ANN), text analysis,
+multimodal plumbing — each with a DuckDB oracle where the semantics are
+SQL-expressible (hashes are md5-based precisely so they are).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import ann as ann_ops
+from .operators.dedup import (
+    exact_dup_groups,
+    exact_keep_first,
+    jaccard_pairs,
+    minhash_band_pairs,
+    minhash_signature,
+    shingles,
+    simhash,
+)
+from .operators.multimodal import decode_metadata, to_binary_payload
+from .operators.text import STOPWORDS, doc_fingerprint, lang_id, quality_features, token_counts
+from .spec import QuerySpec, t
+
+# Shared oracle fragments -----------------------------------------------------
+
+_TOKS = ("string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')")
+_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, lang, array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS s
+  FROM toks, unnest(range(1, len(w) - 1)) t(i)
+)
+"""
+
+_VEC_CTE = """
+v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(list_dot_product(ve, ve)) AS nv FROM v)
+"""
+
+
+# Dedup -----------------------------------------------------------------------
+
+def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash groups with >1 member."""
+    return exact_dup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_EXACT_SQL = """
+SELECT md5(text) AS hash, count(*) AS n, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def dedup_exact_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping min-id representative (identity when no dups)."""
+    return exact_keep_first(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_KEEPFIRST_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: word-3-gram shingles → 12 md5-minhash
+    signatures → 4 bands of 3 → bucket-join."""
+    sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    return minhash_band_pairs(minhash_signature(sh, 12), 12, 3)
+
+
+_K, _R = 12, 3
+_MINS = ",\n       ".join(
+    f"min(md5('{s}|' || s)) AS h{s}" for s in range(_K)
+)
+_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{_R*b} || h{_R*b+1} || h{_R*b+2} AS bucket FROM sig"
+    for b in range(_K // _R)
+)
+_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS})
+SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit signatures per document."""
+    sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    return simhash(sh, 16).withColumnRenamed("id", "doc_id")
+
+
+_VOTES = ",\n       ".join(
+    f"sum(CASE WHEN substring(md5('{b}|' || s), 1, 1) IN "
+    f"('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(16)
+)
+_BITS = " || ".join(
+    f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(16)
+)
+_SIMHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+votes AS (SELECT doc_id, {_VOTES} FROM sh GROUP BY doc_id)
+SELECT doc_id, {_BITS} AS simhash FROM votes
+"""
+
+
+def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram jaccard near-dup pairs ≥ 0.8, blocked by lang."""
+    sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3,
+                  extra_cols=["lang"])
+    return jaccard_pairs(sh, 0.8, block_col="lang")
+
+
+_JACCARD_DOC_SQL = f"""
+WITH {_SHINGLE_CTE},
+cards AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, round(i / (c1.card + c2.card - i), 6) AS jaccard
+FROM inter JOIN cards c1 ON id_1 = c1.doc_id JOIN cards c2 ON id_2 = c2.doc_id
+WHERE round(i / (c1.card + c2.card - i), 6) >= 0.8
+"""
+
+
+def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.3 within a label block
+    (semantic dedupe)."""
+    return ann_ops.cosine_dup_pairs(
+        t(spark, sf_dir, "embeddings"), 0.3, block_col="label"
+    )
+
+
+_EMB_PAIRS_SQL = f"""
+WITH {_VEC_CTE}
+SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+       round(list_dot_product(a.ve, b.ve) / (na.nv * nb.nv), 6) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+JOIN nrm na ON a.vec_id = na.vec_id JOIN nrm nb ON b.vec_id = nb.vec_id
+WHERE round(list_dot_product(a.ve, b.ve) / (na.nv * nb.nv), 6) >= 0.3
+"""
+
+
+# ANN -------------------------------------------------------------------------
+
+def ann_brute_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0) —
+    the exact ANN baseline."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_ops.brute_force_topk(emb, queries, k=5)
+
+
+_ANN_BRUTE_SQL = f"""
+WITH {_VEC_CTE},
+q AS (SELECT vec_id, ve FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.ve, c.ve) / (nq.nv * nc.nv), 6) AS cos_sim
+  FROM q JOIN v c ON c.vec_id <> q.vec_id
+  JOIN nrm nq ON q.vec_id = nq.vec_id JOIN nrm nc ON c.vec_id = nc.vec_id
+)
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def ann_bucketed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit-bucketed ANN top-3 — the scale path: equi-join on an
+    8-bit axis-sign bucket instead of a cross join."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_ops.bucketed_topk(emb, queries, k=3, n_bits=8)
+
+
+_BUCKET_EXPR = " || ".join(
+    f"(CASE WHEN ve[{i+1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+)
+_ANN_BUCKET_SQL = f"""
+WITH {_VEC_CTE},
+vb AS (SELECT vec_id, ve, {_BUCKET_EXPR} AS bucket FROM v),
+q AS (SELECT vec_id, ve, bucket FROM vb WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.ve, c.ve) / (nq.nv * nc.nv), 6) AS cos_sim
+  FROM q JOIN vb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  JOIN nrm nq ON q.vec_id = nq.vec_id JOIN nrm nc ON c.vec_id = nc.vec_id
+)
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+# Text analysis ---------------------------------------------------------------
+
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID."""
+    return lang_id(t(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "lang", "predicted_lang"
+    )
+
+
+_HITS = {
+    lang: f"len(list_filter({_TOKS}, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+    for lang, ws in STOPWORDS.items()
+}
+_BEST = f"greatest({', '.join(_HITS.values())})"
+_LANG_CASE = " ".join(
+    f"WHEN {_HITS[lang]} = {_BEST} AND {_BEST} > 0 THEN '{lang}'"
+    for lang in STOPWORDS
+)
+_LANG_SQL = f"""
+SELECT doc_id, lang,
+       CASE {_LANG_CASE} ELSE 'unknown' END AS predicted_lang
+FROM documents
+"""
+
+
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features + tier."""
+    return quality_features(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_ALL_STOP = ", ".join(repr(w) for ws in STOPWORDS.values() for w in ws)
+_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_ALL_STOP}))) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_punct,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len,
+       round(stop_hits / n_tokens, 6) AS stopword_ratio,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       CASE WHEN n_tokens >= 50 AND round(stop_hits / n_tokens, 6) > 0 THEN 'high'
+            WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_tier
+FROM f
+"""
+
+
+def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    d = t(spark, sf_dir, "documents")
+    ws, bpe = token_counts(F.col("text"))
+    return d.select(
+        "doc_id", ws.cast("long").alias("ws_tokens"), bpe.cast("long").alias("bpe_tokens")
+    )
+
+
+_TOKEN_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint per document."""
+    return doc_fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_DOCFP_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# Multimodal ------------------------------------------------------------------
+
+def mm_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: text → binary payload →
+    mapInPandas stub decoder → typed metadata.  The decode body is a
+    deterministic fake (no codec libs here); the Arrow/batch/schema
+    machinery is the real thing."""
+    payloads = to_binary_payload(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return decode_metadata(payloads)
+
+
+_MM_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+FROM documents
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "dedup_exact_groups": QuerySpec(dedup_exact_groups_q, _EXACT_SQL),
+    "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first_q, _KEEPFIRST_SQL),
+    "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs_q, _MINHASH_SQL),
+    "dedup_simhash_signatures": QuerySpec(dedup_simhash_q, _SIMHASH_SQL),
+    "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs_q, _JACCARD_DOC_SQL),
+    "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs_q, _EMB_PAIRS_SQL),
+    "ann_brute_topk": QuerySpec(ann_brute_topk_q, _ANN_BRUTE_SQL),
+    "ann_bucketed_topk": QuerySpec(ann_bucketed_topk_q, _ANN_BUCKET_SQL),
+    "text_lang_id": QuerySpec(text_lang_id_q, _LANG_SQL),
+    "text_quality": QuerySpec(text_quality_q, _QUALITY_SQL),
+    "text_token_counts": QuerySpec(text_token_counts_q, _TOKEN_SQL),
+    "text_doc_fingerprint": QuerySpec(text_fingerprint_q, _DOCFP_SQL),
+    "mm_decode_metadata": QuerySpec(mm_decode_metadata_q, _MM_SQL),
+}

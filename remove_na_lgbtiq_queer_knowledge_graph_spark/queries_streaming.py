@@ -1,0 +1,132 @@
+"""Streaming queries (SURVEY.md §2.13, BASELINE.json streaming
+extensions) — real Structured Streaming runs driven to completion via
+the memory sink, with batch-semantics DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .spec import QuerySpec, t
+from .streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_aggregate,
+    sliding_counts,
+    streaming_dedupe_keys,
+    tumbling_counts,
+)
+
+
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window counts per event_type — REAL readStream →
+    watermark → window agg → memory sink (complete mode)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        tumbling_counts(stream, "1 day"), "mem_tumbling_daily", "complete"
+    )
+
+
+_TUMBLING_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS wday, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sliding_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window counts — every event lands in two windows."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        sliding_counts(stream, "2 hours", "1 hour"), "mem_sliding_hours", "complete"
+    )
+
+
+_SLIDING_SQL = """
+WITH starts AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart_epoch FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(date_trunc('hour', ts) - INTERVAL 1 HOUR)) AS BIGINT) FROM events
+)
+SELECT wstart_epoch, count(*) AS n FROM starts GROUP BY 1
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) — ``session_window`` on the
+    batch frame (identical semantics to the streaming operator; the
+    streaming run needs watermark-closed windows, asserted in tests)."""
+    events = t(spark, sf_dir, "events")
+    return session_aggregate(events, "30 minutes")
+
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sess
+"""
+
+
+def stream_dedupe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedupe — dropDuplicates over the stream, one
+    row per (user_id, event_type) key (W2's streaming twin)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        streaming_dedupe_keys(stream), "mem_dedupe_keys", "append"
+    )
+
+
+_DEDUPE_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def stream_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental idiom (J4 + created_at filter,
+    `02-other-duplicates.R:11-12`): process only events newer than the
+    checkpoint whose (user_id, event_type) was never seen before it."""
+    events = t(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-08 00:00:00"))
+    old_keys = events.filter(F.col("ts") < cutoff).select(
+        "user_id", "event_type"
+    ).distinct()
+    return (
+        events.filter(F.col("ts") >= cutoff)
+        .join(old_keys, ["user_id", "event_type"], "left_anti")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+_INCR_SQL = """
+SELECT event_id, user_id, event_type FROM events e
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND NOT EXISTS (
+    SELECT 1 FROM events o
+    WHERE o.ts < TIMESTAMP '2024-01-08 00:00:00'
+      AND o.user_id = e.user_id AND o.event_type = e.event_type
+  )
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "stream_tumbling_daily": QuerySpec(stream_tumbling_daily, _TUMBLING_SQL),
+    "stream_sliding_hours": QuerySpec(stream_sliding_hours, _SLIDING_SQL),
+    "stream_session_windows": QuerySpec(stream_session_windows, _SESSION_SQL),
+    "stream_dedupe_keys": QuerySpec(stream_dedupe_keys, _DEDUPE_SQL),
+    "stream_incremental_antijoin": QuerySpec(stream_incremental_antijoin, _INCR_SQL),
+}

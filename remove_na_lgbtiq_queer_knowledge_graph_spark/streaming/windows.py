@@ -1,0 +1,112 @@
+"""Structured Streaming twins of the batch ops (SURVEY.md §2.13).
+
+The reference is batch-only; its incremental idioms — append logs with
+``created_at`` filters (`entities/02-other-duplicates.R:12`) and
+anti-join-before-fetch (J4) — map onto watermarked streams.  Per
+BASELINE.json the engine adds true streaming equivalents over the
+driver's ``events`` table: tumbling/sliding/session windows and stateful
+dedupe.
+
+Queries here run *real* Structured Streaming — ``readStream`` over the
+events parquet, ``availableNow`` trigger, memory sink — driven to
+completion synchronously so the driver harness can collect the result
+like any batch DataFrame.  On a cluster the same plans run unmodified
+against Kafka/files with a real trigger; the memory sink is only the
+harness adapter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream.  Nanos timestamps are read as long
+    (see spec.t) and converted with integer division — same schema as
+    the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a directory; glob-filter to the one file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the result table."""
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 day") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("wday"),
+            "event_type", "n", "total",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window counts; window start exposed as epoch seconds."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("wstart_epoch"),
+            "n",
+        )
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: session start (epoch) + event count.
+    ``session_window`` works identically on batch and streaming frames."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedupe_keys(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedupe on (user_id, event_type) — the streaming
+    twin of the keep-first batch dedupe (W2).  Emits each key once."""
+    return events.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )

@@ -1,0 +1,126 @@
+"""Dedup / ANN / text / multimodal operator tests (scale-extension ops)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
+    brute_force_topk,
+    bucketed_topk,
+    cosine_dup_pairs,
+)
+from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_band_pairs,
+    minhash_signature,
+    shingles,
+    simhash,
+)
+from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
+    decode_metadata,
+    to_binary_payload,
+)
+from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.text import lang_id
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3, "completely different content about spark engines and shuffle partitions"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(spark):
+    got = exact_dup_groups(_docs(spark), "doc_id", "text").collect()
+    assert len(got) == 1 and got[0].n == 2 and got[0].keep_id == 1  # 1 & 4
+
+
+def test_minhash_catches_near_dup(spark):
+    sh = shingles(_docs(spark), "doc_id", "text", 3)
+    pairs = {
+        (r.id_1, r.id_2)
+        for r in minhash_band_pairs(minhash_signature(sh)).collect()
+    }
+    assert (1, 2) in pairs and (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_pairs_threshold(spark):
+    sh = shingles(_docs(spark), "doc_id", "text", 3)
+    pairs = {(r.id_1, r.id_2): r.jaccard for r in jaccard_pairs(sh, 0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 <= pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal(spark):
+    sh = shingles(_docs(spark), "doc_id", "text", 3)
+    sigs = {r.id: r.simhash for r in simhash(sh).collect()}
+    assert sigs[1] == sigs[4]
+    hamming_12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
+    hamming_13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    assert hamming_12 < hamming_13  # near-dup closer than unrelated
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.99, 0.1, 0.0, 0.0], 0),
+    (2, [0.0, 1.0, 0.0, 0.0], 1),
+    (3, [-1.0, 0.0, 0.0, 0.0], 1),
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_topk_order_and_exclusion(spark):
+    emb = _vecs(spark)
+    got = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r.cand_id for r in sorted(got, key=lambda r: r.rk)]
+    assert ranked == [1, 2, 3]  # nearest→farthest, self excluded
+    assert all(r.query_id == 0 for r in got)
+
+
+def test_bucketed_topk_subset_of_brute(spark):
+    emb = _vecs(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    brute = {(r.query_id, r.cand_id): r.cos_sim for r in brute_force_topk(emb, q, k=4).collect()}
+    bucketed = bucketed_topk(emb, q, k=4, n_bits=2).collect()
+    for r in bucketed:
+        assert brute[(r.query_id, r.cand_id)] == r.cos_sim  # same scores
+    # vec 3 has opposite sign bucket → pruned by LSH
+    assert all(r.cand_id != 3 for r in bucketed)
+
+
+def test_cosine_dup_pairs_blocked(spark):
+    pairs = cosine_dup_pairs(_vecs(spark), 0.9, block_col="label").collect()
+    assert {(r.id_1, r.id_2) for r in pairs} == {(0, 1)}
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"),
+         (2, "der hund und die katze ist hier"),
+         (3, "xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.predicted_lang for r in lang_id(df, "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_multimodal_decode_schema_and_determinism(spark):
+    df = spark.createDataFrame([(1, "abcd"), (2, "abcde")], ["doc_id", "text"])
+    out = decode_metadata(to_binary_payload(df, "doc_id", "text"))
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:bigint,width:bigint,height:bigint,fmt:string>"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_bytes == 4 and rows[1].fmt == "png"
+    assert rows[2].n_bytes == 5 and rows[2].fmt == "jpeg"
