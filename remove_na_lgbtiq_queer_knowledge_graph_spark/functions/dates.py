@@ -36,8 +36,8 @@ def parse_date_multi(col: Column) -> Column:
     (8).  Mirrors the case_when cascade at ``15-chronik-events.R:56-123``.
     """
     s = _normalize_german(F.trim(col))
-    day = F.to_date(s, "d.M.yyyy")
-    month = F.coalesce(F.to_date(s, "M yyyy"), F.to_date(s, "M.yyyy"))
+    day = F.try_to_date(s, "d.M.yyyy")
+    month = F.coalesce(F.try_to_date(s, "M yyyy"), F.try_to_date(s, "M.yyyy"))
     year = F.when(s.rlike(r"^[0-9]{4}$"), F.to_date(F.concat(s, F.lit("-01-01"))))
     decade = F.when(
         s.rlike(r"^[0-9]{4}er$"),

@@ -1,0 +1,76 @@
+"""Entity-linking + publishing operators (SURVEY.md §2 Phase 4, FIXTURES §4).
+
+The reference links entities to external authorities (Wikidata/GND/VIAF)
+into an ``el_matches`` table with confidence tiers (``hierarchy``,
+`04-persons.R:627`), keeps the best match per entity
+(`book-authors-viaf.R:52-58`), builds label cascades across languages
+(`04-persons.R:478-483`), and publishes via long-format QuickStatements
+in 20-item batches (`04-persons.R:521-533`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def best_match_per_entity(
+    matches: DataFrame, entity_col: str,
+    order: Sequence[Column],
+) -> DataFrame:
+    """J12 with confidence tiers: keep the single best external match per
+    entity, ranked by (hierarchy, score, stable tie-break)."""
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    return (
+        matches.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def label_cascade(df: DataFrame, out: str, *candidates: Column) -> DataFrame:
+    """P4 label/description fallback cascade — first non-null of the
+    per-language label columns (Lde/Len/... fallbacks,
+    `04-persons.R:478-483`)."""
+    return df.withColumn(out, F.coalesce(*candidates))
+
+
+def quickstatements_long(
+    df: DataFrame, item_col: str, statements: dict[str, Column],
+    batch_size: int = 20,
+) -> DataFrame:
+    """S12+R3: wide entity rows → long (item, property, value) statement
+    rows with a 20-item upload batch number (`04-persons.R:521-533`).
+
+    The batch number is assigned per distinct item over a total order —
+    the publishing chunking the reference does with group_split.
+    """
+    parts = [
+        df.select(
+            F.col(item_col).cast("string").alias("item"),
+            F.lit(prop).alias("property"),
+            expr.cast("string").alias("value"),
+        )
+        for prop, expr in statements.items()
+    ]
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    long = long.filter(F.col("value").isNotNull())
+    items = long.select("item").distinct()
+    w = Window.orderBy("item")
+    batches = items.withColumn(
+        "batch", ((F.row_number().over(w) - 1) / batch_size).cast("long")
+    )
+    return long.join(batches, "item")
+
+
+def add_statement(
+    df: DataFrame, rules: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """X2 ``add_statement``: attach statements from a rules table by key
+    join (the reference builds statements row-wise; here it is one
+    broadcast join, `01-addresses.R:50-102`)."""
+    return df.join(F.broadcast(rules), on, "left")

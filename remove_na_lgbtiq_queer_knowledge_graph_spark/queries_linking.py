@@ -1,0 +1,414 @@
+"""Entity-linking / publishing / NER / date-precision / QA queries
+(SURVEY.md §2 Phase 4 + §5 assertion ops) with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.dates import parse_date_multi, wikibase_time
+from .operators.linking import (
+    best_match_per_entity,
+    label_cascade,
+    quickstatements_long,
+)
+from .operators.ner import extract_span, gazetteer_match, model_ner
+from .spec import QuerySpec, dsum, t
+
+
+# ---------------------------------------------------------------------------
+# Entity linking (FIXTURES §4 el_matches shape)
+# ---------------------------------------------------------------------------
+
+def el_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """el_matches best-match selection: candidate links (blocked fuzzy
+    join) ranked by confidence hierarchy then distance, best per entity
+    (`book-authors-viaf.R:52-58`; hierarchy tiers `04-persons.R:627`)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.regexp_replace("c_name", "Customer", "X").alias("cn"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("external_id"),
+        F.regexp_replace("s_name", "Supplier", "X").alias("sn"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    cand = (
+        c.join(s, "nk")
+        .withColumn("dist", F.levenshtein("cn", "sn").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .withColumn(
+            "hierarchy",
+            F.when(F.col("dist") == 0, 1)
+            .when(F.col("dist") <= 2, 2)
+            .otherwise(3)
+            .cast("long"),
+        )
+    )
+    best = best_match_per_entity(
+        cand, "entity_id",
+        [F.col("hierarchy"), F.col("dist"), F.col("external_id")],
+    )
+    return best.select("entity_id", "external_id", "dist", "hierarchy")
+
+
+_EL_BEST_SQL = """
+WITH cand AS (
+  SELECT c_custkey AS entity_id, s_suppkey AS external_id,
+         CAST(levenshtein(replace(c_name, 'Customer', 'X'),
+                          replace(s_name, 'Supplier', 'X')) AS BIGINT) AS dist
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+  WHERE levenshtein(replace(c_name, 'Customer', 'X'),
+                    replace(s_name, 'Supplier', 'X')) <= 3
+),
+tiered AS (
+  SELECT *, CAST(CASE WHEN dist = 0 THEN 1 WHEN dist <= 2 THEN 2 ELSE 3 END AS BIGINT) AS hierarchy
+  FROM cand
+)
+SELECT entity_id, external_id, dist, hierarchy FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+    ORDER BY hierarchy, dist, external_id) AS rk
+  FROM tiered
+) WHERE rk = 1
+"""
+
+
+def el_label_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: per-language label fallback — display label = first non-null
+    of Lde/Len (`04-persons.R:478-483` label columns)."""
+    p = t(spark, sf_dir, "part")
+    with_langs = p.select(
+        "p_partkey",
+        F.when(F.col("p_size") % 3 == 0, None)
+        .otherwise(F.upper("p_name"))
+        .alias("label_de"),
+        F.col("p_name").alias("label_en"),
+    )
+    return label_cascade(
+        with_langs, "display_label", F.col("label_de"), F.col("label_en")
+    )
+
+
+_EL_CASCADE_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_size % 3 = 0 THEN NULL ELSE upper(p_name) END AS label_de,
+       p_name AS label_en,
+       COALESCE(CASE WHEN p_size % 3 = 0 THEN NULL ELSE upper(p_name) END, p_name) AS display_label
+FROM part
+"""
+
+
+def publish_quickstatements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12+R3+W1: wide supplier rows → long (item, property, value)
+    QuickStatements with 20-item batch numbers (`04-persons.R:521-533`)."""
+    s = t(spark, sf_dir, "supplier")
+    wide = s.select(
+        F.concat(F.lit("item:"), F.col("s_suppkey")).alias("item"),
+        F.col("s_name").alias("Lde"),
+        F.concat(F.lit("Q_nation_"), F.col("s_nationkey")).alias("P17"),
+        F.col("s_acctbal").alias("P2218"),
+    )
+    return quickstatements_long(
+        wide, "item",
+        {"Lde": F.col("Lde"), "P17": F.col("P17"), "P2218": F.col("P2218")},
+    )
+
+
+_QS_SQL = """
+WITH wide AS (
+  SELECT 'item:' || CAST(s_suppkey AS VARCHAR) AS item, s_name AS lde,
+         'Q_nation_' || CAST(s_nationkey AS VARCHAR) AS p17,
+         CAST(s_acctbal AS VARCHAR) AS p2218
+  FROM supplier
+),
+long AS (
+  SELECT item, 'Lde' AS property, lde AS value FROM wide
+  UNION ALL SELECT item, 'P17', p17 FROM wide
+  UNION ALL SELECT item, 'P2218', p2218 FROM wide
+),
+batches AS (
+  SELECT item, CAST((ROW_NUMBER() OVER (ORDER BY item) - 1) // 20 AS BIGINT) AS batch
+  FROM (SELECT DISTINCT item FROM long)
+)
+SELECT l.item, l.property, l.value, b.batch
+FROM long l JOIN batches b ON l.item = b.item
+WHERE l.value IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date parsing with precision (F6)
+# ---------------------------------------------------------------------------
+
+_GERMAN = {1: "Januar", 2: "Februar", 3: "März", 4: "April", 5: "Mai", 6: "Juni",
+           7: "Juli", 8: "August", 9: "September", 10: "Oktober", 11: "November",
+           12: "Dezember"}
+
+
+def fn_date_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: messy-archival-date parsing with precision — orders dates are
+    rendered into the reference's four formats (day 'd.M.yyyy', German
+    month-name 'Monat yyyy', bare year, decade 'yyyyer') and parsed back
+    into struct(instant, precision) + the Wikibase time literal
+    (`15-chronik-events.R:56-123`)."""
+    o = t(spark, sf_dir, "orders")
+    month_name = F.lit("?")
+    for m, name in _GERMAN.items():
+        month_name = F.when(F.month("o_orderdate") == m, name).otherwise(month_name)
+    raw = (
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(F.dayofmonth("o_orderdate"), F.lit("."),
+                     F.month("o_orderdate"), F.lit("."), F.year("o_orderdate")),
+        )
+        .when(F.col("o_orderkey") % 4 == 1,
+              F.concat(month_name, F.lit(" "), F.year("o_orderdate")))
+        .when(F.col("o_orderkey") % 4 == 2, F.year("o_orderdate").cast("string"))
+        .otherwise(
+            F.concat((F.floor(F.year("o_orderdate") / 10) * 10).cast("int"), F.lit("er"))
+        )
+    )
+    parsed = parse_date_multi(raw)
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_date"),
+        parsed["instant"].alias("instant"),
+        parsed["precision"].cast("long").alias("precision"),
+        wikibase_time(parsed).alias("wikibase_literal"),
+    )
+
+
+_MONTH_DE = "CASE month(o_orderdate) " + " ".join(
+    f"WHEN {m} THEN '{name}'" for m, name in _GERMAN.items()
+) + " END"
+_DATE_PRECISION_SQL = f"""
+WITH cls AS (
+  SELECT o_orderkey, o_orderdate, o_orderkey % 4 AS m,
+         {_MONTH_DE} AS mname
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN m = 0 THEN CAST(day(o_orderdate) AS VARCHAR) || '.' || CAST(month(o_orderdate) AS VARCHAR) || '.' || CAST(year(o_orderdate) AS VARCHAR)
+            WHEN m = 1 THEN mname || ' ' || CAST(year(o_orderdate) AS VARCHAR)
+            WHEN m = 2 THEN CAST(year(o_orderdate) AS VARCHAR)
+            ELSE CAST(CAST(floor(year(o_orderdate) / 10) * 10 AS INTEGER) AS VARCHAR) || 'er' END AS raw_date,
+       CASE WHEN m = 0 THEN CAST(o_orderdate AS DATE)
+            WHEN m = 1 THEN CAST(date_trunc('month', o_orderdate) AS DATE)
+            WHEN m = 2 THEN CAST(date_trunc('year', o_orderdate) AS DATE)
+            ELSE CAST(make_date(CAST(floor(year(o_orderdate) / 10) * 10 AS INTEGER), 1, 1) AS DATE) END AS instant,
+       CAST(CASE WHEN m = 0 THEN 11 WHEN m = 1 THEN 10 WHEN m = 2 THEN 9 ELSE 8 END AS BIGINT) AS precision,
+       '+' || strftime(CASE WHEN m = 0 THEN CAST(o_orderdate AS DATE)
+            WHEN m = 1 THEN CAST(date_trunc('month', o_orderdate) AS DATE)
+            WHEN m = 2 THEN CAST(date_trunc('year', o_orderdate) AS DATE)
+            ELSE CAST(make_date(CAST(floor(year(o_orderdate) / 10) * 10 AS INTEGER), 1, 1) AS DATE) END, '%Y-%m-%d')
+         || 'T00:00:00Z/' || CAST(CASE WHEN m = 0 THEN 11 WHEN m = 1 THEN 10 WHEN m = 2 THEN 9 ELSE 8 END AS VARCHAR) AS wikibase_literal
+FROM cls
+"""
+
+
+# ---------------------------------------------------------------------------
+# NER (T11-T14)
+# ---------------------------------------------------------------------------
+
+_GAZ = {"spark": "TOOL", "customer": "ROLE", "window": "CONCEPT", "batch": "CONCEPT"}
+
+
+def ner_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: gazetteer NER — broadcast term list over documents, hit
+    counts + first offset (`spacy_ner.py:146-176`)."""
+    return gazetteer_match(t(spark, sf_dir, "documents"), "doc_id", "text", _GAZ)
+
+
+_GAZ_VALUES = ", ".join(f"('{t_}', '{l}')" for t_, l in _GAZ.items())
+_NER_GAZ_SQL = f"""
+WITH gaz(term, label) AS (VALUES {_GAZ_VALUES})
+SELECT doc_id, term, label,
+       CAST(len(string_split(text, term)) - 1 AS BIGINT) AS n_hits,
+       CAST(strpos(text, term) AS BIGINT) AS start
+FROM documents CROSS JOIN gaz
+WHERE len(string_split(text, term)) - 1 > 0
+"""
+
+
+def ner_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: span → surface re-extraction by (start, length) offsets from
+    the gazetteer spans (`chronik-after-ner.R:39-49`)."""
+    spans = gazetteer_match(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _GAZ
+    ).withColumn("length", F.length("term").cast("long"))
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = spans.join(docs, "doc_id")
+    return extract_span(joined, "text", "start", "length").select(
+        "doc_id", "term", "label", "start", "surface"
+    )
+
+
+_NER_SPAN_SQL = f"""
+WITH gaz(term, label) AS (VALUES {_GAZ_VALUES}),
+spans AS (
+  SELECT doc_id, term, label,
+         CAST(strpos(text, term) AS BIGINT) AS start, length(term) AS len
+  FROM documents CROSS JOIN gaz
+  WHERE len(string_split(text, term)) - 1 > 0
+)
+SELECT s.doc_id, s.term, s.label, s.start,
+       trim(substring(d.text, CAST(s.start AS INTEGER), CAST(s.len AS INTEGER))) AS surface
+FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+"""
+
+
+def ner_rule_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: regex rule NER — numeric-literal shapes in event props
+    (`spacy_ner.py:32-134` DATE_*/shape patterns)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.explode(
+                F.regexp_extract_all(F.col("props"), F.lit(r"[0-9]+"), 0)
+            ).alias("surface"),
+        )
+        .withColumn("label", F.lit("NUM"))
+    )
+
+
+_NER_RULE_SQL = """
+SELECT event_id, unnest(regexp_extract_all(props, '[0-9]+')) AS surface, 'NUM' AS label
+FROM events
+"""
+
+
+def ner_model_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: batched 'model' NER over mapInPandas — deterministic stub
+    standing in for HF token-classification inference
+    (`flair_ner.py:23-53`)."""
+    return model_ner(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_NER_MODEL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, tok AS entity,
+       CASE tok WHEN 'spark' THEN 'TOOL' WHEN 'customer' THEN 'ROLE'
+                WHEN 'window' THEN 'CONCEPT' END AS label
+FROM toks WHERE tok IN ('spark', 'customer', 'window')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reified statements (G18), summary stats (A8), QA assertions (§5)
+# ---------------------------------------------------------------------------
+
+def graph_reified_best_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18: Wikibase-style reified statements — statement nodes with
+    rank; select amounts of best-rank ('O' status) order statements
+    (`time-items.rq:57-60`, `network-02-starting-point.rq:33-35`)."""
+    o = t(spark, sf_dir, "orders")
+    stmt = F.concat(F.lit("stmt:"), F.col("o_orderkey").cast("string"))
+    tri = (
+        o.select(stmt.alias("subject"), F.lit("subj").alias("predicate"),
+                 F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("object"))
+        .unionByName(o.select(stmt.alias("subject"), F.lit("rank").alias("predicate"),
+                              F.when(F.col("o_orderstatus") == "O", "BestRank")
+                              .otherwise("NormalRank").alias("object")))
+        .unionByName(o.select(stmt.alias("subject"), F.lit("amount").alias("predicate"),
+                              F.col("o_totalprice").cast("string").alias("object")))
+    )
+    best = tri.filter((F.col("predicate") == "rank") & (F.col("object") == "BestRank")) \
+        .select(F.col("subject").alias("stmt"))
+    subj = tri.filter(F.col("predicate") == "subj").select(
+        F.col("subject").alias("stmt"), F.col("object").alias("entity"))
+    amt = tri.filter(F.col("predicate") == "amount").select(
+        F.col("subject").alias("stmt"), F.col("object").alias("amount"))
+    return best.join(subj, "stmt").join(amt, "stmt").select("stmt", "entity", "amount")
+
+
+_REIFIED_SQL = """
+SELECT 'stmt:' || CAST(o_orderkey AS VARCHAR) AS stmt,
+       'c:' || CAST(o_custkey AS VARCHAR) AS entity,
+       CAST(o_totalprice AS VARCHAR) AS amount
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-group summary statistics (count/min/max/exact mean)
+    (`plot-full-network.qmd:130-139` summary())."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count("*"))
+        .alias("mean_bal"),
+    )
+
+
+_SUMMARY_SQL = """
+SELECT c_mktsegment, count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_bal
+FROM customer GROUP BY 1
+"""
+
+
+def qa_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§5 uniqueness assertion as a query: key groups violating a
+    uniqueness expectation (testdat::expect_unique,
+    `poster-books/01:112-115`) — customers sharing (nation, segment,
+    acctbal) would collide as ER candidates."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+_QA_UNIQUE_SQL = """
+SELECT c_nationkey, c_mktsegment, count(*) AS n
+FROM customer GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def qa_mapping_totality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§5 domain-mapping totality: rows whose domain value fell through
+    the mapping cascade — the \"I need a translation\" sentinel must
+    surface, not vanish (`04-persons.R:190-193`)."""
+    o = t(spark, sf_dir, "orders")
+    mapped = F.when(F.col("o_orderpriority") == "1-URGENT", "now") \
+        .when(F.col("o_orderpriority") == "2-HIGH", "soon") \
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "later") \
+        .otherwise("NEEDS MAPPING")
+    return (
+        o.withColumn("mapped", mapped)
+        .filter(F.col("mapped") == "NEEDS MAPPING")
+        .groupBy("o_orderpriority", "mapped")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_QA_TOTALITY_SQL = """
+SELECT o_orderpriority, 'NEEDS MAPPING' AS mapped, count(*) AS n
+FROM orders
+WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+GROUP BY 1, 2
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "el_best_match": QuerySpec(el_best_match, _EL_BEST_SQL),
+    "el_label_cascade": QuerySpec(el_label_cascade, _EL_CASCADE_SQL),
+    "publish_quickstatements": QuerySpec(publish_quickstatements, _QS_SQL),
+    "fn_date_precision": QuerySpec(fn_date_precision, _DATE_PRECISION_SQL),
+    "ner_gazetteer": QuerySpec(ner_gazetteer, _NER_GAZ_SQL),
+    "ner_span_extract": QuerySpec(ner_span_extract, _NER_SPAN_SQL),
+    "ner_rule_years": QuerySpec(ner_rule_years, _NER_RULE_SQL),
+    "ner_model_stub": QuerySpec(ner_model_stub_q, _NER_MODEL_SQL),
+    "graph_reified_best_rank": QuerySpec(graph_reified_best_rank, _REIFIED_SQL),
+    "stats_summary": QuerySpec(stats_summary, _SUMMARY_SQL),
+    "qa_unique_violations": QuerySpec(qa_unique_violations, _QA_UNIQUE_SQL),
+    "qa_mapping_totality": QuerySpec(qa_mapping_totality, _QA_TOTALITY_SQL),
+}

@@ -1,0 +1,61 @@
+"""Scalar function tests: date-precision cascade (F6), fingerprint (F3),
+transliteration (F2), wikibase literals."""
+
+from pyspark.sql import functions as F
+
+from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.dates import (
+    parse_date_multi,
+    wikibase_time,
+)
+from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.strings import (
+    clean_string,
+    fingerprint,
+    remove_lang,
+    transliterate,
+)
+
+
+def test_date_precision_cascade(spark):
+    """The reference's messy archival formats (`15-chronik-events.R:56-123`)."""
+    cases = [
+        ("1.10.2000", "2000-10-01", 11),
+        ("12.5.1982", "1982-05-12", 11),
+        ("Februar 2003", "2003-02-01", 10),
+        ("1999", "1999-01-01", 9),
+        ("1970er", "1970-01-01", 8),
+        ("garbage", None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _, _ in cases], ["raw"])
+    out = df.select(
+        "raw",
+        parse_date_multi(F.col("raw")).alias("p"),
+        wikibase_time(parse_date_multi(F.col("raw"))).alias("wb"),
+    ).collect()
+    got = {r.raw: (str(r.p.instant) if r.p.instant else None, r.p.precision) for r in out}
+    for raw, instant, prec in cases:
+        assert got[raw] == (instant, prec), raw
+    wb = {r.raw: r.wb for r in out}
+    assert wb["12.5.1982"] == "+1982-05-12T00:00:00Z/11"  # `13-books.R:104` shape
+    assert wb["garbage"] is None
+
+
+def test_transliterate_german(spark):
+    df = spark.createDataFrame([("Müller Straße äöü ÄÖÜ ß é",)], ["s"])
+    got = df.select(transliterate(F.col("s")).alias("t")).first().t
+    assert got == "Mueller Strasse aeoeue AeOeUe ss e"
+
+
+def test_clean_string_and_fingerprint(spark):
+    df = spark.createDataFrame([("  Gustl   ANGSTMANN ",), ("Angstmann, gustl!",)], ["s"])
+    out = df.select(
+        clean_string(F.col("s")).alias("c"), fingerprint(F.col("s")).alias("f")
+    ).collect()
+    assert out[0].c == "gustl angstmann"
+    # fingerprint collapses order + punctuation differences
+    assert out[0].f == out[1].f == "angstmann gustl"
+
+
+def test_remove_lang(spark):
+    df = spark.createDataFrame([('"München"@de',), ("plain",)], ["s"])
+    got = [r.o for r in df.select(remove_lang(F.col("s")).alias("o")).collect()]
+    assert got == ["München", "plain"]
