@@ -66,11 +66,30 @@ def candidate_pairs(
     ``max_df`` drops grams occurring in more than that many docs (postings
     cut; at 100 TB this is what bounds the self-join).
 
+    Physical strategy: the quadratic gram join runs over the *distinct
+    (block, name) strings*, not over row ids — entity-name columns are
+    heavily repeated (Zipfian), so this shrinks the pair-generation
+    problem by the duplication factor squared.  Id-level pairs are then
+    recovered by expansion joins: cross-name pairs from the surviving
+    name pairs, same-name pairs (similarity exactly 1.0) from the
+    name→ids mapping.  Matches the reference's ``distinct(id, name)``
+    pre-step (`chronik/02:236`).
+
     Reference: ``calc_similarity(..., min_sim)``
     ``01-within-entities.R:48-49``; jaccard ``find-duplicates-authors.R:49``.
     """
+    from ..spec import materialize
+
     block_cols = block_cols or []
-    grams = gram_counts(df, id_col, text_col, n, block_cols)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
+        *[F.col(c) for c in block_cols],
+    )
+    nk = F.md5(F.concat_ws("\x1f", *block_cols, F.col("txt")))
+    ids = materialize(base.withColumn("nk", nk))
+    names = ids.select("nk", "txt", *block_cols).distinct()
+
+    grams = gram_counts(names, "nk", "txt", n, block_cols)
     if metric == "jaccard":
         grams = grams.withColumn("cnt", F.lit(1))
     if max_df is not None:
@@ -78,6 +97,9 @@ def candidate_pairs(
             F.col("df") > max_df
         )
         grams = grams.join(F.broadcast(heavy.select("gram")), "gram", "left_anti")
+    # referenced by the self-join (twice) and the norm aggregation —
+    # materialize once instead of re-shingling three times
+    grams = materialize(grams)
 
     norms = grams.groupBy("id").agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("norm"),
@@ -86,27 +108,27 @@ def candidate_pairs(
 
     a = grams.select(
         *[F.col(c).alias(f"{c}__b") for c in block_cols],
-        F.col("id").alias("id_1"), F.col("gram").alias("gram"),
+        F.col("id").alias("nk_1"), F.col("gram").alias("gram"),
         F.col("cnt").alias("cnt_1"),
     )
     b = grams.select(
         *[F.col(c).alias(f"{c}__b") for c in block_cols],
-        F.col("id").alias("id_2"), F.col("gram").alias("gram"),
+        F.col("id").alias("nk_2"), F.col("gram").alias("gram"),
         F.col("cnt").alias("cnt_2"),
     )
     join_keys = [f"{c}__b" for c in block_cols] + ["gram"]
     dots = (
         a.join(b, join_keys)
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
+        .filter(F.col("nk_1") < F.col("nk_2"))
+        .groupBy("nk_1", "nk_2")
         .agg(F.sum(F.col("cnt_1") * F.col("cnt_2")).alias("dot"))
     )
 
-    n1 = norms.select(F.col("id").alias("id_1"), F.col("norm").alias("norm_1"),
+    n1 = norms.select(F.col("id").alias("nk_1"), F.col("norm").alias("norm_1"),
                       F.col("card").alias("card_1"))
-    n2 = norms.select(F.col("id").alias("id_2"), F.col("norm").alias("norm_2"),
+    n2 = norms.select(F.col("id").alias("nk_2"), F.col("norm").alias("norm_2"),
                       F.col("card").alias("card_2"))
-    paired = dots.join(n1, "id_1").join(n2, "id_2")
+    paired = dots.join(n1, "nk_1").join(n2, "nk_2")
 
     if metric == "cosine":
         value = F.col("dot") / (F.col("norm_1") * F.col("norm_2"))
@@ -115,11 +137,44 @@ def candidate_pairs(
     else:
         raise ValueError(f"unknown metric {metric!r}")
 
-    return (
+    name_pairs = (
         paired.withColumn("value", F.round(value, 6))
         .filter(F.col("value") >= min_sim)
-        .select("id_1", "id_2", "value")
+        .select("nk_1", "nk_2", "value")
     )
+
+    # expansion back to id level --------------------------------------
+    ids1 = ids.select(F.col("nk").alias("nk_1"), F.col("id").alias("id_a"))
+    ids2 = ids.select(F.col("nk").alias("nk_2"), F.col("id").alias("id_b"))
+    cross = (
+        name_pairs.join(ids1, "nk_1")
+        .join(ids2, "nk_2")
+        .select(
+            F.least("id_a", "id_b").alias("id_1"),
+            F.greatest("id_a", "id_b").alias("id_2"),
+            "value",
+        )
+    )
+    # same-name id pairs score exactly 1.0 (identical gram vectors);
+    # names whose gram set is empty (letters-only strip) never pair,
+    # matching the id-level formulation — hence the semi join on norms.
+    if min_sim <= 1.0:
+        grammed = names.join(
+            norms.select(F.col("id").alias("nk")), "nk", "left_semi"
+        ).select("nk")
+        s1 = ids.join(grammed, "nk", "left_semi")
+        s2 = s1.select(F.col("nk"), F.col("id").alias("id_b"))
+        same = (
+            s1.select("nk", F.col("id").alias("id_a"))
+            .join(s2, "nk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                F.col("id_a").alias("id_1"), F.col("id_b").alias("id_2"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+        cross = cross.unionByName(same)
+    return cross
 
 
 def candidate_pairs_lsh(

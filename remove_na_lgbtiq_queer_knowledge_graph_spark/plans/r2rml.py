@@ -57,33 +57,46 @@ class TriplesMap:
 def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFrame:
     """Materialize all triples maps into one (subject, predicate, object)
     DataFrame — strings throughout, nulls dropped (a null column produces
-    no triple, matching R2RML semantics)."""
+    no triple, matching R2RML semantics).
+
+    All non-referencing PO pairs of a map are emitted from ONE scan of
+    the source (explode over an array of (predicate, object) structs) —
+    a per-pair union would scan the source table once per predicate.
+    Referencing object maps stay separate joins.
+    """
     parts: list[DataFrame] = []
     for m in maps:
         src = tables[m.source]
         subj = m.subject.expr().alias("subject")
+        po_structs = []
         for pred, obj in m.po:
             if isinstance(obj, RefObjectMap):
                 parent = tables[obj.parent_table].select(
                     F.col(obj.parent_key).alias("__pk"),
                     obj.parent_subject.expr().alias("__obj"),
                 )
-                part = (
+                parts.append(
                     src.join(parent, F.col(obj.child_key) == F.col("__pk"))
                     .select(subj, F.lit(pred).alias("predicate"),
                             F.col("__obj").alias("object"))
+                    .filter(F.col("object").isNotNull())
                 )
+                continue
+            if isinstance(obj, Template):
+                oc = obj.expr()
+            elif isinstance(obj, tuple) and obj[0] == "const":
+                oc = F.lit(obj[1]).cast("string")
             else:
-                if isinstance(obj, Template):
-                    oc = obj.expr()
-                elif isinstance(obj, tuple) and obj[0] == "const":
-                    oc = F.lit(obj[1])
-                else:
-                    oc = F.col(obj).cast("string")
-                part = src.select(
-                    subj, F.lit(pred).alias("predicate"), oc.alias("object")
-                )
-            parts.append(part.filter(F.col("object").isNotNull()))
+                oc = F.col(obj).cast("string")
+            po_structs.append(
+                F.struct(F.lit(pred).alias("predicate"), oc.alias("object"))
+            )
+        if po_structs:
+            parts.append(
+                src.select(subj, F.explode(F.array(*po_structs)).alias("po"))
+                .select("subject", "po.predicate", "po.object")
+                .filter(F.col("object").isNotNull())
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

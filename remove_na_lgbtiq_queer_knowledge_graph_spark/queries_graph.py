@@ -32,9 +32,18 @@ triples AS (
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star-schema KG, materialized once per query.
+
+    A BGP query scans the triples relation once per pattern; without
+    materialization each pattern would re-run the whole union-of-scans.
+    This mirrors the reference's architecture: the triple store is built
+    once, then queried (`create-rdf.py` → `query.ipynb`).
+    """
+    from .spec import materialize as _cache
+
     tables = {name: t(spark, sf_dir, name)
               for name in ("customer", "supplier", "nation", "region")}
-    return materialize(tables, star_schema_maps())
+    return _cache(materialize(tables, star_schema_maps()))
 
 
 def graph_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:

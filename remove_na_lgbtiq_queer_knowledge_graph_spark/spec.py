@@ -57,3 +57,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # SQL fragments for the decimal-sum determinism trick.
 def dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a small intermediate that the downstream plan
+    references more than once.
+
+    Spark does not share identical subplans across DataFrame branches —
+    a gram/signature table referenced by three joins would be recomputed
+    (re-scan + re-shingle) three times.  ``localCheckpoint(eager=True)``
+    computes it once and truncates lineage.  Local checkpoints live on
+    executor storage; on a multi-node cluster prefer
+    ``persist(StorageLevel.MEMORY_AND_DISK)`` or a reliable checkpoint
+    dir for fault tolerance — the call site is the same.
+    """
+    return df.localCheckpoint(eager=True)
