@@ -46,6 +46,74 @@ def two_hop(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     return e1.join(e2, "b").select("a", "b", "c")
 
 
+def tree_edge_betweenness(
+    child_parent: DataFrame, max_depth: int,
+    child: str = "child", parent: str = "parent",
+) -> DataFrame:
+    """G16: exact edge betweenness for forests.
+
+    In a tree every pair has one shortest path, so the betweenness of an
+    edge is ``below × (component_size − below)`` where ``below`` is the
+    subtree size under the child — computable with aggregations instead
+    of Brandes' per-source BFS (`02-look-into-data.R:49`
+    ``centrality_edge_betweenness``; the reference's KG edge tables are
+    hierarchy-shaped).  For general graphs the path is sampled Brandes
+    over Pregel — out of scope here and flagged in COVERAGE.md.
+
+    ``max_depth`` bounds both the subtree-size and root-finding
+    iterations; each round is one join + aggregation.
+    """
+    e = child_parent.select(F.col(child).alias("c"), F.col(parent).alias("p"))
+    e = e.localCheckpoint(eager=True)
+    nodes = e.select(F.col("c").alias("node")).union(
+        e.select(F.col("p").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+
+    # bottom-up subtree sizes: size = 1 + Σ child sizes, fixpoint ≤ depth
+    sizes = nodes.withColumn("size", F.lit(1).cast("long"))
+    for _ in range(max_depth):
+        child_sum = (
+            e.join(sizes.withColumnRenamed("node", "c"), "c")
+            .groupBy(F.col("p").alias("node"))
+            .agg(F.sum("size").alias("csum"))
+        )
+        sizes = (
+            nodes.join(child_sum, "node", "left")
+            .select("node", (F.lit(1) + F.coalesce("csum", F.lit(0))).cast("long").alias("size"))
+            .localCheckpoint(eager=True)
+        )
+
+    # root per node by parent-pointer chasing (≤ depth hops)
+    parents = e.select(F.col("c").alias("node"), F.col("p").alias("up"))
+    roots = nodes.join(parents, "node", "left").select(
+        "node", F.coalesce("up", F.col("node")).alias("root")
+    )
+    for _ in range(max_depth):
+        roots = (
+            roots.join(
+                parents.select(F.col("node").alias("root"), F.col("up").alias("up2")),
+                "root", "left",
+            )
+            .select("node", F.coalesce("up2", F.col("root")).alias("root"))
+            .localCheckpoint(eager=True)
+        )
+
+    comp_size = roots.join(
+        sizes.select(F.col("node").alias("root"), F.col("size").alias("comp_size")),
+        "root",
+    ).select("node", "comp_size")
+
+    return (
+        e.join(sizes.withColumnRenamed("node", "c"), "c")
+        .join(comp_size.withColumnRenamed("node", "c"), "c")
+        .select(
+            F.col("c").alias("src"), F.col("p").alias("dst"),
+            (F.col("size") * (F.col("comp_size") - F.col("size"))).cast("long")
+            .alias("betweenness"),
+        )
+    )
+
+
 def neighborhood(
     edges: DataFrame, start: str, hops: int, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

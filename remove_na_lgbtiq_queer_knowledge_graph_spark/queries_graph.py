@@ -284,8 +284,52 @@ UNION ALL SELECT node, 2 FROM d2
 """
 
 
+def graph_tree_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16: exact edge betweenness on the entity→nation→region forest —
+    below × (component − below) per tree edge
+    (`02-look-into-data.R:49`)."""
+    from .operators.graph import tree_edge_betweenness
+
+    edges = _entity_edges(spark, sf_dir).select(
+        F.col("src").alias("child"), F.col("dst").alias("parent")
+    )
+    return tree_edge_betweenness(edges, max_depth=2)
+
+
+_TREE_BT_SQL = f"""
+WITH {_TRIPLES_CTE},
+edges AS (
+  SELECT subject AS child, object AS parent FROM triples
+  WHERE predicate IN ('inNation', 'inRegion')
+),
+members AS (
+  SELECT parent AS n, count(*) AS m FROM edges WHERE parent LIKE 'n:%' GROUP BY 1
+),
+region_size AS (
+  SELECT e.parent AS r,
+         CAST(1 + count(*) + sum(COALESCE(mm.m, 0)) AS BIGINT) AS sz
+  FROM edges e LEFT JOIN members mm ON e.child = mm.n
+  WHERE e.parent LIKE 'r:%' GROUP BY 1
+)
+SELECT e.child AS src, e.parent AS dst,
+       CAST(1 * (rs.sz - 1) AS BIGINT) AS betweenness
+FROM edges e
+JOIN edges up ON e.parent = up.child
+JOIN region_size rs ON up.parent = rs.r
+WHERE e.parent LIKE 'n:%'
+UNION ALL
+SELECT e.child, e.parent,
+       CAST((1 + COALESCE(mm.m, 0)) * (rs.sz - (1 + COALESCE(mm.m, 0))) AS BIGINT)
+FROM edges e
+LEFT JOIN members mm ON e.child = mm.n
+JOIN region_size rs ON e.parent = rs.r
+WHERE e.parent LIKE 'r:%'
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
+    "graph_tree_betweenness": QuerySpec(graph_tree_betweenness, _TREE_BT_SQL),
     "graph_bgp_region_members": QuerySpec(graph_bgp_region_members, _BGP_SQL),
     "graph_optional_segment": QuerySpec(graph_optional_segment, _OPTIONAL_SQL),
     "graph_values_filter": QuerySpec(graph_values_filter, _VALUES_SQL),

@@ -1,0 +1,57 @@
+"""Source/sink round-trips (S5, S8, S9) and the U2 horizontal-concat
+idiom — the engine's ingestion/egress edges."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F, Window
+
+from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import (
+    append_sink,
+    load_table,
+    overwrite_sink,
+)
+
+
+def test_csv_roundtrip(spark):
+    """S5: CSV read with explicit schema (schema-on-read like readr)."""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.csv")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+        df.write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.schema("id bigint, name string").option("header", True).csv(path)
+        assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_append_and_overwrite_sinks(spark):
+    """S8/S9: dbAppendTable / dbWriteTable analogues."""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        df1 = spark.createDataFrame([(1,)], ["v"])
+        df2 = spark.createDataFrame([(2,)], ["v"])
+        append_sink(df1, path)
+        append_sink(df2, path)
+        assert spark.read.parquet(path).count() == 2  # append-log semantics
+        overwrite_sink(df1, path)
+        assert spark.read.parquet(path).count() == 1  # replaced
+
+
+def test_horizontal_concat_rowid(spark):
+    """U2: bind_cols — align two frames by a generated row id
+    (`lobid/01:192`)."""
+    a = spark.createDataFrame([("x",), ("y",)], ["l"])
+    b = spark.createDataFrame([(10,), (20,)], ["r"])
+    w_a = Window.orderBy("l")
+    w_b = Window.orderBy("r")
+    aa = a.withColumn("rid", F.row_number().over(w_a))
+    bb = b.withColumn("rid", F.row_number().over(w_b))
+    got = {(r.l, r.r) for r in aa.join(bb, "rid").select("l", "r").collect()}
+    assert got == {("x", 10), ("y", 20)}
+
+
+def test_events_loader_nanos(spark, sf_dir):
+    """The nanos-timestamp events table loads with a usable timestamp."""
+    e = load_table(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    first = e.orderBy("event_id").first()
+    assert first.ts.year == 2024
