@@ -14,6 +14,7 @@ from .streaming.windows import (
     run_to_memory,
     session_aggregate,
     sliding_counts,
+    stateful_user_totals,
     streaming_dedupe_keys,
     tumbling_counts,
 )
@@ -123,8 +124,26 @@ WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
 """
 
 
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals carried in explicit state — one emission per user on
+    the bounded run.  Rounded to 2dp: inputs are 2-decimal values, so
+    the true total is exact at 2dp regardless of summation order."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        stateful_user_totals(stream), "mem_stateful_totals", "append"
+    )
+
+
+_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stream_tumbling_daily": QuerySpec(stream_tumbling_daily, _TUMBLING_SQL),
+    "stream_stateful_totals": QuerySpec(stream_stateful_totals, _STATEFUL_SQL),
     "stream_sliding_hours": QuerySpec(stream_sliding_hours, _SLIDING_SQL),
     "stream_session_windows": QuerySpec(stream_session_windows, _SESSION_SQL),
     "stream_dedupe_keys": QuerySpec(stream_dedupe_keys, _DEDUPE_SQL),

@@ -17,7 +17,8 @@ def all_specs() -> dict[str, QuerySpec]:
     specs.update(queries_relational.SPECS)
 
     for mod_name in ("queries_er", "queries_graph", "queries_llm",
-                     "queries_linking", "queries_streaming"):
+                     "queries_linking", "queries_external",
+                     "queries_streaming"):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["SPECS"])
         except ImportError:

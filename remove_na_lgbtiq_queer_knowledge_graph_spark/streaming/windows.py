@@ -104,6 +104,37 @@ def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for operators Structured Streaming lacks (SURVEY §2.13;
+    the incremental-ER state pattern).  Keeps per-user running
+    (count, total) state across micro-batches and emits the updated
+    totals for every user seen in the batch.
+
+    On a bounded availableNow run this reduces to one emission per
+    user — asserted equal to the batch groupBy in the oracle.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def streaming_dedupe_keys(events: DataFrame) -> DataFrame:
     """Stateful streaming dedupe on (user_id, event_type) — the streaming
     twin of the keep-first batch dedupe (W2).  Emits each key once."""
