@@ -114,6 +114,117 @@ def tree_edge_betweenness(
     )
 
 
+def sampled_edge_betweenness(
+    edges: DataFrame, pivots: DataFrame, max_depth: int,
+    src: str = "src", dst: str = "dst", pivot: str = "p",
+) -> DataFrame:
+    """G16 on GENERAL graphs: Brandes edge betweenness from a
+    deterministic pivot set, depth-bounded (`02-look-into-data.R:49`
+    ``centrality_edge_betweenness``; this closes the forest-only gap of
+    :func:`tree_edge_betweenness`).
+
+    Forward phase: multi-source BFS carrying shortest-path counts σ —
+    one join + partial-aggregated groupBy per level, keyed (pivot, node).
+    Backward phase: pair-dependency accumulation δ(v) = Σ_w σv/σw ·
+    (1 + δ(w)) over BFS-DAG edges, one level at a time.  Output is the
+    per-edge dependency summed over pivots (canonical undirected edge),
+    i.e. exact Brandes restricted to the pivot sample — scale by n/k for
+    the unbiased estimate (Brandes & Pich 2007).
+
+    Scale notes: state is (pivot × reached-node), linear in the pivot
+    count — k is the sampling knob.  Every step is a hash join on the
+    frontier key plus a map-side-combinable aggregation; no driver-side
+    graph state.  σ values are integer-valued doubles (exact under 2^53,
+    order-independent); δ sums go through DECIMAL(38,12) so partial-agg
+    order can't change bits (spec.py determinism rules).  Levels are
+    localCheckpoint-ed: each is consumed by 2+ downstream branches and
+    lineage would otherwise grow per iteration.
+    """
+    from .. import spec as _spec
+
+    sym = _spec.materialize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lvl0 = _spec.materialize(
+        pivots.select(
+            F.col(pivot).alias("p"), F.col(pivot).alias("node"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    levels = [lvl0]
+    seen = lvl0.select("p", "node")
+    for _ in range(max_depth):
+        frontier = levels[-1]
+        nxt = _spec.materialize(
+            frontier.join(sym, frontier.node == sym.u)
+            .select("p", F.col("v").alias("node"), "sigma")
+            .join(seen, ["p", "node"], "left_anti")
+            .groupBy("p", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        if nxt.isEmpty():
+            break
+        seen = _spec.materialize(seen.unionAll(nxt.select("p", "node")))
+        levels.append(nxt)
+
+    dec_sum = F.round(
+        F.sum(F.col("c").cast("decimal(38,12)")).cast("double"), 12
+    )
+    delta = None
+    contribs = []
+    for lv in range(len(levels) - 1, 0, -1):
+        upper = levels[lv - 1].select(
+            "p", F.col("node").alias("vn"), F.col("sigma").alias("sv")
+        )
+        lower = levels[lv].select(
+            "p", F.col("node").alias("wn"), F.col("sigma").alias("sw")
+        )
+        if delta is None:
+            lower = lower.withColumn("delta", F.lit(0.0))
+        else:
+            lower = lower.join(
+                delta.withColumnRenamed("node", "wn"), ["p", "wn"], "left"
+            ).withColumn("delta", F.coalesce("delta", F.lit(0.0)))
+        con = _spec.materialize(
+            upper.join(sym, upper.vn == sym.u)
+            .select("p", "vn", F.col("v").alias("wn"), "sv")
+            .join(lower, ["p", "wn"])
+            .select(
+                "p", "vn", "wn",
+                (F.col("sv") / F.col("sw") * (F.lit(1.0) + F.col("delta")))
+                .alias("c"),
+            )
+        )
+        contribs.append(con)
+        delta = _spec.materialize(
+            con.groupBy("p", F.col("vn").alias("node"))
+            .agg(dec_sum.alias("delta"))
+        )
+
+    if not contribs:
+        return edges.sparkSession.createDataFrame(
+            [], "a string, b string, betweenness double"
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionAll(c)
+    return (
+        allc.select(
+            F.least("vn", "wn").alias("a"), F.greatest("vn", "wn").alias("b"),
+            "c",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("betweenness")
+        )
+    )
+
+
 def neighborhood(
     edges: DataFrame, start: str, hops: int, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -89,3 +89,62 @@ def test_degrees_and_neighborhood(spark):
     assert io["a"] == (1, 0) and io["d"] == (0, 1)
     nb = {r.node: r.dist for r in neighborhood(edges, "a", 2).collect()}
     assert nb == {"a": 0, "b": 1, "c": 2}
+
+
+def _brandes_edge_betweenness(sym_adj, pivots, max_depth):
+    """Pure-Python reference: Brandes pair-dependency from each pivot,
+    depth-bounded, summed per undirected edge."""
+    from collections import defaultdict, deque
+
+    acc = defaultdict(float)
+    for s in pivots:
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] == max_depth:
+                continue
+            for w in sym_adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in sym_adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                    delta[v] += c
+                    acc[tuple(sorted((v, w)))] += c
+    return {k: round(v, 6) for k, v in acc.items()}
+
+
+def test_sampled_edge_betweenness_matches_exact_brandes(spark):
+    from collections import defaultdict
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        sampled_edge_betweenness,
+    )
+
+    # cyclic graph: square a-b-c-d-a with a chord b-d and a tail d-e
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d"), ("d", "e")]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    nodes = sorted({n for e in raw for n in e})
+    pivots = spark.createDataFrame([(n,) for n in nodes], ["p"])
+
+    got = {
+        (r.a, r.b): r.betweenness
+        for r in sampled_edge_betweenness(edges, pivots, max_depth=4).collect()
+    }
+
+    adj = defaultdict(set)
+    for u, v in raw:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = _brandes_edge_betweenness(adj, nodes, 4)
+    assert got == want
