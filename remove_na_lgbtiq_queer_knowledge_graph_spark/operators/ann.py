@@ -113,6 +113,78 @@ def bucketed_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 3,
+    n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells,
+    probe the ``n_probe`` nearest cells per query, exact top-k within
+    the candidate union.
+
+    The quantizer here is deterministic (centroids = the ``n_centroids``
+    lowest-id corpus vectors) so the whole path is oracle-checkable; a
+    production deployment swaps in k-means centroids loaded as the same
+    small (cent_id, vector) DataFrame — every other step is identical.
+
+    Scale notes: centroids are broadcast, so cell assignment is one
+    corpus pass with no shuffle; the probe join replaces the cross join
+    with an equi-join on cell id — cost ~ n·n_probe/n_centroids
+    candidates per query, the IVF recall/throughput dial.
+    """
+    cents = vectors.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        vectors.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cv", "cent_id",
+            cosine(F.col("cv"), F.col("cent_v")).alias("cell_sim"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "cv")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cent_id",
+            cosine(F.col("qv"), F.col("cent_v")).alias("cell_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cell_sim").desc(), F.col("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"),
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
 def cosine_dup_pairs(
     vectors: DataFrame, min_sim: float, block_col: str | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -149,3 +149,29 @@ def assert_no_null(df: DataFrame, cols: Sequence[str]) -> None:
     bad = df.filter(pred).limit(5).collect()
     if bad:
         raise AssertionError(f"null values in {list(cols)}; sample: {bad}")
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: split each fact key into ``n_salts``
+    sub-partitions via a deterministic salt, replicate the (small) dim
+    side across all salts, join on (key, salt).
+
+    Semantically identical to ``fact.join(dim, key, how)`` — the salt is
+    an execution detail that never reaches the output.  Use when a few
+    hot keys (a viral document id, a null-bucket fk) would pin one
+    reducer: the hot key's rows now spread over ``n_salts`` tasks.  AQE's
+    skew-join handles *sorted-shuffle* skew automatically; salting is the
+    explicit form that also covers aggregations-after-join and works with
+    AQE off.  Dim-side cost is ×n_salts rows — keep the dim the small
+    side (it is usually broadcastable anyway; salting matters when the
+    dim is too big to broadcast but far smaller than the fact).
+    """
+    salt = F.pmod(F.xxhash64(*[c for c in fact.columns]), F.lit(n_salts))
+    f = fact.withColumn("__salt", salt.cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")

@@ -208,6 +208,52 @@ SELECT query_id, cand_id, cos_sim, rk FROM (
 """
 
 
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3: 16-cell deterministic coarse quantizer, 4-probe.
+    The third point on the recall/cost curve (brute > IVF > sign-LSH)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_ops.ivf_topk(emb, queries, k=3, n_centroids=16, n_probe=4)
+
+
+_ANN_IVF_SQL = f"""
+WITH {_VEC_CTE},
+cents AS (SELECT vec_id AS cent_id, ve AS cve, nv AS cnv
+          FROM v JOIN nrm USING (vec_id) WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT c.vec_id, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             round(list_dot_product(c.ve, ct.cve) / (n1.nv * ct.cnv), 6) DESC,
+             ct.cent_id) AS rn
+    FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM (
+    SELECT c.vec_id, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             round(list_dot_product(c.ve, ct.cve) / (n1.nv * ct.cnv), 6) DESC,
+             ct.cent_id) AS rn
+    FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
+    WHERE c.vec_id % 50 = 0
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         round(list_dot_product(q.ve, c.ve) / (nq.nv * nc.nv), 6) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+  JOIN v q ON q.vec_id = p.query_id JOIN v c ON c.vec_id = a.vec_id
+  JOIN nrm nq ON nq.vec_id = p.query_id JOIN nrm nc ON nc.vec_id = a.vec_id
+)
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 # Text analysis ---------------------------------------------------------------
 
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +363,7 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs_q, _EMB_PAIRS_SQL),
     "ann_brute_topk": QuerySpec(ann_brute_topk_q, _ANN_BRUTE_SQL),
     "ann_bucketed_topk": QuerySpec(ann_bucketed_topk_q, _ANN_BUCKET_SQL),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk_q, _ANN_IVF_SQL),
     "text_lang_id": QuerySpec(text_lang_id_q, _LANG_SQL),
     "text_quality": QuerySpec(text_quality_q, _QUALITY_SQL),
     "text_token_counts": QuerySpec(text_token_counts_q, _TOKEN_SQL),

@@ -839,8 +839,40 @@ SELECT fp, count(*) AS n FROM (
 """
 
 
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join via deterministic salting
+    (operators/relational.salted_join): lineitem⋈orders on l_orderkey,
+    revenue per order priority.  Semantically identical to the plain
+    join — the oracle IS the plain join — while hot keys spread over 16
+    sub-partitions.  The demo dim (orders) stands in for a
+    too-big-to-broadcast mid-size table."""
+    from .operators.relational import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "l_orderkey", n_salts=16)
+        .groupBy("o_orderpriority")
+        .agg(
+            _dec_sum(F.col("l_extendedprice"), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SALTED_SQL = f"""
+SELECT o_orderpriority, {dsum('l_extendedprice', 'revenue')},
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
+    "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
     "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
     "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
     "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),

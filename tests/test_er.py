@@ -49,3 +49,21 @@ def test_update_ids(spark):
     got = update_ids(facts, mapping, "eid")
     agg = {r.eid: r.total for r in got.groupBy("eid").agg(F.sum("v").alias("total")).collect()}
     assert agg == {3: 30.0, 9: 5.0}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "payload"]
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], ["k", "name"])
+    inner = salted_join(fact, dim, "k", n_salts=4)
+    want = fact.join(dim, "k")
+    assert sorted(map(tuple, inner.collect())) == sorted(map(tuple, want.collect()))
+    left = salted_join(fact, dim, "k", n_salts=4, how="left")
+    want_left = fact.join(dim, "k", "left")
+    assert sorted(map(tuple, left.select("k", "payload", "name").collect())) == \
+        sorted(map(tuple, want_left.select("k", "payload", "name").collect()))
