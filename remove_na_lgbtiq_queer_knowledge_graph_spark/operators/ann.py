@@ -168,7 +168,10 @@ def ivf_topk(
         .select("query_id", "qv", F.col("cent_id").alias("cell"))
     )
     scored = (
-        probes.join(assigned, "cell")
+        # probes ≈ |queries|·n_probe rows — always the broadcast side;
+        # without the hint post-window stats are unknown and Spark falls
+        # back to a sort-merge join on `cell`.
+        assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", F.col("vec_id").alias("cand_id"),

@@ -274,15 +274,15 @@ _DISTINCT_SQL = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
 
 def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: created_at-style time-range filter
-    (`entities/02-other-duplicates.R:12`)."""
-    e = t(spark, sf_dir, "events")
-    return (
-        e.filter(
-            (F.col("ts") >= F.to_timestamp(F.lit("2024-01-02 00:00:00")))
-            & (F.col("ts") < F.to_timestamp(F.lit("2024-01-03 00:00:00")))
-        )
-        .select("event_id", "user_id", "event_type", "value")
+    (`entities/02-other-duplicates.R:12`).  Uses the pushdown-friendly
+    ranged loader — the predicate lands on the raw int64 ns column so
+    parquet row-group pruning applies (see spec.events_in_range)."""
+    from .spec import events_in_range
+
+    e = events_in_range(
+        spark, sf_dir, "2024-01-02 00:00:00", "2024-01-03 00:00:00"
     )
+    return e.select("event_id", "user_id", "event_type", "value")
 
 
 _TIMERANGE_SQL = """
