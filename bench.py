@@ -31,6 +31,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_jaccard_pairs",
     "ann_brute_topk",
+    "ann_ivf_topk",
+    "join_salted_skew",
+    "mm_frame_sample",
     "text_quality",
     "stream_tumbling_daily",
 ]

@@ -65,3 +65,81 @@ def not_implemented_real_decode() -> None:
     raise NotImplementedError(
         "real image/audio decode requires PIL/librosa; container ships neither"
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, t_ms bigint, frame_sig string"
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, scale double, resized_sig string"
+)
+
+
+def frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video frame sampling: one input row → N frame rows (the 1→N Arrow
+    batch shape every frame/segment extractor has).  Frame count and
+    timestamps derive deterministically from the payload (stub for an
+    ffmpeg keyframe walk); frame content is fingerprinted, not stored —
+    at 100 TB you write frame refs + sigs, not frame bytes, back to the
+    lake."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "t_ms": [], "frame_sig": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload) % 8 + 1
+            for i in range(n):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["t_ms"].append(i * 1000)
+                out["frame_sig"].append(
+                    hashlib.md5(bytes(payload) + f":{i}".encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+def frame_sample(payloads: DataFrame) -> DataFrame:
+    """mapInPandas frame sampler (1 video row → N frame rows)."""
+    return payloads.mapInPandas(frame_sample_stub, schema=FRAME_SCHEMA)
+
+
+def resize_stub(
+    target_w: int, target_h: int,
+):
+    """Image resize plan: metadata math is real (fit-scale), pixel work is
+    the stubbed codec.  Emits a content signature of the would-be resized
+    payload so downstream exact-dedup over resized media stays testable."""
+    import hashlib
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            width = n_bytes % 640
+            height = (n_bytes * 7) % 480
+            scale = (
+                pd.concat(
+                    [target_w / width.clip(lower=1), target_h / height.clip(lower=1)],
+                    axis=1,
+                )
+                .min(axis=1)
+                .round(6)
+            )
+            sig = [
+                hashlib.md5(bytes(p) + f"@{target_w}x{target_h}".encode()).hexdigest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "scale": scale,
+                    "resized_sig": sig,
+                }
+            )
+
+    return _run
+
+
+def resize_plan(payloads: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """mapInPandas resize stage (binary in → typed metadata + signature)."""
+    return payloads.mapInPandas(resize_stub(target_w, target_h), schema=RESIZED_SCHEMA)

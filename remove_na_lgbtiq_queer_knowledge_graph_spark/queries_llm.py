@@ -20,7 +20,12 @@ from .operators.dedup import (
     shingles,
     simhash,
 )
-from .operators.multimodal import decode_metadata, to_binary_payload
+from .operators.multimodal import (
+    decode_metadata,
+    frame_sample,
+    resize_plan,
+    to_binary_payload,
+)
 from .operators.text import STOPWORDS, doc_fingerprint, lang_id, quality_features, token_counts
 from .spec import QuerySpec, t
 
@@ -354,6 +359,43 @@ FROM documents
 """
 
 
+def mm_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 1 video row → N frame rows via
+    mapInPandas (stub keyframe walk; frame count/timestamps derive from
+    the payload, frames fingerprinted not stored)."""
+    payloads = to_binary_payload(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return frame_sample(payloads)
+
+
+_MM_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 1000 AS BIGINT) AS t_ms,
+       md5(text || ':' || CAST(i AS VARCHAR)) AS frame_sig
+FROM documents,
+     unnest(range(0, octet_length(encode(text)) % 8 + 1)) u(i)
+"""
+
+
+def mm_resize_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: fit-scale metadata math + content signature of the
+    would-be resized payload (codec stubbed, plumbing real)."""
+    payloads = to_binary_payload(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return resize_plan(payloads, target_w=64, target_h=64)
+
+
+_MM_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+       round(least(64.0 / greatest(octet_length(encode(text)) % 640, 1),
+                   64.0 / greatest((octet_length(encode(text)) * 7) % 480, 1)), 6)
+         AS scale,
+       md5(text || '@64x64') AS resized_sig
+FROM documents
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact_groups": QuerySpec(dedup_exact_groups_q, _EXACT_SQL),
     "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first_q, _KEEPFIRST_SQL),
@@ -369,4 +411,6 @@ SPECS: dict[str, QuerySpec] = {
     "text_token_counts": QuerySpec(text_token_counts_q, _TOKEN_SQL),
     "text_doc_fingerprint": QuerySpec(text_fingerprint_q, _DOCFP_SQL),
     "mm_decode_metadata": QuerySpec(mm_decode_metadata_q, _MM_SQL),
+    "mm_frame_sample": QuerySpec(mm_frame_sample_q, _MM_FRAMES_SQL),
+    "mm_resize_plan": QuerySpec(mm_resize_plan_q, _MM_RESIZE_SQL),
 }

@@ -55,3 +55,32 @@ def test_events_loader_nanos(spark, sf_dir):
     assert dict(e.dtypes)["ts"] == "timestamp"
     first = e.orderBy("event_id").first()
     assert first.ts.year == 2024
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key at write
+    time → the join plan has no Exchange (shuffle paid once at ingest)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import (
+        load_table,
+        write_bucketed,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(o, "orders_b", str(tmp_path / "orders_b"), "o_orderkey", 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", str(tmp_path / "lineitem_b"), "o_orderkey", 8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it actually computes
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
