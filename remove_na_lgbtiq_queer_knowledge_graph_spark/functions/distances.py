@@ -39,11 +39,13 @@ def _osa(s1: str, s2: str) -> int:
 
 
 def _jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     n, m = len(s1), len(s2)
+    # empty-vs-anything (incl. empty-vs-empty) is 0 — DuckDB's
+    # convention, kept so the UDF stays oracle-checkable
     if n == 0 or m == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     window = max(n, m) // 2 - 1
     match1 = [False] * n
     match2 = [False] * m

@@ -47,3 +47,56 @@ def test_jaro_winkler_matches_duckdb(spark):
         for a, b in pairs
     ]
     assert ours == theirs
+
+
+def test_jaro_winkler_matches_duckdb_property():
+    """Property check: the Python JW (inside the pandas UDF) agrees with
+    DuckDB's jaro_winkler_similarity on random strings — the same
+    agreement the fn_jaro_winkler_join oracle depends on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.distances import (
+        _jaro_winkler,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet="abcdef ", max_size=12),
+        st.text(alphabet="abcdef ", max_size=12),
+    )
+    def check(a, b):
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(_jaro_winkler(a, b) - want) < 1e-9
+
+    check()
+
+
+def test_osa_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.distances import _osa
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet="abc", max_size=10),
+        st.text(alphabet="abc", max_size=10),
+    )
+    def check(a, b):
+        d = _osa(a, b)
+        assert d == _osa(b, a)                    # symmetric
+        assert (d == 0) == (a == b)               # identity
+        assert d <= max(len(a), len(b))           # bounded
+        if a and b:
+            # one adjacent transposition costs exactly 1
+            t = b[1] + b[0] + b[2:] if len(b) >= 2 and b[0] != b[1] else None
+            if t is not None:
+                assert _osa(b, t) == 1
+
+    check()
