@@ -16,6 +16,7 @@ from .streaming.windows import (
     sliding_counts,
     stateful_user_totals,
     streaming_dedupe_keys,
+    streaming_dedupe_watermarked,
     tumbling_counts,
 )
 
@@ -97,6 +98,16 @@ def stream_dedupe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUPE_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def stream_dedupe_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state dedupe: dropDuplicatesWithinWatermark — per-key
+    state evicted once the watermark passes (the form that survives an
+    unbounded 100 TB stream)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        streaming_dedupe_watermarked(stream), "mem_dedupe_wm", "append"
+    )
+
+
 def stream_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's incremental idiom (J4 + created_at filter,
     `02-other-duplicates.R:11-12`): process only events newer than the
@@ -147,5 +158,6 @@ SPECS: dict[str, QuerySpec] = {
     "stream_sliding_hours": QuerySpec(stream_sliding_hours, _SLIDING_SQL),
     "stream_session_windows": QuerySpec(stream_session_windows, _SESSION_SQL),
     "stream_dedupe_keys": QuerySpec(stream_dedupe_keys, _DEDUPE_SQL),
+    "stream_dedupe_watermarked": QuerySpec(stream_dedupe_watermarked, _DEDUPE_SQL),
     "stream_incremental_antijoin": QuerySpec(stream_incremental_antijoin, _INCR_SQL),
 }

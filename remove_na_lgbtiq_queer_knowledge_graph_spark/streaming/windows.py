@@ -137,7 +137,23 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 def streaming_dedupe_keys(events: DataFrame) -> DataFrame:
     """Stateful streaming dedupe on (user_id, event_type) — the streaming
-    twin of the keep-first batch dedupe (W2).  Emits each key once."""
+    twin of the keep-first batch dedupe (W2).  Emits each key once.
+    State is unbounded — fine for key spaces that fit in state store;
+    for unbounded streams prefer :func:`streaming_dedupe_watermarked`."""
     return events.dropDuplicates(["user_id", "event_type"]).select(
         "user_id", "event_type"
+    )
+
+
+def streaming_dedupe_watermarked(events: DataFrame, delay: str = "1 day") -> DataFrame:
+    """Bounded-state streaming dedupe (SURVEY §7 phase 5):
+    ``dropDuplicatesWithinWatermark`` evicts per-key state once the
+    watermark passes, so state size follows the dedup horizon instead of
+    the full key history — the 100 TB-stream-correct form of W2.  On the
+    bounded harness run (single availableNow batch) it reduces to
+    distinct keys, which is what the oracle asserts."""
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
     )
