@@ -334,6 +334,25 @@ FROM orders WHERE o_orderstatus = 'O'
 """
 
 
+def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations — the 100 TB form of distinct-count/quantile:
+    HLL ``approx_count_distinct`` (mergeable registers, one pass, O(kB)
+    state vs a full shuffle of distinct keys) and ``percentile_approx``.
+    Sketches are engine-specific, so this is a rows-only driver check;
+    tests/test_llm_ops.py bounds the HLL error against the exact count
+    (relative error ≈ 2.3% at the 16k default register budget).
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_median_value"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-group summary statistics (count/min/max/exact mean)
     (`plot-full-network.qmd:130-139` summary())."""
@@ -409,6 +428,7 @@ SPECS: dict[str, QuerySpec] = {
     "ner_model_stub": QuerySpec(ner_model_stub_q, _NER_MODEL_SQL),
     "graph_reified_best_rank": QuerySpec(graph_reified_best_rank, _REIFIED_SQL),
     "stats_summary": QuerySpec(stats_summary, _SUMMARY_SQL),
+    "agg_sketch_distinct": QuerySpec(agg_sketch_distinct, None),
     "qa_unique_violations": QuerySpec(qa_unique_violations, _QA_UNIQUE_SQL),
     "qa_mapping_totality": QuerySpec(qa_mapping_totality, _QA_TOTALITY_SQL),
 }

@@ -79,3 +79,19 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, part_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet sink (``path/col=value/…``).
+
+    Partitioning fact tables by a coarse time/tenant column means a
+    reader's filter on that column prunes whole directories before any
+    file is opened (`PartitionFilters` in the scan plan) — at 100 TB the
+    events table is written `partitionBy("day")` and a one-day query
+    lists one directory.  Keep partition cardinality moderate (≤ ~10k
+    dirs) and let bucketing/sorting handle the finer grain.
+    Verified plan-level in tests/test_sources.py.
+    """
+    df.write.mode(mode).partitionBy(*part_cols).parquet(path)

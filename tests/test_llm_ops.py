@@ -124,3 +124,25 @@ def test_multimodal_decode_schema_and_determinism(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].n_bytes == 4 and rows[1].fmt == "png"
     assert rows[2].n_bytes == 5 and rows[2].fmt == "jpeg"
+
+
+def test_sketch_distinct_error_bounds(spark, sf_dir):
+    """HLL approx distinct within its published error envelope vs exact;
+    approx median between min and max."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_linking import (
+        agg_sketch_distinct,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in agg_sketch_distinct(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.u
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, row in got.items():
+        assert abs(row.approx_users - exact[et]) <= max(3, 0.1 * exact[et])

@@ -1,0 +1,49 @@
+"""Physical-plan regression tests — lock in the scale properties that
+PLANS.md documents: pushdown, pruning, broadcast choices, top-k rank
+pushdown.  A correctness-preserving refactor that silently loses one of
+these would pass every oracle check and still be 100× slower at 100 TB;
+these tests make the plan itself part of the contract."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(spark, name, sf_dir):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+
+    df = all_specs()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "agg_pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in plan        # predicate reached the scan
+    assert "l_orderkey" not in plan                    # unused columns pruned
+    assert "partial_sum" in plan                       # map-side combine
+
+
+def test_time_range_pushdown_on_raw_nanos(spark, sf_dir):
+    plan = _plan(spark, "filter_time_range", sf_dir)
+    assert "GreaterThanOrEqual(ts,1704153600000000000)" in plan
+    assert "LessThan(ts,1704240000000000000)" in plan
+
+
+def test_flagship_broadcasts_dims_and_pushes_topk(spark, sf_dir):
+    plan = _plan(spark, "flagship_top_customers", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3        # customer/nation/region
+    assert "WindowGroupLimit" in plan                  # top-k pruned pre-shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, "ann_ivf_topk", sf_dir)
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocked_similarity_has_no_cross_join(spark, sf_dir):
+    plan = _plan(spark, "er_cosine_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

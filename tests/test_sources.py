@@ -84,3 +84,24 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """Reader filters on the partition column become PartitionFilters —
+    whole directories pruned before any file opens."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import (
+        load_table,
+        write_partitioned,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(e, out, ["day"])
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-03")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+    want = e.filter(F.col("day") == "2024-01-03").count()
+    assert back.count() == want and want > 0
