@@ -338,6 +338,90 @@ FROM documents
 """
 
 
+# Pipeline plumbing: chunking / sampling / splits ----------------------------
+
+def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-window prep): 100-char
+    chunks with 20-char overlap, one row per chunk with a stable chunk
+    id.  Pure JVM (sequence + transform + posexplode) — no UDF, scales
+    as a narrow map over the corpus."""
+    d = t(spark, sf_dir, "documents")
+    step, width = 80, 100
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                (F.length("text") - 1).cast("int") / step, F.lit(0)
+            ).cast("int"),
+        ),
+        lambda i: F.substring(F.col("text"), (i * step + 1).cast("int"), width),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .withColumn("n_chars", F.length("chunk").cast("long"))
+    )
+
+
+_CHUNK_SQL = """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i * 80 + 1 AS INTEGER), 100) AS chunk,
+       CAST(length(substring(text, CAST(i * 80 + 1 AS INTEGER), 100)) AS BIGINT) AS n_chars
+FROM documents,
+     unnest(range(0, greatest((length(text) - 1) // 80, 0) + 1)) u(i)
+"""
+
+
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates via a
+    hash-mod on the key (en 1/4, de 1/2, others 1/8).  Reproducible
+    across engines, cluster sizes and reruns — unlike rand()-based
+    ``sampleBy`` — so downstream training sets are stable artifacts."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), F.lit(8))
+    keep = (
+        F.when(F.col("lang") == "en", bucket < 2)
+        .when(F.col("lang") == "de", bucket < 4)
+        .otherwise(bucket < 1)
+    )
+    return d.filter(keep).select("doc_id", "lang", "source")
+
+
+_STRATA_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE CASE WHEN lang = 'en' THEN doc_id % 8 < 2
+           WHEN lang = 'de' THEN doc_id % 8 < 4
+           ELSE doc_id % 8 < 1 END
+"""
+
+
+def split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment by md5-hash bucket (~80/10/10):
+    content-independent, engine-independent, stable under re-partition
+    and re-ingest — the split IS a pure function of the id."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+                    ).cast("long")
+    return d.select(
+        "doc_id",
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS b
+  FROM documents
+)
+"""
+
+
 # Multimodal ------------------------------------------------------------------
 
 def mm_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,6 +494,9 @@ SPECS: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(text_quality_q, _QUALITY_SQL),
     "text_token_counts": QuerySpec(text_token_counts_q, _TOKEN_SQL),
     "text_doc_fingerprint": QuerySpec(text_fingerprint_q, _DOCFP_SQL),
+    "doc_chunking": QuerySpec(doc_chunking_q, _CHUNK_SQL),
+    "filter_stratified_sample": QuerySpec(stratified_sample_q, _STRATA_SQL),
+    "split_assign": QuerySpec(split_assign_q, _SPLIT_SQL),
     "mm_decode_metadata": QuerySpec(mm_decode_metadata_q, _MM_SQL),
     "mm_frame_sample": QuerySpec(mm_frame_sample_q, _MM_FRAMES_SQL),
     "mm_resize_plan": QuerySpec(mm_resize_plan_q, _MM_RESIZE_SQL),
