@@ -34,6 +34,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "join_salted_skew",
     "mm_frame_sample",
+    "corpus_curation",
     "text_quality",
     "stream_tumbling_daily",
 ]

@@ -338,6 +338,64 @@ FROM documents
 """
 
 
+def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM-corpus curation pipeline as ONE declarative
+    plan: exact dedup (keep min-id) → language ID → quality features →
+    keep confident-language, medium+ tier docs.  Composes the individual
+    operators; Catalyst sees the whole chain, so the md5 grouping, the
+    stopword scans and the tier filter all run in one pass over the
+    corpus plus one dedup shuffle.  The deduped frame feeds two branches
+    (lang + quality), hence one materialize."""
+    from .operators.dedup import exact_keep_first
+    from .spec import materialize
+
+    d = materialize(
+        exact_keep_first(t(spark, sf_dir, "documents"), "doc_id", "text")
+    )
+    lid = lang_id(d, "text").select("doc_id", "predicted_lang")
+    q = quality_features(d, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_tier"
+    )
+    return (
+        lid.join(q, "doc_id")
+        .filter(
+            (F.col("quality_tier") != "low")
+            & (F.col("predicted_lang") != "unknown")
+        )
+        .select("doc_id", "predicted_lang", "n_tokens", "quality_tier")
+    )
+
+
+_CURATION_SQL = f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+l AS (
+  SELECT doc_id, CASE {_LANG_CASE} ELSE 'unknown' END AS predicted_lang
+  FROM dedup
+),
+f AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_ALL_STOP}))) AS BIGINT) AS stop_hits
+  FROM dedup
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens >= 50 AND round(stop_hits / n_tokens, 6) > 0 THEN 'high'
+              WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_tier
+  FROM f
+)
+SELECT l.doc_id, predicted_lang, n_tokens, quality_tier
+FROM l JOIN q ON l.doc_id = q.doc_id
+WHERE quality_tier <> 'low' AND predicted_lang <> 'unknown'
+"""
+
+
 # Pipeline plumbing: chunking / sampling / splits ----------------------------
 
 def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +552,7 @@ SPECS: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(text_quality_q, _QUALITY_SQL),
     "text_token_counts": QuerySpec(text_token_counts_q, _TOKEN_SQL),
     "text_doc_fingerprint": QuerySpec(text_fingerprint_q, _DOCFP_SQL),
+    "corpus_curation": QuerySpec(corpus_curation_q, _CURATION_SQL),
     "doc_chunking": QuerySpec(doc_chunking_q, _CHUNK_SQL),
     "filter_stratified_sample": QuerySpec(stratified_sample_q, _STRATA_SQL),
     "split_assign": QuerySpec(split_assign_q, _SPLIT_SQL),
