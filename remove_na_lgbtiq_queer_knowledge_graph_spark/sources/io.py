@@ -95,3 +95,32 @@ def write_partitioned(
     Verified plan-level in tests/test_sources.py.
     """
     df.write.mode(mode).partitionBy(*part_cols).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files.
+
+    Streaming sinks and fine-grained ingests leave thousands of tiny
+    files; at scale the scan cost becomes file-listing + footer reads
+    instead of data.  Periodic compaction to ~128 MB files restores
+    scan efficiency.  Local-FS rename semantics here; on an object
+    store the same two-phase write-then-swap applies via the committer.
+    Returns the new file count.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n

@@ -105,3 +105,20 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
     want = e.filter(F.col("day") == "2024-01-03").count()
     assert back.count() == want and want > 0
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import (
+        compact_parquet,
+        load_table,
+    )
+
+    out = str(tmp_path / "frag")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.repartition(25).write.parquet(out)   # 25 tiny files
+    before = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert before > 5
+    n = compact_parquet(spark, out, target_file_bytes=512 * 1024 * 1024)
+    after = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(out).count() == nation.count()
