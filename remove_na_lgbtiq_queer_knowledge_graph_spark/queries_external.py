@@ -138,7 +138,42 @@ WHERE round(jaro_winkler_similarity(a.s_name, b.s_name), 6) >= 0.9
 """
 
 
+def fn_html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: HTML-table ingestion as an in-engine parse (the reference
+    scrapes chronik tables with rvest, `data-gathering/chronik` flow).
+    The HTML arrives as a string column (fetcher is the external part);
+    cell extraction is a JVM-side regexp_extract_all — no UDF.  Here the
+    HTML column is synthesized from part rows so the whole parse path is
+    oracle-checkable."""
+    p = t(spark, sf_dir, "part")
+    html = F.concat(
+        F.lit("<tr><td>"), F.col("p_name"), F.lit("</td><td>"),
+        F.col("p_brand"), F.lit("</td><td>"), F.col("p_type"),
+        F.lit("</td></tr>"),
+    )
+    cells = F.expr(r"regexp_extract_all(html, '<td>([^<]*)</td>', 1)")
+    return (
+        p.select(F.col("p_partkey").alias("row_id"), html.alias("html"))
+        .select("row_id", F.posexplode(cells).alias("cell_idx", "cell"))
+        .withColumn("cell_idx", F.col("cell_idx").cast("long"))
+    )
+
+
+_HTML_SQL = """
+SELECT row_id, CAST(i - 1 AS BIGINT) AS cell_idx, cells[CAST(i AS INTEGER)] AS cell
+FROM (
+  SELECT p_partkey AS row_id,
+         regexp_extract_all(
+           '<tr><td>' || p_name || '</td><td>' || p_brand || '</td><td>'
+             || p_type || '</td></tr>',
+           '<td>([^<]*)</td>', 1) AS cells
+  FROM part
+), unnest(range(1, len(cells) + 1)) u(i)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "fn_html_table_extract": QuerySpec(fn_html_table_extract, _HTML_SQL),
     "external_geocode_mock": QuerySpec(external_geocode_mock, _GEOCODE_SQL),
     "external_translate_mock": QuerySpec(external_translate_mock, _TRANSLATE_SQL),
     "er_first_letter_block": QuerySpec(er_first_letter_block, _FIRST_LETTER_SQL),
