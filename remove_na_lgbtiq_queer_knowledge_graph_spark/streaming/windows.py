@@ -157,3 +157,48 @@ def streaming_dedupe_watermarked(events: DataFrame, delay: str = "1 day") -> Dat
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def stateful_type_extrema(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the v2 arbitrary-state API
+    (``transformWithState`` / StatefulProcessor, Spark 4): per-event-type
+    running (count, max) kept in a ValueState, emitted per batch.
+
+    The v2 API is the forward path for custom operators — explicit state
+    variables (value/list/map), timers, and TTL instead of the single
+    tuple of ``applyInPandasWithState``.  Requires the RocksDB state
+    store (set on the session before start) and a working
+    ``google.protobuf`` (the TWS driver worker speaks protobuf to the
+    JVM; absent in this container, so the test skips — see
+    tests/test_streaming.py).  Count and max are order-independent, so
+    the bounded run is exact.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Extrema(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n BIGINT, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, mx = self._state.get()
+            else:
+                n, mx = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        Extrema(),
+        outputStructType="event_type string, n bigint, max_value double",
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -1,6 +1,7 @@
 """Structured Streaming twins: the streaming runs must agree with their
 batch equivalents on the same bounded input (SURVEY §2.13)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
@@ -88,3 +89,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # Batch 2 advances the watermark to 11:50, finalizing 11:00; the
     # 12:00 window is still open when the query stops.
     assert got == {base: 1, base + 900: 1, base + 3600: 1}
+
+
+def _protobuf_usable() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_usable(),
+    reason="transformWithState driver worker needs google.protobuf "
+    "(unavailable in this container)",
+)
+def test_transform_with_state_extrema(spark, sf_dir):
+    """v2 stateful API (StatefulProcessor): per-type running count/max
+    matches the batch aggregate on a bounded run."""
+    from pyspark.sql import functions as F
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stateful_type_extrema,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    got = {
+        r.event_type: (r.n, r.max_value)
+        for r in run_to_memory(
+            stateful_type_extrema(read_events_stream(spark, sf_dir)),
+            "mem_tws_extrema", "append",
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.mx)
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
