@@ -122,3 +122,19 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     after = len(list((tmp_path / "frag").glob("*.parquet")))
     assert n == 1 and after == 1
     assert spark.read.parquet(out).count() == nation.count()
+
+
+def test_events_in_range_matches_post_conversion_filter(spark, sf_dir):
+    """The pushdown-friendly ranged loader returns exactly the rows the
+    naive (non-pushdown) timestamp filter would."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import events_in_range, t
+
+    lo, hi = "2024-01-02 00:00:00", "2024-01-04 00:00:00"
+    fast = events_in_range(spark, sf_dir, lo, hi)
+    naive = t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.to_timestamp(F.lit(lo)))
+        & (F.col("ts") < F.to_timestamp(F.lit(hi)))
+    )
+    assert fast.count() == naive.count() > 0
+    assert sorted(r.event_id for r in fast.select("event_id").collect()) == \
+        sorted(r.event_id for r in naive.select("event_id").collect())
