@@ -15,16 +15,33 @@ from pyspark.sql import DataFrame, SparkSession
 from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
 
+def _pin_session(spark: SparkSession) -> None:
+    """Runtime-settable confs the results depend on, enforced even when
+    the caller built its own session: UTC (timestamp queries are
+    compared against DuckDB's timezone-naive values — a non-UTC session
+    would shift every to_date/unix_timestamp)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_session(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_relational import flagship
 
+    _pin_session(spark)
     return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in all_specs().items()}
+    return {name: _wrap(spec.fn) for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
