@@ -392,6 +392,56 @@ FROM customer GROUP BY 1, 2 HAVING count(*) > 1
 """
 
 
+def qa_fk_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-constraint examination report (`books.R:380`
+    ``dm_examine_constraints``): one row per declared FK with the number
+    of checked rows and of orphans — left-anti joins, so at scale each
+    check is one shuffle on the key (dims broadcast).  All-zero orphan
+    counts on the driver's star schema, like the reference's passing
+    constraints."""
+    checks = [
+        ("orders.o_custkey→customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey→orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("supplier.s_nationkey→nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey→region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in checks:
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(pk).alias(ck))
+        row = (
+            c.select(ck)
+            .join(F.broadcast(p), ck, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(
+                F.lit(name).alias("fk"),
+                F.lit(c.count()).cast("long").alias("n_rows"),
+                F.col("n_orphans").cast("long"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_QA_FK_SQL = """
+SELECT 'orders.o_custkey→customer' AS fk, (SELECT count(*) FROM orders) AS n_rows,
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey→orders', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'supplier.s_nationkey→nation', (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+UNION ALL
+SELECT 'nation.n_regionkey→region', (SELECT count(*) FROM nation),
+       (SELECT count(*) FROM nation n WHERE NOT EXISTS
+          (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+"""
+
+
 def qa_mapping_totality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§5 domain-mapping totality: rows whose domain value fell through
     the mapping cascade — the \"I need a translation\" sentinel must
@@ -431,4 +481,5 @@ SPECS: dict[str, QuerySpec] = {
     "agg_sketch_distinct": QuerySpec(agg_sketch_distinct, None),
     "qa_unique_violations": QuerySpec(qa_unique_violations, _QA_UNIQUE_SQL),
     "qa_mapping_totality": QuerySpec(qa_mapping_totality, _QA_TOTALITY_SQL),
+    "qa_fk_constraints": QuerySpec(qa_fk_constraints, _QA_FK_SQL),
 }
