@@ -408,14 +408,23 @@ def qa_fk_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for name, child, ck, parent, pk in checks:
         c = t(spark, sf_dir, child)
-        p = t(spark, sf_dir, parent).select(F.col(pk).alias(ck))
+        # single pass, no driver-side action: left join against the
+        # (unique) PK side, count rows and null-hits together
+        p = t(spark, sf_dir, parent).select(
+            F.col(pk).alias(ck), F.lit(1).alias("__hit")
+        )
         row = (
             c.select(ck)
-            .join(F.broadcast(p), ck, "left_anti")
-            .agg(F.count("*").alias("n_orphans"))
+            .join(F.broadcast(p), ck, "left")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+                    "n_orphans"
+                ),
+            )
             .select(
                 F.lit(name).alias("fk"),
-                F.lit(c.count()).cast("long").alias("n_rows"),
+                F.col("n_rows").cast("long"),
                 F.col("n_orphans").cast("long"),
             )
         )
