@@ -246,3 +246,76 @@ def neighborhood(
         seen = seen.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return seen
+
+
+def pagerank(
+    edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """PageRank by fixed-iteration power method (G15-adjacent analytics;
+    the reference computes degree/betweenness centrality — PageRank is
+    the standard third centrality at scale).
+
+    rank_{i+1}(v) = (1−d)/n + d·( Σ_{u→v} rank_i(u)/outdeg(u)
+                                  + dangling_mass/n )
+
+    Fixed iteration count (not convergence-tested) keeps the result a
+    pure function of the input — oracle-checkable by unrolling the same
+    iterations in SQL.  Per iteration: one join on src + one partial
+    aggregation; contributions and the dangling sum go through
+    DECIMAL(38,18) so partial-agg order can't change bits.  Ranks sum to
+    1 (up to rounding) — asserted in tests.
+    """
+    from .. import spec as _spec
+
+    e = _spec.materialize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    )
+    nodes = _spec.materialize(
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = _spec.materialize(
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .crossJoin(nodes.agg(F.count("*").alias("n")))
+    )
+
+    dec = "decimal(38,18)"
+    rank = base.withColumn("rank", F.lit(1.0) / F.col("n"))
+    for _ in range(n_iter):
+        contrib = (
+            rank.filter(F.col("outdeg") > 0)
+            .join(e, rank.node == e.u)
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.sum((F.col("rank") / F.col("outdeg")).cast(dec))
+                .cast("double")
+                .alias("inflow")
+            )
+        )
+        dangling = (
+            rank.filter(F.col("outdeg") == 0)
+            .agg(F.sum(F.col("rank").cast(dec)).cast("double").alias("dmass"))
+            .select(F.coalesce("dmass", F.lit(0.0)).alias("dmass"))
+        )
+        rank = _spec.materialize(
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node", "outdeg", "n",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dmass") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return rank.select("node", F.round("rank", 9).alias("pagerank"))

@@ -327,6 +327,67 @@ WHERE e.parent LIKE 'r:%'
 """
 
 
+_PR_ITER = 10
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed membership graph (entity → nation →
+    region): fixed 10-iteration power method with dangling-mass
+    redistribution (region sinks).  Third centrality next to degree and
+    betweenness (`02-look-into-data.R:25-53` analytics)."""
+    from .operators.graph import pagerank
+
+    return pagerank(_entity_edges(spark, sf_dir), n_iter=_PR_ITER)
+
+
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    """Unroll the exact power iteration pagerank() performs.  Every
+    float constant is CAST to DOUBLE (a bare 1.0 is a DECIMAL literal in
+    DuckDB and would divide in decimal space, diverging from Spark);
+    inflow/dangling sums go through DECIMAL(38,18) like the Spark side."""
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [f"""WITH {_TRIPLES_CTE},
+e AS MATERIALIZED (
+  SELECT DISTINCT subject AS u, object AS v FROM triples
+  WHERE predicate IN ('inNation', 'inRegion')
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+),
+base AS MATERIALIZED (
+  SELECT node, COALESCE(od.outdeg, 0) AS outdeg,
+         (SELECT count(*) FROM nodes) AS n
+  FROM nodes LEFT JOIN (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY 1) od
+  USING (node)
+),
+r0 AS MATERIALIZED (SELECT node, outdeg, n, {one} / n AS rank FROM base)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT e.v AS node,
+         CAST(SUM(CAST(r.rank / r.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS inflow
+  FROM r{i - 1} r JOIN e ON r.node = e.u WHERE r.outdeg > 0 GROUP BY 1
+)""")
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(38,18))) AS DOUBLE),
+                  CAST(0.0 AS DOUBLE)) AS dmass
+  FROM r{i - 1} WHERE outdeg = 0
+)""")
+        parts.append(f"""r{i} AS MATERIALIZED (
+  SELECT b.node, b.outdeg, b.n,
+         ({one} - {d}) / b.n
+           + {d} * (COALESCE(c.inflow, CAST(0.0 AS DOUBLE)) + dd.dmass / b.n)
+           AS rank
+  FROM base b LEFT JOIN c{i} c USING (node) CROSS JOIN d{i} dd
+)""")
+    return ",\n".join(parts) + f"""
+SELECT node, round(rank, 9) AS pagerank FROM r{n_iter}
+"""
+
+
+_PAGERANK_SQL = _pagerank_oracle_sql(_PR_ITER)
+
+
 _BT_DEPTH = 4
 
 
@@ -442,6 +503,7 @@ _BETWEENNESS_SQL = _betweenness_oracle_sql(_BT_DEPTH)
 
 SPECS: dict[str, QuerySpec] = {
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
+    "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),
     "graph_betweenness_sampled": QuerySpec(
         graph_betweenness_sampled, _BETWEENNESS_SQL
     ),

@@ -148,3 +148,29 @@ def test_sampled_edge_betweenness_matches_exact_brandes(spark):
         adj[v].add(u)
     want = _brandes_edge_betweenness(adj, nodes, 4)
     assert got == want
+
+
+def test_pagerank_matches_power_iteration(spark):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import pagerank
+
+    raw = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    # 'e' dangling via edge into it only
+    raw.append(("c", "e"))
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = {r.node: r.pagerank for r in pagerank(edges, n_iter=10).collect()}
+
+    nodes = sorted({n for e in raw for n in e})
+    out = {n: [v for u, v in raw if u == n] for n in nodes}
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(10):
+        dmass = sum(rank[n] for n in nodes if not out[n])
+        new = {}
+        for n in nodes:
+            inflow = sum(rank[u] / len(out[u]) for u in nodes if n in out[u])
+            new[n] = 0.15 / len(nodes) + 0.85 * (inflow + dmass / len(nodes))
+        rank = new
+
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-6
