@@ -67,3 +67,29 @@ def test_salted_join_matches_plain_join(spark):
     want_left = fact.join(dim, "k", "left")
     assert sorted(map(tuple, left.select("k", "payload", "name").collect())) == \
         sorted(map(tuple, want_left.select("k", "payload", "name").collect()))
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star CC agrees with min-label propagation on
+    chains, cliques, forests and a pseudo-random graph."""
+    import random
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.er import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(20)],
+        "cliques": [(b + i, b + j) for b in (100, 200) for i in range(5)
+                    for j in range(i + 1, 5)],
+        "forest": [(i, i // 2) for i in range(1, 30)],
+        "random": [(rng.randrange(40), rng.randrange(40)) for _ in range(45)],
+    }
+    for name, raw in graphs.items():
+        raw = [(a, b) for a, b in raw if a != b]
+        edges = spark.createDataFrame(raw, ["src", "dst"])
+        want = {r.node: r.comp for r in connected_components(edges).collect()}
+        got = {r.node: r.comp for r in connected_components_star(edges).collect()}
+        assert got == want, name
