@@ -175,3 +175,47 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, key: str, ts: str,
+    value_cols: Sequence[str], tie_break: str | None = None,
+) -> DataFrame:
+    """As-of join: each left row picks the latest right row with
+    ``right.ts <= left.ts`` per key (time-series enrichment; Spark has
+    no native asof).
+
+    Implemented the scale-correct way: tag both sides, union, one
+    window sorted by (ts, side[, tie]) per key, fill the right values
+    down, keep left rows.  ONE shuffle on the key and no range-join
+    blowup — the naive ``ON r.ts <= l.ts`` join explodes to the full
+    per-key cross product before aggregation.  Ties at equal ts are
+    resolved right-row-first (so an exact-ts match is visible) and by
+    ``tie_break`` among simultaneous right rows (keep the max) — total
+    order, deterministic.
+    """
+    lcols = [c for c in left.columns]
+    sel_l = [F.col(c) for c in lcols] + [F.lit(None).cast(d).alias(v)
+             for v, d in zip(value_cols, [dict(right.dtypes)[v] for v in value_cols])]
+    tagged_l = left.select(*sel_l, F.lit(1).alias("__side"))
+    sel_r = (
+        [F.col(key), F.col(ts)]
+        + [F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+           for c in lcols if c not in (key, ts)]
+        + [F.col(v) for v in value_cols]
+    )
+    tagged_r = right.select(*sel_r, F.lit(0).alias("__side")).select(
+        *[F.col(c) for c in tagged_l.columns if c != "__side"], F.col("__side")
+    )
+    order = [F.col(ts), F.col("__side")]
+    if tie_break:
+        order.append(F.col(tie_break))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_l.unionByName(tagged_r)
+    for v in value_cols:
+        filled = filled.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).drop("__side")

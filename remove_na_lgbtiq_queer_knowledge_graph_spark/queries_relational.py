@@ -870,9 +870,41 @@ GROUP BY o_orderpriority
 """
 
 
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every view event enriched with the user's most recent
+    purchase value at-or-before the view (time-series enrichment — the
+    union+window implementation in operators/relational.asof_join; one
+    shuffle, no range-join blowup)."""
+    from .operators.relational import asof_join
+
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, "user_id", "ts", ["value"], tie_break="value")
+    return out.select(
+        "event_id", "user_id", F.col("value").alias("last_purchase_value")
+    )
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+FROM events e LEFT JOIN LATERAL (
+  SELECT value FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+  ORDER BY p.ts DESC, p.value DESC LIMIT 1
+) p ON true
+WHERE e.event_type = 'view'
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
+    "join_asof_last_value": QuerySpec(asof_last_purchase, _ASOF_SQL),
     "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
     "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
     "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),

@@ -93,3 +93,35 @@ def test_star_cc_matches_label_propagation(spark):
         want = {r.node: r.comp for r in connected_components(edges).collect()}
         got = {r.node: r.comp for r in connected_components_star(edges).collect()}
         assert got == want, name
+
+
+def test_asof_join_semantics(spark):
+    """Exact-ts match visible; no prior right row → null; simultaneous
+    right rows resolved by tie_break (max)."""
+    import datetime as dt
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        asof_join,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, "k", ts(5)), (2, "k", ts(10)), (3, "k", ts(2)), (4, "z", ts(9))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", ts(5), 50.0), ("k", ts(5), 70.0), ("k", ts(3), 30.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: r.value
+        for r in asof_join(
+            left, right, "user_id", "ts", ["value"], tie_break="value"
+        ).collect()
+    }
+    # id1: exact-ts 00:05 sees both simultaneous purchases → max 70;
+    # id2: latest ≤ 00:10 is 00:05 → 70; id3: nothing ≤ 00:02 → None;
+    # id4: other key, no rights → None
+    assert got == {1: 70.0, 2: 70.0, 3: None, 4: None}
