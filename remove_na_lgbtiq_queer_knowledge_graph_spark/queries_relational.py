@@ -870,6 +870,36 @@ GROUP BY o_orderpriority
 """
 
 
+def window_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user aggregates via a RANGE window frame
+    (rolling feature engineering).  The frame is defined on event-time
+    seconds, not row counts — ties and gaps are handled by value, and
+    the whole thing is one shuffle on user_id + a single sorted pass per
+    partition (no self-join on a time predicate)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("sum_1h"),
+    )
+
+
+_TRAILING_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every view event enriched with the user's most recent
     purchase value at-or-before the view (time-series enrichment — the
@@ -905,6 +935,7 @@ SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
     "join_asof_last_value": QuerySpec(asof_last_purchase, _ASOF_SQL),
+    "window_trailing_hour": QuerySpec(window_trailing_hour, _TRAILING_SQL),
     "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
     "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
     "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),
