@@ -46,8 +46,10 @@ def exact_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
-             extra_cols: list[str] | None = None) -> DataFrame:
-    """Distinct word-n-gram shingles per document.
+             extra_cols: list[str] | None = None,
+             distinct: bool = True) -> DataFrame:
+    """Word-n-gram shingles per document (distinct by default; pass
+    ``distinct=False`` for multiset consumers like repetition scoring).
 
     Implemented as posexplode + window ``lead`` rather than a per-row
     n-gram array (`word_ngrams`): building the array is O(tokens·n) slice
@@ -74,11 +76,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
         F.concat_ws(" ", *parts).alias("shingle"),
         parts[-1].isNotNull().alias("__full"),
     )
-    return (
-        projected.filter(F.col("__full"))
-        .select("id", *extra_cols, "shingle")
-        .distinct()
-    )
+    out = projected.filter(F.col("__full")).select("id", *extra_cols, "shingle")
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(sh: DataFrame, num_hashes: int = 12) -> DataFrame:

@@ -326,6 +326,43 @@ FROM documents
 """
 
 
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition score: distinct / total word-3-grams per document —
+    the standard degenerate-text filter (boilerplate, looping
+    generations score low).  Pure JVM: one shingle explode + two
+    counts, no UDF."""
+    sh = shingles(
+        t(spark, sf_dir, "documents"), "doc_id", "text", 3, distinct=False
+    )
+    return (
+        sh.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.countDistinct("shingle").alias("n_distinct"),
+        )
+        .withColumn(
+            "uniq_ratio",
+            F.round(F.col("n_distinct") / F.col("n_grams"), 6),
+        )
+    )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS s
+  FROM toks, unnest(range(1, len(w) - 1)) t(i)
+  WHERE len(w) >= 3
+)
+SELECT doc_id, count(*) AS n_grams, count(DISTINCT s) AS n_distinct,
+       round(count(DISTINCT s) / count(*), 6) AS uniq_ratio
+FROM sh GROUP BY doc_id
+"""
+
+
 def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint per document."""
     return doc_fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -552,6 +589,7 @@ SPECS: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(text_quality_q, _QUALITY_SQL),
     "text_token_counts": QuerySpec(text_token_counts_q, _TOKEN_SQL),
     "text_doc_fingerprint": QuerySpec(text_fingerprint_q, _DOCFP_SQL),
+    "text_repetition": QuerySpec(text_repetition_q, _REPETITION_SQL),
     "corpus_curation": QuerySpec(corpus_curation_q, _CURATION_SQL),
     "doc_chunking": QuerySpec(doc_chunking_q, _CHUNK_SQL),
     "filter_stratified_sample": QuerySpec(stratified_sample_q, _STRATA_SQL),
