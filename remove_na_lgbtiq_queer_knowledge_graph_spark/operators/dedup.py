@@ -155,6 +155,64 @@ def simhash(sh: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("id", F.concat(*bit_cols).alias("simhash"))
 
 
+def simhash_pairs(
+    sig: DataFrame, bits: int = 64, max_dist: int = 3
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures via banded Hamming join.
+
+    The ``bits``-char bit string is split into ``max_dist + 1`` equal
+    bands; by pigeonhole, any pair within Hamming distance ``max_dist``
+    agrees *exactly* on at least one band, so candidates come from an
+    equi-join on (band, chunk) — never a cross join.  Exact Hamming
+    distance is then computed on candidates only and filtered.
+
+    Scale: candidate cardinality is sum over buckets of C(bucket_size,2),
+    so ``bits`` must track corpus size (64-bit/4×16 for real corpora;
+    16-bit keeps the oracle SQL small at test SF).  The shuffle key is
+    (band, chunk) — uniform by construction since chunks are hash bits.
+    """
+    from ..spec import materialize
+
+    nb = max_dist + 1
+    if bits % nb:
+        raise ValueError("bits must split into max_dist+1 equal bands")
+    width = bits // nb
+    sig = materialize(sig)  # band explode + two hamming-refine sides
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("chunk"),
+        )
+        for b in range(nb)
+    ])
+    bands = sig.select("id", F.explode(band_structs).alias("bc")).select(
+        "id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
+    )
+    a = bands.select(F.col("id").alias("id_1"), "band", "chunk")
+    b2 = bands.select(F.col("id").alias("id_2"), "band", "chunk")
+    cand = (
+        a.join(b2, ["band", "chunk"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    s1 = sig.select(F.col("id").alias("id_1"), F.col("simhash").alias("sh_1"))
+    s2 = sig.select(F.col("id").alias("id_2"), F.col("simhash").alias("sh_2"))
+    ham = sum(
+        F.when(
+            F.substring("sh_1", i, 1) != F.substring("sh_2", i, 1), 1
+        ).otherwise(0)
+        for i in range(1, bits + 1)
+    ).cast("long")
+    return (
+        cand.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame, min_sim: float = 0.8, block_col: str | None = None
 ) -> DataFrame:

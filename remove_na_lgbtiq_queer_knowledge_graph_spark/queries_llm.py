@@ -19,6 +19,7 @@ from .operators.dedup import (
     minhash_signature,
     shingles,
     simhash,
+    simhash_pairs,
 )
 from .operators.multimodal import (
     decode_metadata,
@@ -115,6 +116,43 @@ _SIMHASH_SQL = f"""
 WITH {_SHINGLE_CTE},
 votes AS (SELECT doc_id, {_VOTES} FROM sh GROUP BY doc_id)
 SELECT doc_id, {_BITS} AS simhash FROM votes
+"""
+
+
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded Hamming join (4 bands of 4 bits
+    catch every pair within Hamming distance 3 by pigeonhole), exact
+    Hamming refine on candidates only.  16-bit at test SF; the operator
+    defaults to 64-bit for real corpora."""
+    sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    return simhash_pairs(simhash(sh, 16), 16, 3)
+
+
+_SH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, substring(simhash, {b * 4 + 1}, 4) AS chunk FROM sigt"
+    for b in range(4)
+)
+_SH_HAM = " + ".join(
+    f"(CASE WHEN substring(s1.simhash, {i}, 1) <> substring(s2.simhash, {i}, 1)"
+    f" THEN 1 ELSE 0 END)"
+    for i in range(1, 17)
+)
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SHINGLE_CTE},
+votes AS (SELECT doc_id, {_VOTES} FROM sh GROUP BY doc_id),
+sigt AS MATERIALIZED (SELECT doc_id, {_BITS} AS simhash FROM votes),
+bands AS MATERIALIZED ({_SH_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2, hamming FROM (
+  SELECT cand.id_1, cand.id_2, CAST({_SH_HAM} AS BIGINT) AS hamming
+  FROM cand
+  JOIN sigt s1 ON cand.id_1 = s1.doc_id
+  JOIN sigt s2 ON cand.id_2 = s2.doc_id
+) WHERE hamming <= 3
 """
 
 
@@ -580,6 +618,7 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first_q, _KEEPFIRST_SQL),
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs_q, _MINHASH_SQL),
     "dedup_simhash_signatures": QuerySpec(dedup_simhash_q, _SIMHASH_SQL),
+    "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs_q, _SIMHASH_PAIRS_SQL),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs_q, _JACCARD_DOC_SQL),
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs_q, _EMB_PAIRS_SQL),
     "ann_brute_topk": QuerySpec(ann_brute_topk_q, _ANN_BRUTE_SQL),

@@ -15,6 +15,7 @@ from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
     minhash_signature,
     shingles,
     simhash,
+    simhash_pairs,
 )
 from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
     decode_metadata,
@@ -64,6 +65,27 @@ def test_simhash_identical_docs_equal(spark):
     hamming_12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
     hamming_13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
     assert hamming_12 < hamming_13  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_banding_recall(spark):
+    """Banded join must find EVERY pair within max_dist (pigeonhole) —
+    compare against brute-force hamming over all signature pairs."""
+    sh = shingles(_docs(spark), "doc_id", "text", 3)
+    sig = simhash(sh, 16)
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in simhash_pairs(sig, 16, max_dist=3).collect()
+    }
+    sigs = {r.id: r.simhash for r in sig.collect()}
+    ids = sorted(sigs)
+    want = {
+        (i, j): sum(a != b for a, b in zip(sigs[i], sigs[j]))
+        for i in ids
+        for j in ids
+        if i < j and sum(a != b for a, b in zip(sigs[i], sigs[j])) <= 3
+    }
+    assert got == want
+    assert got[(1, 4)] == 0  # identical docs
 
 
 VECS = [
