@@ -99,6 +99,42 @@ WHERE t1.predicate = 'type'
 """
 
 
+def graph_union_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3+G8: UNION of pattern groups with a branch tag
+    (`companions_and_relations.rq:56-67` — customer-shaped and
+    supplier-shaped branches over the same graph, bag semantics)."""
+    trip = _triples(spark, sf_dir)
+    cust = (
+        BGPQuery(trip)
+        .where(("?e", "type", "Customer"), ("?e", "inNation", "?n"),
+               ("?n", "name", "?nname"))
+        .bind("kind", F.lit("customer"))
+    )
+    supp = (
+        BGPQuery(trip)
+        .where(("?e", "type", "Supplier"), ("?e", "inNation", "?n"),
+               ("?n", "name", "?nname"))
+        .bind("kind", F.lit("supplier"))
+    )
+    return cust.union(supp).select("e", "nname", "kind")
+
+
+_UNION_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT t1.subject AS e, t3.object AS nname, 'customer' AS kind
+FROM triples t1
+JOIN triples t2 ON t1.subject = t2.subject AND t2.predicate = 'inNation'
+JOIN triples t3 ON t2.object = t3.subject AND t3.predicate = 'name'
+WHERE t1.predicate = 'type' AND t1.object = 'Customer'
+UNION ALL
+SELECT t1.subject AS e, t3.object AS nname, 'supplier' AS kind
+FROM triples t1
+JOIN triples t2 ON t1.subject = t2.subject AND t2.predicate = 'inNation'
+JOIN triples t3 ON t2.object = t3.subject AND t3.predicate = 'name'
+WHERE t1.predicate = 'type' AND t1.object = 'Supplier'
+"""
+
+
 def graph_values_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7+G4: VALUES inline table + FILTER regex
     (`db_all_person_relations.rq:36-45`, `companions_and_relations.rq:76`)."""
@@ -510,6 +546,7 @@ SPECS: dict[str, QuerySpec] = {
     "graph_tree_betweenness": QuerySpec(graph_tree_betweenness, _TREE_BT_SQL),
     "graph_bgp_region_members": QuerySpec(graph_bgp_region_members, _BGP_SQL),
     "graph_optional_segment": QuerySpec(graph_optional_segment, _OPTIONAL_SQL),
+    "graph_union_patterns": QuerySpec(graph_union_patterns, _UNION_SQL),
     "graph_values_filter": QuerySpec(graph_values_filter, _VALUES_SQL),
     "graph_not_exists": QuerySpec(graph_not_exists, _NOTEXISTS_SQL),
     "graph_bind_extract": QuerySpec(graph_bind_extract, _BIND_SQL),

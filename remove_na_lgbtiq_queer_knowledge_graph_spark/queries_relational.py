@@ -324,6 +324,28 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 """
 
 
+def join_right_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: right join (`book-authors-viaf.R:59`) — every customer kept,
+    order columns null when no order exists.
+
+    Kept as a genuine right join to cover the operator; at scale the
+    equivalent flip (dim LEFT JOIN fact) is preferred when the preserved
+    side is the small one, since Spark can only broadcast the
+    non-preserved side of an outer join.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_JOIN_RIGHT_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def anti_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: anti-join exclusion — customers with no orders
     (`lobid/02-search-via-author-title.R:36-49` idiom)."""
@@ -949,6 +971,7 @@ SPECS: dict[str, QuerySpec] = {
     "filter_time_range": QuerySpec(time_range_filter, _TIMERANGE_SQL),
     "filter_deterministic_sample": QuerySpec(deterministic_sample, _SAMPLE_SQL),
     "join_left_enrich": QuerySpec(join_left_enrich, _JOIN_LEFT_SQL),
+    "join_right_preserve": QuerySpec(join_right_preserve, _JOIN_RIGHT_SQL),
     "join_anti_incremental": QuerySpec(anti_join_incremental, _ANTI_SQL),
     "join_semi_active": QuerySpec(semi_join_active, _SEMI_SQL),
     "join_multi_key": QuerySpec(multi_key_join, _MULTIKEY_SQL),
