@@ -47,3 +47,12 @@ def test_blocked_similarity_has_no_cross_join(spark, sf_dir):
     plan = _plan(spark, "er_cosine_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banding_is_equi_join(spark, sf_dir):
+    """The pigeonhole band join must stay an equi (hash) join on
+    (band, chunk) with the Hamming refine as a post-condition — never a
+    cross join over all signature pairs."""
+    plan = _plan(spark, "dedup_simhash_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
