@@ -90,3 +90,29 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = norm_tokens(F.col(text_col))
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+PII_PATTERNS = {
+    # dialect-portable (Java regex and RE2 agree on these classes)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def pii_mask(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction for training corpora: replace every email/URL with
+    a typed placeholder and report per-type match counts.  Pure JVM
+    (regexp_replace / regexp_extract_all) — runs inside whole-stage
+    codegen, no UDF; the per-row cost is independent of corpus size so
+    the op is embarrassingly parallel at 100 TB.
+    """
+    masked = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        masked = F.regexp_replace(masked, pat, f"<{name.upper()}>")
+    counts = [
+        F.size(F.regexp_extract_all(text_col, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return df.select(F.col(id_col), masked.alias("masked_text"), *counts)

@@ -27,7 +27,15 @@ from .operators.multimodal import (
     resize_plan,
     to_binary_payload,
 )
-from .operators.text import STOPWORDS, doc_fingerprint, lang_id, quality_features, token_counts
+from .operators.text import (
+    PII_PATTERNS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    pii_mask,
+    quality_features,
+    token_counts,
+)
 from .spec import QuerySpec, t
 
 # Shared oracle fragments -----------------------------------------------------
@@ -401,6 +409,26 @@ FROM sh GROUP BY doc_id
 """
 
 
+def text_pii_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails then URLs replaced by typed placeholders,
+    with per-type match counts on the original text."""
+    return pii_mask(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_EMAIL_PAT = PII_PATTERNS["email"]
+_URL_PAT = PII_PATTERNS["url"]
+_PII_SQL = (
+    "SELECT doc_id,\n"
+    "  regexp_replace(regexp_replace(text, '" + _EMAIL_PAT
+    + "', '<EMAIL>', 'g'), '" + _URL_PAT + "', '<URL>', 'g') AS masked_text,\n"
+    "  CAST(len(regexp_extract_all(text, '" + _EMAIL_PAT
+    + "')) AS BIGINT) AS n_email,\n"
+    "  CAST(len(regexp_extract_all(text, '" + _URL_PAT
+    + "')) AS BIGINT) AS n_url\n"
+    "FROM documents"
+)
+
+
 def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint per document."""
     return doc_fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -629,6 +657,7 @@ SPECS: dict[str, QuerySpec] = {
     "text_token_counts": QuerySpec(text_token_counts_q, _TOKEN_SQL),
     "text_doc_fingerprint": QuerySpec(text_fingerprint_q, _DOCFP_SQL),
     "text_repetition": QuerySpec(text_repetition_q, _REPETITION_SQL),
+    "text_pii_mask": QuerySpec(text_pii_mask_q, _PII_SQL),
     "corpus_curation": QuerySpec(corpus_curation_q, _CURATION_SQL),
     "doc_chunking": QuerySpec(doc_chunking_q, _CHUNK_SQL),
     "filter_stratified_sample": QuerySpec(stratified_sample_q, _STRATA_SQL),

@@ -21,7 +21,7 @@ from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
     decode_metadata,
     to_binary_payload,
 )
-from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.text import lang_id
+from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.text import lang_id, pii_mask
 
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
@@ -65,6 +65,27 @@ def test_simhash_identical_docs_equal(spark):
     hamming_12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
     hamming_13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
     assert hamming_12 < hamming_13  # near-dup closer than unrelated
+
+
+def test_pii_mask_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jo.doe+x@mail.example.org or on the phone"),
+            (2, "see https://example.org/a?b=1 and http://x.io twice"),
+            (3, "mail inside url https://example.org/u/a@b.co stays one URL"),
+            (4, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in pii_mask(df, "doc_id", "text").collect()}
+    assert got[1].masked_text == "contact me at <EMAIL> or on the phone"
+    assert (got[1].n_email, got[1].n_url) == (1, 0)
+    assert got[2].masked_text == "see <URL> and <URL> twice"
+    assert got[2].n_url == 2
+    # email is masked first, then the whole URL collapses to one token
+    assert got[3].masked_text == "mail inside url <URL> stays one URL"
+    assert got[4].masked_text == "nothing sensitive here"
+    assert (got[4].n_email, got[4].n_url) == (0, 0)
 
 
 def test_simhash_pairs_banding_recall(spark):
