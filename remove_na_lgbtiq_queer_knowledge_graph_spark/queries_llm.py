@@ -21,6 +21,7 @@ from .operators.dedup import (
     simhash,
     simhash_pairs,
 )
+from .operators.er import connected_components
 from .operators.multimodal import (
     decode_metadata,
     frame_sample,
@@ -161,6 +162,52 @@ SELECT id_1, id_2, hamming FROM (
   JOIN sigt s1 ON cand.id_1 = s1.doc_id
   JOIN sigt s2 ON cand.id_2 = s2.doc_id
 ) WHERE hamming <= 3
+"""
+
+
+def dedup_cluster_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup corpus dedup: MinHash-LSH candidate pairs →
+    connected components over the pair graph → keep the min-id member
+    per cluster; docs in no cluster survive untouched.
+
+    This is the full at-scale dedup shape: candidate generation never
+    leaves (band, bucket) equi-joins, clustering is the iterative
+    min-label propagation (converges in O(diameter) rounds, and dup
+    clusters are shallow), and the final keep is one broadcastable left
+    join against the cluster map — no collect anywhere.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    pairs = minhash_band_pairs(minhash_signature(sh, 12), 12, 3)
+    cc = connected_components(pairs, "id_1", "id_2")
+    clustered = cc.select(F.col("node").alias("doc_id"), "comp")
+    return (
+        docs.join(clustered, "doc_id", "left")
+        .filter(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
+        .select("doc_id", "lang", "source")
+    )
+
+
+_CLUSTER_KEEP_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS MATERIALIZED (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
+bands AS MATERIALIZED ({_BANDS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+WHERE c.id IS NULL OR c.component = d.doc_id
 """
 
 
@@ -647,6 +694,7 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs_q, _MINHASH_SQL),
     "dedup_simhash_signatures": QuerySpec(dedup_simhash_q, _SIMHASH_SQL),
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs_q, _SIMHASH_PAIRS_SQL),
+    "dedup_near_cluster_keep": QuerySpec(dedup_cluster_keep_q, _CLUSTER_KEEP_SQL),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs_q, _JACCARD_DOC_SQL),
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs_q, _EMB_PAIRS_SQL),
     "ann_brute_topk": QuerySpec(ann_brute_topk_q, _ANN_BRUTE_SQL),
