@@ -30,6 +30,7 @@ HEADLINE = [
     "graph_transitive_closure",
     "dedup_minhash_pairs",
     "dedup_jaccard_pairs",
+    "dedup_near_cluster_keep",
     "ann_brute_topk",
     "ann_ivf_topk",
     "join_salted_skew",
