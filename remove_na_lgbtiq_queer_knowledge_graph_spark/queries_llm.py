@@ -456,6 +456,44 @@ FROM sh GROUP BY doc_id
 """
 
 
+def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health-check rollup per (lang, source): doc counts, size
+    totals, exact-dup ratio.  One map-side-combinable aggregation —
+    integer sums stay exact, divisions happen once on the combined
+    totals so the doubles are bit-identical across engines."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        )
+        .withColumn(
+            "avg_chars",
+            F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 6),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ),
+        )
+    )
+
+
+_CORPUS_STATS_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  count(DISTINCT md5(text)) AS n_unique_texts,
+  round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*), 6) AS avg_chars,
+  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_ratio
+FROM documents GROUP BY lang, source
+"""
+
+
 def text_pii_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: emails then URLs replaced by typed placeholders,
     with per-type match counts on the original text."""
@@ -706,6 +744,7 @@ SPECS: dict[str, QuerySpec] = {
     "text_doc_fingerprint": QuerySpec(text_fingerprint_q, _DOCFP_SQL),
     "text_repetition": QuerySpec(text_repetition_q, _REPETITION_SQL),
     "text_pii_mask": QuerySpec(text_pii_mask_q, _PII_SQL),
+    "corpus_stats": QuerySpec(corpus_stats_q, _CORPUS_STATS_SQL),
     "corpus_curation": QuerySpec(corpus_curation_q, _CURATION_SQL),
     "doc_chunking": QuerySpec(doc_chunking_q, _CHUNK_SQL),
     "filter_stratified_sample": QuerySpec(stratified_sample_q, _STRATA_SQL),
