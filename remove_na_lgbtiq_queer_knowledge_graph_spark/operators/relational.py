@@ -159,8 +159,11 @@ def salted_join(
     sub-partitions via a deterministic salt, replicate the (small) dim
     side across all salts, join on (key, salt).
 
-    Semantically identical to ``fact.join(dim, key, how)`` — the salt is
-    an execution detail that never reaches the output.  Use when a few
+    Semantically identical to ``fact.join(dim, key, how)`` for
+    ``how in ('inner', 'left')`` — the salt is an execution detail that
+    never reaches the output.  Right/full joins are rejected: the dim
+    side is exploded across ``n_salts`` salts, so an unmatched dim row
+    would be emitted once per salt.  Use when a few
     hot keys (a viral document id, a null-bucket fk) would pin one
     reducer: the hot key's rows now spread over ``n_salts`` tasks.  AQE's
     skew-join handles *sorted-shuffle* skew automatically; salting is the
@@ -169,12 +172,86 @@ def salted_join(
     side (it is usually broadcastable anyway; salting matters when the
     dim is too big to broadcast but far smaller than the fact).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "replicated dim rows would duplicate unmatched right-side output"
+        )
     salt = F.pmod(F.xxhash64(*[c for c in fact.columns]), F.lit(n_salts))
     f = fact.withColumn("__salt", salt.cast("int"))
     d = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
+def dense_ids(
+    df: DataFrame, order: Sequence[str], out: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W1 at scale: dense 1..N surrogate keys in ``order`` without a
+    global single-partition sort.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels the whole table through
+    ONE task — the classic 100 TB killer.  This is the two-pass
+    dense-id plan instead (the DataFrame form of ``zipWithIndex``):
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+       key — range partitions are non-overlapping and internally sorted,
+       so global rank = per-partition offset + within-partition position.
+    2. Per-partition row counts are collected to the driver (ONE row per
+       partition — metadata, not data) and turned into cumulative
+       offsets.
+    3. An Arrow-batched ``mapInPandas`` pass assigns
+       ``offset[pid] + position`` with a running counter.  No window, no
+       second shuffle, no single-partition exchange.
+
+    The range shuffle executes once per job that consumes it (the count
+    pass and the final pass); Spark's range-boundary sampling is
+    deterministically seeded, so both executions agree.  On a real
+    cluster persist the partitioned frame between the passes.
+    ``order`` must be a total key (repo determinism rule) — equal keys
+    split across a partition boundary would otherwise make ids
+    order-ambiguous anyway.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in order])
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out, T.LongType())])
+
+    def assign(batches):
+        import numpy as np
+
+        base = None
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            pdf = pdf.drop(columns="__pid")
+            start = base + seen + 1
+            pdf[out] = np.arange(start, start + len(pdf), dtype="int64")
+            seen += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(assign, schema=out_schema)
 
 
 def asof_join(
@@ -193,29 +270,46 @@ def asof_join(
     resolved right-row-first (so an exact-ts match is visible) and by
     ``tie_break`` among simultaneous right rows (keep the max) — total
     order, deterministic.
+
+    All value columns are carried as ONE struct and filled together, so
+    every left row is enriched from a single latest right row — a right
+    row with NULL in one value column still supplies its (null) value
+    rather than being skipped for that column only, which would mix
+    values from different right rows.
     """
     lcols = [c for c in left.columns]
-    sel_l = [F.col(c) for c in lcols] + [F.lit(None).cast(d).alias(v)
-             for v, d in zip(value_cols, [dict(right.dtypes)[v] for v in value_cols])]
-    tagged_l = left.select(*sel_l, F.lit(1).alias("__side"))
-    sel_r = (
-        [F.col(key), F.col(ts)]
-        + [F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
-           for c in lcols if c not in (key, ts)]
-        + [F.col(v) for v in value_cols]
+    rtypes = dict(right.dtypes)
+    vals_ddl = "struct<" + ",".join(f"`{v}`:{rtypes[v]}" for v in value_cols) + ">"
+    tagged_l = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(vals_ddl).alias("__vals"),
+        F.lit(1).alias("__side"),
     )
-    tagged_r = right.select(*sel_r, F.lit(0).alias("__side")).select(
-        *[F.col(c) for c in tagged_l.columns if c != "__side"], F.col("__side")
-    )
+    tagged_r = right.select(
+        F.col(key),
+        F.col(ts),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in lcols if c not in (key, ts)],
+        F.struct(*[F.col(v) for v in value_cols]).alias("__vals"),
+        F.lit(0).alias("__side"),
+    ).select(*[F.col(c) for c in tagged_l.columns])
     order = [F.col(ts), F.col("__side")]
     if tie_break:
-        order.append(F.col(tie_break))
+        order.append(
+            F.col("__vals").getField(tie_break)
+            if tie_break in value_cols
+            else F.col(tie_break)
+        )
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = tagged_l.unionByName(tagged_r)
+    out = (
+        tagged_l.unionByName(tagged_r)
+        .withColumn("__vals", F.last("__vals", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
     for v in value_cols:
-        filled = filled.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return filled.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(v, F.col("__vals").getField(v))
+    return out.drop("__vals", "__side")

@@ -491,13 +491,15 @@ WHERE levenshtein(a.s_name, b.s_name) <= 2
 # ---------------------------------------------------------------------------
 
 def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: surrogate key via row_number over a total order
-    (`books.R:160-163`).  At 100 TB prefer monotonically_increasing_id
-    (no global sort); row_number kept here because the reference's ids
-    are dense and the oracle needs determinism."""
+    """W1: dense surrogate keys in name order (`books.R:160-163`),
+    via the two-pass range-partitioned plan in
+    operators/relational.dense_ids — same dense 1..N result as
+    ``row_number() OVER (ORDER BY c_name)`` but with no
+    single-partition global sort (plan-asserted in tests/test_plans.py)."""
+    from .operators.relational import dense_ids
+
     c = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_name")
-    return c.select("c_name").withColumn("name_id", F.row_number().over(w).cast("long"))
+    return dense_ids(c.select("c_name"), ["c_name"], out="name_id")
 
 
 _SURR_SQL = """

@@ -66,7 +66,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_SQL = """
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
@@ -75,7 +75,7 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
   FROM marked
 )

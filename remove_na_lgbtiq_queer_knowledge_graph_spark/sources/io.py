@@ -109,6 +109,12 @@ def compact_parquet(
     scan efficiency.  Local-FS rename semantics here; on an object
     store the same two-phase write-then-swap applies via the committer.
     Returns the new file count.
+
+    The swap is rename-based so the table path stays continuously
+    resolvable: original → ``__old``, compacted tmp → path, delete
+    ``__old``.  A crash mid-swap leaves either the original or the
+    compacted copy at the path — never a window where the path is gone
+    (the delete-then-move ordering had exactly that gap).
     """
     import math
     import shutil
@@ -119,8 +125,14 @@ def compact_parquet(
         for f in __import__("pathlib").Path(path).rglob("*.parquet")
     )
     n = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "__compacting"
+    base = path.rstrip("/")
+    tmp, old = base + "__compacting", base + "__old"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    shutil.move(base, old)
+    try:
+        shutil.move(tmp, base)
+    except BaseException:
+        shutil.move(old, base)  # roll back: restore the original
+        raise
+    shutil.rmtree(old)
     return n

@@ -56,3 +56,22 @@ def test_simhash_banding_is_equi_join(spark, sf_dir):
     plan = _plan(spark, "dedup_simhash_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_surrogate_keys_has_no_global_sort(spark, sf_dir):
+    """The dense-id plan must never funnel the table through one task:
+    no single-partition exchange, no global Sort — range partitioning +
+    per-partition assignment only (VERDICT r1 'What's wrong' #2)."""
+    plan = _plan(spark, "window_surrogate_keys", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan                 # the two-pass plan
+    assert "Window" not in plan                        # no row_number window at all
+
+
+def test_gazetteer_is_blocked_equi_join(spark, sf_dir):
+    """Gazetteer NER must block on k-grams and probe a broadcast hash
+    table — never the docs × terms nested-loop scan (VERDICT r1 #3)."""
+    plan = _plan(spark, "ner_gazetteer", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
