@@ -49,27 +49,37 @@ class RefObjectMap:
 class TriplesMap:
     source: str                       # table name in `tables`
     subject: Template
-    po: list[tuple[str, object]] = field(default_factory=list)
+    po: list[tuple] = field(default_factory=list)
+    # (predicate, obj) or (predicate, obj, lang_or_None, dtype_or_None);
     # obj: Template (IRI), Column-producing str (column name),
     # ("const", value), or RefObjectMap
 
 
 def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFrame:
-    """Materialize all triples maps into one (subject, predicate, object)
-    DataFrame — strings throughout, nulls dropped (a null column produces
-    no triple, matching R2RML semantics).
+    """Materialize all triples maps into one
+    ``(subject, predicate, object, lang, dtype)`` DataFrame (SURVEY §1.1
+    — language-tagged literals like ``"text"@de`` carry ``lang``, typed
+    literals carry ``dtype``, IRIs carry neither) — strings throughout,
+    nulls dropped (a null column produces no triple, matching R2RML
+    semantics).
 
     All non-referencing PO pairs of a map are emitted from ONE scan of
-    the source (explode over an array of (predicate, object) structs) —
-    a per-pair union would scan the source table once per predicate.
-    Referencing object maps stay separate joins.
+    the source (explode over an array of (predicate, object, lang, dtype)
+    structs) — a per-pair union would scan the source table once per
+    predicate.  Referencing object maps stay separate joins.
     """
+    null_s = F.lit(None).cast("string")
     parts: list[DataFrame] = []
     for m in maps:
         src = tables[m.source]
         subj = m.subject.expr().alias("subject")
         po_structs = []
-        for pred, obj in m.po:
+        for entry in m.po:
+            pred, obj = entry[0], entry[1]
+            lang = entry[2] if len(entry) > 2 else None
+            dtype = entry[3] if len(entry) > 3 else None
+            lang_c = F.lit(lang).cast("string") if lang else null_s
+            dtype_c = F.lit(dtype).cast("string") if dtype else null_s
             if isinstance(obj, RefObjectMap):
                 parent = tables[obj.parent_table].select(
                     F.col(obj.parent_key).alias("__pk"),
@@ -78,7 +88,8 @@ def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFra
                 parts.append(
                     src.join(parent, F.col(obj.child_key) == F.col("__pk"))
                     .select(subj, F.lit(pred).alias("predicate"),
-                            F.col("__obj").alias("object"))
+                            F.col("__obj").alias("object"),
+                            lang_c.alias("lang"), dtype_c.alias("dtype"))
                     .filter(F.col("object").isNotNull())
                 )
                 continue
@@ -89,12 +100,14 @@ def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFra
             else:
                 oc = F.col(obj).cast("string")
             po_structs.append(
-                F.struct(F.lit(pred).alias("predicate"), oc.alias("object"))
+                F.struct(F.lit(pred).alias("predicate"), oc.alias("object"),
+                         lang_c.alias("lang"), dtype_c.alias("dtype"))
             )
         if po_structs:
             parts.append(
                 src.select(subj, F.explode(F.array(*po_structs)).alias("po"))
-                .select("subject", "po.predicate", "po.object")
+                .select("subject", "po.predicate", "po.object", "po.lang",
+                        "po.dtype")
                 .filter(F.col("object").isNotNull())
             )
     out = parts[0]

@@ -1,0 +1,833 @@
+"""SPARQL text front-end (SURVEY.md §2.11 G1-G13, §3.2).
+
+The reference's graph entry point is SPARQL *text* — 20+ ``.rq`` files
+(e.g. ``data-publishing/factgrid/queries/network-00-starting-point.rq``,
+``get_factgrid_ids_from_wikidata.rq:18-21``) plus string-interpolated
+queries in the Shiny apps (``apps/companions/queries.R:3-174``).  This
+module parses the subset those queries actually use and compiles it onto
+a triples DataFrame ``(subject, predicate, object, lang, dtype)``:
+
+- PREFIX declarations, ``SELECT [DISTINCT]``, ``WHERE`` groups,
+  ``;`` predicate lists, ``,`` object lists, comments;
+- OPTIONAL → left join; ``{...} UNION {...}`` → unionByName;
+  FILTER (incl. ``LANG()``, ``REGEX()``, comparisons, ``&&``/``||``);
+  FILTER NOT EXISTS / MINUS → left_anti; VALUES → semi join / isin;
+  BIND(expr AS ?v) → withColumn;
+- property paths ``p1/p2`` (chained joins) and ``p*``/``p+``
+  (iterative fixpoint via :func:`plans.bgp.transitive_closure`), e.g.
+  ``(fgt:P2/fgt:P3*)`` from ``persons_factgrid_wikidata.rq:28``;
+- ``SERVICE wikibase:label {...}`` → in-engine label join implementing
+  the Wikibase label service (per-row language preference, QID-localname
+  fallback) — the reference leans on it in every query;
+- ``SERVICE <endpoint> {...}`` → pluggable triples source: the caller
+  passes ``services={endpoint_iri: DataFrame}`` and the inner group is
+  planned against that frame and joined on shared variables (G10 —
+  federation stays external per BASELINE, the engine sees a DataFrame);
+- ORDER BY / LIMIT.
+
+Scale notes: every triple pattern is a filtered scan of the triples DF
+(bound terms → pushed equality predicates); patterns in a contiguous run
+are planned most-bound-first; everything else is ordinary Catalyst joins
+— no driver-side iteration except the bounded ``p*`` fixpoint.
+
+Language-tagged literals: when the triples frame carries a ``lang``
+column, each object variable ``?v`` gets a hidden companion column
+``__lang__v`` so ``LANG(?v)`` filters compile to column predicates and
+term equality in joins includes the tag (RDF terms ``"x"@de`` and
+``"x"@en`` differ).  Companions are dropped at SELECT.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import transitive_closure
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+WIKIBASE_LABEL_SERVICE = "http://wikiba.se/ontology#label"
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<comment>\#[^\n]*)
+      | (?P<iri><[^<>\s]*>)
+      | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^\S+)?)
+      | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
+        # local name may contain dots but never ends with one — the
+        # trailing '.' is the triple terminator (SPARQL PN_LOCAL rule)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<num>\d+(?:\.\d+)?)
+      | (?P<op>&&|\|\||!=|<=|>=|[{}().;,/|*+=!<>])
+    """,
+    re.X,
+)
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(text: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SyntaxError(f"SPARQL tokenizer stuck at: {text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        toks.append(Tok(kind, m.group()))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+# Term = ("var", name) | ("iri", absolute_iri) | ("lit", value, lang, dtype)
+Term = tuple
+
+
+@dataclass(frozen=True)
+class PathStep:
+    pred: Term                # ("iri", ...) or ("var", ...)
+    star: bool = False        # p*  (reflexive-transitive)
+    plus: bool = False        # p+  (transitive)
+
+
+@dataclass(frozen=True)
+class TriplePat:
+    s: Term
+    path: tuple[PathStep, ...]
+    o: Term
+
+
+@dataclass(frozen=True)
+class OptionalPat:
+    group: "GroupPat"
+
+
+@dataclass(frozen=True)
+class UnionPat:
+    branches: tuple["GroupPat", ...]
+
+
+@dataclass(frozen=True)
+class FilterPat:
+    expr: tuple
+
+
+@dataclass(frozen=True)
+class NotExistsPat:          # FILTER NOT EXISTS and MINUS
+    group: "GroupPat"
+
+
+@dataclass(frozen=True)
+class BindPat:
+    expr: tuple
+    var: str
+
+
+@dataclass(frozen=True)
+class ValuesPat:
+    vars: tuple[str, ...]
+    rows: tuple[tuple, ...]
+
+
+@dataclass(frozen=True)
+class ServicePat:
+    endpoint: str            # absolute IRI; label service is special-cased
+    group: "GroupPat"
+
+
+@dataclass
+class GroupPat:
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class Query:
+    select: list[str]
+    distinct: bool
+    where: GroupPat
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    limit: int | None = None
+    label_langs: list[str] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent)
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    # Well-known prefixes the WDQS/Blazegraph endpoints inject — several
+    # reference queries use them without declaring (lokale-from-factgrid
+    # uses schema:/wikibase: undeclared).  Explicit PREFIX decls override.
+    _BUILTIN_PREFIXES = {
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        "xsd": "http://www.w3.org/2001/XMLSchema#",
+        "owl": "http://www.w3.org/2002/07/owl#",
+        "schema": "http://schema.org/",
+        "wikibase": "http://wikiba.se/ontology#",
+        "bd": "http://www.bigdata.com/rdf#",
+    }
+
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = dict(self._BUILTIN_PREFIXES)
+
+    def peek(self, ahead: int = 0) -> Tok | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("unexpected end of SPARQL query")
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t and t.kind == kind and (text is None or t.text.lower() == text.lower()):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            raise SyntaxError(f"expected {text or kind}, got {self.peek()}")
+        return t
+
+    # -- terms --------------------------------------------------------------
+
+    def _expand(self, pname: str) -> str:
+        pfx, local = pname.split(":", 1)
+        if pfx not in self.prefixes:
+            raise SyntaxError(f"undeclared prefix {pfx!r}")
+        return self.prefixes[pfx] + local
+
+    def parse_term(self) -> Term:
+        t = self.next()
+        if t.kind == "var":
+            return ("var", t.text[1:])
+        if t.kind == "iri":
+            return ("iri", t.text[1:-1])
+        if t.kind == "pname":
+            return ("iri", self._expand(t.text))
+        if t.kind == "string":
+            return self._parse_string(t.text)
+        if t.kind == "word" and t.text == "a":
+            return ("iri", RDF_TYPE)
+        if t.kind == "num":
+            return ("lit", t.text, None, None)
+        raise SyntaxError(f"unexpected term token {t}")
+
+    def _parse_string(self, raw: str) -> Term:
+        m = re.match(r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^(\S+))?$',
+                     raw)
+        value = m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+        lang = m.group(2)
+        dtype = m.group(3)
+        if dtype and dtype.startswith("<"):
+            dtype = dtype[1:-1]
+        elif dtype and ":" in dtype:
+            dtype = self._expand(dtype)
+        return ("lit", value, lang, dtype)
+
+    # -- paths --------------------------------------------------------------
+
+    def parse_path(self) -> tuple[PathStep, ...]:
+        steps = list(self._path_primary())
+        while self.accept("op", "/"):
+            steps.extend(self._path_primary())
+        return tuple(steps)
+
+    def _path_primary(self) -> tuple[PathStep, ...]:
+        if self.accept("op", "("):
+            inner = list(self.parse_path())
+            self.expect("op", ")")
+            if self.peek() and self.peek().kind == "op" and self.peek().text in ("*", "+"):
+                raise NotImplementedError(
+                    "closure over a grouped path (p/q)* is not in the "
+                    "reference subset"
+                )
+            return tuple(inner)
+        term = self.parse_term()
+        star = plus = False
+        nxt = self.peek()
+        if nxt and nxt.kind == "op" and nxt.text in ("*", "+"):
+            # Only a closure when a term follows (object position) —
+            # `?s p* ?o` — never at expression level (parse_path is only
+            # called in predicate position, so always a closure here).
+            self.next()
+            star = nxt.text == "*"
+            plus = nxt.text == "+"
+        return (PathStep(term, star=star, plus=plus),)
+
+    # -- expressions --------------------------------------------------------
+
+    def parse_expr(self) -> tuple:
+        return self._expr_or()
+
+    def _expr_or(self) -> tuple:
+        e = self._expr_and()
+        while self.accept("op", "||"):
+            e = ("or", e, self._expr_and())
+        return e
+
+    def _expr_and(self) -> tuple:
+        e = self._expr_cmp()
+        while self.accept("op", "&&"):
+            e = ("and", e, self._expr_cmp())
+        return e
+
+    def _expr_cmp(self) -> tuple:
+        e = self._expr_unary()
+        nxt = self.peek()
+        if nxt and nxt.kind == "op" and nxt.text in ("=", "!=", "<", ">", "<=", ">="):
+            op = self.next().text
+            return ("cmp", op, e, self._expr_unary())
+        return e
+
+    def _expr_unary(self) -> tuple:
+        if self.accept("op", "!"):
+            return ("not", self._expr_unary())
+        return self._expr_primary()
+
+    def _expr_primary(self) -> tuple:
+        t = self.peek()
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "word" and self.peek(1) and self.peek(1).text == "(":
+            name = self.next().text.upper()
+            self.next()  # (
+            args = []
+            if not (self.peek().kind == "op" and self.peek().text == ")"):
+                args.append(self.parse_expr())
+                while self.accept("op", ","):
+                    args.append(self.parse_expr())
+            self.expect("op", ")")
+            return ("call", name, tuple(args))
+        return ("term", self.parse_term())
+
+    # -- group graph pattern -------------------------------------------------
+
+    def parse_group(self) -> GroupPat:
+        self.expect("op", "{")
+        g = GroupPat()
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SyntaxError("unterminated group")
+            if t.kind == "op" and t.text == "}":
+                self.next()
+                return g
+            if t.kind == "op" and t.text == ".":
+                self.next()
+                continue
+            if t.kind == "word" and t.text.upper() == "OPTIONAL":
+                self.next()
+                g.items.append(OptionalPat(self.parse_group()))
+                continue
+            if t.kind == "word" and t.text.upper() == "MINUS":
+                self.next()
+                g.items.append(NotExistsPat(self.parse_group()))
+                continue
+            if t.kind == "word" and t.text.upper() == "FILTER":
+                self.next()
+                if (self.peek() and self.peek().kind == "word"
+                        and self.peek().text.upper() == "NOT"):
+                    self.next()
+                    self.expect("word", "EXISTS")
+                    g.items.append(NotExistsPat(self.parse_group()))
+                elif (self.peek() and self.peek().kind == "word"
+                        and self.peek().text.upper() == "EXISTS"):
+                    raise NotImplementedError("FILTER EXISTS not in subset")
+                else:
+                    self.expect("op", "(")
+                    e = self.parse_expr()
+                    self.expect("op", ")")
+                    g.items.append(FilterPat(e))
+                continue
+            if t.kind == "word" and t.text.upper() == "BIND":
+                self.next()
+                self.expect("op", "(")
+                e = self.parse_expr()
+                self.expect("word", "AS")
+                v = self.expect("var").text[1:]
+                self.expect("op", ")")
+                g.items.append(BindPat(e, v))
+                continue
+            if t.kind == "word" and t.text.upper() == "VALUES":
+                self.next()
+                g.items.append(self._parse_values())
+                continue
+            if t.kind == "word" and t.text.upper() == "SERVICE":
+                self.next()
+                ep = self.parse_term()[1]
+                g.items.append(ServicePat(ep, self.parse_group()))
+                continue
+            if t.kind == "op" and t.text == "{":
+                branches = [self.parse_group()]
+                while self.accept("word", "UNION"):
+                    branches.append(self.parse_group())
+                g.items.append(
+                    UnionPat(tuple(branches)) if len(branches) > 1
+                    else branches[0]
+                )
+                continue
+            # triple pattern with ; predicate lists and , object lists
+            s = self.parse_term()
+            while True:
+                path = self.parse_path()
+                o = self.parse_term()
+                g.items.append(TriplePat(s, path, o))
+                while self.accept("op", ","):
+                    o = self.parse_term()
+                    g.items.append(TriplePat(s, path, o))
+                if self.accept("op", ";"):
+                    if self.peek() and self.peek().kind == "op" and \
+                            self.peek().text in (".", "}"):
+                        break  # dangling ';'
+                    continue
+                break
+
+    def _parse_values(self) -> ValuesPat:
+        vars_: list[str] = []
+        if self.accept("op", "("):
+            while not self.accept("op", ")"):
+                vars_.append(self.expect("var").text[1:])
+        else:
+            vars_.append(self.expect("var").text[1:])
+        rows: list[tuple] = []
+        self.expect("op", "{")
+        while not self.accept("op", "}"):
+            if len(vars_) == 1:
+                rows.append((self.parse_term(),))
+            else:
+                self.expect("op", "(")
+                row = []
+                while not self.accept("op", ")"):
+                    row.append(self.parse_term())
+                rows.append(tuple(row))
+        return ValuesPat(tuple(vars_), tuple(rows))
+
+    # -- query ---------------------------------------------------------------
+
+    def parse_query(self) -> Query:
+        while True:
+            t = self.peek()
+            if t and t.kind == "word" and t.text.upper() == "PREFIX":
+                self.next()
+                pname = self.expect("pname").text
+                iri = self.expect("iri").text
+                self.prefixes[pname[:-1] if pname.endswith(":")
+                              else pname.split(":")[0]] = iri[1:-1]
+                continue
+            break
+        self.expect("word", "SELECT")
+        distinct = bool(self.accept("word", "DISTINCT"))
+        select: list[str] = []
+        while True:
+            t = self.peek()
+            if t.kind == "var":
+                select.append(self.next().text[1:])
+            elif t.kind == "op" and t.text == "*":
+                self.next()
+                select = ["*"]
+            else:
+                break
+        self.expect("word", "WHERE")
+        where = self.parse_group()
+        order_by: list[tuple[str, bool]] = []
+        limit = None
+        while self.peek() is not None:
+            t = self.peek()
+            if t.kind == "word" and t.text.upper() == "ORDER":
+                self.next()
+                self.expect("word", "BY")
+                while True:
+                    t = self.peek()
+                    if t and t.kind == "word" and t.text.upper() in ("ASC", "DESC"):
+                        desc = self.next().text.upper() == "DESC"
+                        self.expect("op", "(")
+                        v = self.expect("var").text[1:]
+                        self.expect("op", ")")
+                        order_by.append((v, desc))
+                    elif t and t.kind == "var":
+                        order_by.append((self.next().text[1:], False))
+                    else:
+                        break
+                continue
+            if t.kind == "word" and t.text.upper() == "LIMIT":
+                self.next()
+                limit = int(self.expect("num").text)
+                continue
+            raise SyntaxError(f"unexpected trailing token {t}")
+        return Query(select, distinct, where, order_by, limit)
+
+
+def parse(text: str) -> Query:
+    """Parse SPARQL text into the engine's AST."""
+    return _Parser(_tokenize(text)).parse_query()
+
+
+# ---------------------------------------------------------------------------
+# Compiler: AST → DataFrame plan
+# ---------------------------------------------------------------------------
+
+def _lang_col(var: str) -> str:
+    return f"__lang__{var}"
+
+
+class _Compiler:
+    def __init__(self, triples: DataFrame,
+                 services: dict[str, DataFrame] | None,
+                 auto_language: str):
+        self.triples = triples
+        self.services = services or {}
+        self.auto_language = auto_language
+        self.has_lang = "lang" in triples.columns
+        self.label_langs: list[str] = []
+
+    # -- single pattern scan -------------------------------------------------
+
+    def _scan(self, triples: DataFrame, pat: TriplePat) -> DataFrame:
+        if len(pat.path) > 1 or pat.path[0].star or pat.path[0].plus:
+            return self._scan_path(triples, pat)
+        df = triples
+        has_lang = "lang" in triples.columns
+        sel: dict[str, str] = {}
+        pred = pat.path[0].pred
+        for term, col in ((pat.s, "subject"), (pred, "predicate"),
+                          (pat.o, "object")):
+            if term[0] == "iri":
+                df = df.filter(F.col(col) == term[1])
+            elif term[0] == "lit":
+                df = df.filter(F.col(col) == term[1])
+                if term[2] and has_lang:
+                    df = df.filter(F.col("lang") == term[2])
+            elif term[1] in sel:
+                df = df.filter(F.col(col) == F.col(sel[term[1]]))
+            else:
+                sel[term[1]] = col
+        cols = [F.col(c).alias(v) for v, c in sel.items()]
+        if has_lang and pat.o[0] == "var" and pat.o[1] in sel \
+                and sel[pat.o[1]] == "object":
+            cols.append(F.col("lang").alias(_lang_col(pat.o[1])))
+        return df.select(*cols)
+
+    def _scan_path(self, triples: DataFrame, pat: TriplePat) -> DataFrame:
+        """G9: sequence / closure path → (src, dst) pair plan."""
+        pairs: DataFrame | None = None
+        for st in pat.path:
+            if st.pred[0] != "iri":
+                raise NotImplementedError("variable predicate inside a path")
+            edges = triples.filter(F.col("predicate") == st.pred[1]).select(
+                F.col("subject").alias("src"), F.col("object").alias("dst")
+            )
+            if st.star or st.plus:
+                plus = transitive_closure(edges)  # p+ pairs
+                if pairs is None:
+                    if st.star:
+                        raise NotImplementedError(
+                            "leading p* (zero-length over unbound domain)")
+                    pairs = plus
+                else:
+                    ext = (
+                        pairs.alias("a")
+                        .join(plus.alias("b"), F.col("a.dst") == F.col("b.src"))
+                        .select(F.col("a.src").alias("src"),
+                                F.col("b.dst").alias("dst"))
+                    )
+                    pairs = pairs.unionByName(ext).distinct() if st.star \
+                        else ext
+            else:
+                if pairs is None:
+                    pairs = edges
+                else:
+                    pairs = (
+                        pairs.alias("a")
+                        .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+                        .select(F.col("a.src").alias("src"),
+                                F.col("b.dst").alias("dst"))
+                    )
+        df = pairs
+        out: list[Column] = []
+        for term, col in ((pat.s, "src"), (pat.o, "dst")):
+            if term[0] == "var":
+                out.append(F.col(col).alias(term[1]))
+            else:
+                df = df.filter(F.col(col) == term[1])
+        return df.select(*out) if out else df.select()
+
+    # -- joins ---------------------------------------------------------------
+
+    @staticmethod
+    def _shared(a: DataFrame, b: DataFrame) -> list[str]:
+        return [c for c in a.columns if c in b.columns]
+
+    def _join(self, env: DataFrame | None, df: DataFrame,
+              how: str = "inner") -> DataFrame:
+        if env is None:
+            return df
+        on = self._shared(env, df)
+        return env.join(df, on, how) if on else env.crossJoin(df)
+
+    # -- expressions ---------------------------------------------------------
+
+    def _expr(self, node: tuple, env: DataFrame | None) -> Column:
+        kind = node[0]
+        if kind == "term":
+            term = node[1]
+            if term[0] == "var":
+                return F.col(term[1])
+            if term[0] == "lit" and term[1] == "[AUTO_LANGUAGE]":
+                return F.lit(self.auto_language)
+            return F.lit(term[1])
+        if kind == "cmp":
+            op, a, b = node[1], self._expr(node[2], env), self._expr(node[3], env)
+            return {"=": a == b, "!=": a != b, "<": a < b, ">": a > b,
+                    "<=": a <= b, ">=": a >= b}[op]
+        if kind == "and":
+            return self._expr(node[1], env) & self._expr(node[2], env)
+        if kind == "or":
+            return self._expr(node[1], env) | self._expr(node[2], env)
+        if kind == "not":
+            return ~self._expr(node[1], env)
+        if kind == "call":
+            name, args = node[1], node[2]
+            if name == "LANG":
+                v = args[0][1][1]  # ("term", ("var", name))
+                col = _lang_col(v)
+                if env is not None and col in env.columns:
+                    return F.coalesce(F.col(col), F.lit(""))
+                return F.lit("")
+            if name == "STR":
+                return self._expr(args[0], env)
+            if name == "IRI":
+                return self._expr(args[0], env)
+            if name == "CONCAT":
+                return F.concat(*[self._expr(a, env) for a in args])
+            if name == "REPLACE":
+                pat = args[1][1][1]
+                rep = args[2][1][1]
+                return F.regexp_replace(self._expr(args[0], env), pat, rep)
+            if name == "REGEX":
+                pat = args[1][1][1]
+                return self._expr(args[0], env).rlike(pat)
+            if name == "BOUND":
+                return self._expr(args[0], env).isNotNull()
+            if name == "IF":
+                return F.when(self._expr(args[0], env),
+                              self._expr(args[1], env)) \
+                        .otherwise(self._expr(args[2], env))
+            raise NotImplementedError(f"SPARQL function {name}")
+        raise NotImplementedError(f"expression node {kind}")
+
+    # -- group compilation ---------------------------------------------------
+
+    def _compile_group(self, g: GroupPat,
+                       triples: DataFrame | None = None) -> DataFrame | None:
+        triples = triples if triples is not None else self.triples
+        env: DataFrame | None = None
+        run: list[TriplePat] = []
+
+        def flush(env: DataFrame | None) -> DataFrame | None:
+            if not run:
+                return env
+            # Join order within a contiguous pattern run (§4 rewrite 3):
+            # most-bound-first as the base priority (selective patterns
+            # become point filters early), but always prefer a pattern
+            # sharing a variable with the bindings so far — otherwise
+            # two disconnected selective patterns would cross join.
+            def bound(p: TriplePat) -> int:
+                n = sum(1 for t in (p.s, p.o) if t[0] != "var")
+                n += sum(1 for st in p.path if st.pred[0] != "var")
+                return -n
+
+            def pat_vars(p: TriplePat) -> set[str]:
+                vs = {t[1] for t in (p.s, p.o) if t[0] == "var"}
+                vs |= {st.pred[1] for st in p.path if st.pred[0] == "var"}
+                return vs
+
+            remaining = sorted(run, key=bound)
+            env_vars = set() if env is None else {
+                c for c in env.columns if not c.startswith("__lang__")}
+            while remaining:
+                idx = 0
+                if env_vars:
+                    idx = next((i for i, p in enumerate(remaining)
+                                if pat_vars(p) & env_vars), 0)
+                pat = remaining.pop(idx)
+                env = self._join(env, self._scan(triples, pat))
+                env_vars |= pat_vars(pat)
+            run.clear()
+            return env
+
+        for item in g.items:
+            if isinstance(item, TriplePat):
+                run.append(item)
+                continue
+            env = flush(env)
+            if isinstance(item, OptionalPat):
+                sub = self._compile_group(item.group, triples)
+                if sub is not None:
+                    env = self._join(env, sub, "left")
+            elif isinstance(item, UnionPat):
+                parts = [self._compile_group(b, triples)
+                         for b in item.branches]
+                parts = [p for p in parts if p is not None]
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p, allowMissingColumns=True)
+                env = self._join(env, u)
+            elif isinstance(item, NotExistsPat):
+                sub = self._compile_group(item.group, triples)
+                if env is None or sub is None:
+                    continue
+                on = self._shared(env, sub)
+                if on:
+                    env = env.join(sub, on, "left_anti")
+            elif isinstance(item, FilterPat):
+                env = env.filter(self._expr(item.expr, env))
+            elif isinstance(item, BindPat):
+                col = self._expr(item.expr, env)
+                if env is None:
+                    env = self.triples.sparkSession.range(1).select(
+                        col.alias(item.var))
+                else:
+                    env = env.withColumn(item.var, col)
+            elif isinstance(item, ValuesPat):
+                rows = [tuple(t[1] for t in r) for r in item.rows]
+                if env is not None and len(item.vars) == 1 \
+                        and item.vars[0] in env.columns:
+                    env = env.filter(
+                        F.col(item.vars[0]).isin([r[0] for r in rows]))
+                else:
+                    lit = self.triples.sparkSession.createDataFrame(
+                        rows, list(item.vars))
+                    env = self._join(env, lit)
+            elif isinstance(item, ServicePat):
+                if item.endpoint == WIKIBASE_LABEL_SERVICE:
+                    self._register_label_service(item.group)
+                    continue
+                if item.endpoint not in self.services:
+                    raise KeyError(
+                        f"no DataFrame source registered for SERVICE "
+                        f"<{item.endpoint}> — pass services={{iri: df}}")
+                sub = self._compile_group(item.group,
+                                          self.services[item.endpoint])
+                if sub is not None:
+                    env = self._join(env, sub)
+            else:
+                raise NotImplementedError(f"pattern {item}")
+        return flush(env)
+
+    def _register_label_service(self, group: GroupPat) -> None:
+        """``SERVICE wikibase:label { bd:serviceParam wikibase:language
+        "de,[AUTO_LANGUAGE],en". }`` → record the language preference
+        list; labels are joined at SELECT time."""
+        langs: list[str] = []
+        for item in group.items:
+            if isinstance(item, TriplePat) and item.o[0] == "lit":
+                for part in item.o[1].split(","):
+                    part = part.strip()
+                    if part == "[AUTO_LANGUAGE]":
+                        part = self.auto_language
+                    if part and part not in langs:
+                        langs.append(part)
+        self.label_langs = langs or [self.auto_language]
+
+    # -- label service -------------------------------------------------------
+
+    def _attach_label(self, env: DataFrame, base_var: str,
+                      label_var: str) -> DataFrame:
+        """Wikibase label service semantics for one ``?xLabel`` var:
+        per-row first available language from the preference list,
+        falling back to the IRI local name (the service falls back to
+        the QID).  The label dimension is aggregated per subject first
+        (one tiny min_by dim), then left-joined — broadcastable at any
+        corpus scale."""
+        prefs = self.label_langs or [self.auto_language]
+        rank = F.when(F.col("lang") == prefs[0], F.lit(0))
+        for i, lg in enumerate(prefs[1:], start=1):
+            rank = rank.when(F.col("lang") == lg, F.lit(i))
+        labels = (
+            self.triples
+            .filter((F.col("predicate") == RDFS_LABEL)
+                    & F.col("lang").isin(prefs))
+            .withColumn("__rank", rank)
+            .groupBy(F.col("subject").alias(base_var))
+            .agg(F.min_by("object", F.struct("__rank", "object"))
+                 .alias("__lbl"))
+        )
+        out = env.join(labels, base_var, "left")
+        fallback = F.regexp_extract(F.col(base_var), r"([^/#]*)$", 1)
+        return out.withColumn(
+            label_var, F.coalesce(F.col("__lbl"), fallback)
+        ).drop("__lbl")
+
+
+def compile_sparql(
+    text: str,
+    triples: DataFrame,
+    services: dict[str, DataFrame] | None = None,
+    auto_language: str = "en",
+) -> DataFrame:
+    """Parse SPARQL text and compile it to a DataFrame plan over
+    ``triples`` (columns subject/predicate/object[/lang/dtype]).
+
+    ``services`` maps SERVICE endpoint IRIs to triples DataFrames (G10:
+    federation as pluggable sources); ``auto_language`` substitutes
+    ``[AUTO_LANGUAGE]`` in the Wikibase label service.
+    """
+    q = parse(text)
+    c = _Compiler(triples, services, auto_language)
+    env = c._compile_group(q.where)
+    if env is None:
+        raise ValueError("query has no bindings")
+
+    select = q.select
+    if select == ["*"]:
+        select = [col for col in env.columns if not col.startswith("__lang__")]
+    cols: list[Column] = []
+    for v in select:
+        if v in env.columns:
+            cols.append(F.col(v))
+        elif (v.endswith("Label") and v[:-5] in env.columns):
+            env = c._attach_label(env, v[:-5], v)
+            cols.append(F.col(v))
+        else:
+            # unbound projection (SPARQL allows it), incl. Description /
+            # AltLabel service vars we don't model
+            cols.append(F.lit(None).cast("string").alias(v))
+    out = env.select(*cols)
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        out = out.orderBy(*[F.col(v).desc() if d else F.col(v)
+                            for v, d in q.order_by])
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

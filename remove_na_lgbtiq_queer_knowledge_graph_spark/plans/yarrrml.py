@@ -1,0 +1,157 @@
+"""YARRRML mapping loader (SURVEY.md §3.3, G19).
+
+The reference drives RDF materialization from a YARRRML YAML document
+(``data-modeling/mappings/kg_v1.yml``): ``prefixes``, ``sources``
+(tables or SQL queries, :11-25), ``mappings`` with subject templates
+``ex_book:$(book_id)`` (:31), constant/column predicate-object pairs
+(:32-35), and referencing object maps with equal-join conditions
+(:36-51).  This loader parses that document shape into the engine's
+:mod:`plans.r2rml` ``TriplesMap`` plan objects, so
+``materialize(tables, load_yarrrml(text).maps)`` runs the whole mapping
+as one Catalyst plan.
+
+Supported po forms::
+
+    - [a, schema:Book]            # rdf:type constant
+    - [schema:name, $(title)]     # column-valued object
+    - [schema:name, $(title), de~lang]   # language-tagged literal
+    - p: schema:author            # referencing object map
+      o:
+      - mapping: AuthorMapping
+        condition:
+          function: equal
+          parameters:
+            - [str1, $(book_id)]  # child column
+            - [str2, $(book_id)]  # parent column
+
+Terms ``pfx:$(col)`` are IRI templates, ``$(col)`` column references,
+``pfx:name`` expanded constants, anything else a plain string constant.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .r2rml import RefObjectMap, Template, TriplesMap
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_TEMPLATE_RE = re.compile(r"^([A-Za-z_][\w-]*):\$\((\w+)\)$")
+_COLUMN_RE = re.compile(r"^\$\((\w+)\)$")
+_PNAME_RE = re.compile(r"^([A-Za-z_][\w-]*):(\S*)$")
+
+
+@dataclass
+class YarrrmlDoc:
+    prefixes: dict[str, str]
+    sources: dict[str, dict]          # name -> {"table": ...} | {"query": ...}
+    maps: list[TriplesMap] = field(default_factory=list)
+
+
+def _subject_template(s: str, prefixes: dict[str, str]) -> Template:
+    m = _TEMPLATE_RE.match(s)
+    if not m:
+        raise ValueError(f"unsupported subject template {s!r}")
+    pfx, col = m.groups()
+    if pfx not in prefixes:
+        raise ValueError(f"undeclared prefix {pfx!r} in subject {s!r}")
+    return Template(prefixes[pfx], col)
+
+
+def _object_term(o: str, prefixes: dict[str, str]):
+    m = _TEMPLATE_RE.match(o)
+    if m and m.group(1) in prefixes:
+        return Template(prefixes[m.group(1)], m.group(2))
+    m = _COLUMN_RE.match(o)
+    if m:
+        return m.group(1)             # column reference
+    m = _PNAME_RE.match(o)
+    if m and m.group(1) in prefixes:
+        return ("const", prefixes[m.group(1)] + m.group(2))
+    return ("const", o)
+
+
+def _predicate(p: str, prefixes: dict[str, str]) -> str:
+    if p == "a":
+        return RDF_TYPE
+    m = _PNAME_RE.match(p)
+    if m and m.group(1) in prefixes:
+        return prefixes[m.group(1)] + m.group(2)
+    return p
+
+
+def load_yarrrml(text: str) -> YarrrmlDoc:
+    """Parse a YARRRML document into TriplesMap plan objects.
+
+    Referencing object maps are resolved in a second pass (a mapping may
+    reference one declared later).  ``sources`` entries are returned
+    as-is — the caller materializes each named source into a DataFrame
+    (table scan or ``spark.sql`` for query-typed sources) and passes the
+    dict to :func:`plans.r2rml.materialize`, keyed by SOURCE name.
+    """
+    import yaml
+
+    doc = yaml.safe_load(text)
+    prefixes = doc.get("prefixes", {}) or {}
+    sources = doc.get("sources", {}) or {}
+    mappings = doc.get("mappings", {}) or {}
+
+    # pass 1: subject template + source per mapping (for references)
+    heads: dict[str, tuple[str, Template]] = {}
+    for name, m in mappings.items():
+        src = m["sources"]
+        if isinstance(src, list):
+            src = src[0]
+        heads[name] = (src, _subject_template(m["s"], prefixes))
+
+    out = YarrrmlDoc(prefixes, sources)
+    for name, m in mappings.items():
+        src, subj = heads[name]
+        po: list[tuple] = []
+        for entry in m.get("po", []):
+            if isinstance(entry, dict):
+                pred = _predicate(str(entry["p"]), prefixes)
+                objs = entry["o"]
+                if isinstance(objs, dict):
+                    objs = [objs]
+                for obj in objs:
+                    if not (isinstance(obj, dict) and "mapping" in obj):
+                        po.append((pred, _object_term(str(obj), prefixes)))
+                        continue
+                    parent = obj["mapping"]
+                    cond = obj.get("condition", {})
+                    if cond.get("function") not in (None, "equal"):
+                        raise NotImplementedError(
+                            f"join condition {cond.get('function')!r}")
+                    child_key = parent_key = None
+                    for pname, pval in cond.get("parameters", []):
+                        col = _COLUMN_RE.match(str(pval))
+                        if not col:
+                            raise ValueError(
+                                f"condition parameter {pval!r} must be $(col)")
+                        if pname == "str1":
+                            child_key = col.group(1)
+                        elif pname == "str2":
+                            parent_key = col.group(1)
+                    if child_key is None or parent_key is None:
+                        raise ValueError(
+                            f"equal condition of {name}.{pred} needs "
+                            "str1/str2 parameters")
+                    p_src, p_subj = heads[parent]
+                    po.append((pred, RefObjectMap(
+                        parent_table=p_src, parent_subject=p_subj,
+                        child_key=child_key, parent_key=parent_key)))
+                continue
+            pred = _predicate(str(entry[0]), prefixes)
+            lang = dtype = None
+            if len(entry) > 2:
+                tag = str(entry[2])
+                if tag.endswith("~lang"):
+                    lang = tag[: -len("~lang")]
+                else:
+                    dtype = _predicate(tag, prefixes)
+            po.append((pred, _object_term(str(entry[1]), prefixes), lang,
+                       dtype))
+        out.maps.append(TriplesMap(src, subj, po))
+    return out

@@ -52,7 +52,10 @@ def graph_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triples(spark, sf_dir)
 
 
-_MATERIALIZE_SQL = f"WITH {_TRIPLES_CTE} SELECT subject, predicate, object FROM triples"
+_MATERIALIZE_SQL = f"""WITH {_TRIPLES_CTE}
+SELECT subject, predicate, object,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
+FROM triples"""
 
 
 def graph_bgp_region_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,8 +540,81 @@ FROM ({allc}) GROUP BY 1, 2
 _BETWEENNESS_SQL = _betweenness_oracle_sql(_BT_DEPTH)
 
 
+# YARRRML document equivalent to star_schema_maps() — same KG driven
+# from YAML text (the reference's entry point, `kg_v1.yml:28-83`).
+# customer.inNation uses a referencing object map with an equal join
+# condition (`kg_v1.yml:46-51`); supplier.inNation the template form.
+_STAR_YARRRML = """\
+prefixes:
+  c: "c:"
+  s: "s:"
+  n: "n:"
+  r: "r:"
+
+sources:
+  customer:
+    table: customer
+  supplier:
+    table: supplier
+  nation:
+    table: nation
+  region:
+    table: region
+
+mappings:
+  CustomerMapping:
+    sources: customer
+    s: c:$(c_custkey)
+    po:
+      - [type, Customer]
+      - [name, $(c_name)]
+      - [segment, $(c_mktsegment)]
+      - p: inNation
+        o:
+        - mapping: NationMapping
+          condition:
+            function: equal
+            parameters:
+              - [str1, $(c_nationkey)]
+              - [str2, $(n_nationkey)]
+  SupplierMapping:
+    sources: supplier
+    s: s:$(s_suppkey)
+    po:
+      - [type, Supplier]
+      - [name, $(s_name)]
+      - [inNation, n:$(s_nationkey)]
+  NationMapping:
+    sources: nation
+    s: n:$(n_nationkey)
+    po:
+      - [name, $(n_name)]
+      - [inRegion, r:$(n_regionkey)]
+  RegionMapping:
+    sources: region
+    s: r:$(r_regionkey)
+    po:
+      - [name, $(r_name)]
+"""
+
+
+def graph_materialize_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19 from YAML text: the same star-schema KG as
+    ``graph_materialize_triples``, but driven by a YARRRML document via
+    plans/yarrrml (the reference's materialization entry point,
+    `create-rdf.py:8-21` + `kg_v1.yml`), incl. a referencing object map
+    with a join condition."""
+    from .plans.yarrrml import load_yarrrml
+
+    doc = load_yarrrml(_STAR_YARRRML)
+    tables = {name: t(spark, sf_dir, spec["table"])
+              for name, spec in doc.sources.items()}
+    return materialize(tables, doc.maps)
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
+    "graph_materialize_yaml": QuerySpec(graph_materialize_yaml, _MATERIALIZE_SQL),
     "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),
     "graph_betweenness_sampled": QuerySpec(
         graph_betweenness_sampled, _BETWEENNESS_SQL

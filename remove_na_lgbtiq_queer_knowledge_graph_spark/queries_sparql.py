@@ -1,0 +1,384 @@
+"""SPARQL-text queries (SURVEY.md §2.11, §3.2) with DuckDB oracles.
+
+These queries feed VERBATIM reference ``.rq`` text through the
+``plans/sparql`` front-end.  To make the reference queries return real,
+oracle-checkable rows, the star schema is first materialized as a
+*FactGrid-shaped* knowledge graph: the same IRIs, properties
+(``fgt:P131`` project membership, ``fgt:P83`` residence, ``fgt:P47``
+located-in, ``fgt:P2`` instance-of), ``wikibase:directClaim`` property
+triples, language-tagged ``rdfs:label``s, and Wikidata sitelinks the
+reference queries expect.  Nation IRIs are ``fg:Q<225300+nationkey>`` so
+that ``fg:Q225307`` — the root item hard-coded in
+``network-00-starting-point.rq`` — is nation 7 (GERMANY).
+
+The DuckDB oracles derive the same answers directly from the relational
+star schema — a genuinely independent derivation path (no triples, no
+BGP), so parser + planner + materializer are all under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.r2rml import Template, TriplesMap, materialize
+from .plans.sparql import RDFS_LABEL, compile_sparql
+from .spec import QuerySpec, t
+from .spec import materialize as _cache
+
+FG = "https://database.factgrid.de/entity/"
+FGT = "https://database.factgrid.de/prop/direct/"
+WIKIBASE_DC = "http://wikiba.se/ontology#directClaim"
+SCHEMA = "http://schema.org/"
+WD = "http://www.wikidata.org/entity/"
+WDT = "http://www.wikidata.org/prop/direct/"
+
+# property labels used in both the Spark fixture and the oracles
+_PROP_LABELS = {
+    "P83": "residence",
+    "P47": "located in",
+    "P131": "part of project",
+    "P2": "instance of",
+}
+_CONST_LABELS = {
+    "Q400012": "Remove NA",
+    "Q7": "human",
+    "Q6256": "country",
+    "Q82794": "geographical region",
+    "Q2": "agent",
+}
+
+# subclass-of (fgt:P3) edges so (fgt:P2/fgt:P3*) paths are non-trivial
+_SUBCLASS_EDGES = [("Q7", "Q2")]
+
+
+def _factgrid_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_name",
+        (F.lit(500000) + F.col("c_custkey")).alias("fg_id"),
+        (F.lit(225300) + F.col("c_nationkey")).alias("nat_id"),
+        (F.lit(900000) + F.col("c_custkey")).alias("wd_id"),
+        "c_custkey",
+    )
+    return {
+        "cust": cust,
+        "cust_even": cust.filter(F.col("c_custkey") % 2 == 0),
+        "nation": t(spark, sf_dir, "nation").select(
+            "n_name",
+            (F.lit(225300) + F.col("n_nationkey")).alias("nat_id"),
+            (F.lit(300000) + F.col("n_regionkey")).alias("reg_id"),
+        ),
+        "region": t(spark, sf_dir, "region").select(
+            "r_name",
+            (F.lit(300000) + F.col("r_regionkey")).alias("reg_id"),
+        ),
+    }
+
+
+def factgrid_maps() -> list[TriplesMap]:
+    """R2RML maps for the FactGrid-shaped KG (incl. lang-tagged labels —
+    same label text in ``de`` and ``en`` so label-service language
+    preference cannot destabilize oracle values)."""
+    q = lambda col: Template(FG + "Q", col)  # noqa: E731
+    return [
+        TriplesMap("cust", q("fg_id"), [
+            (FGT + "P131", ("const", FG + "Q400012")),
+            (FGT + "P83", q("nat_id")),
+            (FGT + "P2", ("const", FG + "Q7")),
+            (RDFS_LABEL, "c_name", "de"),
+            (RDFS_LABEL, "c_name", "en"),
+        ]),
+        # Wikidata sitelinks for even customer keys only — the odd ones
+        # are the "items missing from Wikidata" the reference query hunts
+        TriplesMap("cust_even", Template("https://www.wikidata.org/wiki/Q", "wd_id"), [
+            (SCHEMA + "about", q("fg_id")),
+            (SCHEMA + "isPartOf", ("const", "https://www.wikidata.org/")),
+            (SCHEMA + "name", Template("Q", "wd_id")),
+        ]),
+        TriplesMap("nation", q("nat_id"), [
+            (FGT + "P47", q("reg_id")),
+            (FGT + "P2", ("const", FG + "Q6256")),
+            (RDFS_LABEL, "n_name", "de"),
+            (RDFS_LABEL, "n_name", "en"),
+        ]),
+        TriplesMap("region", q("reg_id"), [
+            (FGT + "P131", ("const", FG + "Q400012")),
+            (FGT + "P2", ("const", FG + "Q82794")),
+            (RDFS_LABEL, "r_name", "de"),
+            (RDFS_LABEL, "r_name", "en"),
+        ]),
+    ]
+
+
+def _static_triples(spark: SparkSession) -> DataFrame:
+    rows: list[tuple] = []
+    for p, lbl in _PROP_LABELS.items():
+        rows.append((FG + p, WIKIBASE_DC, FGT + p, None, None))
+        rows.append((FG + p, RDFS_LABEL, lbl, "de", None))
+        rows.append((FG + p, RDFS_LABEL, lbl, "en", None))
+    for qid, lbl in _CONST_LABELS.items():
+        rows.append((FG + qid, RDFS_LABEL, lbl, "de", None))
+        rows.append((FG + qid, RDFS_LABEL, lbl, "en", None))
+    for sub, sup in _SUBCLASS_EDGES:
+        rows.append((FG + sub, FGT + "P3", FG + sup, None, None))
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "lang string, dtype string")
+
+
+def factgrid_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FactGrid-shaped KG, materialized once per query (a BGP scans
+    it once per pattern — without materialization every pattern re-runs
+    the full union of source scans)."""
+    tables = _factgrid_tables(spark, sf_dir)
+    return _cache(
+        materialize(tables, factgrid_maps()).unionByName(_static_triples(spark))
+    )
+
+
+def wikidata_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock of the remote Wikidata endpoint (G10 — federation is a
+    pluggable DataFrame source, per BASELINE): every third customer has a
+    Wikidata item carrying the FactGrid-ID property ``wdt:P8168``."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    return c.select(
+        F.concat(F.lit(WD + "Q"),
+                 (F.lit(900000) + F.col("c_custkey")).cast("string")
+                 ).alias("subject"),
+        F.lit(WDT + "P8168").alias("predicate"),
+        F.concat(F.lit("Q"),
+                 (F.lit(500000) + F.col("c_custkey")).cast("string")
+                 ).alias("object"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim reference query texts
+# ---------------------------------------------------------------------------
+
+# /root/reference/data-publishing/factgrid/queries/network-00-starting-point.rq
+_NETWORK_00_RQ = """\
+# select root item and get next two nodes of each statement
+
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+PREFIX wikibase: <http://wikiba.se/ontology#>
+PREFIX bd: <http://www.bigdata.com/rdf#>
+
+SELECT ?root ?rootLabel ?property1Label ?item1 ?item1Label ?property2Label ?item2 ?item2Label WHERE {
+  BIND(fg:Q225307 AS ?root)
+  ?root ?fgt1 ?item1.
+  ?item1 ?fgt2 ?item2.
+  ?property1 wikibase:directClaim ?fgt1.
+  ?property2 wikibase:directClaim ?fgt2.
+  SERVICE wikibase:label { bd:serviceParam wikibase:language "[AUTO_LANGUAGE],en". }
+}"""
+
+# /root/reference/data-publishing/factgrid/queries/network-01-remove-na.rq
+_NETWORK_01_RQ = """\
+# select root item and get next two nodes of each statement
+
+# Factgrid
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+# DBpedia
+PREFIX dbo: <http://dbpedia.org/ontology/>
+PREFIX dbr: <http://dbpedia.org/resource/>
+# Wikidata
+PREFIX wdt: <http://www.wikidata.org/prop/direct/>
+PREFIX wd: <http://www.wikidata.org/entity/>
+# misc
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+PREFIX dct:  <http://purl.org/dc/terms/>
+PREFIX wikibase: <http://wikiba.se/ontology#>
+PREFIX bd: <http://www.bigdata.com/rdf#>
+PREFIX schema: <http://schema.org/>
+prefix foaf:  <http://xmlns.com/foaf/0.1/>
+
+SELECT ?root ?rootLabel ?property1Label ?item1 ?item1Label ?property2Label ?item2 ?item2Label WHERE {
+  ?root fgt:P131 fg:Q400012.
+  ?root ?fgt1 ?item1.
+  ?item1 ?fgt2 ?item2.
+  ?property1 wikibase:directClaim ?fgt1.
+  ?property2 wikibase:directClaim ?fgt2.
+  SERVICE wikibase:label { bd:serviceParam wikibase:language "[AUTO_LANGUAGE],en". }
+}"""
+
+# /root/reference/data-publishing/factgrid/queries/get_factgrid_ids_from_wikidata.rq
+_MISSING_WD_RQ = """\
+#defaultView:Table
+
+  # Prefixes
+  PREFIX fg: <https://database.factgrid.de/entity/>
+  PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+  PREFIX wdt: <http://www.wikidata.org/prop/direct/>
+  PREFIX wd: <http://www.wikidata.org/entity/>
+  PREFIX wikibase: <http://wikiba.se/ontology#>
+  PREFIX bd: <http://www.bigdata.com/rdf#>
+  PREFIX schema: <http://schema.org/>
+
+  SELECT DISTINCT ?fg_item ?fg_itemLabel ?fg_item_as_string ?wd_item where {
+
+    # labels from Factgrid
+    SERVICE wikibase:label { bd:serviceParam wikibase:language "[AUTO_LANGUAGE],en". }
+    ?fg_item fgt:P131 fg:Q400012.
+    # get those Factgrid IDs that don't have a Wikidata QID
+    FILTER NOT EXISTS {
+      ?link schema:about ?fg_item .
+      ?link schema:isPartOf <https://www.wikidata.org/> . #Targeting Wikipedia language where subjects has no article.
+    }
+    # Convert Factgrid ID from IRI to string
+    BIND(REPLACE(STR(?fg_item), "https://database.factgrid.de/entity/", "") as ?fg_item_as_string)
+    # get those Items from Wikidata that have that corresponding Factgrid ID
+    SERVICE <https://query.wikidata.org/sparql> {
+      ?wd_item wdt:P8168 ?fg_item_as_string
+    }
+  }"""
+
+# Engine-authored, reference-shaped (the `(fgt:P2/fgt:P3*)` property
+# path of persons_factgrid_wikidata.rq:28 / orgs_factgrid_wikidata.rq:27)
+_PATH_RQ = """\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+SELECT ?item WHERE {
+  ?item (fgt:P2/fgt:P3*) fg:Q2 .
+}"""
+
+# Engine-authored, reference-shaped (FILTER(LANG(...)) per
+# companions_and_relations.rq:76-79 — G4 over lang-tagged literals)
+_LANG_FILTER_RQ = """\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?item ?label WHERE {
+  ?item fgt:P2 fg:Q7 .
+  ?item rdfs:label ?label .
+  FILTER(LANG(?label) = "de") .
+}"""
+
+
+# ---------------------------------------------------------------------------
+# Registry queries + oracles
+# ---------------------------------------------------------------------------
+
+def sparql_network_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G8 + label service from verbatim
+    ``network-00-starting-point.rq``: bound root, two variable-predicate
+    hops, directClaim property resolution."""
+    return compile_sparql(_NETWORK_00_RQ, factgrid_kg(spark, sf_dir))
+
+
+_NETWORK_00_SQL = f"""
+SELECT '{FG}Q225307' AS root,
+       n.n_name AS "rootLabel",
+       'located in' AS "property1Label",
+       '{FG}Q' || CAST(300000 + n.n_regionkey AS VARCHAR) AS item1,
+       r.r_name AS "item1Label",
+       b.p2label AS "property2Label",
+       b.item2 AS item2,
+       b.item2label AS "item2Label"
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+CROSS JOIN (VALUES
+  ('part of project', '{FG}Q400012', 'Remove NA'),
+  ('instance of', '{FG}Q82794', 'geographical region')
+) AS b(p2label, item2, item2label)
+WHERE n.n_nationkey = 7
+"""
+
+
+def sparql_network_remove_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``network-01-remove-na.rq``: every project item
+    (``fgt:P131 fg:Q400012``) with its 2-hop statement neighborhood."""
+    return compile_sparql(_NETWORK_01_RQ, factgrid_kg(spark, sf_dir))
+
+
+_NETWORK_01_SQL = f"""
+SELECT '{FG}Q' || CAST(500000 + c.c_custkey AS VARCHAR) AS root,
+       c.c_name AS "rootLabel",
+       'residence' AS "property1Label",
+       '{FG}Q' || CAST(225300 + n.n_nationkey AS VARCHAR) AS item1,
+       n.n_name AS "item1Label",
+       'located in' AS "property2Label",
+       '{FG}Q' || CAST(300000 + n.n_regionkey AS VARCHAR) AS item2,
+       r.r_name AS "item2Label"
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT '{FG}Q' || CAST(500000 + c.c_custkey AS VARCHAR),
+       c.c_name, 'residence',
+       '{FG}Q' || CAST(225300 + n.n_nationkey AS VARCHAR),
+       n.n_name, 'instance of', '{FG}Q6256', 'country'
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def sparql_missing_wikidata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``get_factgrid_ids_from_wikidata.rq``: FILTER NOT EXISTS
+    over sitelinks + BIND(REPLACE(STR(...))) + SERVICE federation to the
+    (mocked) Wikidata endpoint."""
+    return compile_sparql(
+        _MISSING_WD_RQ,
+        factgrid_kg(spark, sf_dir),
+        services={"https://query.wikidata.org/sparql":
+                  wikidata_service(spark, sf_dir)},
+    )
+
+
+_MISSING_WD_SQL = f"""
+SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS fg_item,
+       c_name AS "fg_itemLabel",
+       'Q' || CAST(500000 + c_custkey AS VARCHAR) AS fg_item_as_string,
+       '{WD}Q' || CAST(900000 + c_custkey AS VARCHAR) AS wd_item
+FROM customer
+WHERE c_custkey % 2 = 1 AND c_custkey % 3 = 0
+"""
+
+
+def sparql_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 over lang-tagged literals: ``FILTER(LANG(?label) = "de")``
+    (the `companions_and_relations.rq:76-79` idiom) — selects exactly
+    the German label of every human item."""
+    return compile_sparql(_LANG_FILTER_RQ, factgrid_kg(spark, sf_dir))
+
+
+_LANG_FILTER_SQL = f"""
+SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS item,
+       c_name AS label
+FROM customer
+"""
+
+
+def sparql_path_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 from SPARQL text: ``(fgt:P2/fgt:P3*)`` — instance-of followed
+    by the subclass-of closure (`persons_factgrid_wikidata.rq:28`).
+    Humans reach ``fg:Q2`` (agent) through the Q7→Q2 subclass edge."""
+    return compile_sparql(_PATH_RQ, factgrid_kg(spark, sf_dir))
+
+
+_PATH_SQL = f"""
+SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS item
+FROM customer
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "sparql_network_root": QuerySpec(
+        sparql_network_root, _NETWORK_00_SQL,
+        "verbatim network-00-starting-point.rq via the SPARQL front-end"),
+    "sparql_network_remove_na": QuerySpec(
+        sparql_network_remove_na, _NETWORK_01_SQL,
+        "verbatim network-01-remove-na.rq via the SPARQL front-end"),
+    "sparql_missing_wikidata": QuerySpec(
+        sparql_missing_wikidata, _MISSING_WD_SQL,
+        "verbatim get_factgrid_ids_from_wikidata.rq incl. SERVICE "
+        "federation to a mocked Wikidata source"),
+    "sparql_lang_filter": QuerySpec(
+        sparql_lang_filter, _LANG_FILTER_SQL,
+        "LANG()-filtered BGP over lang-tagged labels"),
+    "sparql_path_instances": QuerySpec(
+        sparql_path_instances, _PATH_SQL,
+        "(p1/p2*) property path from SPARQL text"),
+}

@@ -28,6 +28,7 @@ _MODULES = (
     "queries_relational",
     "queries_er",
     "queries_graph",
+    "queries_sparql",
     "queries_llm",
     "queries_linking",
     "queries_external",

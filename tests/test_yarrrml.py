@@ -1,0 +1,72 @@
+"""YARRRML loader tests — incl. parsing the reference's own mapping
+document verbatim (`data-modeling/mappings/kg_v1.yml`)."""
+
+from __future__ import annotations
+
+from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.r2rml import (
+    RefObjectMap,
+    Template,
+)
+from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.yarrrml import (
+    RDF_TYPE,
+    load_yarrrml,
+)
+
+
+def test_reference_kg_v1_parses_verbatim():
+    with open("/root/reference/data-modeling/mappings/kg_v1.yml") as f:
+        doc = load_yarrrml(f.read())
+    by_src = {m.source: m for m in doc.maps}
+    assert set(by_src) == {"books", "entities", "publishers", "posters"}
+
+    books = by_src["books"]
+    assert books.subject == Template("http://example.com/book/", "book_id")
+    preds = [po[0] for po in books.po]
+    assert preds[0] == RDF_TYPE                      # `a` keyword
+    assert "https://schema.org/name" in preds        # prefixed predicate
+
+    # referencing object map with join condition (kg_v1.yml:36-51)
+    ref = next(po[1] for po in books.po
+               if po[0] == "https://schema.org/publisher")
+    assert isinstance(ref, RefObjectMap)
+    assert ref.parent_table == "publishers"
+    assert ref.child_key == "book_id"
+    assert ref.parent_key == "publisher_book_id"
+    assert ref.parent_subject == Template(
+        "http://example.com/publisher/", "id")
+
+    # query-typed logical source survives (kg_v1.yml:20-25)
+    assert "query" in doc.sources["publishers"]
+
+
+def test_lang_tag_and_constants(spark):
+    doc = load_yarrrml("""
+prefixes:
+  ex: "http://ex.org/"
+sources:
+  t:
+    table: t
+mappings:
+  M:
+    sources: t
+    s: ex:$(id)
+    po:
+      - [ex:label, $(name), de~lang]
+      - [ex:kind, ex:Thing]
+""")
+    (m,) = doc.maps
+    assert m.po[0] == ("http://ex.org/label", "name", "de", None)
+    assert m.po[1] == ("http://ex.org/kind", ("const", "http://ex.org/Thing"),
+                       None, None)
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.r2rml import (
+        materialize,
+    )
+
+    src = spark.createDataFrame([(1, "eins")], "id int, name string")
+    rows = {(r.predicate, r.object, r.lang)
+            for r in materialize({"t": src}, doc.maps).collect()}
+    assert rows == {
+        ("http://ex.org/label", "eins", "de"),
+        ("http://ex.org/kind", "http://ex.org/Thing", None),
+    }
