@@ -57,19 +57,48 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # Concrete local baseline: the same queries' oracle SQL on DuckDB
+    # over the same parquet (single-node engine as the reference would
+    # run).  Ratio compares only the oracle-covered subset.
+    duck_times: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for tbl in ("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents",
+                    "embeddings"):
+            con.sql(f"CREATE VIEW {tbl} AS "
+                    f"SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+        for name in HEADLINE:
+            if specs[name].oracle is None:
+                continue
+            t0 = time.perf_counter()
+            con.sql(specs[name].oracle).fetchall()
+            duck_times[name] = round(time.perf_counter() - t0, 3)
+    except Exception:
+        duck_times = {}
+
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf_label)
     except ValueError:
         sf = sf_label
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    if duck_times:
+        spark_sub = sum(times[n] for n in duck_times)
+        duck_total = sum(duck_times.values())
+        out["duckdb_queries"] = duck_times
+        out["duckdb_total"] = round(duck_total, 3)
+        out["spark_vs_duckdb_ratio"] = round(spark_sub / duck_total, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -172,7 +172,132 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# S4: PDF layout ingestion (themengeschichtspfad.R:13-68)
+# ---------------------------------------------------------------------------
+
+def _pdf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic per-word PDF layout table in the exact shape pdftools
+    ``pdf_data(font_info=TRUE)`` emits — (page, pos, word, font_name,
+    font_size).  No PDF codec ships in this container, so the layout
+    metadata is derived deterministically from the documents corpus:
+    first word = heading (12.0), second = bold location header (8.8),
+    every 13th a caption (7.0), every 7th a source line (7.0), the rest
+    body text (8.8 light)."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.col("doc_id").alias("page"),
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+        ).alias("pos0", "word"),
+    ).select(
+        "page", (F.col("pos0") + 1).cast("long").alias("pos"), "word"
+    )
+    pos = F.col("pos")
+    return words.select(
+        "page", "pos", "word",
+        F.when(pos == 1, F.lit(12.0))
+         .when(pos == 2, F.lit(8.8))
+         .when(pos % 13 == 0, F.lit(7.0))
+         .when(pos % 7 == 0, F.lit(7.0))
+         .otherwise(F.lit(8.8)).alias("font_size"),
+        F.when(pos == 1, F.lit("AAAAAC+Univers"))
+         .when(pos == 2, F.lit("AAAAAB+Univers-Bold"))
+         .when(pos % 13 == 0, F.lit("AAAAAC+Univers"))
+         .when(pos % 7 == 0, F.lit("AAAAAD+Univers-Light"))
+         .otherwise(F.lit("AAAAAD+Univers-Light")).alias("font_name"),
+    )
+
+
+_PDF_WORDS_CTE = """
+pdf_words AS (
+  SELECT d.doc_id AS page, t.i AS pos, d.w[t.i] AS word,
+         CASE WHEN t.i = 1 THEN 12.0 WHEN t.i = 2 THEN 8.8
+              WHEN t.i % 13 = 0 THEN 7.0 WHEN t.i % 7 = 0 THEN 7.0
+              ELSE 8.8 END AS font_size,
+         CASE WHEN t.i = 1 THEN 'AAAAAC+Univers'
+              WHEN t.i = 2 THEN 'AAAAAB+Univers-Bold'
+              WHEN t.i % 13 = 0 THEN 'AAAAAC+Univers'
+              WHEN t.i % 7 = 0 THEN 'AAAAAD+Univers-Light'
+              ELSE 'AAAAAD+Univers-Light' END AS font_name
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents) d,
+       unnest(range(1, len(d.w) + 1)) t(i)
+)
+"""
+
+_CLASSIFY_CASE = """
+  CASE WHEN regexp_matches(word, '^[0-9]{1,3}$') THEN 'page'
+       WHEN font_size = 12.0 THEN 'heading'
+       WHEN font_size = 8.8 AND font_name = 'AAAAAB+Univers-Bold' THEN 'location_header'
+       WHEN font_size = 8.8 AND font_name = 'AAAAAD+Univers-Light' THEN 'p'
+       WHEN font_size = 8.8 AND font_name = 'AAAAAC+Univers' THEN 'chapter_intro'
+       WHEN font_size = 7.0 AND font_name = 'AAAAAB+Univers-Bold' THEN 'location_roof_line'
+       WHEN font_size = 7.0 AND font_name = 'AAAAAC+Univers' THEN 'image_caption'
+       WHEN font_size = 7.0 AND font_name = 'AAAAAD+Univers-Light' THEN 'source'
+       ELSE 'none' END AS format
+"""
+
+
+def pdf_layout_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: word-level format classification over the content pages —
+    the reference's font/size/shape case_when
+    (`themengeschichtspfad.R:36-49`) as a codegen when() cascade."""
+    from .operators.pdf_layout import classify_layout
+
+    words = _pdf_words(spark, sf_dir).filter(
+        (F.col("page") >= 14) & (F.col("page") < 149))
+    return classify_layout(words).select("page", "pos", "word", "format")
+
+
+_PDF_CLASSIFY_SQL = f"""
+WITH {_PDF_WORDS_CTE}
+SELECT page, pos, word, {_CLASSIFY_CASE}
+FROM pdf_words WHERE page >= 14 AND page < 149
+"""
+
+
+def pdf_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end: classify → per-(page, format) ordered collapse →
+    de-hyphenate → location election + fill-down
+    (`themengeschichtspfad.R:13-68`, composing the W7 fill-down)."""
+    from .operators.pdf_layout import pdf_layout_pipeline
+
+    return pdf_layout_pipeline(_pdf_words(spark, sf_dir))
+
+
+_PDF_TEXT_SQL = f"""
+WITH {_PDF_WORDS_CTE},
+classified AS (
+  SELECT page, pos, word, {_CLASSIFY_CASE}
+  FROM pdf_words WHERE page >= 14 AND page < 149
+),
+runs AS (
+  SELECT page, format,
+         regexp_replace(string_agg(word, ' ' ORDER BY pos),
+                        '\\s-\\s|-\\s', '', 'g') AS text
+  FROM classified GROUP BY page, format
+),
+located AS (
+  SELECT page, format, text,
+         CASE WHEN format = 'location_header' THEN text
+              WHEN format = 'heading'
+                THEN nullif(regexp_extract(text, '(.+):', 1), '')
+              ELSE 'München' END AS loc
+  FROM runs WHERE format <> 'page'
+)
+SELECT page, format, text,
+       last_value(loc IGNORE NULLS) OVER (
+         ORDER BY page, format
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS location
+FROM located
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "pdf_layout_classify": QuerySpec(pdf_layout_classify, _PDF_CLASSIFY_SQL),
+    "pdf_layout_text": QuerySpec(pdf_layout_text, _PDF_TEXT_SQL),
     "fn_html_table_extract": QuerySpec(fn_html_table_extract, _HTML_SQL),
     "external_geocode_mock": QuerySpec(external_geocode_mock, _GEOCODE_SQL),
     "external_translate_mock": QuerySpec(external_translate_mock, _TRANSLATE_SQL),
