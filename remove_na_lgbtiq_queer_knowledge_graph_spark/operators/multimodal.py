@@ -53,11 +53,17 @@ def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decode_metadata(payloads: DataFrame) -> DataFrame:
+def decode_metadata(payloads: DataFrame, decode_fn=decode_stub,
+                    schema: str = DECODED_SCHEMA) -> DataFrame:
     """mapInPandas decode: binary payload → typed metadata rows.
     Arrow-batched, partition-parallel — the shape of every multimodal
-    feature-extraction stage (resize, frame-sample, spectrogram)."""
-    return payloads.mapInPandas(decode_stub, schema=DECODED_SCHEMA)
+    feature-extraction stage (resize, frame-sample, spectrogram).
+
+    ``decode_fn`` is the injection seam: a real deployment passes a
+    batches→batches function that opens the payload with PIL/ffmpeg —
+    nothing else in the plan changes (dependency-injection tested in
+    tests/test_llm_ops.py)."""
+    return payloads.mapInPandas(decode_fn, schema=schema)
 
 
 def not_implemented_real_decode() -> None:
@@ -97,9 +103,11 @@ def frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(out)
 
 
-def frame_sample(payloads: DataFrame) -> DataFrame:
-    """mapInPandas frame sampler (1 video row → N frame rows)."""
-    return payloads.mapInPandas(frame_sample_stub, schema=FRAME_SCHEMA)
+def frame_sample(payloads: DataFrame, sample_fn=frame_sample_stub,
+                 schema: str = FRAME_SCHEMA) -> DataFrame:
+    """mapInPandas frame sampler (1 video row → N frame rows).
+    ``sample_fn`` is the real-codec injection seam."""
+    return payloads.mapInPandas(sample_fn, schema=schema)
 
 
 def resize_stub(

@@ -132,9 +132,16 @@ def model_ner_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["doc_id", "entity", "label"])
 
 
-def model_ner(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Batched 'model' NER over mapInPandas (T12)."""
+def model_ner(df: DataFrame, id_col: str, text_col: str,
+              infer_fn=model_ner_stub,
+              schema: str = "doc_id bigint, entity string, label string",
+              ) -> DataFrame:
+    """Batched 'model' NER over mapInPandas (T12).
+
+    ``infer_fn`` is the injection seam for a real HF/flair pipeline
+    (`flair_ner.py:23-53`): load the model once per executor inside the
+    function, run batched inference, yield (doc_id, entity, label)
+    frames.  The Spark plan is identical either way (dependency-
+    injection tested in tests/test_llm_ops.py)."""
     sel = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    return sel.mapInPandas(
-        model_ner_stub, schema="doc_id bigint, entity string, label string"
-    )
+    return sel.mapInPandas(infer_fn, schema=schema)

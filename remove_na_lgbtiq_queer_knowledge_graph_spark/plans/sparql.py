@@ -710,6 +710,11 @@ class _Compiler:
                 if on:
                     env = env.join(sub, on, "left_anti")
             elif isinstance(item, FilterPat):
+                if env is None:
+                    # a filter-only group (e.g. MINUS {FILTER(...)},
+                    # companions_and_relations.rq:124) has no bindings
+                    # to constrain — per SPARQL semantics it is a no-op
+                    continue
                 env = env.filter(self._expr(item.expr, env))
             elif isinstance(item, BindPat):
                 col = self._expr(item.expr, env)

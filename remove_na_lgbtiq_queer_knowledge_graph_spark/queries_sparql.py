@@ -46,7 +46,17 @@ _CONST_LABELS = {
     "Q6256": "country",
     "Q82794": "geographical region",
     "Q2": "agent",
+    # venue types for lokale-from-factgrid.rq
+    "Q40454": "Lokal",
+    "Q399989": "Gaststätte",
+    "Q399990": "Bar",
+    "Q399988": "Café",
+    "Q400014": "Club",
+    "Q137530": "Treffpunkt",
 }
+
+#: audience entities the lokale query UNIONs over (lokale-from-factgrid.rq:7-27)
+_AUDIENCES = ("Q399989", "Q399990", "Q399988", "Q400014", "Q137530")
 
 # subclass-of (fgt:P3) edges so (fgt:P2/fgt:P3*) paths are non-trivial
 _SUBCLASS_EDGES = [("Q7", "Q2")]
@@ -60,9 +70,36 @@ def _factgrid_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         (F.lit(900000) + F.col("c_custkey")).alias("wd_id"),
         "c_custkey",
     )
+    k = F.col("s_suppkey")
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_name",
+        F.concat(F.lit("Adresse "), k.cast("string")).alias("s_address"),
+        (F.lit(600000) + k).alias("fg_id"),
+        # nullable columns → the materializer drops the triple (R2RML
+        # null semantics), giving every OPTIONAL branch real null cases
+        F.when(k % 2 == 0, F.lit(700000) + k).alias("addr_id"),
+        (F.lit(800000) + k).alias("wd_id"),
+        F.element_at(
+            F.array(*[F.lit(a) for a in _AUDIENCES]),
+            (k % 5 + 1).cast("int"),
+        ).alias("aud_qid"),
+        F.when(k % 3 == 0, F.concat(F.lit("start-"), k.cast("string")))
+         .alias("start_ts"),
+        F.when(k % 4 == 0, F.concat(F.lit("end-"), k.cast("string")))
+         .alias("end_ts"),
+        F.when(k % 6 == 0, F.concat(F.lit("datum-"), k.cast("string")))
+         .alias("datum_ts"),
+        F.when(k % 2 == 1, F.concat(F.lit("zielgruppe-"), k.cast("string")))
+         .alias("ziel"),
+        F.concat(F.lit("@48."), k.cast("string"), F.lit("/11."),
+                 k.cast("string")).alias("geo"),
+        "s_suppkey",
+    )
     return {
         "cust": cust,
         "cust_even": cust.filter(F.col("c_custkey") % 2 == 0),
+        "supp": supp,
+        "supp_even": supp.filter(F.col("s_suppkey") % 2 == 0),
         "nation": t(spark, sf_dir, "nation").select(
             "n_name",
             (F.lit(225300) + F.col("n_nationkey")).alias("nat_id"),
@@ -91,6 +128,29 @@ def factgrid_maps() -> list[TriplesMap]:
         # Wikidata sitelinks for even customer keys only — the odd ones
         # are the "items missing from Wikidata" the reference query hunts
         TriplesMap("cust_even", Template("https://www.wikidata.org/wiki/Q", "wd_id"), [
+            (SCHEMA + "about", q("fg_id")),
+            (SCHEMA + "isPartOf", ("const", "https://www.wikidata.org/")),
+            (SCHEMA + "name", Template("Q", "wd_id")),
+        ]),
+        # suppliers as "Lokale" venues (lokale-from-factgrid.rq fixture):
+        # type, audience, optional address/dates/target group
+        TriplesMap("supp", q("fg_id"), [
+            (FGT + "P2", ("const", FG + "Q40454")),
+            (FGT + "P726", Template(FG, "aud_qid")),
+            (FGT + "P208", q("addr_id")),
+            (FGT + "P49", "start_ts"),
+            (FGT + "P50", "end_ts"),
+            (FGT + "P106", "datum_ts"),
+            (FGT + "P573", "ziel"),
+            (RDFS_LABEL, "s_name", "de"),
+            (RDFS_LABEL, "s_name", "en"),
+        ]),
+        TriplesMap("supp_even", q("addr_id"), [
+            (FGT + "P48", "geo"),
+            (RDFS_LABEL, "s_address", "de"),
+            (RDFS_LABEL, "s_address", "en"),
+        ]),
+        TriplesMap("supp_even", Template("https://www.wikidata.org/wiki/Q", "wd_id"), [
             (SCHEMA + "about", q("fg_id")),
             (SCHEMA + "isPartOf", ("const", "https://www.wikidata.org/")),
             (SCHEMA + "name", Template("Q", "wd_id")),
@@ -235,6 +295,54 @@ _MISSING_WD_RQ = """\
     }
   }"""
 
+# /root/reference/data-publishing/factgrid/queries/lokale-from-factgrid.rq
+_LOKALE_RQ = """\
+#defaultView:Table
+PREFIX wd: <https://database.factgrid.de/entity/>
+PREFIX wdt: <https://database.factgrid.de/prop/direct/>
+SELECT ?fg_item ?fg_itemLabel ?fg_itemDescription ?fg_itemAltLabel ?Address ?AddressLabel ?Geo ?Notiz ?Anfangszeitpunkt ?Endzeitpunkt ?Datum ?wd_item ?Treffpunkt ?TreffpunktLabel ?Zielgruppe WHERE {
+  SERVICE wikibase:label { bd:serviceParam wikibase:language "de". }
+  ?fg_item wdt:P2 wd:Q40454.
+  { ?fg_item wdt:P726 wd:Q399989. }
+  UNION
+  {
+    ?fg_item wdt:P2 wd:Q40454;
+      wdt:P726 wd:Q399990.
+  }
+  UNION
+  {
+    ?fg_item wdt:P2 wd:Q40454;
+      wdt:P726 wd:Q399988.
+  }
+  UNION
+  {
+    ?fg_item wdt:P2 wd:Q40454;
+      wdt:P726 wd:Q400014.
+  }
+  UNION
+  {
+    ?fg_item wdt:P2 wd:Q40454;
+      wdt:P726 wd:Q137530.
+  }
+  OPTIONAL {
+    ?fg_item wdt:P208 ?Address.
+    ?Address wdt:P48 ?Geo.
+  }
+  #OPTIONAL { ?fg_item wdt:P73 ?Notiz. }
+  OPTIONAL { ?fg_item wdt:P49 ?Anfangszeitpunkt. }
+  OPTIONAL { ?fg_item wdt:P50 ?Endzeitpunkt. }
+  OPTIONAL { ?fg_item wdt:P106 ?Datum. }
+  OPTIONAL { ?fg_item wdt:P726 ?Treffpunkt. }
+  OPTIONAL { ?fg_item wdt:P573 ?Zielgruppe.}
+    OPTIONAL {
+    # transform wikidata qid in factgrid to wikidata entity iri
+    ?link schema:about ?fg_item .
+    ?link schema:isPartOf <https://www.wikidata.org/> .
+    ?link schema:name ?qid.
+    BIND(IRI(CONCAT(STR(wd:), ?qid)) AS ?wd_item)
+  }
+}"""
+
 # Engine-authored, reference-shaped (the `(fgt:P2/fgt:P3*)` property
 # path of persons_factgrid_wikidata.rq:28 / orgs_factgrid_wikidata.rq:27)
 _PATH_RQ = """\
@@ -351,6 +459,53 @@ FROM customer
 """
 
 
+def sparql_lokale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``lokale-from-factgrid.rq``: the 5-branch audience
+    UNION, chained OPTIONALs (address→geo 2-pattern group, dates,
+    target group), the sitelink→``BIND(IRI(CONCAT(STR(wd:), ?qid)))``
+    rewrite, and unbound Description/AltLabel projections — over the
+    venue-shaped supplier triples."""
+    return compile_sparql(_LOKALE_RQ, factgrid_kg(spark, sf_dir))
+
+
+_AUD_CASE = (
+    "CASE s_suppkey % 5 WHEN 0 THEN 'Q399989' WHEN 1 THEN 'Q399990' "
+    "WHEN 2 THEN 'Q399988' WHEN 3 THEN 'Q400014' ELSE 'Q137530' END"
+)
+_AUD_LABEL_CASE = (
+    "CASE s_suppkey % 5 WHEN 0 THEN 'Gaststätte' WHEN 1 THEN 'Bar' "
+    "WHEN 2 THEN 'Café' WHEN 3 THEN 'Club' ELSE 'Treffpunkt' END"
+)
+
+_LOKALE_SQL = f"""
+SELECT '{FG}Q' || CAST(600000 + s_suppkey AS VARCHAR) AS fg_item,
+       s_name AS "fg_itemLabel",
+       CAST(NULL AS VARCHAR) AS "fg_itemDescription",
+       CAST(NULL AS VARCHAR) AS "fg_itemAltLabel",
+       CASE WHEN s_suppkey % 2 = 0
+            THEN '{FG}Q' || CAST(700000 + s_suppkey AS VARCHAR) END AS "Address",
+       CASE WHEN s_suppkey % 2 = 0
+            THEN 'Adresse ' || CAST(s_suppkey AS VARCHAR) END AS "AddressLabel",
+       CASE WHEN s_suppkey % 2 = 0
+            THEN '@48.' || CAST(s_suppkey AS VARCHAR)
+                 || '/11.' || CAST(s_suppkey AS VARCHAR) END AS "Geo",
+       CAST(NULL AS VARCHAR) AS "Notiz",
+       CASE WHEN s_suppkey % 3 = 0
+            THEN 'start-' || CAST(s_suppkey AS VARCHAR) END AS "Anfangszeitpunkt",
+       CASE WHEN s_suppkey % 4 = 0
+            THEN 'end-' || CAST(s_suppkey AS VARCHAR) END AS "Endzeitpunkt",
+       CASE WHEN s_suppkey % 6 = 0
+            THEN 'datum-' || CAST(s_suppkey AS VARCHAR) END AS "Datum",
+       CASE WHEN s_suppkey % 2 = 0
+            THEN '{FG}Q' || CAST(800000 + s_suppkey AS VARCHAR) END AS wd_item,
+       '{FG}' || {_AUD_CASE} AS "Treffpunkt",
+       {_AUD_LABEL_CASE} AS "TreffpunktLabel",
+       CASE WHEN s_suppkey % 2 = 1
+            THEN 'zielgruppe-' || CAST(s_suppkey AS VARCHAR) END AS "Zielgruppe"
+FROM supplier
+"""
+
+
 def sparql_path_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9 from SPARQL text: ``(fgt:P2/fgt:P3*)`` — instance-of followed
     by the subclass-of closure (`persons_factgrid_wikidata.rq:28`).
@@ -381,4 +536,7 @@ SPECS: dict[str, QuerySpec] = {
     "sparql_path_instances": QuerySpec(
         sparql_path_instances, _PATH_SQL,
         "(p1/p2*) property path from SPARQL text"),
+    "sparql_lokale": QuerySpec(
+        sparql_lokale, _LOKALE_SQL,
+        "verbatim lokale-from-factgrid.rq (5-way UNION + OPTIONAL chain)"),
 }

@@ -46,6 +46,53 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """S1: JDBC scan — the seam SURVEY maps the Citavi SQLite / MySQL
+    sources onto (``from-citavi/books.R:11-25``; lazy ``tbl()`` scans,
+    ``01-within-entities.R:9-13``).
+
+    Catalyst pushes filters and column pruning into the generated SQL,
+    which is exactly what dbplyr's lazy translation did.  At scale the
+    critical part is PARALLEL extraction: without ``partition_column``
+    Spark reads the whole table through ONE connection/task; with
+    bounds it issues ``num_partitions`` range-predicated queries
+    concurrently.  Always pass the bounds for anything bigger than a
+    dimension table.
+
+    No JDBC driver jar ships in this container, so this seam is
+    exercised by tests only when one is present (tests/test_sources.py
+    gates on driver availability); the parquet fixture path
+    (:func:`load_table`) is the default source either way.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC reads need lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def append_sink(df: DataFrame, path: str) -> None:
     """Append-log sink (reference: ``dbAppendTable``,
     ``01-within-entities.R:68-70``)."""

@@ -223,3 +223,53 @@ def test_ann_variants_recall_vs_brute(spark, sf_dir):
     # not quality guarantees — the dials are n_probe / n_bits
     assert r_ivf >= 0.3, r_ivf
     assert r_lsh >= 0.05, r_lsh
+
+
+def test_model_ner_injection_seam(spark):
+    """A 'real model' (any batches→batches function) drops into the
+    model_ner seam with no plan change — the swap VERDICT r1 flagged as
+    needing a dependency-injection test."""
+    import pandas as pd
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ner import (
+        model_ner,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ACME hired Jo"), (2, "nothing here")], "doc_id long, text string")
+
+    def fake_model(batches):
+        for pdf in batches:
+            rows = [(d, w, "ORG") for d, t in zip(pdf["doc_id"], pdf["text"])
+                    for w in str(t).split() if w.isupper()]
+            yield pd.DataFrame(rows, columns=["doc_id", "entity", "label"])
+
+    out = {tuple(r) for r in model_ner(docs, "doc_id", "text",
+                                       infer_fn=fake_model).collect()}
+    assert out == {(1, "ACME", "ORG")}
+
+
+def test_multimodal_decode_injection_seam(spark):
+    """A custom decoder with its own schema drops into decode_metadata."""
+    import pandas as pd
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
+        decode_metadata,
+        to_binary_payload,
+    )
+
+    docs = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    payloads = to_binary_payload(docs, "doc_id", "text")
+
+    def fake_decoder(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "mime": ["image/fake"] * len(pdf),
+                "n": pdf["payload"].map(len),
+            })
+
+    rows = decode_metadata(
+        payloads, decode_fn=fake_decoder,
+        schema="doc_id long, mime string, n long").collect()
+    assert [tuple(r) for r in rows] == [(7, "image/fake", 3)]

@@ -138,3 +138,25 @@ def test_events_in_range_matches_post_conversion_filter(spark, sf_dir):
     assert fast.count() == naive.count() > 0
     assert sorted(r.event_id for r in fast.select("event_id").collect()) == \
         sorted(r.event_id for r in naive.select("event_id").collect())
+
+
+def test_read_jdbc_seam(spark):
+    """S1 JDBC seam: builds the partitioned reader plan; executes only
+    when a JDBC driver is on the classpath (none ships here)."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import read_jdbc
+
+    with pytest.raises(ValueError):
+        read_jdbc(spark, "jdbc:sqlite:/tmp/x.db", "books",
+                  partition_column="id")
+
+    try:
+        read_jdbc(
+            spark, "jdbc:sqlite:/tmp/nonexistent.db", "books",
+            partition_column="id", lower_bound=0, upper_bound=100,
+            num_partitions=4, driver="org.sqlite.JDBC",
+        ).schema
+    except Exception as e:  # no driver jar in this container
+        assert "sqlite" in str(e).lower() or "driver" in str(e).lower() \
+            or "ClassNotFound" in str(e)

@@ -128,6 +128,17 @@ def test_parse_only_smoke_lokale_verbatim():
     assert len(q.where.items) >= 5
 
 
+def test_parse_only_smoke_companions_verbatim():
+    """The hardest reference query — nested SERVICE inside OPTIONAL
+    inside UNION, grouped property path (fgt:P2/fgt:P3*), MINUS{FILTER},
+    `a` predicate, `dbo:thumbnail?image` token adjacency — parses."""
+    with open("/root/reference/data-publishing/factgrid/queries/"
+              "companions_and_relations.rq") as f:
+        q = parse(f.read())
+    assert q.distinct
+    assert "fg_item" in q.select and "relation_stringLabel" in q.select
+
+
 def test_unknown_service_endpoint_raises(triples):
     with pytest.raises(KeyError):
         compile_sparql(_PFX + """
