@@ -45,8 +45,12 @@ def quickstatements_long(
     rows with a 20-item upload batch number (`04-persons.R:521-533`).
 
     The batch number is assigned per distinct item over a total order —
-    the publishing chunking the reference does with group_split.
+    the publishing chunking the reference does with group_split.  The
+    numbering uses the two-pass :func:`dense_ids` plan (range partition +
+    per-partition offsets), not ``ROW_NUMBER() OVER (ORDER BY item)`` —
+    a global window would pull every distinct item through one task.
     """
+    from .relational import dense_ids
     parts = [
         df.select(
             F.col(item_col).cast("string").alias("item"),
@@ -60,10 +64,9 @@ def quickstatements_long(
         long = long.unionByName(p)
     long = long.filter(F.col("value").isNotNull())
     items = long.select("item").distinct()
-    w = Window.orderBy("item")
-    batches = items.withColumn(
-        "batch", ((F.row_number().over(w) - 1) / batch_size).cast("long")
-    )
+    batches = dense_ids(items, ["item"], out="__rn").withColumn(
+        "batch", ((F.col("__rn") - 1) / batch_size).cast("long")
+    ).drop("__rn")
     return long.join(batches, "item")
 
 

@@ -61,13 +61,14 @@ _TOKEN_RE = re.compile(
       | (?P<comment>\#[^\n]*)
       | (?P<iri><[^<>\s]*>)
       | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^\S+)?)
+      | (?P<sstring>'(?:[^'\\]|\\.)*'(?:@[A-Za-z][A-Za-z0-9-]*|\^\^\S+)?)
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
         # local name may contain dots but never ends with one — the
         # trailing '.' is the triple terminator (SPARQL PN_LOCAL rule)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<num>\d+(?:\.\d+)?)
-      | (?P<op>&&|\|\||!=|<=|>=|[{}().;,/|*+=!<>])
+      | (?P<op>&&|\|\||!=|<=|>=|[{}()\[\].;,/|*+=!<>])
     """,
     re.X,
 )
@@ -191,6 +192,7 @@ class _Parser:
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = dict(self._BUILTIN_PREFIXES)
+        self._bnode_n = 0
 
     def peek(self, ahead: int = 0) -> Tok | None:
         j = self.i + ahead
@@ -231,7 +233,7 @@ class _Parser:
             return ("iri", t.text[1:-1])
         if t.kind == "pname":
             return ("iri", self._expand(t.text))
-        if t.kind == "string":
+        if t.kind in ("string", "sstring"):
             return self._parse_string(t.text)
         if t.kind == "word" and t.text == "a":
             return ("iri", RDF_TYPE)
@@ -240,9 +242,13 @@ class _Parser:
         raise SyntaxError(f"unexpected term token {t}")
 
     def _parse_string(self, raw: str) -> Term:
-        m = re.match(r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^(\S+))?$',
-                     raw)
-        value = m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+        qc = raw[0]  # '"' or "'" — SPARQL allows both quote styles
+        m = re.match(
+            qc + r"((?:[^" + qc + r"\\]|\\.)*)" + qc
+            + r"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^(\S+))?$",
+            raw,
+        )
+        value = m.group(1).replace("\\" + qc, qc).replace("\\\\", "\\")
         lang = m.group(2)
         dtype = m.group(3)
         if dtype and dtype.startswith("<"):
@@ -397,13 +403,13 @@ class _Parser:
                 )
                 continue
             # triple pattern with ; predicate lists and , object lists
-            s = self.parse_term()
+            s = self._term_or_bnode(g)
             while True:
                 path = self.parse_path()
-                o = self.parse_term()
+                o = self._term_or_bnode(g)
                 g.items.append(TriplePat(s, path, o))
                 while self.accept("op", ","):
-                    o = self.parse_term()
+                    o = self._term_or_bnode(g)
                     g.items.append(TriplePat(s, path, o))
                 if self.accept("op", ";"):
                     if self.peek() and self.peek().kind == "op" and \
@@ -411,6 +417,32 @@ class _Parser:
                         break  # dangling ';'
                     continue
                 break
+
+    def _term_or_bnode(self, g: GroupPat) -> Term:
+        """A term, or a blank-node property list ``[ p o ; p2 o2 ]``
+        (``time-items.rq:42`` nests them two deep).  The bnode becomes a
+        fresh anonymous variable and its property list is emitted as
+        ordinary triple patterns on the enclosing group — SPARQL bnode
+        semantics are exactly a non-projectable variable."""
+        t = self.peek()
+        if not (t and t.kind == "op" and t.text == "["):
+            return self.parse_term()
+        self.next()
+        self._bnode_n += 1
+        var: Term = ("var", f"__bnode{self._bnode_n}")
+        while True:
+            if self.accept("op", "]"):
+                break
+            path = self.parse_path()
+            o = self._term_or_bnode(g)
+            g.items.append(TriplePat(var, path, o))
+            while self.accept("op", ","):
+                o = self._term_or_bnode(g)
+                g.items.append(TriplePat(var, path, o))
+            if not self.accept("op", ";"):
+                self.expect("op", "]")
+                break
+        return var
 
     def _parse_values(self) -> ValuesPat:
         vars_: list[str] = []
@@ -474,6 +506,12 @@ class _Parser:
                         v = self.expect("var").text[1:]
                         self.expect("op", ")")
                         order_by.append((v, desc))
+                    elif t and t.kind == "op" and t.text == "(":
+                        # ORDER BY (?var) — parenthesized bare variable
+                        # (get_all_properties_person_with_corresponding_prop.rq)
+                        self.next()
+                        order_by.append((self.expect("var").text[1:], False))
+                        self.expect("op", ")")
                     elif t and t.kind == "var":
                         order_by.append((self.next().text[1:], False))
                     else:
@@ -815,7 +853,8 @@ def compile_sparql(
 
     select = q.select
     if select == ["*"]:
-        select = [col for col in env.columns if not col.startswith("__lang__")]
+        select = [col for col in env.columns
+                  if not col.startswith(("__lang__", "__bnode"))]
     cols: list[Column] = []
     for v in select:
         if v in env.columns:
@@ -831,8 +870,13 @@ def compile_sparql(
     if q.distinct:
         out = out.distinct()
     if q.order_by:
-        out = out.orderBy(*[F.col(v).desc() if d else F.col(v)
-                            for v, d in q.order_by])
+        # A sort var that is bound nowhere (SPARQL allows it — the
+        # reference's ORDER BY (?PropertyLabel) misspells a select var)
+        # compares all-equal, so it is simply dropped.
+        keys = [F.col(v).desc() if d else F.col(v)
+                for v, d in q.order_by if v in out.columns]
+        if keys:
+            out = out.orderBy(*keys)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

@@ -11,9 +11,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.er import connected_components, resolve_entities
+from .operators.relational import dense_ids
 from .operators.similarity import candidate_pairs, candidate_pairs_lsh, string_distance_join
 from .functions.strings import strip_markers
 from .spec import QuerySpec, t
+from .spec import materialize as _cache
 
 # Shared oracle CTE: char-2-gram counts of letters-only part names.
 _GRAM_CTE = """
@@ -85,10 +87,20 @@ WHERE round(inter / (c1.card + c2.card - inter), 6) >= 0.5
 
 def er_candidate_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """er_candidates table shape: pairs + dense_rank(desc(value))
-    (`entities/03:76`, FIXTURES §2)."""
-    pairs = er_cosine_pairs(spark, sf_dir)
-    w = Window.orderBy(F.col("value").desc())
-    return pairs.withColumn("rank", F.dense_rank().over(w).cast("long"))
+    (`entities/03:76`, FIXTURES §2).
+
+    Scale-safe global dense rank: ``DENSE_RANK() OVER (ORDER BY value)``
+    would funnel every pair through one window task.  Dense rank depends
+    only on the *distinct* score values (a tiny set here — scores are
+    rounded to 6 dp), so rank the distinct values with the two-pass
+    :func:`dense_ids` plan and broadcast-join the rank dimension back —
+    no single-partition exchange at any pair count."""
+    pairs = _cache(er_cosine_pairs(spark, sf_dir))
+    vals = pairs.select("value").distinct().withColumn(
+        "__neg", -F.col("value"))
+    ranks = dense_ids(vals, ["__neg"], out="rank").drop("__neg")
+    return pairs.join(F.broadcast(ranks), "value").select(
+        "id_1", "id_2", "value", F.col("rank").cast("long").alias("rank"))
 
 
 _RANK_SQL = f"""
