@@ -630,7 +630,34 @@ class _Compiler:
         if env is None:
             return df
         on = self._shared(env, df)
-        return env.join(df, on, how) if on else env.crossJoin(df)
+        if not on:
+            return env.crossJoin(df)
+        langs = [c for c in on if c.startswith("__lang__")]
+        if not langs:
+            return env.join(df, on, how)
+        # Shared ``__lang__`` companions need NULL-SAFE equality: RDF
+        # term equality includes the language tag, but two IRI/plain
+        # bindings both carry lang NULL — a plain equi-join key would
+        # turn NULL = NULL into no-match and silently empty every later
+        # OPTIONAL that re-binds the same variable
+        # (get_wiki_sitelinks.rq's five sitelink blocks all re-bind
+        # ?fg_item as an object).
+        norm = [c for c in on if c not in langs]
+        left, right = env.alias("__jl"), df.alias("__jr")
+        cond = None
+        for c in norm:
+            p = F.col(f"__jl.{c}") == F.col(f"__jr.{c}")
+            cond = p if cond is None else cond & p
+        for c in langs:
+            p = F.col(f"__jl.{c}").eqNullSafe(F.col(f"__jr.{c}"))
+            cond = p if cond is None else cond & p
+        out = left.join(right, cond, how)
+        if how == "left_anti":
+            return out
+        cols = [F.col(f"__jl.{c}").alias(c) for c in env.columns]
+        cols += [F.col(f"__jr.{c}").alias(c) for c in df.columns
+                 if c not in env.columns]
+        return out.select(*cols)
 
     # -- expressions ---------------------------------------------------------
 
@@ -686,9 +713,15 @@ class _Compiler:
     # -- group compilation ---------------------------------------------------
 
     def _compile_group(self, g: GroupPat,
-                       triples: DataFrame | None = None) -> DataFrame | None:
+                       triples: DataFrame | None = None,
+                       env: DataFrame | None = None) -> DataFrame | None:
+        """Compile a group against ``triples``, optionally seeded with
+        outer bindings ``env`` (used by SERVICE: the inner group scans
+        the remote frame but must join — and left-join for OPTIONAL —
+        against the bindings accumulated so far, else an OPTIONAL inside
+        SERVICE would degrade to a required join,
+        ``get_gnd_from_fg_and_wd.rq:44-48``)."""
         triples = triples if triples is not None else self.triples
-        env: DataFrame | None = None
         run: list[TriplePat] = []
 
         def flush(env: DataFrame | None) -> DataFrame | None:
@@ -744,9 +777,8 @@ class _Compiler:
                 sub = self._compile_group(item.group, triples)
                 if env is None or sub is None:
                     continue
-                on = self._shared(env, sub)
-                if on:
-                    env = env.join(sub, on, "left_anti")
+                if self._shared(env, sub):
+                    env = self._join(env, sub, "left_anti")
             elif isinstance(item, FilterPat):
                 if env is None:
                     # a filter-only group (e.g. MINUS {FILTER(...)},
@@ -779,10 +811,9 @@ class _Compiler:
                     raise KeyError(
                         f"no DataFrame source registered for SERVICE "
                         f"<{item.endpoint}> — pass services={{iri: df}}")
-                sub = self._compile_group(item.group,
-                                          self.services[item.endpoint])
-                if sub is not None:
-                    env = self._join(env, sub)
+                env = self._compile_group(item.group,
+                                          self.services[item.endpoint],
+                                          env)
             else:
                 raise NotImplementedError(f"pattern {item}")
         return flush(env)

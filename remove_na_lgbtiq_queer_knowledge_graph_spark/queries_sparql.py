@@ -53,21 +53,30 @@ _CONST_LABELS = {
     "Q399988": "Café",
     "Q400014": "Club",
     "Q137530": "Treffpunkt",
+    "Q12": "organization",
+    "Q100632": "property group",
 }
 
 #: audience entities the lokale query UNIONs over (lokale-from-factgrid.rq:7-27)
 _AUDIENCES = ("Q399989", "Q399990", "Q399988", "Q400014", "Q137530")
 
-# subclass-of (fgt:P3) edges so (fgt:P2/fgt:P3*) paths are non-trivial
-_SUBCLASS_EDGES = [("Q7", "Q2")]
+# subclass-of (fgt:P3) edges so (fgt:P2/fgt:P3*) paths are non-trivial;
+# Q40454 (Lokal) ⊑ Q12 (organization) makes venues reachable from the
+# organisations path of get_wiki_sitelinks.rq:30
+_SUBCLASS_EDGES = [("Q7", "Q2"), ("Q40454", "Q12")]
 
 
 def _factgrid_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    ck = F.col("c_custkey")
     cust = t(spark, sf_dir, "customer").select(
         "c_name",
-        (F.lit(500000) + F.col("c_custkey")).alias("fg_id"),
+        (F.lit(500000) + ck).alias("fg_id"),
         (F.lit(225300) + F.col("c_nationkey")).alias("nat_id"),
-        (F.lit(900000) + F.col("c_custkey")).alias("wd_id"),
+        (F.lit(900000) + ck).alias("wd_id"),
+        # GND authority id (fgt:P76) for most customers — the %3 gap
+        # gives get_gnd_from_fg_and_wd.rq a real required-pattern cut
+        F.when(ck % 3 != 0, F.concat(F.lit("gnd-"), ck.cast("string")))
+         .alias("gnd"),
         "c_custkey",
     )
     k = F.col("s_suppkey")
@@ -93,6 +102,17 @@ def _factgrid_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
          .alias("ziel"),
         F.concat(F.lit("@48."), k.cast("string"), F.lit("/11."),
                  k.cast("string")).alias("geo"),
+        # per-language Wikipedia sitelink titles (get_wiki_sitelinks.rq
+        # OPTIONAL chain) — different moduli so every OPTIONAL has both
+        # bound and unbound rows
+        F.when(k % 3 == 0, F.concat(F.lit("de-"), F.col("s_name")))
+         .alias("dewiki"),
+        F.when(k % 4 == 0, F.concat(F.lit("en-"), F.col("s_name")))
+         .alias("enwiki"),
+        F.when(k % 5 == 0, F.concat(F.lit("fr-"), F.col("s_name")))
+         .alias("frwiki"),
+        F.when(k % 7 == 0, F.concat(F.lit("es-"), F.col("s_name")))
+         .alias("eswiki"),
         "s_suppkey",
     )
     return {
@@ -122,6 +142,7 @@ def factgrid_maps() -> list[TriplesMap]:
             (FGT + "P131", ("const", FG + "Q400012")),
             (FGT + "P83", q("nat_id")),
             (FGT + "P2", ("const", FG + "Q7")),
+            (FGT + "P76", "gnd"),
             (RDFS_LABEL, "c_name", "de"),
             (RDFS_LABEL, "c_name", "en"),
         ]),
@@ -155,6 +176,20 @@ def factgrid_maps() -> list[TriplesMap]:
             (SCHEMA + "isPartOf", ("const", "https://www.wikidata.org/")),
             (SCHEMA + "name", Template("Q", "wd_id")),
         ]),
+        # per-language Wikipedia sitelinks (get_wiki_sitelinks.rq): the
+        # schema:name triple exists only where the title column is
+        # non-null, so each OPTIONAL block has real misses
+        *[
+            TriplesMap("supp", Template(f"https://{wiki}.wikipedia.org/wiki/S",
+                                        "fg_id"), [
+                (SCHEMA + "about", q("fg_id")),
+                (SCHEMA + "isPartOf",
+                 ("const", f"https://{wiki}.wikipedia.org/")),
+                (SCHEMA + "name", col),
+            ])
+            for wiki, col in (("de", "dewiki"), ("en", "enwiki"),
+                              ("fr", "frwiki"), ("es", "eswiki"))
+        ],
         TriplesMap("nation", q("nat_id"), [
             (FGT + "P47", q("reg_id")),
             (FGT + "P2", ("const", FG + "Q6256")),
@@ -199,17 +234,24 @@ def factgrid_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wikidata_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mock of the remote Wikidata endpoint (G10 — federation is a
     pluggable DataFrame source, per BASELINE): every third customer has a
-    Wikidata item carrying the FactGrid-ID property ``wdt:P8168``."""
-    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
-    return c.select(
-        F.concat(F.lit(WD + "Q"),
-                 (F.lit(900000) + F.col("c_custkey")).cast("string")
-                 ).alias("subject"),
+    Wikidata item carrying the FactGrid-ID property ``wdt:P8168``; every
+    fourth carries a GND id ``wdt:P227``
+    (``get_gnd_from_fg_and_wd.rq:44-48``)."""
+    c = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    subj = F.concat(F.lit(WD + "Q"), (F.lit(900000) + ck).cast("string"))
+    fg_ids = c.filter(ck % 3 == 0).select(
+        subj.alias("subject"),
         F.lit(WDT + "P8168").alias("predicate"),
-        F.concat(F.lit("Q"),
-                 (F.lit(500000) + F.col("c_custkey")).cast("string")
-                 ).alias("object"),
+        F.concat(F.lit("Q"), (F.lit(500000) + ck).cast("string"))
+         .alias("object"),
     )
+    gnds = c.filter(ck % 4 == 0).select(
+        subj.alias("subject"),
+        F.lit(WDT + "P227").alias("predicate"),
+        F.concat(F.lit("wd-gnd-"), ck.cast("string")).alias("object"),
+    )
+    return fg_ids.unionByName(gnds)
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,10 @@ _MODULES = (
     "queries_linking",
     "queries_external",
     "queries_streaming",
+    # round-2 additions go last so queries that have been waiting for a
+    # driver-green row since round 1 keep their place at the head of the
+    # never-verified ordering
+    "queries_sparql2",
 )
 
 
