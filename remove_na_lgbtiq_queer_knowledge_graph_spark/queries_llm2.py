@@ -1,0 +1,230 @@
+"""Round-2 LLM-data-pipeline queries (BASELINE.json north star) with
+DuckDB oracles: benchmark decontamination, training-sequence packing,
+domain-mix sampling, and the transliteration function's oracle query
+(F2 — previously test-only).
+
+Scale notes: every op is a pure Catalyst plan — n-gram decontamination
+is an equi-join on md5 gram hashes (never all-pairs), packing windows
+are partitioned by shard (no global window), mix rates come from a
+broadcastable per-source dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.strings import transliterate
+from .spec import QuerySpec, t
+
+_WORDS_SPARK = 'filter(split(regexp_replace(text, "[^a-zA-Z ]", " "), " "), x -> x != "")'
+_WORDS_DUCK = (
+    "list_filter(string_split(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g'),"
+    " ' '), x -> x <> '')"
+)
+
+
+def _word_grams(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct word n-grams per document, as md5 hashes.
+
+    The hash is the join key downstream: a 16-byte key instead of an
+    arbitrarily long phrase string keeps the contamination join's
+    shuffle narrow at corpus scale (and md5 is engine-independent, so
+    the DuckDB oracle joins on identical bytes)."""
+    w = F.expr(_WORDS_SPARK)
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    gram = F.explode(
+        F.transform(idx, lambda j: F.array_join(F.slice(w, j + 1, n), " "))
+    )
+    return (
+        docs.select("doc_id", gram.alias("gram"))
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
+
+
+def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with a held-out eval set (the n-gram-overlap rule used to
+    scrub pretraining corpora; 8-13 grams in production, 3 here so the
+    small fixture has real overlap — ``n`` is a parameter).
+
+    Plan shape at 100 TB: distinct doc-grams on both sides, equi-join on
+    the md5 gram hash (shuffle ∝ matching grams, never |docs|²), then a
+    map-side-combinable count per (train, eval) pair."""
+    docs = t(spark, sf_dir, "documents")
+    grams = _word_grams(docs, n=3)
+    eval_set = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(eval_set, "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+_DECON_SQL = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+2], ' ')) AS g
+  FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+)
+SELECT a.doc_id AS doc_id, b.doc_id AS eval_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM grams a JOIN grams b ON a.g = b.g
+WHERE b.doc_id % 97 = 0 AND a.doc_id % 97 <> 0
+GROUP BY 1, 2
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concat-and-chunk documents into
+    fixed-token-budget chunks (512 here), the standard pretraining
+    batch-prep step.
+
+    Documents are sharded by hash first and packed *within* a shard —
+    the per-shard running sum is an ordinary partitioned window, so the
+    plan scales by adding shards instead of funnelling the corpus
+    through one global cumulative sum."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(F.expr(_WORDS_SPARK)).cast("long")
+    sharded = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sharded.withColumn(
+        "chunk", F.floor(cum_before / F.lit(512)).cast("long")
+    )
+
+
+_PACK_SQL = f"""
+WITH sharded AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+         AS BIGINT) AS chunk
+FROM sharded
+"""
+
+
+def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix sampling: resample the corpus so per-source volumes
+    follow configured mixing weights (the data-mixture step of corpus
+    assembly).  Weight w_s = 1 + (source_number mod 3); target rows for
+    source s ∝ w_s; keep rate = min(1, total·w_s / (Σw·cnt_s)) applied
+    as a deterministic md5 bucket cut, so the sample is reproducible
+    run-over-run and engine-independent.
+
+    The rate dimension is one row per source — broadcast to the corpus
+    scan; totals are map-side-combinable aggregates.  No collect, no
+    driver loop."""
+    docs = t(spark, sf_dir, "documents")
+    weighted = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).withColumn(
+        "w", (F.lit(1) + F.pmod(F.substring("source", 4, 10).cast("long"),
+                                F.lit(3))).cast("long")
+    )
+    totals = weighted.agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("w") * F.col("cnt")).alias("sum_wc"),
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.floor(F.col("total") * F.col("w") * 10000
+                    / (F.col("sum_wc"))).cast("long"),
+        ).alias("thresh"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long"),
+        F.lit(10000),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("thresh"))
+        .select("doc_id", "source")
+    )
+
+
+_MIX_SQL = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(1 + CAST(substring(source, 4) AS BIGINT) % 3 AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+totals AS (SELECT SUM(cnt) AS total, SUM(w * cnt) AS sum_wc FROM counts),
+rates AS (
+  SELECT source,
+         LEAST(10000, CAST(FLOOR(total * w * 10000 / sum_wc) AS BIGINT))
+           AS thresh
+  FROM counts, totals
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+      % 10000 < r.thresh
+"""
+
+
+def fn_transliterate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 oracle query: Latin-ASCII transliteration
+    (``stri_trans_general(x, "de-ASCII; Latin-ASCII")``,
+    ``open-refine-fingerprint.R:22``) as a codegen'd replace/translate
+    chain.  The fixture injects diacritics deterministically
+    (o→ö, e→é) so the oracle exercises both the German digraph map
+    (ö→oe) and the generic Latin fold (é→e)."""
+    c = t(spark, sf_dir, "customer")
+    accented = F.translate(F.col("c_name"), "aoe", "äöé")
+    return c.select(
+        "c_custkey",
+        accented.alias("accented"),
+        transliterate(accented).alias("ascii_name"),
+    )
+
+
+_TRANSLIT_SQL = """
+SELECT c_custkey,
+       translate(c_name, 'aoe', 'äöé') AS accented,
+       replace(replace(replace(replace(replace(replace(replace(
+         translate(translate(c_name, 'aoe', 'äöé'), 'àáâãåāçèéêëē', 'aaaaaaceeeee'),
+       'ä', 'ae'), 'ö', 'oe'), 'ü', 'ue'), 'Ä', 'Ae'), 'Ö', 'Oe'),
+       'Ü', 'Ue'), 'ß', 'ss') AS ascii_name
+FROM customer
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "decon_ngram_overlap": QuerySpec(
+        decon_ngram_overlap, _DECON_SQL,
+        "eval-set decontamination via word-n-gram overlap join"),
+    "pack_sequences": QuerySpec(
+        pack_sequences, _PACK_SQL,
+        "per-shard concat-and-chunk sequence packing"),
+    "mix_domains": QuerySpec(
+        mix_domains, _MIX_SQL,
+        "weighted domain-mix resampling with deterministic hash cut"),
+    "fn_transliterate_names": QuerySpec(
+        fn_transliterate_names, _TRANSLIT_SQL,
+        "Latin-ASCII transliteration oracle (F2)"),
+}

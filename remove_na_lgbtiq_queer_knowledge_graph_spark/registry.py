@@ -37,6 +37,7 @@ _MODULES = (
     # driver-green row since round 1 keep their place at the head of the
     # never-verified ordering
     "queries_sparql2",
+    "queries_llm2",
 )
 
 

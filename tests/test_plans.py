@@ -75,3 +75,31 @@ def test_gazetteer_is_blocked_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decon_join_is_hashed_never_all_pairs(spark, sf_dir):
+    """Decontamination must join on the md5 gram hash (shuffle ∝
+    matching grams) — an all-pairs doc×eval comparison would be
+    quadratic in corpus size."""
+    plan = _plan(spark, "decon_ngram_overlap", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """Sequence packing's running sum must stay per-shard — a global
+    cumulative sum would single-partition the corpus."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+
+    df = all_specs()["pack_sequences"].fn(spark, sf_dir)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    for line in simple.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "shard" in line
+
+
+def test_mix_domains_rates_are_broadcast(spark, sf_dir):
+    """The per-source rate dimension joins broadcast — no shuffle of
+    the corpus on source."""
+    plan = _plan(spark, "mix_domains", sf_dir)
+    assert "SortMergeJoin" not in plan
