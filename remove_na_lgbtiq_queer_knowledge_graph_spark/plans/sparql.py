@@ -765,14 +765,34 @@ class _Compiler:
                 sub = self._compile_group(item.group, triples)
                 if sub is not None:
                     env = self._join(env, sub, "left")
+            elif isinstance(item, GroupPat):
+                # nested `{ ... }` scope (companions_and_relations.rq:48
+                # wraps the person block in an extra group) — compile
+                # independently, join on shared vars
+                sub = self._compile_group(item, triples)
+                if sub is not None:
+                    env = self._join(env, sub)
             elif isinstance(item, UnionPat):
                 parts = [self._compile_group(b, triples)
                          for b in item.branches]
                 parts = [p for p in parts if p is not None]
-                u = parts[0]
-                for p in parts[1:]:
+                # Distribute the outer-bindings join over the branches:
+                # Join(env, Union(b_i)) = Union(Join(env, b_i)).  Joining
+                # after the union would equi-join on the union of every
+                # branch's shared columns, and a branch that binds only a
+                # subset (companions_and_relations.rq: factgrid branches
+                # bind ?fg_item, federated branches ?wd_item) leaves the
+                # others NULL-filled — plain equality would then drop
+                # every row.  Per-branch joins also stay simple
+                # equi-joins on each branch's actually-bound keys, not a
+                # SPARQL-compatibility theta-join, which is the plan you
+                # want at scale.
+                joined = [self._join(env, p) for p in parts] \
+                    if env is not None else parts
+                u = joined[0]
+                for p in joined[1:]:
                     u = u.unionByName(p, allowMissingColumns=True)
-                env = self._join(env, u)
+                env = u
             elif isinstance(item, NotExistsPat):
                 sub = self._compile_group(item.group, triples)
                 if env is None or sub is None:
@@ -858,9 +878,15 @@ class _Compiler:
         )
         out = env.join(labels, base_var, "left")
         fallback = F.regexp_extract(F.col(base_var), r"([^/#]*)$", 1)
-        return out.withColumn(
-            label_var, F.coalesce(F.col("__lbl"), fallback)
-        ).drop("__lbl")
+        filled = F.coalesce(F.col("__lbl"), fallback)
+        if label_var in env.columns:
+            # Partially-bound label var (companions_and_relations.rq:
+            # federated branches bind ?valueLabel from the remote
+            # rdfs:label scan, factgrid branches leave it for the label
+            # service) — an explicit binding wins, the service fills the
+            # unbound rows.
+            filled = F.coalesce(F.col(label_var), filled)
+        return out.withColumn(label_var, filled).drop("__lbl")
 
 
 def compile_sparql(
@@ -888,10 +914,13 @@ def compile_sparql(
                   if not col.startswith(("__lang__", "__bnode"))]
     cols: list[Column] = []
     for v in select:
-        if v in env.columns:
-            cols.append(F.col(v))
-        elif (v.endswith("Label") and v[:-5] in env.columns):
+        if v.endswith("Label") and v[:-5] in env.columns:
+            # base var bound → label service applies even when the label
+            # var itself is already (partially) bound by an explicit
+            # rdfs:label pattern in some UNION branch
             env = c._attach_label(env, v[:-5], v)
+            cols.append(F.col(v))
+        elif v in env.columns:
             cols.append(F.col(v))
         else:
             # unbound projection (SPARQL allows it), incl. Description /

@@ -14,7 +14,7 @@ star schema.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .plans.r2rml import Template, TriplesMap, materialize
@@ -156,6 +156,252 @@ FROM nation
 """
 
 
+# ---------------------------------------------------------------------------
+# companions_and_relations.rq — the reference's flagship relations query
+# ---------------------------------------------------------------------------
+
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_SCHEMA = "http://schema.org/"
+_WIKIBASE_DC = "http://wikiba.se/ontology#directClaim"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+_DBO = "http://dbpedia.org/ontology/"
+_DBR = "http://dbpedia.org/resource/"
+_COMP = FG + "Q223420"          # the BIND(fg:Q223420) starting item
+_WDCOMP = WD + "Q923420"        # its Wikidata twin via the sitelink
+
+_TRIPLE_SCHEMA = ("subject string, predicate string, object string, "
+                  "lang string, dtype string")
+
+
+def _tr(s, p, o, lang=None):
+    """One 5-column triple row from Column/literal parts."""
+    as_col = lambda x: x if isinstance(x, Column) else F.lit(x)  # noqa: E731
+    return [as_col(s).alias("subject"), as_col(p).alias("predicate"),
+            as_col(o).alias("object"),
+            F.lit(lang).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype")]
+
+
+def _companions_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``factgrid_kg`` plus the companion item fg:Q223420: a Wikidata
+    sitelink (the query's ``?link schema:about/isPartOf/name`` prelude),
+    person relations ``fgt:P703`` to every 5th customer and organisation
+    relations ``fgt:P91`` to every 3rd supplier (suppliers reach fg:Q12
+    through the Q40454 ⊑ Q12 subclass edge, exercising the
+    ``(fgt:P2/fgt:P3*)`` path), and OPTIONAL ``fgt:P189`` images on a
+    subset of the related items (`companions_and_relations.rq:36-67`).
+    Kept separate from ``factgrid_kg`` so existing oracles are
+    untouched."""
+    ck = F.col("c_custkey")
+    sk = F.col("s_suppkey")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    cust_iri = F.concat(F.lit(FG + "Q"), (F.lit(500000) + ck).cast("string"))
+    supp_iri = F.concat(F.lit(FG + "Q"), (F.lit(600000) + sk).cast("string"))
+    extra = (
+        cust.filter(ck % 5 == 0)
+            .select(*_tr(_COMP, FGT + "P703", cust_iri))
+        .unionByName(cust.filter(ck % 10 == 0).select(
+            *_tr(cust_iri, FGT + "P189",
+                 F.concat(F.lit("img-c-"), ck.cast("string")))))
+        .unionByName(supp.filter(sk % 3 == 0).select(
+            *_tr(_COMP, FGT + "P91", supp_iri)))
+        .unionByName(supp.filter(sk % 6 == 0).select(
+            *_tr(supp_iri, FGT + "P189",
+                 F.concat(F.lit("img-s-"), sk.cast("string")))))
+    )
+    wiki = "https://www.wikidata.org/wiki/Q923420"
+    static = spark.createDataFrame([
+        (wiki, _SCHEMA + "about", _COMP, None, None),
+        (wiki, _SCHEMA + "isPartOf", "https://www.wikidata.org/", None, None),
+        (wiki, _SCHEMA + "name", "Q923420", None, None),
+        (_COMP, RDFS_LABEL, "Companion Zero", "de", None),
+        (_COMP, RDFS_LABEL, "Companion Zero", "en", None),
+        (FG + "P703", _WIKIBASE_DC, FGT + "P703", None, None),
+        (FG + "P703", RDFS_LABEL, "companion of", "de", None),
+        (FG + "P703", RDFS_LABEL, "companion of", "en", None),
+        (FG + "P91", _WIKIBASE_DC, FGT + "P91", None, None),
+        (FG + "P91", RDFS_LABEL, "member of", "de", None),
+        (FG + "P91", RDFS_LABEL, "member of", "en", None),
+    ], _TRIPLE_SCHEMA)
+    return _cache(factgrid_kg(spark, sf_dir).unionByName(extra)
+                  .unionByName(static))
+
+
+def _wd_companions_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock Wikidata endpoint for the two federated UNION branches:
+    spouse relations ``wdt:P26`` to person items (``wdt:P31 wd:Q5``) and
+    employer relations ``wdt:P108`` to organisation items reaching
+    wd:Q43229 either directly or through a ``wdt:P279`` subclass hop —
+    both closure lengths of ``(wdt:P31/wdt:P279*)`` are exercised.
+    Labels carry real language tags so the ``FILTER(LANG(...))`` rows
+    have something to cut (`companions_and_relations.rq:69-105`)."""
+    ck = F.col("c_custkey")
+    sk = F.col("s_suppkey")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    person = F.concat(F.lit(WD + "Q"), (F.lit(930000) + ck).cast("string"))
+    org = F.concat(F.lit(WD + "Q"), (F.lit(940000) + sk).cast("string"))
+    busi = WD + "Q4830453"      # business ⊑ organisation
+    persons = cust.filter(ck % 4 == 0)
+    orgs = supp.filter(sk % 2 == 0)
+    frame = (
+        persons.select(*_tr(_WDCOMP, WDT + "P26", person))
+        .unionByName(persons.select(*_tr(person, WDT + "P31", WD + "Q5")))
+        .unionByName(persons.select(*_tr(
+            person, RDFS_LABEL, F.concat(F.lit("wd-"), F.col("c_name")),
+            "en")))
+        .unionByName(persons.select(*_tr(
+            person, RDFS_LABEL, F.concat(F.lit("wd-de-"), F.col("c_name")),
+            "de")))
+        .unionByName(cust.filter(ck % 8 == 0).select(*_tr(
+            person, WDT + "P18", F.concat(F.lit("wd-img-"),
+                                          ck.cast("string")))))
+        .unionByName(orgs.select(*_tr(_WDCOMP, WDT + "P108", org)))
+        .unionByName(orgs.select(*_tr(
+            org, WDT + "P31",
+            F.when(sk % 4 == 0, F.lit(WD + "Q43229")).otherwise(F.lit(busi)))))
+        .unionByName(orgs.select(*_tr(
+            org, RDFS_LABEL, F.concat(F.lit("wd-"), F.col("s_name")), "en")))
+        .unionByName(orgs.select(*_tr(
+            org, RDFS_LABEL, F.concat(F.lit("wd-de-"), F.col("s_name")),
+            "de")))
+        .unionByName(supp.filter(sk % 6 == 0).select(*_tr(
+            org, WDT + "P18", F.concat(F.lit("wd-img-s-"),
+                                       sk.cast("string")))))
+    )
+    static = spark.createDataFrame([
+        (_WDCOMP, RDFS_LABEL, "WD Companion", "en", None),
+        (_WDCOMP, RDFS_LABEL, "WD Companion de", "de", None),
+        (busi, WDT + "P279", WD + "Q43229", None, None),
+    ], _TRIPLE_SCHEMA)
+    return frame.unionByName(static)
+
+
+def _dbpedia_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock DBpedia endpoint: ``owl:sameAs`` back to the Wikidata item,
+    ``dbo:wikiPageWikiLink`` mentions typed ``dbo:Person`` with
+    lang-tagged labels and OPTIONAL thumbnails.  Includes the
+    Stefan_Zweig resource the reference tries to cut with
+    ``MINUS {FILTER(REGEX(...))}`` — a filter-only MINUS group is a
+    no-op per SPARQL semantics (it is on the live endpoint too), so the
+    row legitimately stays (`companions_and_relations.rq:110-137`)."""
+    ck = F.col("c_custkey")
+    cust = t(spark, sf_dir, "customer")
+    root = _DBR + "Companion_Zero"
+    db_person = F.concat(F.lit(_DBR + "Person_"), ck.cast("string"))
+    mentions = cust.filter(ck % 6 == 0)
+    frame = (
+        mentions.select(*_tr(root, _DBO + "wikiPageWikiLink", db_person))
+        .unionByName(mentions.select(*_tr(db_person, _RDF_TYPE,
+                                          _DBO + "Person")))
+        .unionByName(mentions.select(*_tr(
+            db_person, RDFS_LABEL, F.concat(F.lit("db-"), F.col("c_name")),
+            "en")))
+        .unionByName(mentions.select(*_tr(
+            db_person, RDFS_LABEL, F.concat(F.lit("db-de-"), F.col("c_name")),
+            "de")))
+        .unionByName(cust.filter(ck % 12 == 0).select(*_tr(
+            db_person, _DBO + "thumbnail",
+            F.concat(F.lit("db-img-"), ck.cast("string")))))
+    )
+    zweig = _DBR + "Stefan_Zweig"
+    static = spark.createDataFrame([
+        (root, _OWL_SAMEAS, _WDCOMP, None, None),
+        (root, _DBO + "wikiPageWikiLink", zweig, None, None),
+        (zweig, _RDF_TYPE, _DBO + "Person", None, None),
+        (zweig, RDFS_LABEL, "Stefan Zweig", "en", None),
+    ], _TRIPLE_SCHEMA)
+    return frame.unionByName(static)
+
+
+def sparql_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``companions_and_relations.rq`` — the reference's
+    flagship query (`data-publishing/factgrid/queries/companions_and_relations.rq:1-141`):
+    sitelink→IRI prelude, a 5-way UNION mixing local BGP branches
+    (variable predicate + ``wikibase:directClaim`` whitelist, property
+    path to organisations) with OPTIONAL-wrapped SERVICE federation to
+    Wikidata and DBpedia, per-branch ``FILTER(LANG(...))``, a no-op
+    ``MINUS {FILTER}``, and label-service fill of partially-bound
+    ``?valueLabel`` / ``?relation_stringLabel``."""
+    return compile_sparql(
+        _ref_rq("companions_and_relations.rq"),
+        _companions_kg(spark, sf_dir),
+        services={
+            "https://query.wikidata.org/sparql":
+                _wd_companions_service(spark, sf_dir),
+            "https://dbpedia.org/sparql": _dbpedia_service(spark, sf_dir),
+        },
+    )
+
+
+_COMPANIONS_SQL = f"""
+WITH b1 AS (
+  SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS value,
+         c_name AS valueLabel,
+         '{FGT}P703' AS relation,
+         'companion of' AS relation_stringLabel,
+         CASE WHEN c_custkey % 10 = 0
+              THEN 'img-c-' || CAST(c_custkey AS VARCHAR) END AS image,
+         'factgrid' AS source
+  FROM customer WHERE c_custkey % 5 = 0
+), b2 AS (
+  SELECT '{FG}Q' || CAST(600000 + s_suppkey AS VARCHAR) AS value,
+         s_name AS valueLabel,
+         '{FGT}P91' AS relation,
+         'member of' AS relation_stringLabel,
+         CASE WHEN s_suppkey % 6 = 0
+              THEN 'img-s-' || CAST(s_suppkey AS VARCHAR) END AS image,
+         'factgrid' AS source
+  FROM supplier WHERE s_suppkey % 3 = 0
+), b3 AS (
+  SELECT '{WD}Q' || CAST(930000 + c_custkey AS VARCHAR) AS value,
+         'wd-' || c_name AS valueLabel,
+         '{WDT}P26' AS relation,
+         CAST(NULL AS VARCHAR) AS relation_stringLabel,
+         CASE WHEN c_custkey % 8 = 0
+              THEN 'wd-img-' || CAST(c_custkey AS VARCHAR) END AS image,
+         'wikidata' AS source
+  FROM customer WHERE c_custkey % 4 = 0
+), b4 AS (
+  SELECT '{WD}Q' || CAST(940000 + s_suppkey AS VARCHAR) AS value,
+         'wd-' || s_name AS valueLabel,
+         '{WDT}P108' AS relation,
+         CAST(NULL AS VARCHAR) AS relation_stringLabel,
+         CASE WHEN s_suppkey % 6 = 0
+              THEN 'wd-img-s-' || CAST(s_suppkey AS VARCHAR) END AS image,
+         'wikidata' AS source
+  FROM supplier WHERE s_suppkey % 2 = 0
+), b5 AS (
+  SELECT '{_DBR}Person_' || CAST(c_custkey AS VARCHAR) AS value,
+         'db-' || c_name AS valueLabel,
+         CAST(NULL AS VARCHAR) AS relation,
+         'mentioned_in_wikipedia' AS relation_stringLabel,
+         CASE WHEN c_custkey % 12 = 0
+              THEN 'db-img-' || CAST(c_custkey AS VARCHAR) END AS image,
+         'wikipedia' AS source
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT '{_DBR}Stefan_Zweig', 'Stefan Zweig', NULL,
+         'mentioned_in_wikipedia', NULL, 'wikipedia'
+)
+SELECT DISTINCT
+       '{_COMP}' AS fg_item,
+       'Companion Zero' AS "fg_itemLabel",
+       '{_WDCOMP}' AS wd_item,
+       value,
+       valueLabel AS "valueLabel",
+       relation,
+       relation_stringLabel AS "relation_stringLabel",
+       image,
+       source
+FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL
+      SELECT * FROM b3 UNION ALL SELECT * FROM b4 UNION ALL
+      SELECT * FROM b5)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "sparql_sitelinks": QuerySpec(
         sparql_sitelinks, _SITELINKS_SQL,
@@ -169,4 +415,8 @@ SPECS: dict[str, QuerySpec] = {
         sparql_properties_mapping, _PROPERTIES_SQL,
         "verbatim get_all_properties_with_corresponding_prop.rq "
         "(property dimension + LIMIT)"),
+    "sparql_companions": QuerySpec(
+        sparql_companions, _COMPANIONS_SQL,
+        "verbatim companions_and_relations.rq (5-way UNION over local "
+        "BGPs + Wikidata/DBpedia federation, label-service fill)"),
 }
