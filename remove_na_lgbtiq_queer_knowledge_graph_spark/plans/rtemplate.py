@@ -1,0 +1,98 @@
+"""Extract SPARQL query templates from the reference's R query-builder
+functions.
+
+The reference Shiny apps build their SPARQL text at runtime by string
+concatenation (``apps/companions/queries.R:3`` ``query_companions <-
+function(fg_item) paste0('...', fg_item, '...')``;
+``apps/compare-factgrid-wikidata/queries.R:5`` ``query_items``), with
+function parameters spliced between quoted chunks.  This module reads
+those R sources and rebuilds the same template: quoted chunks become
+literal text, spliced identifiers become ``{name}`` placeholders, and
+:func:`render` substitutes parameter values exactly like R's ``paste0``
+— so the engine runs the app's *actual* query text, loaded from the
+reference file at call time, parameterized the same way the app
+parameterizes it.
+
+Only the tiny R subset those files use is understood: a ``<- function``
+assignment whose body is a single ``paste0(...)`` call over string
+literals and bare parameter names.  Anything else raises, loudly.
+"""
+
+from __future__ import annotations
+
+
+def _find_paste0(src: str, func_name: str) -> str:
+    """Return the argument text of the ``paste0(...)`` call inside
+    ``func_name <- function(...)``, parens balanced, quote-aware."""
+    at = src.find(func_name)
+    if at < 0:
+        raise ValueError(f"{func_name!r} not found in R source")
+    start = src.find("paste0(", at)
+    if start < 0:
+        raise ValueError(f"no paste0( call after {func_name!r}")
+    i = start + len("paste0(")
+    depth = 1
+    quote: str | None = None
+    out = []
+    while i < len(src):
+        ch = src[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out)
+        out.append(ch)
+        i += 1
+    raise ValueError(f"unbalanced parens in paste0 of {func_name!r}")
+
+
+def load_r_query_template(path: str, func_name: str) -> str:
+    """Rebuild the SPARQL template produced by an R ``paste0`` query
+    builder as a Python format string with ``{param}`` placeholders."""
+    with open(path) as f:
+        src = f.read()
+    args = _find_paste0(src, func_name)
+    parts: list[str] = []
+    i, n = 0, len(args)
+    while i < n:
+        ch = args[i]
+        if ch in " \t\r\n,":
+            i += 1
+            continue
+        if ch in "'\"":
+            j = i + 1
+            while j < n and args[j] != ch:
+                j += 1
+            if j >= n:
+                raise ValueError("unterminated string in paste0 args")
+            # R string chunk → literal template text ({ } escaped so the
+            # chunk survives str.format untouched)
+            parts.append(args[i + 1:j].replace("{", "{{").replace("}", "}}"))
+            i = j + 1
+            continue
+        # bare identifier → placeholder
+        j = i
+        while j < n and (args[j].isalnum() or args[j] in "._"):
+            j += 1
+        name = args[i:j]
+        if not name.isidentifier():
+            raise ValueError(f"unsupported paste0 argument at {args[i:i+30]!r}")
+        parts.append("{" + name + "}")
+        i = j
+    return "".join(parts)
+
+
+def render(template: str, **params: str) -> str:
+    """``paste0`` semantics: substitute every placeholder; a missing
+    parameter is an error (R would splice NULL and silently corrupt the
+    query — fail instead)."""
+    try:
+        return template.format(**params)
+    except KeyError as e:
+        raise ValueError(f"missing template parameter {e.args[0]!r}") from None

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .plans.r2rml import Template, TriplesMap, materialize
+from .plans.rtemplate import load_r_query_template, render
 from .plans.sparql import compile_sparql
 from .queries_sparql import (
     FG,
@@ -288,23 +289,48 @@ def _dbpedia_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op per SPARQL semantics (it is on the live endpoint too), so the
     row legitimately stays (`companions_and_relations.rq:110-137`)."""
     ck = F.col("c_custkey")
+    sk = F.col("s_suppkey")
     cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
     root = _DBR + "Companion_Zero"
     db_person = F.concat(F.lit(_DBR + "Person_"), ck.cast("string"))
+    db_org = F.concat(F.lit(_DBR + "Org_"), sk.cast("string"))
     mentions = cust.filter(ck % 6 == 0)
+    # persons referenced by either the wikiPageWikiLink mentions (%6) or
+    # the app query's ?wd_item dbo:partner relations (%9) need type and
+    # label triples
+    persons = cust.filter((ck % 6 == 0) | (ck % 9 == 0))
+    orgs = supp.filter(sk % 5 == 0)
     frame = (
         mentions.select(*_tr(root, _DBO + "wikiPageWikiLink", db_person))
-        .unionByName(mentions.select(*_tr(db_person, _RDF_TYPE,
-                                          _DBO + "Person")))
-        .unionByName(mentions.select(*_tr(
+        .unionByName(persons.select(*_tr(db_person, _RDF_TYPE,
+                                         _DBO + "Person")))
+        .unionByName(persons.select(*_tr(
             db_person, RDFS_LABEL, F.concat(F.lit("db-"), F.col("c_name")),
             "en")))
-        .unionByName(mentions.select(*_tr(
+        .unionByName(persons.select(*_tr(
             db_person, RDFS_LABEL, F.concat(F.lit("db-de-"), F.col("c_name")),
             "de")))
         .unionByName(cust.filter(ck % 12 == 0).select(*_tr(
             db_person, _DBO + "thumbnail",
             F.concat(F.lit("db-img-"), ck.cast("string")))))
+        # the app variant (apps/companions/queries.R:142-168) walks
+        # ?wd_item ?relation ?value on DBpedia too — direct relations
+        # from the Wikidata twin to typed persons and organisations
+        .unionByName(cust.filter(ck % 9 == 0).select(*_tr(
+            _WDCOMP, _DBO + "partner", db_person)))
+        .unionByName(orgs.select(*_tr(_WDCOMP, _DBO + "employer", db_org)))
+        .unionByName(orgs.select(*_tr(db_org, _RDF_TYPE,
+                                      _DBO + "Organisation")))
+        .unionByName(orgs.select(*_tr(
+            db_org, RDFS_LABEL, F.concat(F.lit("dbo-"), F.col("s_name")),
+            "en")))
+        .unionByName(orgs.select(*_tr(
+            db_org, RDFS_LABEL, F.concat(F.lit("dbo-de-"), F.col("s_name")),
+            "de")))
+        .unionByName(supp.filter(sk % 10 == 0).select(*_tr(
+            db_org, _DBO + "thumbnail",
+            F.concat(F.lit("dbo-img-"), sk.cast("string")))))
     )
     zweig = _DBR + "Stefan_Zweig"
     static = spark.createDataFrame([
@@ -402,6 +428,276 @@ FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL
 """
 
 
+# ---------------------------------------------------------------------------
+# Shiny-app query builders run verbatim from the R sources (the apps
+# assemble SPARQL text with paste0 parameter splicing — rtemplate
+# rebuilds exactly that template from the reference file at call time)
+# ---------------------------------------------------------------------------
+
+_APPS = "/root/reference/apps/"
+_WIKIBASE_PTYPE = "http://wikiba.se/ontology#propertyType"
+
+
+def _app_query(app: str, func: str, **params: str) -> str:
+    return render(load_r_query_template(_APPS + app + "/queries.R", func),
+                  **params)
+
+
+def sparql_app_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companions Shiny app's parameterized query, template
+    extracted from ``apps/companions/queries.R:3-170`` and rendered with
+    ``fg_item="Q223420"`` exactly as the app's ``paste0`` does.  Same
+    engine surface as the batch .rq plus three DBpedia branches
+    (constant-BIND ``?relation``, ``?wd_item ?relation ?value`` walks to
+    typed persons/organisations)."""
+    return compile_sparql(
+        _app_query("companions", "query_companions", fg_item="Q223420"),
+        _companions_kg(spark, sf_dir),
+        services={
+            "https://query.wikidata.org/sparql":
+                _wd_companions_service(spark, sf_dir),
+            "https://dbpedia.org/sparql": _dbpedia_service(spark, sf_dir),
+        },
+    )
+
+
+_APP_COMPANIONS_SQL = f"""
+WITH b1 AS (
+  SELECT CAST(NULL AS VARCHAR) AS db_item,
+         '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS value,
+         c_name AS valueLabel,
+         '{FGT}P703' AS relation,
+         'companion of' AS relation_stringLabel,
+         CASE WHEN c_custkey % 10 = 0
+              THEN 'img-c-' || CAST(c_custkey AS VARCHAR) END AS image,
+         'factgrid' AS source
+  FROM customer WHERE c_custkey % 5 = 0
+), b3 AS (
+  SELECT CAST(NULL AS VARCHAR) AS db_item,
+         '{WD}Q' || CAST(930000 + c_custkey AS VARCHAR) AS value,
+         'wd-' || c_name AS valueLabel,
+         '{WDT}P26' AS relation,
+         CAST(NULL AS VARCHAR) AS relation_stringLabel,
+         CASE WHEN c_custkey % 8 = 0
+              THEN 'wd-img-' || CAST(c_custkey AS VARCHAR) END AS image,
+         'wikidata' AS source
+  FROM customer WHERE c_custkey % 4 = 0
+), bwiki AS (
+  SELECT '{_DBR}Companion_Zero' AS db_item,
+         '{_DBR}Person_' || CAST(c_custkey AS VARCHAR) AS value,
+         'db-' || c_name AS valueLabel,
+         '{_DBO}wikiPageWikiLink' AS relation,
+         'mentioned_in_wikipedia' AS relation_stringLabel,
+         CASE WHEN c_custkey % 12 = 0
+              THEN 'db-img-' || CAST(c_custkey AS VARCHAR) END AS image,
+         'wikipedia' AS source
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT '{_DBR}Companion_Zero', '{_DBR}Stefan_Zweig', 'Stefan Zweig',
+         '{_DBO}wikiPageWikiLink', 'mentioned_in_wikipedia', NULL,
+         'wikipedia'
+), bdbp AS (
+  SELECT '{_DBR}Companion_Zero' AS db_item,
+         '{_DBR}Person_' || CAST(c_custkey AS VARCHAR) AS value,
+         'db-' || c_name AS valueLabel,
+         '{_DBO}partner' AS relation,
+         CAST(NULL AS VARCHAR) AS relation_stringLabel,
+         CASE WHEN c_custkey % 12 = 0
+              THEN 'db-img-' || CAST(c_custkey AS VARCHAR) END AS image,
+         'dbpedia' AS source
+  FROM customer WHERE c_custkey % 9 = 0
+), bdbo AS (
+  SELECT '{_DBR}Companion_Zero' AS db_item,
+         '{_DBR}Org_' || CAST(s_suppkey AS VARCHAR) AS value,
+         'dbo-' || s_name AS valueLabel,
+         '{_DBO}employer' AS relation,
+         CAST(NULL AS VARCHAR) AS relation_stringLabel,
+         CASE WHEN s_suppkey % 10 = 0
+              THEN 'dbo-img-' || CAST(s_suppkey AS VARCHAR) END AS image,
+         'dbpedia' AS source
+  FROM supplier WHERE s_suppkey % 5 = 0
+)
+SELECT DISTINCT
+       '{_COMP}' AS fg_item,
+       'Companion Zero' AS "fg_itemLabel",
+       '{_WDCOMP}' AS wd_item,
+       db_item,
+       value,
+       valueLabel AS "valueLabel",
+       relation,
+       relation_stringLabel AS "relation_stringLabel",
+       image,
+       source
+FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b3 UNION ALL
+      SELECT * FROM bwiki UNION ALL SELECT * FROM bdbp UNION ALL
+      SELECT * FROM bdbo)
+"""
+
+
+def _compare_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``factgrid_kg`` plus the property-dimension triples the compare
+    app reads (``wikibase:propertyType`` and the ``fgt:P343``
+    corresponding-Wikidata-property link on the property-as-item,
+    `apps/compare-factgrid-wikidata/queries.R:33-46`) and Wikidata
+    sitelinks for nation items so ``?link_value schema:about ?fg_value``
+    resolves item-valued statements."""
+    n = F.col("n_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    wiki = F.concat(F.lit("https://www.wikidata.org/wiki/Q"),
+                    (F.lit(820000) + n).cast("string"))
+    nat_sitelinks = (
+        nation.select(*_tr(wiki, _SCHEMA + "about",
+                           F.concat(F.lit(FG + "Q"),
+                                    (F.lit(225300) + n).cast("string"))))
+        .unionByName(nation.select(*_tr(wiki, _SCHEMA + "isPartOf",
+                                        "https://www.wikidata.org/")))
+        .unionByName(nation.select(*_tr(
+            wiki, _SCHEMA + "name",
+            F.concat(F.lit("Q"), (F.lit(820000) + n).cast("string")))))
+    )
+    static = spark.createDataFrame([
+        (FG + "P83", _WIKIBASE_PTYPE,
+         "http://wikiba.se/ontology#WikibaseItem", None, None),
+        (FG + "P83", FGT + "P343", "P2083", None, None),
+        (FG + "P76", _WIKIBASE_PTYPE,
+         "http://wikiba.se/ontology#ExternalId", None, None),
+        (FG + "P76", FGT + "P343", "P227", None, None),
+    ], _TRIPLE_SCHEMA)
+    return _cache(factgrid_kg(spark, sf_dir).unionByName(nat_sitelinks)
+                  .unionByName(static))
+
+
+def _wd_compare_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock Wikidata endpoint for the compare app: the corresponding
+    property's statements on the customer twins — item-valued
+    ``wdt:P2083`` nation claims that agree with FactGrid for most rows
+    and disagree for every 5th (the app's whole point is surfacing
+    ``?is_same = false``), absent for every 7th (the OPTIONAL miss);
+    literal-valued ``wdt:P227`` GND claims matching for every 4th;
+    ``wdt:P8168`` FactGrid-ID backlinks + labels on the nation twins."""
+    ck = F.col("c_custkey")
+    n = F.col("n_nationkey")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    subj = F.concat(F.lit(WD + "Q"), (F.lit(900000) + ck).cast("string"))
+    nat_twin = F.concat(F.lit(WD + "Q"), (F.lit(820000) + n).cast("string"))
+    # nation claim: same nation unless ck%5==0 (then shifted by one)
+    claimed = F.when(ck % 5 != 0, F.col("c_nationkey")) \
+               .otherwise((F.col("c_nationkey") + 1) % 25)
+    p2083 = cust.filter(ck % 7 != 0).select(*_tr(
+        subj, WDT + "P2083",
+        F.concat(F.lit(WD + "Q"), (F.lit(820000) + claimed).cast("string"))))
+    p227 = (
+        cust.filter(ck % 4 == 0).select(*_tr(
+            subj, WDT + "P227",
+            F.concat(F.lit("gnd-"), ck.cast("string"))))
+        .unionByName(cust.filter(ck % 4 == 2).select(*_tr(
+            subj, WDT + "P227",
+            F.concat(F.lit("wd-gnd-"), ck.cast("string")))))
+    )
+    nat = (
+        nation.select(*_tr(nat_twin, WDT + "P8168",
+                           F.concat(F.lit("Q"),
+                                    (F.lit(225300) + n).cast("string"))))
+        .unionByName(nation.select(*_tr(
+            nat_twin, RDFS_LABEL, F.concat(F.col("n_name"), F.lit("-wd")),
+            "en")))
+    )
+    return p2083.unionByName(p227).unionByName(nat)
+
+
+_WD_SERVICES = "https://query.wikidata.org/sparql"
+
+
+def sparql_app_compare_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compare app's ``query_items`` run verbatim from the R source
+    (`apps/compare-factgrid-wikidata/queries.R:5-73`), rendered with the
+    filter fragment the app builds (``?fg_item fgt:P131 fg:Q400012 .``)
+    and ``fg_property_id="P83"``: BIND-bound *predicate variables*
+    (``?fg_item ?fg_property ?fg_value`` with ``?fg_property`` from
+    BIND), a computed property IRI pushed INTO the federated SERVICE
+    scan, and the ``IF(...)`` same-value verdict."""
+    return compile_sparql(
+        _app_query("compare-factgrid-wikidata", "query_items",
+                   input_items_filter="?fg_item fgt:P131 fg:Q400012 .",
+                   fg_property_id="P83"),
+        _compare_kg(spark, sf_dir),
+        services={_WD_SERVICES: _wd_compare_service(spark, sf_dir)},
+    )
+
+
+_APP_COMPARE_ITEMS_SQL = f"""
+SELECT DISTINCT
+       '{FG}Q' || CAST(500000 + c.c_custkey AS VARCHAR) AS fg_item,
+       c.c_name AS "fg_itemLabel",
+       '{WD}Q' || CAST(900000 + c.c_custkey AS VARCHAR) AS wd_item,
+       '{FGT}P83' AS fg_property,
+       'P83' AS "fg_propertyLabel",
+       'http://wikiba.se/ontology#WikibaseItem' AS fg_property_type,
+       '{WDT}P2083' AS wd_property,
+       '{FG}Q' || CAST(225300 + c.c_nationkey AS VARCHAR) AS fg_value,
+       n.n_name AS "fg_valueLabel",
+       '{WD}Q' || CAST(820000 + c.c_nationkey AS VARCHAR) AS wd_value_from_fg,
+       CASE WHEN c.c_custkey % 7 <> 0
+            THEN '{WD}Q' || CAST(820000 + CASE WHEN c.c_custkey % 5 <> 0
+                 THEN c.c_nationkey ELSE (c.c_nationkey + 1) % 25 END
+                 AS VARCHAR) END AS wd_value_from_wd,
+       CASE WHEN c.c_custkey % 7 <> 0
+            THEN 'Q' || CAST(820000 + CASE WHEN c.c_custkey % 5 <> 0
+                 THEN c.c_nationkey ELSE (c.c_nationkey + 1) % 25 END
+                 AS VARCHAR) END AS "wd_value_from_wdLabel",
+       CASE WHEN c.c_custkey % 7 <> 0
+            THEN 'Q' || CAST(225300 + CASE WHEN c.c_custkey % 5 <> 0
+                 THEN c.c_nationkey ELSE (c.c_nationkey + 1) % 25 END
+                 AS VARCHAR) END AS fg_value_from_wd,
+       CASE WHEN c.c_custkey % 7 <> 0 AND c.c_custkey % 5 <> 0
+            THEN 'true' ELSE 'false' END AS is_same
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey % 2 = 0
+"""
+
+
+def sparql_app_compare_non_items(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The compare app's ``query_non_items`` run verbatim from the R
+    source (`queries.R:75-137`) with an EMPTY items filter (the app's
+    no-filter path) and ``fg_property_id="P76"``: literal-valued
+    statements compared directly against the federated claim."""
+    return compile_sparql(
+        _app_query("compare-factgrid-wikidata", "query_non_items",
+                   input_items_filter="", fg_property_id="P76"),
+        _compare_kg(spark, sf_dir),
+        services={_WD_SERVICES: _wd_compare_service(spark, sf_dir)},
+    )
+
+
+_APP_COMPARE_NON_ITEMS_SQL = f"""
+SELECT DISTINCT
+       '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS fg_item,
+       c_name AS "fg_itemLabel",
+       '{WD}Q' || CAST(900000 + c_custkey AS VARCHAR) AS wd_item,
+       '{FGT}P76' AS fg_property,
+       'P76' AS "fg_propertyLabel",
+       'http://wikiba.se/ontology#ExternalId' AS fg_property_type,
+       '{WDT}P227' AS wd_property,
+       'gnd-' || CAST(c_custkey AS VARCHAR) AS fg_value,
+       'gnd-' || CAST(c_custkey AS VARCHAR) AS "fg_valueLabel",
+       CAST(NULL AS VARCHAR) AS wd_value_from_fg,
+       CASE WHEN c_custkey % 4 = 0 THEN 'gnd-' || CAST(c_custkey AS VARCHAR)
+            WHEN c_custkey % 4 = 2
+            THEN 'wd-gnd-' || CAST(c_custkey AS VARCHAR)
+            END AS wd_value_from_wd,
+       CASE WHEN c_custkey % 4 = 0 THEN 'gnd-' || CAST(c_custkey AS VARCHAR)
+            WHEN c_custkey % 4 = 2
+            THEN 'wd-gnd-' || CAST(c_custkey AS VARCHAR)
+            END AS "wd_value_from_wdLabel",
+       CAST(NULL AS VARCHAR) AS fg_value_from_wd,
+       CASE WHEN c_custkey % 4 = 0 THEN 'true' ELSE 'false' END AS is_same
+FROM customer
+WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "sparql_sitelinks": QuerySpec(
         sparql_sitelinks, _SITELINKS_SQL,
@@ -419,4 +715,16 @@ SPECS: dict[str, QuerySpec] = {
         sparql_companions, _COMPANIONS_SQL,
         "verbatim companions_and_relations.rq (5-way UNION over local "
         "BGPs + Wikidata/DBpedia federation, label-service fill)"),
+    "sparql_app_companions": QuerySpec(
+        sparql_app_companions, _APP_COMPANIONS_SQL,
+        "companions Shiny app query via R paste0 template extraction "
+        "(parameterized BIND, constant-BIND relation, DBpedia walks)"),
+    "sparql_app_compare_items": QuerySpec(
+        sparql_app_compare_items, _APP_COMPARE_ITEMS_SQL,
+        "compare app query_items verbatim from R source (BIND-bound "
+        "predicate vars, computed property IRI inside SERVICE, IF())"),
+    "sparql_app_compare_non_items": QuerySpec(
+        sparql_app_compare_non_items, _APP_COMPARE_NON_ITEMS_SQL,
+        "compare app query_non_items verbatim from R source (literal "
+        "statement comparison, empty filter fragment path)"),
 }

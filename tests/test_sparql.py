@@ -170,3 +170,45 @@ def test_blank_node_property_list_compiles(triples):
     df = compile_sparql(_PFX + """
 SELECT * WHERE { ?s ex:knows [ rdfs:label ?l ] . }""", triples)
     assert set(df.columns) == {"s", "l"}
+
+
+def test_r_template_extraction_all_app_builders():
+    """Every paste0 query builder in the reference Shiny apps extracts
+    to a renderable template whose rendered text parses — the app's
+    actual query strings, parameterized the same way the apps do
+    (`apps/companions/queries.R:3`, `apps/compare-factgrid-wikidata/
+    queries.R:5,75,139`)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.rtemplate import (
+        load_r_query_template, render)
+
+    apps = "/root/reference/apps/"
+    cases = [
+        (apps + "companions/queries.R", "query_companions",
+         {"fg_item": "Q223420"}),
+        (apps + "compare-factgrid-wikidata/queries.R", "query_items",
+         {"input_items_filter": "?fg_item fgt:P131 fg:Q400012 .",
+          "fg_property_id": "P83"}),
+        (apps + "compare-factgrid-wikidata/queries.R", "query_non_items",
+         {"input_items_filter": "", "fg_property_id": "P76"}),
+        (apps + "compare-factgrid-wikidata/queries.R", "query_time_items",
+         {"input_items_filter": "", "fg_property_id": "P49"}),
+    ]
+    for path, func, params in cases:
+        template = load_r_query_template(path, func)
+        text = render(template, **params)
+        q = parse(text)
+        assert q.select, (path, func)
+        for name, value in params.items():
+            assert "{" + name + "}" in template
+            if value:
+                assert value in text
+
+
+def test_r_template_missing_param_raises():
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.rtemplate import (
+        load_r_query_template, render)
+
+    t = load_r_query_template(
+        "/root/reference/apps/companions/queries.R", "query_companions")
+    with pytest.raises(ValueError):
+        render(t)
