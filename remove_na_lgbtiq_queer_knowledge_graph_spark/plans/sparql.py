@@ -877,7 +877,13 @@ class _Compiler:
                  .alias("__lbl"))
         )
         out = env.join(labels, base_var, "left")
-        fallback = F.regexp_extract(F.col(base_var), r"([^/#]*)$", 1)
+        # IRI → local-name fallback (the service falls back to the QID);
+        # a literal binding (e.g. a date or external id) labels as
+        # itself — local-name extraction would truncate it at '/'
+        fallback = F.when(
+            F.col(base_var).contains("://"),
+            F.regexp_extract(F.col(base_var), r"([^/#]*)$", 1),
+        ).otherwise(F.col(base_var))
         filled = F.coalesce(F.col("__lbl"), fallback)
         if label_var in env.columns:
             # Partially-bound label var (companions_and_relations.rq:

@@ -608,6 +608,122 @@ def _wd_compare_service(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WD_SERVICES = "https://query.wikidata.org/sparql"
 
+_FGP = "https://database.factgrid.de/prop/"
+_FGPSV = "https://database.factgrid.de/prop/statement/value/"
+_WDP = "http://www.wikidata.org/prop/"
+_WDPSV = "http://www.wikidata.org/prop/statement/value/"
+_WB = "http://wikiba.se/ontology#"
+
+
+def _time_statement_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_compare_kg`` plus Wikibase-reified time statements for the
+    suppliers' ``fgt:P49`` begin dates: statement nodes under
+    ``fgp:P49`` typed BestRank, value nodes under ``fgpsv:P49`` with a
+    ``wikibase:timePrecision`` — the shape
+    ``?fg_item ?fg_property_as_p [ a wikibase:BestRank ; psv [ ... ] ]``
+    in `apps/compare-factgrid-wikidata/queries.R:181-186` walks.  A
+    parallel NormalRank statement (precision 7) per item proves the
+    BestRank filter actually cuts."""
+    sk = F.col("s_suppkey")
+    supp = t(spark, sf_dir, "supplier").filter(sk % 3 == 0)
+    item = F.concat(F.lit(FG + "Q"), (F.lit(600000) + sk).cast("string"))
+    stmt = F.concat(F.lit("https://database.factgrid.de/statement/P49-"),
+                    sk.cast("string"))
+    stmt2 = F.concat(stmt, F.lit("-normal"))
+    vn = F.concat(F.lit("https://database.factgrid.de/value/P49-"),
+                  sk.cast("string"))
+    vn2 = F.concat(vn, F.lit("-normal"))
+    reified = (
+        supp.select(*_tr(item, _FGP + "P49", stmt))
+        .unionByName(supp.select(*_tr(stmt, _RDF_TYPE, _WB + "BestRank")))
+        .unionByName(supp.select(*_tr(stmt, _FGPSV + "P49", vn)))
+        .unionByName(supp.select(*_tr(vn, _WB + "timePrecision", "11")))
+        .unionByName(supp.select(*_tr(item, _FGP + "P49", stmt2)))
+        .unionByName(supp.select(*_tr(stmt2, _RDF_TYPE, _WB + "NormalRank")))
+        .unionByName(supp.select(*_tr(stmt2, _FGPSV + "P49", vn2)))
+        .unionByName(supp.select(*_tr(vn2, _WB + "timePrecision", "7")))
+    )
+    static = spark.createDataFrame([
+        (FG + "P49", _WIKIBASE_PTYPE, _WB + "Time", None, None),
+        (FG + "P49", FGT + "P343", "P571", None, None),
+    ], _TRIPLE_SCHEMA)
+    return _cache(_compare_kg(spark, sf_dir).unionByName(reified)
+                  .unionByName(static))
+
+
+def _wd_time_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikidata side of the time comparison: ``wdt:P571`` raw values
+    (agreeing except every 5th supplier, absent every 7th) plus the
+    reified BestRank/psv/timePrecision chain (precision matches only
+    every 4th)."""
+    sk = F.col("s_suppkey")
+    supp = t(spark, sf_dir, "supplier").filter(sk % 7 != 0)
+    subj = F.concat(F.lit(WD + "Q"), (F.lit(800000) + sk).cast("string"))
+    raw = F.when(sk % 5 != 0,
+                 F.concat(F.lit("start-"), sk.cast("string"))) \
+           .otherwise(F.concat(F.lit("wd-start-"), sk.cast("string")))
+    stmt = F.concat(F.lit("http://www.wikidata.org/statement/P571-"),
+                    sk.cast("string"))
+    vn = F.concat(F.lit("http://www.wikidata.org/value/P571-"),
+                  sk.cast("string"))
+    prec = F.when(sk % 4 == 0, F.lit("11")).otherwise(F.lit("9"))
+    return (
+        supp.select(*_tr(subj, WDT + "P571", raw))
+        .unionByName(supp.select(*_tr(subj, _WDP + "P571", stmt)))
+        .unionByName(supp.select(*_tr(stmt, _RDF_TYPE, _WB + "BestRank")))
+        .unionByName(supp.select(*_tr(stmt, _WDPSV + "P571", vn)))
+        .unionByName(supp.select(*_tr(vn, _WB + "timePrecision", prec)))
+    )
+
+
+def sparql_app_compare_time_items(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The compare app's ``query_time_items`` run verbatim from the R
+    source (`apps/compare-factgrid-wikidata/queries.R:139-214`) with
+    ``fg_property_id="P49"``: nested blank-node property lists over
+    BIND-bound statement/value predicate variables on BOTH the local KG
+    and inside the federated SERVICE, raw value + time precision
+    concatenated before comparison."""
+    return compile_sparql(
+        _app_query("compare-factgrid-wikidata", "query_time_items",
+                   input_items_filter="", fg_property_id="P49"),
+        _time_statement_kg(spark, sf_dir),
+        services={_WD_SERVICES: _wd_time_service(spark, sf_dir)},
+    )
+
+
+_APP_COMPARE_TIME_SQL = f"""
+SELECT DISTINCT
+       '{FG}Q' || CAST(600000 + s_suppkey AS VARCHAR) AS fg_item,
+       s_name AS "fg_itemLabel",
+       '{WD}Q' || CAST(800000 + s_suppkey AS VARCHAR) AS wd_item,
+       '{FGT}P49' AS fg_property,
+       'P49' AS "fg_propertyLabel",
+       '{_WB}Time' AS fg_property_type,
+       '{WDT}P571' AS wd_property,
+       'start-' || CAST(s_suppkey AS VARCHAR) || '/11' AS fg_value,
+       'start-' || CAST(s_suppkey AS VARCHAR) || '/11' AS "fg_valueLabel",
+       CASE WHEN s_suppkey % 7 <> 0 AND s_suppkey % 5 <> 0
+                 AND s_suppkey % 4 = 0
+            THEN 'true' ELSE 'false' END AS is_same,
+       CAST(NULL AS VARCHAR) AS fg_value_from_wd,
+       CASE WHEN s_suppkey % 7 <> 0 THEN
+            (CASE WHEN s_suppkey % 5 <> 0
+                  THEN 'start-' || CAST(s_suppkey AS VARCHAR)
+                  ELSE 'wd-start-' || CAST(s_suppkey AS VARCHAR) END)
+            || '/' || (CASE WHEN s_suppkey % 4 = 0 THEN '11' ELSE '9' END)
+            END AS wd_value_from_wd,
+       CAST(NULL AS VARCHAR) AS wd_value_from_fg,
+       CASE WHEN s_suppkey % 7 <> 0 THEN
+            (CASE WHEN s_suppkey % 5 <> 0
+                  THEN 'start-' || CAST(s_suppkey AS VARCHAR)
+                  ELSE 'wd-start-' || CAST(s_suppkey AS VARCHAR) END)
+            || '/' || (CASE WHEN s_suppkey % 4 = 0 THEN '11' ELSE '9' END)
+            END AS "wd_value_from_wdLabel"
+FROM supplier
+WHERE s_suppkey % 6 = 0
+"""
+
 
 def sparql_app_compare_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compare app's ``query_items`` run verbatim from the R source
@@ -727,4 +843,8 @@ SPECS: dict[str, QuerySpec] = {
         sparql_app_compare_non_items, _APP_COMPARE_NON_ITEMS_SQL,
         "compare app query_non_items verbatim from R source (literal "
         "statement comparison, empty filter fragment path)"),
+    "sparql_app_compare_time_items": QuerySpec(
+        sparql_app_compare_time_items, _APP_COMPARE_TIME_SQL,
+        "compare app query_time_items verbatim from R source (nested "
+        "bnode BestRank/psv/timePrecision chains, local + federated)"),
 }
