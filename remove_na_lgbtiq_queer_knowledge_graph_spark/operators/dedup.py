@@ -249,3 +249,91 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= min_sim)
         .select("id_1", "id_2", "jaccard")
     )
+
+
+def remove_frequent_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """Boilerplate removal, CCNet-style but at word n-gram granularity:
+    drop every word covered by an ``n``-gram that occurs in at least
+    ``min_doc_freq`` distinct documents (headers, footers, license
+    blurbs — any span the corpus repeats verbatim).
+
+    Plan (all JVM codegen, no UDFs):
+
+    1. per-doc ``(start, gram)`` pairs via ``transform(sequence)`` +
+       ``slice`` — no shuffle;
+    2. doc-frequency per gram: one shuffle on ``xxhash64(gram)``,
+       map-side partial distinct;
+    3. frequent grams (df ≥ threshold) semi-join back — shuffle keyed
+       on the same gram hash, typically tiny right side (AQE broadcasts
+       it when it is);
+    4. covered word positions = explode of ``sequence(pos, pos+n-1)``,
+       anti-joined against the word stream per ``(doc, position)``;
+    5. ordered reassembly: ``array_sort(collect_list(struct(pos,word)))``
+       per doc — shuffle keyed on the doc id.
+
+    Shuffle volume is ∝ token count, the floor for any corpus-wide
+    positional operator.  The 64-bit gram hash trades a ~1e-11 collision
+    chance for not shuffling raw gram strings at 100 TB.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " "))
+                 .alias("gram_hash"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram_hash:bigint>>"))
+    grams = df.select(
+        F.col(id_col), F.explode(grams_arr).alias("g")
+    ).select(id_col, F.col("g.pos").alias("pos"),
+             F.col("g.gram_hash").alias("gram_hash"))
+    frequent = (
+        grams.groupBy("gram_hash")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .select("gram_hash")
+    )
+    covered = (
+        grams.join(frequent, "gram_hash", "left_semi")
+        .select(id_col,
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + (n - 1))).alias("wpos"))
+        .distinct()
+    )
+    words = df.select(
+        F.col(id_col), F.posexplode(toks).alias("wpos", "word"))
+    rebuilt = (
+        words.join(covered, [id_col, "wpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_words_after"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.size(toks).alias("n_words_before"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_words_before").cast("bigint").alias("n_words_before"),
+            F.coalesce(F.col("n_words_after"), F.lit(0))
+             .cast("bigint").alias("n_words_after"),
+        )
+    )

@@ -214,6 +214,62 @@ FROM customer
 """
 
 
+
+
+def dedup_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate removal: drop words covered by any 5-gram
+    occurring in >= 3 distinct documents (CCNet's repeated-paragraph
+    cut, at n-gram granularity).  Doc-frequency shuffle on the gram
+    hash, positional anti-join, ordered reassembly — shuffle volume
+    ∝ token count."""
+    from .operators.dedup import remove_frequent_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    return remove_frequent_ngrams(docs, "doc_id", "text",
+                                  n=5, min_doc_freq=3)
+
+
+_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram
+  FROM (
+    SELECT doc_id, len(w) AS nw,
+           unnest(list_transform(w, (x, i) ->
+             {'pos': i, 'gram': array_to_string(w[i:i+4], ' ')})) AS u
+    FROM toks
+  ) WHERE u.pos <= nw - 4
+), freq AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+  ) WHERE df >= 3
+), covered AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.off AS wpos
+  FROM (SELECT gr.doc_id, gr.pos FROM grams gr JOIN freq USING (gram)) g,
+       generate_series(0, 4) AS o(off)
+), words AS (
+  SELECT doc_id, u.pos AS wpos, u.word AS word
+  FROM (
+    SELECT doc_id, unnest(list_transform(w, (x, i) ->
+             {'word': x, 'pos': i})) AS u
+    FROM toks
+  )
+), kept AS (
+  SELECT w.doc_id, w.wpos, w.word FROM words w
+  ANTI JOIN covered c USING (doc_id, wpos)
+), rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+         count(*) AS n_words_after
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(t.w) AS BIGINT) AS n_words_before,
+       CAST(coalesce(r.n_words_after, 0) AS BIGINT) AS n_words_after
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "decon_ngram_overlap": QuerySpec(
         decon_ngram_overlap, _DECON_SQL,
@@ -224,6 +280,10 @@ SPECS: dict[str, QuerySpec] = {
     "mix_domains": QuerySpec(
         mix_domains, _MIX_SQL,
         "weighted domain-mix resampling with deterministic hash cut"),
+    "dedup_remove_boilerplate": QuerySpec(
+        dedup_remove_boilerplate, _BOILERPLATE_SQL,
+        "frequent-n-gram boilerplate removal (positional anti-join, "
+        "ordered reassembly)"),
     "fn_transliterate_names": QuerySpec(
         fn_transliterate_names, _TRANSLIT_SQL,
         "Latin-ASCII transliteration oracle (F2)"),

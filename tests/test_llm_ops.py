@@ -273,3 +273,39 @@ def test_multimodal_decode_injection_seam(spark):
         payloads, decode_fn=fake_decoder,
         schema="doc_id long, mime string, n long").collect()
     assert [tuple(r) for r in rows] == [(7, "image/fake", 3)]
+
+
+def test_remove_frequent_ngrams_cuts_shared_spans(spark):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        remove_frequent_ngrams)
+
+    rows = [
+        (1, "common header line one alpha unique tail for doc one"),
+        (2, "common header line one alpha second document body text here"),
+        (3, "common header line one alpha third doc remainder words go"),
+        (4, "entirely distinct content with no shared five gram span"),
+        (5, "tiny doc"),  # shorter than n — must survive untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in remove_frequent_ngrams(
+        df, "doc_id", "text", n=5, min_doc_freq=3).collect()}
+    # the shared 5-gram "common header line one alpha" (and the 5-grams
+    # it overlaps) appears in docs 1-3 → those words are removed there
+    assert got[1]["clean_text"] == "unique tail for doc one"
+    assert got[2]["clean_text"] == "second document body text here"
+    assert got[3]["clean_text"] == "third doc remainder words go"
+    assert got[4]["clean_text"] == rows[3][1]
+    assert got[5]["clean_text"] == "tiny doc"
+    assert got[5]["n_words_before"] == 2 and got[5]["n_words_after"] == 2
+    assert got[1]["n_words_before"] == 10 and got[1]["n_words_after"] == 5
+
+
+def test_remove_frequent_ngrams_plan_no_cartesian(spark):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        remove_frequent_ngrams)
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = remove_frequent_ngrams(df, "doc_id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
