@@ -138,6 +138,105 @@ WHERE l.value IS NOT NULL
 """
 
 
+
+def publish_persons_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 end-to-end: the 04-persons publishing flow as ONE Catalyst
+    plan (`04-persons.R:52-75,521-533`) — entity-type flags from an
+    aggregated semi-source (book/poster authorship), mint-or-CREATE item
+    ids from the el_matches analog (existing FactGrid QID wins, else
+    ``CREATE_<id>``), Wikidata gender enrichment coalesced in, then the
+    wide row melts into QuickStatements long format with 20-item upload
+    batches.
+
+    Scale: the flags aggregation is map-side combinable on the FK; the
+    el/wd match joins are FK equi-joins (AQE broadcasts the thin match
+    dims); the melt is a union of projections (no shuffle); batch
+    numbering reuses the two-pass dense_ids plan — no global window."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    ck = F.col("c_custkey")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+         .alias("book_author"),
+        F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+         .alias("poster_author"),
+    )
+    # el_matches analog: every even entity already has a FactGrid QID,
+    # every 3rd a Wikidata match carrying sex_or_gender
+    el = c.filter(ck % 2 == 0).select(
+        ck.alias("el_id"),
+        F.concat(F.lit("Q"), (F.lit(500000) + ck).cast("string"))
+         .alias("external_id"),
+    )
+    wd = c.filter(ck % 3 == 0).select(
+        ck.alias("wd_id"),
+        F.when(ck % 6 == 0, F.lit("Q6581097")).otherwise(F.lit("Q6581072"))
+         .alias("gender"),
+    )
+    persons = (
+        c.join(flags, ck == F.col("o_custkey"), "left")
+        .join(el, ck == F.col("el_id"), "left")
+        .join(wd, ck == F.col("wd_id"), "left")
+        .withColumn(
+            "item",
+            F.coalesce(F.col("external_id"),
+                       F.concat(F.lit("CREATE_"), ck.cast("string"))),
+        )
+    )
+    return quickstatements_long(
+        persons, "item",
+        {
+            "Lde": F.col("c_name"),
+            "P2": F.lit("Q7"),
+            "P131": F.lit("Q400012"),
+            "P17": F.concat(F.lit("Q"),
+                            (F.lit(225300) + F.col("c_nationkey"))
+                            .cast("string")),
+            "P97": F.col("gender"),
+            "P106": F.when(F.col("book_author") == 1, F.lit("Q482980"))
+                     .when(F.col("poster_author") == 1, F.lit("Q1028181")),
+        },
+    )
+
+
+_PUBLISH_PERSONS_SQL = """
+WITH flags AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS book_author,
+         max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS poster_author
+  FROM orders GROUP BY o_custkey
+), wide AS (
+  SELECT CASE WHEN c_custkey % 2 = 0
+              THEN 'Q' || CAST(500000 + c_custkey AS VARCHAR)
+              ELSE 'CREATE_' || CAST(c_custkey AS VARCHAR) END AS item,
+         c_name AS lde,
+         'Q' || CAST(225300 + c_nationkey AS VARCHAR) AS p17,
+         CASE WHEN c_custkey % 3 = 0 THEN
+              CASE WHEN c_custkey % 6 = 0 THEN 'Q6581097'
+                   ELSE 'Q6581072' END END AS p97,
+         CASE WHEN coalesce(f.book_author, 0) = 1 THEN 'Q482980'
+              WHEN coalesce(f.poster_author, 0) = 1 THEN 'Q1028181'
+              END AS p106
+  FROM customer LEFT JOIN flags f ON c_custkey = f.o_custkey
+), long AS (
+  SELECT item, 'Lde' AS property, lde AS value FROM wide
+  UNION ALL SELECT item, 'P2', 'Q7' FROM wide
+  UNION ALL SELECT item, 'P131', 'Q400012' FROM wide
+  UNION ALL SELECT item, 'P17', p17 FROM wide
+  UNION ALL SELECT item, 'P97', p97 FROM wide
+  UNION ALL SELECT item, 'P106', p106 FROM wide
+), batches AS (
+  SELECT item,
+         CAST((ROW_NUMBER() OVER (ORDER BY item) - 1) // 20 AS BIGINT)
+             AS batch
+  FROM (SELECT DISTINCT item FROM long)
+)
+SELECT l.item, l.property, l.value, b.batch
+FROM long l JOIN batches b ON l.item = b.item
+WHERE l.value IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Date parsing with precision (F6)
 # ---------------------------------------------------------------------------
@@ -480,6 +579,10 @@ SPECS: dict[str, QuerySpec] = {
     "el_best_match": QuerySpec(el_best_match, _EL_BEST_SQL),
     "el_label_cascade": QuerySpec(el_label_cascade, _EL_CASCADE_SQL),
     "publish_quickstatements": QuerySpec(publish_quickstatements, _QS_SQL),
+    "publish_persons_pipeline": QuerySpec(
+        publish_persons_pipeline, _PUBLISH_PERSONS_SQL,
+        "04-persons.R end-to-end: flags, mint-or-CREATE ids, wikidata\n"
+        "enrichment, QuickStatements long with batches"),
     "fn_date_precision": QuerySpec(fn_date_precision, _DATE_PRECISION_SQL),
     "ner_gazetteer": QuerySpec(ner_gazetteer, _NER_GAZ_SQL),
     "ner_span_extract": QuerySpec(ner_span_extract, _NER_SPAN_SQL),
