@@ -117,24 +117,26 @@ def ivf_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 3,
     n_centroids: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells,
     probe the ``n_probe`` nearest cells per query, exact top-k within
     the candidate union.
 
-    The quantizer here is deterministic (centroids = the ``n_centroids``
-    lowest-id corpus vectors) so the whole path is oracle-checkable; a
-    production deployment swaps in k-means centroids loaded as the same
-    small (cent_id, vector) DataFrame — every other step is identical.
+    ``centroids`` is any small ``(cent_id, cent_v)`` frame —
+    :func:`kmeans_centroids` fits one distributed and deterministically;
+    the default (the ``n_centroids`` lowest-id corpus vectors) keeps the
+    zero-fit path oracle-checkable.  Every other step is identical.
 
     Scale notes: centroids are broadcast, so cell assignment is one
     corpus pass with no shuffle; the probe join replaces the cross join
     with an equi-join on cell id — cost ~ n·n_probe/n_centroids
     candidates per query, the IVF recall/throughput dial.
     """
-    cents = vectors.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v")
-    )
+    cents = centroids if centroids is not None else \
+        vectors.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v")
+        )
     aw = Window.partitionBy("vec_id").orderBy(
         F.col("cell_sim").desc(), F.col("cent_id")
     )
@@ -211,4 +213,96 @@ def cosine_dup_pairs(
         joined.filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_sim)
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the real
+    quantizer behind :func:`ivf_topk` (which accepts any small
+    ``(cent_id, cent_v)`` frame).
+
+    Deterministic by construction so the whole fit is oracle-checkable:
+    init = the ``n_centroids`` lowest-id corpus vectors; assignment
+    tie-breaks on centroid id; each iteration's re-averaged centroid
+    components round to ``decimals`` places, pinning cross-engine float
+    drift before it can flip a later assignment.
+
+    Scale: per iteration one corpus pass — broadcast nested-loop against
+    the k-row centroid frame (no shuffle for assignment), then a
+    ``posexplode`` + map-side-combinable ``avg`` per (cell, dim) and a
+    k-row regroup.  The k-row centroid frame is localCheckpointed each
+    round to cut the iterative lineage.  A cell that loses all members
+    drops out (standard Lloyd's degeneracy) — k shrinks rather than
+    producing NaN centroids.
+    """
+    cents = vectors.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("long").alias("cent_id"),
+        _dvec(vec_col).alias("cent_v"),
+    )
+    corpus = vectors.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cent_id"))
+    for _ in range(iters):
+        assigned = (
+            corpus.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cv", "cent_id",
+                    cosine(F.col("cv"), F.col("cent_v")).alias("cell_sim"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cent_id", "cv")
+        )
+        cents = (
+            assigned.select("cent_id", F.posexplode("cv").alias("dim", "val"))
+            .groupBy("cent_id", "dim")
+            .agg(F.round(F.avg("val"), decimals).alias("coord"))
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "coord")))
+                 .alias("s"))
+            .select("cent_id",
+                    F.transform("s", lambda x: x["coord"]).alias("cent_v"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def kmeans_cells(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fitted centroids exploded to scalar rows (cell, dim, coord) plus
+    the final member count per cell — the oracle-comparable view of
+    :func:`kmeans_centroids`."""
+    cents = kmeans_centroids(vectors, n_centroids, iters, id_col, vec_col)
+    corpus = vectors.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cent_id"))
+    members = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id",
+                cosine(F.col("cv"), F.col("cent_v")).alias("cell_sim"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .groupBy("cent_id")
+        .agg(F.count("*").alias("n_members"))
+    )
+    return (
+        cents.select("cent_id", F.posexplode("cent_v").alias("dim", "coord"))
+        .join(members, "cent_id", "left")
+        .select(F.col("cent_id").cast("bigint").alias("cell"),
+                F.col("dim").cast("bigint").alias("dim"),
+                F.col("coord"),
+                F.coalesce(F.col("n_members"), F.lit(0))
+                 .cast("bigint").alias("n_members"))
     )

@@ -270,6 +270,82 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 """
 
+
+
+def ann_kmeans_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means fit over the embeddings corpus
+    (2 iterations, 8 init cells) — the real IVF quantizer, exploded to
+    scalar (cell, dim, coord, n_members) rows for the oracle."""
+    from .operators.ann import kmeans_cells
+
+    v = t(spark, sf_dir, "embeddings")
+    return kmeans_cells(v, n_centroids=8, iters=2)
+
+
+def _kmeans_oracle_sql(k: int, iters: int, decimals: int = 6) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (the PageRank-oracle
+    idiom): assignment = argmin over the centroid cross join with the
+    same (cos desc, cent_id) tie-break, re-average rounded to the same
+    decimals."""
+    out = [f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cent_id, cv AS cent_v
+  FROM v WHERE vec_id < {k}
+)"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        out.append(f""", a{i} AS (
+  SELECT vec_id, cent_id, cv FROM (
+    SELECT v.vec_id, c.cent_id, v.cv,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.cv, c.cent_v)
+                      / (sqrt(list_dot_product(v.cv, v.cv))
+                         * sqrt(list_dot_product(c.cent_v, c.cent_v))) DESC,
+                      c.cent_id) AS rn
+    FROM v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), c{i} AS (
+  SELECT cent_id, list(coord ORDER BY dim) AS cent_v FROM (
+    SELECT cent_id, u.pos AS dim, round(avg(u.val), {decimals}) AS coord
+    FROM (
+      SELECT cent_id,
+             unnest(list_transform(cv, (x, j) -> {{'pos': j, 'val': x}})) AS u
+      FROM a{i}
+    ) GROUP BY cent_id, u.pos
+  ) GROUP BY cent_id
+)""")
+        prev = f"c{i}"
+    out.append(f""", af AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.cv, c.cent_v)
+                      / (sqrt(list_dot_product(v.cv, v.cv))
+                         * sqrt(list_dot_product(c.cent_v, c.cent_v))) DESC,
+                      c.cent_id) AS rn
+    FROM v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), members AS (
+  SELECT cent_id, count(*) AS n_members FROM af GROUP BY cent_id
+)
+SELECT c.cent_id AS cell, CAST(u.pos - 1 AS BIGINT) AS dim,
+       u.val AS coord,
+       CAST(coalesce(m.n_members, 0) AS BIGINT) AS n_members
+FROM (
+  SELECT cent_id, unnest(list_transform(cent_v,
+         (x, j) -> {{'pos': j, 'val': x}})) AS u
+  FROM {prev}
+) c LEFT JOIN members m ON c.cent_id = m.cent_id""")
+    return "".join(out)
+
+
+_KMEANS_SQL = _kmeans_oracle_sql(8, 2)
+
 SPECS: dict[str, QuerySpec] = {
     "decon_ngram_overlap": QuerySpec(
         decon_ngram_overlap, _DECON_SQL,
@@ -284,6 +360,10 @@ SPECS: dict[str, QuerySpec] = {
         dedup_remove_boilerplate, _BOILERPLATE_SQL,
         "frequent-n-gram boilerplate removal (positional anti-join, "
         "ordered reassembly)"),
+    "ann_kmeans_cells": QuerySpec(
+        ann_kmeans_cells_q, _KMEANS_SQL,
+        "distributed deterministic Lloyd's k-means fit (unrolled-CTE "
+        "oracle), the real IVF quantizer"),
     "fn_transliterate_names": QuerySpec(
         fn_transliterate_names, _TRANSLIT_SQL,
         "Latin-ASCII transliteration oracle (F2)"),

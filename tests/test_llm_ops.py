@@ -218,11 +218,30 @@ def test_ann_variants_recall_vs_brute(spark, sf_dir):
         hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
         return hits / sum(len(v) for v in exact.values())
 
-    r_ivf, r_lsh = recall(ivf), recall(lsh)
+    kcents = ann_ops.kmeans_centroids(emb, n_centroids=16, iters=2)
+    ivf_km = topsets(ann_ops.ivf_topk(emb, queries, k=3, n_probe=4,
+                                      centroids=kcents))
+
+    r_ivf, r_lsh, r_km = recall(ivf), recall(lsh), recall(ivf_km)
     # floors chosen loosely: these are smoke floors for the plumbing,
     # not quality guarantees — the dials are n_probe / n_bits
     assert r_ivf >= 0.3, r_ivf
     assert r_lsh >= 0.05, r_lsh
+    # fitted cells should not be materially worse than the arbitrary
+    # lowest-id quantizer on the same probe budget
+    assert r_km >= r_ivf - 0.15, (r_km, r_ivf)
+
+
+def test_kmeans_centroids_deterministic_and_partitioned(spark, sf_dir):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = ann_ops.kmeans_cells(emb, n_centroids=4, iters=2).collect()
+    b = ann_ops.kmeans_cells(emb.repartition(7), n_centroids=4,
+                             iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sum(r.n_members for r in a if r.dim == 0) == emb.count()
 
 
 def test_model_ner_injection_seam(spark):
