@@ -254,6 +254,73 @@ def dense_ids(
     return parted.mapInPandas(assign, schema=out_schema)
 
 
+def grouped_running_sum(
+    df: DataFrame, group: Sequence[str], order: Sequence[str],
+    value_col: str, out: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group INCLUSIVE running sum of ``value_col`` in ``order``,
+    without the per-group window sort that funnels a huge group through
+    one task (``SUM() OVER (PARTITION BY g ORDER BY ...)`` is fine for
+    many small groups; a corpus with a handful of giant sources is the
+    opposite regime).
+
+    Same two-pass shape as :func:`dense_ids`: range partition on
+    ``(group..., order...)`` + sortWithinPartitions; per-(partition,
+    group) partial sums come back as metadata (one row per group-slice
+    per partition); cumulative offsets per group across partitions; an
+    Arrow pass adds ``offset + within-partition running total``.
+    ``group + order`` must be a total key (repo determinism rule).
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in (*group, *order)]
+    parted = (
+        df.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*group, *order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    parts = (
+        parted.groupBy("__pid", *group)
+        .agg(F.sum(value_col).alias("__psum"))
+        .collect()
+    )
+    offsets: dict[tuple, float] = {}
+    acc: dict[tuple, float] = {}
+    for r in sorted(parts, key=lambda r: r["__pid"]):
+        gkey = tuple(r[g] for g in group)
+        offsets[(r["__pid"], gkey)] = acc.get(gkey, 0)
+        acc[gkey] = acc.get(gkey, 0) + r["__psum"]
+
+    vtype = dict(df.dtypes)[value_col]
+    out_type = T.DoubleType() if vtype in ("double", "float")         else T.LongType()
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out, out_type)])
+    gcols = list(group)
+
+    def add_running(batches):
+        run: dict[tuple, float] = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            vals = []
+            for gkey, v in zip(map(tuple, pdf[gcols].itertuples(index=False)),
+                               pdf[value_col]):
+                if gkey not in run:
+                    run[gkey] = offsets.get((pid, gkey), 0)
+                run[gkey] += v
+                vals.append(run[gkey])
+            pdf = pdf.drop(columns="__pid")
+            pdf[out] = vals
+            yield pdf
+
+    return parted.mapInPandas(add_running, schema=out_schema)
+
+
 def asof_join(
     left: DataFrame, right: DataFrame, key: str, ts: str,
     value_cols: Sequence[str], tie_break: str | None = None,

@@ -346,6 +346,59 @@ FROM (
 
 _KMEANS_SQL = _kmeans_oracle_sql(8, 2)
 
+
+
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: per source, rank documents by lexical
+    diversity (distinct-word ratio) and keep the best until the
+    source's token budget is exhausted — the greedy knapsack step of
+    pretraining-mix assembly.
+
+    The running token total uses the two-pass grouped_running_sum plan
+    (range partition + per-(partition, source) offsets), NOT
+    ``SUM() OVER (PARTITION BY source ORDER BY ...)`` — a corpus with a
+    handful of giant sources would funnel each source through one
+    window task.  Budgets are a broadcastable per-source dimension."""
+    from .operators.relational import grouped_running_sum
+
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", "source",
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 6).alias("quality"),
+        F.size(w).cast("long").alias("n_tokens"),
+    ).withColumn("q_neg", -F.col("quality"))
+    ranked = grouped_running_sum(
+        base, ["source"], ["q_neg", "doc_id"], "n_tokens",
+        out="cum_tokens")
+    budget = (F.lit(1500)
+              + F.lit(500) * F.pmod(F.substring("source", 4, 10).cast("long"),
+                                    F.lit(3)))
+    return (
+        ranked.filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "source", "quality", "n_tokens",
+                F.col("cum_tokens").cast("bigint").alias("cum_tokens"))
+    )
+
+
+_BUDGET_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         round(len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS quality,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, quality, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id) AS cum_tokens
+  FROM base
+)
+SELECT doc_id, source, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked
+WHERE cum_tokens <= 1500 + 500 * (CAST(substring(source, 4, 10) AS BIGINT) % 3)
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "decon_ngram_overlap": QuerySpec(
         decon_ngram_overlap, _DECON_SQL,
@@ -364,6 +417,10 @@ SPECS: dict[str, QuerySpec] = {
         ann_kmeans_cells_q, _KMEANS_SQL,
         "distributed deterministic Lloyd's k-means fit (unrolled-CTE "
         "oracle), the real IVF quantizer"),
+    "select_token_budget": QuerySpec(
+        select_token_budget, _BUDGET_SQL,
+        "greedy per-source token-budget selection via two-pass grouped "
+        "running sum (no per-source window funnel)"),
     "fn_transliterate_names": QuerySpec(
         fn_transliterate_names, _TRANSLIT_SQL,
         "Latin-ASCII transliteration oracle (F2)"),

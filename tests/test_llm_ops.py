@@ -328,3 +328,23 @@ def test_remove_frequent_ngrams_plan_no_cartesian(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_grouped_running_sum_matches_window(spark):
+    """Two-pass per-group running sum == the window formulation,
+    regardless of input partitioning."""
+    from pyspark.sql import Window
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        grouped_running_sum)
+
+    rows = [(g, i, (i * 7 + ord(g)) % 5 + 1) for g in ("a", "b", "c")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"]).repartition(9)
+    got = {(r.g, r.i): r.run for r in grouped_running_sum(
+        df, ["g"], ["i"], "v", out="run").collect()}
+    w = Window.partitionBy("g").orderBy("i") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    import pyspark.sql.functions as F
+    want = {(r.g, r.i): r.run for r in df.withColumn(
+        "run", F.sum("v").over(w)).collect()}
+    assert got == want
