@@ -152,6 +152,33 @@ FROM events GROUP BY user_id
 """
 
 
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join — purchases attributed
+    to same-user clicks within 4 hours, REAL readStream on both
+    sides, append-mode memory sink."""
+    from .streaming.windows import (
+        interval_join_clicks_purchases, read_events_stream, run_to_memory)
+
+    clicks = read_events_stream(spark, sf_dir) \
+        .filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir) \
+        .filter(F.col("event_type") == "purchase")
+    return run_to_memory(
+        interval_join_clicks_purchases(clicks, purchases, "4 hours"),
+        "mem_stream_stream_join", "append")
+
+
+_SSJOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts, p.value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "stream_tumbling_daily": QuerySpec(stream_tumbling_daily, _TUMBLING_SQL),
     "stream_stateful_totals": QuerySpec(stream_stateful_totals, _STATEFUL_SQL),
@@ -160,4 +187,5 @@ SPECS: dict[str, QuerySpec] = {
     "stream_dedupe_keys": QuerySpec(stream_dedupe_keys, _DEDUPE_SQL),
     "stream_dedupe_watermarked": QuerySpec(stream_dedupe_watermarked, _DEDUPE_SQL),
     "stream_incremental_antijoin": QuerySpec(stream_incremental_antijoin, _INCR_SQL),
+    "stream_stream_join": QuerySpec(stream_stream_join, _SSJOIN_SQL),
 }

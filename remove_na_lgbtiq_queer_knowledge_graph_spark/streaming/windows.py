@@ -202,3 +202,35 @@ def stateful_type_extrema(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+def interval_join_clicks_purchases(
+    clicks: DataFrame, purchases: DataFrame, within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    attributes to same-user clicks at most ``within`` before it.
+
+    Both sides carry watermarks, so the join state for a user ages out
+    once the watermark passes ``click_ts + within`` — bounded state at
+    any stream length (the unbounded-state stream-stream join Spark
+    rejects in append mode).  The batch twin is the same range
+    predicate; per-key fan-out is bounded by the interval."""
+    c = clicks.select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "1 hour")
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"), F.col("value"),
+    ).withWatermark("purchase_ts", "1 hour")
+    return c.join(
+        p,
+        F.expr(
+            f"""user_id = p_user_id
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL {within}"""
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts",
+             "purchase_ts", "value")
