@@ -399,6 +399,97 @@ FROM ranked
 WHERE cum_tokens <= 1500 + 500 * (CAST(substring(source, 4, 10) AS BIGINT) % 3)
 """
 
+
+
+def fn_isbn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier hygiene for the books domain
+    (`data-linking/check-isbn-in-lobid.R:15,40-43` trusts its isbn
+    column; validate before spending lookups): normalize hyphenated
+    forms, verify both checksums, canonicalize to ISBN-13.  Fixture
+    ISBNs derive from partkeys — roughly a tenth checksum-valid by
+    construction, plus an outright-junk class."""
+    from .functions.strings import isbn_parts
+
+    p = t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    d9 = F.lpad((pk % 1000000000).cast("string"), 9, "0")
+    raw = (
+        F.when(pk % 3 == 0,
+               F.concat(F.lit("978-"), F.substring(d9, 1, 3), F.lit("-"),
+                        F.substring(d9, 4, 6), F.lit("-"),
+                        (pk % 10).cast("string")))
+        .when(pk % 3 == 1,
+              F.concat(F.substring(d9, 1, 1), F.lit("-"),
+                       F.substring(d9, 2, 8), F.lit("-"),
+                       F.when(pk % 11 == 10, F.lit("X"))
+                        .otherwise((pk % 11).cast("string"))))
+        .otherwise(F.concat(F.lit("no-isbn-"), pk.cast("string")))
+    )
+    base = p.select("p_partkey", raw.alias("raw_isbn"))
+    clean, fmt, valid, isbn13 = isbn_parts(F.col("raw_isbn"))
+    return base.select(
+        "p_partkey", "raw_isbn", clean.alias("clean"), fmt.alias("format"),
+        valid.alias("valid"), isbn13.alias("isbn13"))
+
+
+_ISBN_SQL = """
+WITH base AS (
+  SELECT p_partkey,
+         CASE
+           WHEN p_partkey % 3 = 0 THEN
+             '978-' || substring(d9, 1, 3) || '-' || substring(d9, 4, 6)
+             || '-' || CAST(p_partkey % 10 AS VARCHAR)
+           WHEN p_partkey % 3 = 1 THEN
+             substring(d9, 1, 1) || '-' || substring(d9, 2, 8) || '-'
+             || CASE WHEN p_partkey % 11 = 10 THEN 'X'
+                     ELSE CAST(p_partkey % 11 AS VARCHAR) END
+           ELSE 'no-isbn-' || CAST(p_partkey AS VARCHAR)
+         END AS raw_isbn
+  FROM (SELECT p_partkey,
+               lpad(CAST(p_partkey % 1000000000 AS VARCHAR), 9, '0') AS d9
+        FROM part)
+), cleaned AS (
+  SELECT p_partkey, raw_isbn,
+         regexp_replace(upper(raw_isbn), '[^0-9X]', '', 'g') AS clean
+  FROM base
+), scored AS (
+  SELECT *,
+         regexp_matches(clean, '^[0-9]{13}$') AS shape13,
+         regexp_matches(clean, '^[0-9]{9}[0-9X]$') AS shape10,
+         CASE WHEN regexp_matches(clean, '^[0-9]{13}$') THEN
+           list_sum(list_transform(range(1, 13), i ->
+             TRY_CAST(substring(clean, CAST(i AS INTEGER), 1) AS INT)
+             * CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END)) END AS sum13,
+         CASE WHEN regexp_matches(clean, '^[0-9]{9}[0-9X]$') THEN
+           list_sum(list_transform(range(1, 10), i ->
+             TRY_CAST(substring(clean, CAST(i AS INTEGER), 1) AS INT)
+             * (11 - i)))
+           + CASE WHEN substring(clean, 10, 1) = 'X' THEN 10
+                  ELSE TRY_CAST(substring(clean, 10, 1) AS INT) END END AS sum10
+  FROM cleaned
+), verdicts AS (
+  SELECT p_partkey, raw_isbn, clean,
+         shape13 AND ((10 - sum13 % 10) % 10)
+             = TRY_CAST(substring(clean, 13, 1) AS INT) AS valid13,
+         shape10 AND sum10 % 11 = 0 AS valid10
+  FROM scored
+)
+SELECT p_partkey, raw_isbn, clean,
+       CASE WHEN valid13 THEN 'isbn13' WHEN valid10 THEN 'isbn10'
+            ELSE 'invalid' END AS format,
+       (valid13 OR valid10) AS valid,
+       CASE WHEN valid13 THEN clean
+            WHEN valid10 THEN
+              '978' || substring(clean, 1, 9) ||
+              CAST((10 - list_sum(list_transform(range(1, 13), i ->
+                 TRY_CAST(substring('978' || substring(clean, 1, 9),
+                                CAST(i AS INTEGER), 1) AS INT)
+                 * CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END)) % 10) % 10
+                AS VARCHAR)
+            END AS isbn13
+FROM verdicts
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "decon_ngram_overlap": QuerySpec(
         decon_ngram_overlap, _DECON_SQL,
@@ -421,6 +512,10 @@ SPECS: dict[str, QuerySpec] = {
         select_token_budget, _BUDGET_SQL,
         "greedy per-source token-budget selection via two-pass grouped "
         "running sum (no per-source window funnel)"),
+    "fn_isbn_validate": QuerySpec(
+        fn_isbn_validate, _ISBN_SQL,
+        "ISBN normalize + dual checksum validation + ISBN-13 "
+        "canonicalization, pure codegen"),
     "fn_transliterate_names": QuerySpec(
         fn_transliterate_names, _TRANSLIT_SQL,
         "Latin-ASCII transliteration oracle (F2)"),

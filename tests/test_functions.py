@@ -59,3 +59,27 @@ def test_remove_lang(spark):
     df = spark.createDataFrame([('"München"@de',), ("plain",)], ["s"])
     got = [r.o for r in df.select(remove_lang(F.col("s")).alias("o")).collect()]
     assert got == ["München", "plain"]
+
+
+def test_isbn_validate_known_isbns(spark):
+    """The canonical ISBN examples: both forms of 3-16-148410-X
+    canonicalize to the same ISBN-13; a flipped check digit fails."""
+    from pyspark.sql import functions as F
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.strings import (
+        isbn_parts)
+
+    df = spark.createDataFrame(
+        [("978-3-16-148410-0",), ("3-16-148410-X",), ("0-306-40615-2",),
+         ("978-0-306-40615-7",), ("978-0-306-40615-8",), ("garbage",)],
+        ["raw"])
+    clean, fmt, valid, isbn13 = isbn_parts(F.col("raw"))
+    got = {r.raw: (r.f, r.v, r.c13) for r in df.select(
+        "raw", fmt.alias("f"), valid.alias("v"),
+        isbn13.alias("c13")).collect()}
+    assert got["978-3-16-148410-0"] == ("isbn13", True, "9783161484100")
+    assert got["3-16-148410-X"] == ("isbn10", True, "9783161484100")
+    assert got["0-306-40615-2"] == ("isbn10", True, "9780306406157")
+    assert got["978-0-306-40615-7"] == ("isbn13", True, "9780306406157")
+    assert got["978-0-306-40615-8"] == ("invalid", False, None)
+    assert got["garbage"] == ("invalid", False, None)
