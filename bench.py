@@ -38,6 +38,13 @@ HEADLINE = [
     "corpus_curation",
     "text_quality",
     "stream_tumbling_daily",
+    # round-2 additions (new keys — the original 18 stay comparable
+    # round-over-round): verbatim flagship SPARQL, corpus boilerplate
+    # cut, distributed k-means fit, end-to-end publishing
+    "sparql_companions",
+    "dedup_remove_boilerplate",
+    "ann_kmeans_cells",
+    "publish_persons_pipeline",
 ]
 
 

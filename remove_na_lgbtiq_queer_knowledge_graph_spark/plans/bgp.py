@@ -169,6 +169,31 @@ def transitive_closure(
     closure = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     closure = closure.localCheckpoint()
     n = closure.count()
+    if n <= 10_000:
+        # Ontology-sized edge sets (subclass/part-of hierarchies stay
+        # ~10³ even when the instance data is 100 TB): one driver BFS
+        # beats 3 Spark jobs per squaring round.  The distributed loop
+        # below remains the path for instance-scale edge sets.
+        adj: dict[str, set[str]] = {}
+        for r in closure.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        out: set[tuple[str, str]] = set()
+        for s in adj:
+            seen: set[str] = set()
+            stack = list(adj[s])
+            while stack:
+                d = stack.pop()
+                if d in seen:
+                    continue
+                seen.add(d)
+                stack.extend(adj.get(d, ()))
+            out.update((s, d) for d in seen)
+        if reflexive:
+            nodes = set(adj)
+            nodes.update(d for ds in adj.values() for d in ds)
+            out.update((x, x) for x in nodes)
+        return edges.sparkSession.createDataFrame(
+            sorted(out), "src string, dst string")
     for _ in range(max_iter):
         hop = (
             closure.alias("a")
