@@ -221,14 +221,35 @@ def _static_triples(spark: SparkSession) -> DataFrame:
               "lang string, dtype string")
 
 
+_KG_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def kg_memo(key: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Session-scoped memo for materialized KG fixtures: the triples a
+    SPARQL query scans are identical for every query in a session, so
+    re-running the R2RML materialize per query (the localCheckpoint is
+    per-DataFrame) is pure waste — in the oracle gate and bench that is
+    dozens of rebuilds.  Keyed by (session, sf_dir); localCheckpointed
+    frames stay valid for the session lifetime."""
+    k = (id(spark), sf_dir, key)
+    if k not in _KG_MEMO:
+        _KG_MEMO[k] = build()
+    return _KG_MEMO[k]
+
+
 def factgrid_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FactGrid-shaped KG, materialized once per query (a BGP scans
-    it once per pattern — without materialization every pattern re-runs
-    the full union of source scans)."""
-    tables = _factgrid_tables(spark, sf_dir)
-    return _cache(
-        materialize(tables, factgrid_maps()).unionByName(_static_triples(spark))
-    )
+    """The FactGrid-shaped KG, materialized once per session+sf (a BGP
+    scans it once per pattern — without materialization every pattern
+    re-runs the full union of source scans)."""
+    # coalesce before the checkpoint: the fixture KG is ~1e5 rows, and
+    # 36-join BGP plans pay per-partition task overhead on every scan of
+    # the cached frame (measured 2.6x on companions_and_relations).  At
+    # real triple volume the natural partitioning (or subject bucketing)
+    # stands — partition count should track data size.
+    return kg_memo("factgrid", spark, sf_dir, lambda: _cache(
+        materialize(_factgrid_tables(spark, sf_dir), factgrid_maps())
+        .unionByName(_static_triples(spark)).coalesce(8)
+    ))
 
 
 def wikidata_service(spark: SparkSession, sf_dir: str) -> DataFrame:

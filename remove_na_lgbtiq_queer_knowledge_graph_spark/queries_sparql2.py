@@ -27,6 +27,7 @@ from .queries_sparql import (
     WD,
     WDT,
     factgrid_kg,
+    kg_memo,
     wikidata_service,
 )
 from .spec import QuerySpec, t
@@ -226,8 +227,9 @@ def _companions_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (FG + "P91", RDFS_LABEL, "member of", "de", None),
         (FG + "P91", RDFS_LABEL, "member of", "en", None),
     ], _TRIPLE_SCHEMA)
-    return _cache(factgrid_kg(spark, sf_dir).unionByName(extra)
-                  .unionByName(static))
+    return kg_memo("companions", spark, sf_dir, lambda: _cache(
+        factgrid_kg(spark, sf_dir).unionByName(extra)
+        .unionByName(static).coalesce(8)))
 
 
 def _wd_companions_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,7 +279,10 @@ def _wd_companions_service(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_WDCOMP, RDFS_LABEL, "WD Companion de", "de", None),
         (busi, WDT + "P279", WD + "Q43229", None, None),
     ], _TRIPLE_SCHEMA)
-    return frame.unionByName(static)
+    # a SERVICE group scans this frame once per triple pattern — without
+    # materialization each scan re-runs the whole union of projections
+    return kg_memo("wd_companions_svc", spark, sf_dir,
+                   lambda: _cache(frame.unionByName(static).coalesce(4)))
 
 
 def _dbpedia_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,7 +344,8 @@ def _dbpedia_service(spark: SparkSession, sf_dir: str) -> DataFrame:
         (zweig, _RDF_TYPE, _DBO + "Person", None, None),
         (zweig, RDFS_LABEL, "Stefan Zweig", "en", None),
     ], _TRIPLE_SCHEMA)
-    return frame.unionByName(static)
+    return kg_memo("dbpedia_svc", spark, sf_dir,
+                   lambda: _cache(frame.unionByName(static).coalesce(4)))
 
 
 def sparql_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,8 +569,9 @@ def _compare_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
          "http://wikiba.se/ontology#ExternalId", None, None),
         (FG + "P76", FGT + "P343", "P227", None, None),
     ], _TRIPLE_SCHEMA)
-    return _cache(factgrid_kg(spark, sf_dir).unionByName(nat_sitelinks)
-                  .unionByName(static))
+    return kg_memo("compare", spark, sf_dir, lambda: _cache(
+        factgrid_kg(spark, sf_dir).unionByName(nat_sitelinks)
+        .unionByName(static).coalesce(8)))
 
 
 def _wd_compare_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,7 +610,8 @@ def _wd_compare_service(spark: SparkSession, sf_dir: str) -> DataFrame:
             nat_twin, RDFS_LABEL, F.concat(F.col("n_name"), F.lit("-wd")),
             "en")))
     )
-    return p2083.unionByName(p227).unionByName(nat)
+    return kg_memo("wd_compare_svc", spark, sf_dir, lambda: _cache(
+        p2083.unionByName(p227).unionByName(nat).coalesce(4)))
 
 
 _WD_SERVICES = "https://query.wikidata.org/sparql"
@@ -647,8 +655,9 @@ def _time_statement_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (FG + "P49", _WIKIBASE_PTYPE, _WB + "Time", None, None),
         (FG + "P49", FGT + "P343", "P571", None, None),
     ], _TRIPLE_SCHEMA)
-    return _cache(_compare_kg(spark, sf_dir).unionByName(reified)
-                  .unionByName(static))
+    return kg_memo("time_statements", spark, sf_dir, lambda: _cache(
+        _compare_kg(spark, sf_dir).unionByName(reified)
+        .unionByName(static).coalesce(8)))
 
 
 def _wd_time_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,13 +676,13 @@ def _wd_time_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = F.concat(F.lit("http://www.wikidata.org/value/P571-"),
                   sk.cast("string"))
     prec = F.when(sk % 4 == 0, F.lit("11")).otherwise(F.lit("9"))
-    return (
+    return kg_memo("wd_time_svc", spark, sf_dir, lambda: _cache((
         supp.select(*_tr(subj, WDT + "P571", raw))
         .unionByName(supp.select(*_tr(subj, _WDP + "P571", stmt)))
         .unionByName(supp.select(*_tr(stmt, _RDF_TYPE, _WB + "BestRank")))
         .unionByName(supp.select(*_tr(stmt, _WDPSV + "P571", vn)))
         .unionByName(supp.select(*_tr(vn, _WB + "timePrecision", prec)))
-    )
+    ).coalesce(4)))
 
 
 def sparql_app_compare_time_items(spark: SparkSession,
