@@ -151,3 +151,37 @@ def resize_stub(
 def resize_plan(payloads: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
     """mapInPandas resize stage (binary in → typed metadata + signature)."""
     return payloads.mapInPandas(resize_stub(target_w, target_h), schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id bigint, window_idx bigint, n_samples bigint, rms double"
+
+
+def audio_energy_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Windowed audio energy over the fake-PCM decode: every payload
+    byte is one unsigned 8-bit sample (the deterministic stand-in for a
+    librosa/ffmpeg decode — container ships neither), centered at 128;
+    per fixed 16-sample window emit the RMS.  1 payload row → N window
+    rows, vectorized numpy per Arrow batch — the exact shape of a real
+    segment-energy / VAD pre-filter stage over an audio lake column."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "window_idx": [],
+                                "n_samples": [], "rms": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(bytes(payload), dtype=np.uint8) \
+                  .astype(np.float64) - 128.0
+            for w in range((len(a) + 15) // 16):
+                seg = a[w * 16:(w + 1) * 16]
+                out["doc_id"].append(doc_id)
+                out["window_idx"].append(w)
+                out["n_samples"].append(len(seg))
+                out["rms"].append(round(float(np.sqrt(np.mean(seg * seg))), 6))
+        yield pd.DataFrame(out)
+
+
+def audio_energy(payloads: DataFrame, energy_fn=audio_energy_stub,
+                 schema: str = AUDIO_SCHEMA) -> DataFrame:
+    """mapInPandas windowed-energy extractor; ``energy_fn`` is the
+    real-codec injection seam (same contract as decode_metadata)."""
+    return payloads.mapInPandas(energy_fn, schema=schema)

@@ -23,6 +23,7 @@ from .operators.dedup import (
 )
 from .operators.er import connected_components
 from .operators.multimodal import (
+    audio_energy,
     decode_metadata,
     frame_sample,
     resize_plan,
@@ -726,6 +727,31 @@ FROM documents
 """
 
 
+
+
+def mm_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over the binary audio column (fake-PCM
+    decode stub; real codec drops into the energy_fn seam)."""
+    docs = t(spark, sf_dir, "documents")
+    payloads = to_binary_payload(docs, "doc_id", "text")
+    return audio_energy(payloads)
+
+
+_MM_AUDIO_SQL = """
+WITH samples AS (
+  SELECT doc_id, u.pos AS pos, u.v AS v FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(text) + 1),
+             i -> {'pos': i,
+                   'v': ascii(substring(text, CAST(i AS INTEGER), 1))})) AS u
+    FROM documents)
+)
+SELECT doc_id, CAST((pos - 1) // 16 AS BIGINT) AS window_idx,
+       count(*) AS n_samples,
+       round(sqrt(avg(power(v - 128, 2))), 6) AS rms
+FROM samples GROUP BY doc_id, (pos - 1) // 16
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact_groups": QuerySpec(dedup_exact_groups_q, _EXACT_SQL),
     "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first_q, _KEEPFIRST_SQL),
@@ -752,4 +778,5 @@ SPECS: dict[str, QuerySpec] = {
     "mm_decode_metadata": QuerySpec(mm_decode_metadata_q, _MM_SQL),
     "mm_frame_sample": QuerySpec(mm_frame_sample_q, _MM_FRAMES_SQL),
     "mm_resize_plan": QuerySpec(mm_resize_plan_q, _MM_RESIZE_SQL),
+    "mm_audio_energy": QuerySpec(mm_audio_energy_q, _MM_AUDIO_SQL),
 }
