@@ -490,6 +490,39 @@ SELECT p_partkey, raw_isbn, clean,
 FROM verdicts
 """
 
+
+
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles (p50/p90/p99) + mean — the
+    corpus length profile every mix/filter decision starts from.  Exact
+    interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``), map-side-combinable aggregation per source; for
+    approximate-at-scale swap ``percentile_approx`` (same plan shape,
+    sketch-mergeable)."""
+    docs = t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("double")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile(n, 0.5), 6).alias("p50"),
+            F.round(F.percentile(n, 0.9), 6).alias("p90"),
+            F.round(F.percentile(n, 0.99), 6).alias("p99"),
+            F.round(F.avg(n), 6).alias("mean_len"),
+        )
+    )
+
+
+_QUANTILES_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99), 6) AS p99,
+       round(avg(len(string_split(text, ' '))), 6) AS mean_len
+FROM documents GROUP BY source
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "decon_ngram_overlap": QuerySpec(
         decon_ngram_overlap, _DECON_SQL,
@@ -516,6 +549,9 @@ SPECS: dict[str, QuerySpec] = {
         fn_isbn_validate, _ISBN_SQL,
         "ISBN normalize + dual checksum validation + ISBN-13 "
         "canonicalization, pure codegen"),
+    "corpus_length_quantiles": QuerySpec(
+        corpus_length_quantiles, _QUANTILES_SQL,
+        "per-source exact length quantiles (percentile == quantile_cont)"),
     "fn_transliterate_names": QuerySpec(
         fn_transliterate_names, _TRANSLIT_SQL,
         "Latin-ASCII transliteration oracle (F2)"),
