@@ -212,3 +212,17 @@ def test_r_template_missing_param_raises():
         "/root/reference/apps/companions/queries.R", "query_companions")
     with pytest.raises(ValueError):
         render(t)
+
+
+def test_companions_union_distribution_plan(spark):
+    """Plan lock for the per-branch UNION join distribution: the
+    companions flagship must stay free of single-partition exchanges,
+    and its only cartesians are the 1-row constant-BIND seeds Catalyst
+    leaves after folding the root equi-join into pushed point filters."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_sparql2 import (
+        sparql_companions)
+
+    plan = sparql_companions(spark, "/root/testdata/sf0.001")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("CartesianProduct") <= 3
