@@ -58,11 +58,17 @@ def main() -> None:
 
     specs = all_specs()
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # One broken query must not void the whole round's bench — record
+        # the failure and keep timing the rest.
+        try:
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Concrete local baseline: the same queries' oracle SQL on DuckDB
     # over the same parquet (single-node engine as the reference would
@@ -78,11 +84,14 @@ def main() -> None:
             con.sql(f"CREATE VIEW {tbl} AS "
                     f"SELECT * FROM '{sf_dir}/{tbl}.parquet'")
         for name in HEADLINE:
-            if specs[name].oracle is None:
+            if specs[name].oracle is None or name in errors:
                 continue
             t0 = time.perf_counter()
-            con.sql(specs[name].oracle).fetchall()
-            duck_times[name] = round(time.perf_counter() - t0, 3)
+            try:
+                con.sql(specs[name].oracle).fetchall()
+                duck_times[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                continue
     except Exception:
         duck_times = {}
 
@@ -99,12 +108,15 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     if duck_times:
-        spark_sub = sum(times[n] for n in duck_times)
+        spark_sub = sum(times[n] for n in duck_times if n in times)
         duck_total = sum(duck_times.values())
         out["duckdb_queries"] = duck_times
         out["duckdb_total"] = round(duck_total, 3)
-        out["spark_vs_duckdb_ratio"] = round(spark_sub / duck_total, 3)
+        if duck_total > 0:
+            out["spark_vs_duckdb_ratio"] = round(spark_sub / duck_total, 3)
     print(json.dumps(out))
 
 

@@ -214,6 +214,101 @@ def candidate_pairs_lsh(
     )
 
 
+def candidate_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    min_sim: float = 0.5,
+    num_hashes: int = 12,
+    band_size: int = 3,
+) -> DataFrame:
+    """Engine-portable MinHash-LSH jaccard pairs — the oracle-checkable
+    twin of :func:`candidate_pairs_lsh` (same ``approxSimilarityJoin``
+    shape: candidate generation by banded signature collision, exact
+    refine on candidates only).
+
+    Deterministic by construction: signatures are ``min(md5(seed|gram))``
+    (identical in any engine — min over hex strings is min over the
+    uniform hash order), banding is a (band, bucket) equi-join, and the
+    reported ``value`` is the *exact* jaccard of the candidate pair, so
+    a plain-SQL oracle reproduces it bit-for-bit.  Cost follows the
+    banding collisions, not n²; the refine join touches candidate grams
+    only.  Reference semantics: ``calc_similarity(..., min_sim)``
+    `entity-resolution/entities/01-within-entities.R:48-49`.
+    """
+    from ..spec import materialize
+
+    gset = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        ).distinct()
+    )
+    sig = minhash_signature_grams(gset, num_hashes)
+    cand = band_candidates(sig, num_hashes, band_size)
+
+    cards = gset.groupBy("id").agg(F.count("*").alias("card"))
+    g1 = gset.select(F.col("id").alias("id_1"), "gram")
+    g2 = gset.select(F.col("id").alias("id_2"), "gram")
+    inter = (
+        cand.join(g1, "id_1").join(g2, ["id_2", "gram"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("inter"))
+    )
+    c1 = cards.select(F.col("id").alias("id_1"), F.col("card").alias("card_1"))
+    c2 = cards.select(F.col("id").alias("id_2"), F.col("card").alias("card_2"))
+    value = F.round(
+        F.col("inter") / (F.col("card_1") + F.col("card_2") - F.col("inter")), 6
+    )
+    return (
+        inter.join(c1, "id_1").join(c2, "id_2")
+        .withColumn("value", value)
+        .filter(F.col("value") >= min_sim)
+        .select("id_1", "id_2", "value")
+    )
+
+
+def minhash_signature_grams(gset: DataFrame, num_hashes: int) -> DataFrame:
+    """k md5-minhash signature columns over a distinct (id, gram) set —
+    the char-gram counterpart of dedup.minhash_signature."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("gram")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return gset.groupBy("id").agg(*aggs)
+
+
+def band_candidates(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(id_1, id_2) candidates whose signatures collide in ≥1 band —
+    one exploded array projection, equi-join on (band, bucket)."""
+    from ..spec import materialize
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[
+                F.col(f"h{b * band_size + i}") for i in range(band_size)
+            ]).alias("bucket"),
+        )
+        for b in range(num_hashes // band_size)
+    ])
+    bands = materialize(
+        sig.select("id", F.explode(band_structs).alias("bb")).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+    )
+    a = bands.select(F.col("id").alias("id_1"), "band", "bucket")
+    b2 = bands.select(F.col("id").alias("id_2"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
 def string_distance_join(
     left: DataFrame, right: DataFrame, left_col: str, right_col: str,
     *, max_dist: int = 2, block_cols: list[tuple[str, str]] | None = None,

@@ -160,14 +160,23 @@ class GroupPat:
     items: list = field(default_factory=list)
 
 
+@dataclass(frozen=True)
+class SelectExpr:
+    """A computed SELECT item ``(EXPR AS ?var)`` — aggregate
+    (``(COUNT(DISTINCT ?item) AS ?count)``, G12) or plain expression."""
+    expr: tuple
+    var: str
+
+
 @dataclass
 class Query:
-    select: list[str]
+    select: list  # str | SelectExpr
     distinct: bool
     where: GroupPat
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
     label_langs: list[str] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -188,10 +197,18 @@ class _Parser:
         "bd": "http://www.bigdata.com/rdf#",
     }
 
-    def __init__(self, toks: list[Tok]):
+    def __init__(self, toks: list[Tok],
+                 extra_prefixes: dict[str, str] | None = None):
         self.toks = toks
         self.i = 0
+        # extra_prefixes model endpoint-injected defaults (a Wikibase
+        # endpoint resolves undeclared wd:/wdt: to its OWN namespaces —
+        # the reference's year-histogram query leans on that,
+        # `analysis/plot-full-network.qmd:171-177`).  Explicit PREFIX
+        # declarations in the query text still override.
         self.prefixes: dict[str, str] = dict(self._BUILTIN_PREFIXES)
+        if extra_prefixes:
+            self.prefixes.update(extra_prefixes)
         self._bnode_n = 0
 
     def peek(self, ahead: int = 0) -> Tok | None:
@@ -479,7 +496,7 @@ class _Parser:
             break
         self.expect("word", "SELECT")
         distinct = bool(self.accept("word", "DISTINCT"))
-        select: list[str] = []
+        select: list = []
         while True:
             t = self.peek()
             if t.kind == "var":
@@ -487,14 +504,29 @@ class _Parser:
             elif t.kind == "op" and t.text == "*":
                 self.next()
                 select = ["*"]
+            elif t.kind == "op" and t.text == "(":
+                # (EXPR AS ?var) — aggregate or computed projection
+                self.next()
+                e = self._parse_agg_or_expr()
+                self.expect("word", "AS")
+                v = self.expect("var").text[1:]
+                self.expect("op", ")")
+                select.append(SelectExpr(e, v))
             else:
                 break
         self.expect("word", "WHERE")
         where = self.parse_group()
         order_by: list[tuple[str, bool]] = []
+        group_by: list[str] = []
         limit = None
         while self.peek() is not None:
             t = self.peek()
+            if t.kind == "word" and t.text.upper() == "GROUP":
+                self.next()
+                self.expect("word", "BY")
+                while self.peek() and self.peek().kind == "var":
+                    group_by.append(self.next().text[1:])
+                continue
             if t.kind == "word" and t.text.upper() == "ORDER":
                 self.next()
                 self.expect("word", "BY")
@@ -522,12 +554,34 @@ class _Parser:
                 limit = int(self.expect("num").text)
                 continue
             raise SyntaxError(f"unexpected trailing token {t}")
-        return Query(select, distinct, where, order_by, limit)
+        return Query(select, distinct, where, order_by, limit,
+                     group_by=group_by)
+
+    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+
+    def _parse_agg_or_expr(self) -> tuple:
+        """Aggregate call ``COUNT([DISTINCT] ?v | *)`` etc., or a plain
+        expression (``(STR(?x) AS ?y)``).  Aggregates nested inside
+        arithmetic are outside the reference subset."""
+        t = self.peek()
+        if (t and t.kind == "word" and t.text.upper() in self._AGG_FUNCS
+                and self.peek(1) and self.peek(1).text == "("):
+            name = self.next().text.upper()
+            self.next()  # (
+            distinct = bool(self.accept("word", "DISTINCT"))
+            if self.accept("op", "*"):
+                arg = None
+            else:
+                arg = self.parse_expr()
+            self.expect("op", ")")
+            return ("agg", name, distinct, arg)
+        return self.parse_expr()
 
 
-def parse(text: str) -> Query:
-    """Parse SPARQL text into the engine's AST."""
-    return _Parser(_tokenize(text)).parse_query()
+def parse(text: str, prefixes: dict[str, str] | None = None) -> Query:
+    """Parse SPARQL text into the engine's AST.  ``prefixes`` seeds
+    endpoint-default prefix expansions (overridable by PREFIX decls)."""
+    return _Parser(_tokenize(text), prefixes).parse_query()
 
 
 # ---------------------------------------------------------------------------
@@ -689,7 +743,9 @@ class _Compiler:
                     return F.coalesce(F.col(col), F.lit(""))
                 return F.lit("")
             if name == "STR":
-                return self._expr(args[0], env)
+                # xsd casts to string — numeric BIND results (YEAR)
+                # become plain literals, string inputs pass through
+                return self._expr(args[0], env).cast("string")
             if name == "IRI":
                 return self._expr(args[0], env)
             if name == "CONCAT":
@@ -703,12 +759,44 @@ class _Compiler:
                 return self._expr(args[0], env).rlike(pat)
             if name == "BOUND":
                 return self._expr(args[0], env).isNotNull()
+            if name in ("YEAR", "MONTH", "DAY"):
+                # xsd:dateTime accessors.  Objects are stored as RDF
+                # lexical forms (strings); the ISO date prefix is
+                # authoritative for all three accessors.
+                d = F.to_date(F.substring(
+                    self._expr(args[0], env).cast("string"), 1, 10))
+                return {"YEAR": F.year, "MONTH": F.month,
+                        "DAY": F.dayofmonth}[name](d)
             if name == "IF":
                 return F.when(self._expr(args[0], env),
                               self._expr(args[1], env)) \
                         .otherwise(self._expr(args[2], env))
             raise NotImplementedError(f"SPARQL function {name}")
         raise NotImplementedError(f"expression node {kind}")
+
+    # -- aggregates ----------------------------------------------------------
+
+    def _agg(self, node: tuple, env: DataFrame) -> Column:
+        """Compile an ("agg", name, distinct, arg) node (G12).  COUNT
+        returns BIGINT on every engine; partial (map-side) aggregation
+        is free — Catalyst plans HashAggregate(partial) → shuffle on the
+        group keys → HashAggregate(final), which is the plan you want
+        for a year histogram over any corpus size."""
+        name, distinct, arg = node[1], node[2], node[3]
+        if name == "COUNT":
+            if arg is None:
+                return F.count(F.lit(1)).cast("long")
+            col = self._expr(arg, env)
+            return (F.countDistinct(col) if distinct
+                    else F.count(col)).cast("long")
+        col = self._expr(arg, env)
+        if distinct:
+            if name == "SUM":
+                return F.sum_distinct(col)
+            if name not in ("MIN", "MAX"):  # DISTINCT is a no-op on min/max
+                raise NotImplementedError(f"{name}(DISTINCT ...)")
+        return {"SUM": F.sum, "MIN": F.min, "MAX": F.max,
+                "AVG": F.avg}[name](col)
 
     # -- group compilation ---------------------------------------------------
 
@@ -900,21 +988,35 @@ def compile_sparql(
     triples: DataFrame,
     services: dict[str, DataFrame] | None = None,
     auto_language: str = "en",
+    prefixes: dict[str, str] | None = None,
 ) -> DataFrame:
     """Parse SPARQL text and compile it to a DataFrame plan over
     ``triples`` (columns subject/predicate/object[/lang/dtype]).
 
     ``services`` maps SERVICE endpoint IRIs to triples DataFrames (G10:
     federation as pluggable sources); ``auto_language`` substitutes
-    ``[AUTO_LANGUAGE]`` in the Wikibase label service.
+    ``[AUTO_LANGUAGE]`` in the Wikibase label service; ``prefixes``
+    seeds endpoint-default prefix expansions (a Wikibase endpoint
+    resolves undeclared wd:/wdt: to its own namespaces — explicit
+    PREFIX declarations override).
     """
-    q = parse(text)
+    q = parse(text, prefixes)
     c = _Compiler(triples, services, auto_language)
     env = c._compile_group(q.where)
     if env is None:
         raise ValueError("query has no bindings")
 
-    select = q.select
+    # computed projections and aggregates (G12) ----------------------------
+    agg_items = [s for s in q.select
+                 if isinstance(s, SelectExpr) and s.expr[0] == "agg"]
+    for s in q.select:
+        if isinstance(s, SelectExpr) and s.expr[0] != "agg":
+            env = env.withColumn(s.var, c._expr(s.expr, env))
+    if agg_items or q.group_by:
+        aggcols = [c._agg(s.expr, env).alias(s.var) for s in agg_items]
+        keys = [k for k in q.group_by if k in env.columns]
+        env = env.groupBy(*keys).agg(*aggcols) if keys else env.agg(*aggcols)
+    select = [s.var if isinstance(s, SelectExpr) else s for s in q.select]
     if select == ["*"]:
         select = [col for col in env.columns
                   if not col.startswith(("__lang__", "__bnode"))]

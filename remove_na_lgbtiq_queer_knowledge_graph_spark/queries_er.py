@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 
 from .operators.er import connected_components, resolve_entities
 from .operators.relational import dense_ids
-from .operators.similarity import candidate_pairs, candidate_pairs_lsh, string_distance_join
+from .operators.similarity import (
+    candidate_pairs,
+    candidate_pairs_minhash,
+    string_distance_join,
+)
 from .functions.strings import strip_markers
 from .spec import QuerySpec, t
 from .spec import materialize as _cache
@@ -335,11 +339,56 @@ FROM part GROUP BY 1
 
 
 def er_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 at-scale path: MinHash LSH approximate jaccard pairs on part
-    names.  Hash-based → no SQL oracle (driver rows-only check); parity
-    with the exact jaccard path is asserted in tests."""
+    """J9 at-scale path: MinHash-LSH approximate jaccard pairs on part
+    names — engine-portable md5-minhash banding (12 hashes, 4 bands of
+    3) with exact-jaccard refine on candidates, so the whole pipeline is
+    oracle-checkable value-for-value.  The ``ml.feature.MinHashLSH``
+    variant (`candidate_pairs_lsh`) keeps the same API and is
+    recall-tested against the exact path in tests."""
     p = t(spark, sf_dir, "part")
-    return candidate_pairs_lsh(p, "p_partkey", "p_name", min_sim=0.5)
+    return candidate_pairs_minhash(
+        p, "p_partkey", "p_name", min_sim=0.5, num_hashes=12, band_size=3
+    )
+
+
+_LSH_K, _LSH_R = 12, 3
+_LSH_MINS = ",\n       ".join(
+    f"min(md5('{s}|' || gram)) AS h{s}" for s in range(_LSH_K)
+)
+_LSH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT id, {b} AS band, h{_LSH_R*b} || h{_LSH_R*b+1} || h{_LSH_R*b+2} AS bucket FROM sig"
+    for b in range(_LSH_K // _LSH_R)
+)
+_LSH_SQL = f"""
+WITH nms AS (
+  SELECT p_partkey AS id,
+         regexp_replace(lower(p_name), '[^a-z]', '', 'g') AS s
+  FROM part
+),
+gset AS MATERIALIZED (
+  SELECT DISTINCT id, substring(s, CAST(i AS INTEGER), 2) AS gram
+  FROM nms, unnest(range(1, length(s))) AS t(i)
+  WHERE length(s) >= 2
+),
+sig AS MATERIALIZED (SELECT id, {_LSH_MINS} FROM gset GROUP BY id),
+bands AS MATERIALIZED ({_LSH_BANDS}),
+cand AS (
+  SELECT DISTINCT a.id AS id_1, b.id AS id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+cards AS (SELECT id, count(*) AS card FROM gset GROUP BY id),
+inter AS (
+  SELECT c.id_1, c.id_2, count(*) AS i
+  FROM cand c
+  JOIN gset g1 ON c.id_1 = g1.id
+  JOIN gset g2 ON c.id_2 = g2.id AND g1.gram = g2.gram
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, round(i / (c1.card + c2.card - i), 6) AS value
+FROM inter JOIN cards c1 ON id_1 = c1.id JOIN cards c2 ON id_2 = c2.id
+WHERE round(i / (c1.card + c2.card - i), 6) >= 0.5
+"""
 
 
 def er_string_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +432,6 @@ SPECS: dict[str, QuerySpec] = {
     "er_clean_entities": QuerySpec(er_clean_entities, _CLEAN_SQL),
     "er_update_ids": QuerySpec(er_update_ids, _UPDATE_SQL),
     "er_string_distance_join": QuerySpec(er_string_distance_join, _SDJ_SQL),
-    "er_lsh_pairs": QuerySpec(er_lsh_pairs, None),
+    "er_lsh_pairs": QuerySpec(er_lsh_pairs, _LSH_SQL),
     "fn_strip_markers": QuerySpec(fn_strip_markers, _STRIP_SQL),
 }

@@ -437,19 +437,45 @@ def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations — the 100 TB form of distinct-count/quantile:
     HLL ``approx_count_distinct`` (mergeable registers, one pass, O(kB)
     state vs a full shuffle of distinct keys) and ``percentile_approx``.
-    Sketches are engine-specific, so this is a rows-only driver check;
-    tests/test_llm_ops.py bounds the HLL error against the exact count
-    (relative error ≈ 2.3% at the 16k default register budget).
+
+    Raw sketch values are engine-specific, so they can't hash-match a
+    DuckDB oracle; instead the *error contract* is made oracle-checkable:
+    the query runs both sketch and exact aggregates in one pass and emits
+    exact values plus booleans asserting the sketch landed within 10% of
+    the exact answer (HLL default rsd 5%, KLL default accuracy 1e-4·n —
+    both comfortably inside).  The oracle states the same exact values
+    and literal TRUE, so a sketch regression breaks the hash.  The raw
+    sketch numbers stay covered by tests/test_llm_ops.py's error-bound
+    test.
     """
     e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", 0.5).alias("approx_median_value"),
-            F.count("*").alias("n"),
-        )
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("hll_users"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.expr("percentile(value, 0.5)").alias("exact_median"),
+        F.count("*").alias("n"),
     )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.1 * F.abs(F.col(exact))
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n",
+        within("hll_users", "n_users").alias("hll_within_10pct"),
+        within("approx_median", "exact_median").alias("median_within_10pct"),
+    )
+
+
+_SKETCH_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n,
+       true AS hll_within_10pct,
+       true AS median_within_10pct
+FROM events GROUP BY 1
+"""
 
 
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,7 +616,7 @@ SPECS: dict[str, QuerySpec] = {
     "ner_model_stub": QuerySpec(ner_model_stub_q, _NER_MODEL_SQL),
     "graph_reified_best_rank": QuerySpec(graph_reified_best_rank, _REIFIED_SQL),
     "stats_summary": QuerySpec(stats_summary, _SUMMARY_SQL),
-    "agg_sketch_distinct": QuerySpec(agg_sketch_distinct, None),
+    "agg_sketch_distinct": QuerySpec(agg_sketch_distinct, _SKETCH_SQL),
     "qa_unique_violations": QuerySpec(qa_unique_violations, _QA_UNIQUE_SQL),
     "qa_mapping_totality": QuerySpec(qa_mapping_totality, _QA_TOTALITY_SQL),
     "qa_fk_constraints": QuerySpec(qa_fk_constraints, _QA_FK_SQL),

@@ -435,6 +435,72 @@ FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL
 
 
 # ---------------------------------------------------------------------------
+# plot-full-network.qmd year histogram — SPARQL-text aggregation (G12)
+# ---------------------------------------------------------------------------
+
+def _qmd_year_query() -> str:
+    """Extract the events-per-year query verbatim from the reference's
+    analysis notebook (`analysis/plot-full-network.qmd:171-177`) — the
+    engine runs the exact bytes the reference ships.  The query uses
+    undeclared ``wd:``/``wdt:`` prefixes: on the FactGrid endpoint those
+    default to FactGrid's own namespaces, which the compiler models via
+    endpoint-default ``prefixes``."""
+    import re
+
+    with open("/root/reference/analysis/plot-full-network.qmd") as f:
+        text = f.read()
+    m = re.search(r'query <- "(SELECT \?year.*?GROUP BY \?year)"', text,
+                  re.DOTALL)
+    return m.group(1)
+
+
+def _year_events_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event items for the year-histogram query: one item per order with
+    a ``wdt:P106`` date (the order date's lexical form), ``wdt:P97``
+    membership for 2 of 3 items (the required pattern cuts), and a type
+    reaching fg:Q9 either directly (even keys, the zero-length closure)
+    or through a Q401 ⊑ Q9 subclass hop (odd keys) — both lengths of
+    ``(wdt:P2/wdt:P3*)`` exercised."""
+    ok = F.col("o_orderkey")
+    orders = t(spark, sf_dir, "orders")
+    item = F.concat(F.lit(FG + "Q"), (F.lit(1000000) + ok).cast("string"))
+    typ = F.when(ok % 2 == 0, F.lit(FG + "Q9")).otherwise(F.lit(FG + "Q401"))
+    frame = (
+        orders.select(*_tr(item, FGT + "P2", typ))
+        .unionByName(orders.filter(ok % 3 != 0).select(
+            *_tr(item, FGT + "P97", FG + "Q400013")))
+        .unionByName(orders.select(*_tr(
+            item, FGT + "P106", F.col("o_orderdate").cast("string"))))
+    )
+    static = spark.createDataFrame(
+        [(FG + "Q401", FGT + "P3", FG + "Q9", None, None)], _TRIPLE_SCHEMA)
+    return kg_memo("year_events", spark, sf_dir,
+                   lambda: _cache(frame.unionByName(static).coalesce(8)))
+
+
+def sparql_year_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim events-per-year query from the reference's analysis
+    notebook: ``SELECT ?year (COUNT(DISTINCT ?item) AS ?count) ...
+    GROUP BY ?year`` with a closure path, a ``BIND(STR(YEAR(?date)))``
+    year projection, and SPARQL-text aggregation (G12) — compiled to a
+    partial-aggregated groupBy, the shuffle ∝ distinct years."""
+    return compile_sparql(
+        _qmd_year_query(),
+        _year_events_kg(spark, sf_dir),
+        prefixes={"wd": FG, "wdt": FGT},
+    )
+
+
+_YEAR_HISTOGRAM_SQL = """
+SELECT CAST(year(o_orderdate) AS VARCHAR) AS "year",
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS "count"
+FROM orders
+WHERE o_orderkey % 3 <> 0
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Shiny-app query builders run verbatim from the R sources (the apps
 # assemble SPARQL text with paste0 parameter splicing — rtemplate
 # rebuilds exactly that template from the reference file at call time)
@@ -856,4 +922,9 @@ SPECS: dict[str, QuerySpec] = {
         sparql_app_compare_time_items, _APP_COMPARE_TIME_SQL,
         "compare app query_time_items verbatim from R source (nested "
         "bnode BestRank/psv/timePrecision chains, local + federated)"),
+    "sparql_year_histogram": QuerySpec(
+        sparql_year_histogram, _YEAR_HISTOGRAM_SQL,
+        "verbatim plot-full-network.qmd events-per-year query — "
+        "SPARQL-text GROUP BY / COUNT(DISTINCT) (G12) with closure "
+        "path and YEAR() BIND"),
 }

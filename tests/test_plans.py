@@ -25,10 +25,21 @@ def test_pricing_scan_pushdown_and_pruning(spark, sf_dir):
     assert "partial_sum" in plan                       # map-side combine
 
 
-def test_time_range_pushdown_on_raw_nanos(spark, sf_dir):
+def test_time_range_pushdown_on_ts(spark, sf_dir):
+    """The time-range predicate must reach the parquet scan whatever the
+    physical ``ts`` type the driver's testdata ships: raw int64-nanos
+    (filtered as long literals) or timestamp[us]/NTZ (filtered with NTZ
+    literals *before* the tz cast).  Either way ``PushedFilters`` shows
+    the bounds on the scanned ``ts`` column, so row-group stats prune."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     plan = _plan(spark, "filter_time_range", sf_dir)
-    assert "GreaterThanOrEqual(ts,1704153600000000000)" in plan
-    assert "LessThan(ts,1704240000000000000)" in plan
+    if dict(raw.dtypes).get("ts") == "bigint":
+        assert "GreaterThanOrEqual(ts,1704153600000000000)" in plan
+        assert "LessThan(ts,1704240000000000000)" in plan
+    else:
+        assert "GreaterThanOrEqual(ts,2024-01-02T00:00" in plan
+        assert "LessThan(ts,2024-01-03T00:00" in plan
 
 
 def test_flagship_broadcasts_dims_and_pushes_topk(spark, sf_dir):

@@ -49,12 +49,37 @@ def test_horizontal_concat_rowid(spark):
     assert got == {("x", 10), ("y", 20)}
 
 
-def test_events_loader_nanos(spark, sf_dir):
-    """The nanos-timestamp events table loads with a usable timestamp."""
+def test_events_loader_normalizes_ts(spark, sf_dir):
+    """Whatever physical form the driver ships (int64-nanos or
+    timestamp[us]/NTZ), the events loader lands on TIMESTAMP with the
+    expected values under the UTC-pinned session."""
     e = load_table(spark, sf_dir, "events")
     assert dict(e.dtypes)["ts"] == "timestamp"
     first = e.orderBy("event_id").first()
     assert first.ts.year == 2024
+
+
+def test_events_loader_nanos_branch(spark, tmp_path):
+    """The int64-nanos branch stays live even when the driver's testdata
+    is timestamp[us]: a locally-written TIMESTAMP(NANOS) fixture must
+    come through the same loader as TIMESTAMP with exact µs values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = 1_704_153_600_000_000_000  # 2024-01-02T00:00:00Z in epoch-nanos
+    table = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([ns, ns + 1_500_000_000], pa.timestamp("ns")),
+    })
+    d = tmp_path / "nanos"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"),
+                   coerce_timestamps=None, use_deprecated_int96_timestamps=False)
+    e = load_table(spark, str(d), "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    rows = {r.event_id: r.ts for r in e.collect()}
+    assert rows[1].year == 2024 and rows[1].month == 1 and rows[1].day == 2
+    assert (rows[2] - rows[1]).total_seconds() == 1.5
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):

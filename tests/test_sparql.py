@@ -226,3 +226,41 @@ def test_companions_union_distribution_plan(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert plan.count("CartesianProduct") <= 3
+
+
+def test_group_by_count_distinct(triples):
+    """G12: SPARQL-text aggregation — COUNT(DISTINCT) per group key,
+    partial-aggregated groupBy."""
+    df = compile_sparql(_PFX + """
+SELECT ?type (COUNT(DISTINCT ?s) AS ?n) WHERE {
+  ?s a ?type .
+}
+GROUP BY ?type""", triples)
+    assert _vals(df, "type", "n") == [
+        ("http://ex.org/Person", 2), ("http://ex.org/Robot", 1)]
+
+
+def test_global_aggregate_without_group_by(triples):
+    df = compile_sparql(_PFX + """
+SELECT (COUNT(*) AS ?n) WHERE { ?s ex:knows ?o . }""", triples)
+    assert _vals(df, "n") == [(3,)]
+
+
+def test_year_bind_and_endpoint_default_prefixes(spark):
+    """YEAR() over date lexical forms + endpoint-injected wd:/wdt:
+    defaults (the plot-full-network.qmd query declares no prefixes)."""
+    rows = [
+        ("http://f.org/e1", "http://f.org/p/date", "2023-05-01", None, None),
+        ("http://f.org/e2", "http://f.org/p/date", "2023-11-30", None, None),
+        ("http://f.org/e3", "http://f.org/p/date", "2024-01-02", None, None),
+    ]
+    tr = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "lang string, dtype string")
+    df = compile_sparql("""
+SELECT ?year (COUNT(DISTINCT ?s) AS ?count) WHERE {
+  ?s wdt:date ?d .
+  bind(str(YEAR(?d)) AS ?year)
+}
+GROUP BY ?year""", tr, prefixes={"wdt": "http://f.org/p/"})
+    assert _vals(df, "year", "count") == [("2023", 2), ("2024", 1)]
