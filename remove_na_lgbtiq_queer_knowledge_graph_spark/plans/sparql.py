@@ -155,6 +155,15 @@ class ServicePat:
     group: "GroupPat"
 
 
+@dataclass(frozen=True)
+class SubSelectPat:
+    """Nested ``{ SELECT ... GROUP BY ... }`` subquery (SPARQL 1.1 §12)
+    — the status-update analysis wraps its aggregations this way so the
+    outer label service can fill ``?valueLabel``
+    (`analysis/2022-05-31-status-update/index.qmd:99-152`)."""
+    query: "Query"
+
+
 @dataclass
 class GroupPat:
     items: list = field(default_factory=list)
@@ -410,6 +419,13 @@ class _Parser:
                 ep = self.parse_term()[1]
                 g.items.append(ServicePat(ep, self.parse_group()))
                 continue
+            if t.kind == "op" and t.text == "{" and \
+                    (nxt := self.peek(1)) and nxt.kind == "word" and \
+                    nxt.text.upper() == "SELECT":
+                self.next()  # {
+                g.items.append(SubSelectPat(self._parse_select_query()))
+                self.expect("op", "}")
+                continue
             if t.kind == "op" and t.text == "{":
                 branches = [self.parse_group()]
                 while self.accept("word", "UNION"):
@@ -494,6 +510,16 @@ class _Parser:
                               else pname.split(":")[0]] = iri[1:-1]
                 continue
             break
+        q = self._parse_select_query()
+        if self.peek() is not None:
+            raise SyntaxError(f"unexpected trailing token {self.peek()}")
+        return q
+
+    def _parse_select_query(self) -> Query:
+        """``SELECT ... WHERE {...} [GROUP BY|ORDER BY|LIMIT]*`` — the
+        shared core of the top-level query and ``{ SELECT ... }``
+        subqueries; stops (without consuming) at any token it does not
+        own, e.g. the subquery's closing ``}``."""
         self.expect("word", "SELECT")
         distinct = bool(self.accept("word", "DISTINCT"))
         select: list = []
@@ -553,7 +579,7 @@ class _Parser:
                 self.next()
                 limit = int(self.expect("num").text)
                 continue
-            raise SyntaxError(f"unexpected trailing token {t}")
+            break
         return Query(select, distinct, where, order_by, limit,
                      group_by=group_by)
 
@@ -592,6 +618,12 @@ def _lang_col(var: str) -> str:
     return f"__lang__{var}"
 
 
+# (session id, triples frame id, prefs) → (triples frame, label dim).
+# KG frames are session-memoized (queries_sparql.kg_memo), so their ids
+# are stable for the session and the dim is shared across queries.
+_LABEL_DIM_MEMO: dict[tuple, tuple] = {}
+
+
 class _Compiler:
     def __init__(self, triples: DataFrame,
                  services: dict[str, DataFrame] | None,
@@ -607,22 +639,33 @@ class _Compiler:
     def _scan(self, triples: DataFrame, pat: TriplePat) -> DataFrame:
         if len(pat.path) > 1 or pat.path[0].star or pat.path[0].plus:
             return self._scan_path(triples, pat)
-        df = triples
         has_lang = "lang" in triples.columns
         sel: dict[str, str] = {}
         pred = pat.path[0].pred
+        # accumulate every bound-term predicate into ONE filter call —
+        # each DataFrame op is a py4j round trip, and a 36-pattern BGP
+        # pays it per pattern (measured ~40% of compile wall time on the
+        # companions flagship); Catalyst sees the same conjunction either
+        # way and still pushes each equality to the scan
+        cond: Column | None = None
+
+        def add(p: Column) -> None:
+            nonlocal cond
+            cond = p if cond is None else cond & p
+
         for term, col in ((pat.s, "subject"), (pred, "predicate"),
                           (pat.o, "object")):
             if term[0] == "iri":
-                df = df.filter(F.col(col) == term[1])
+                add(F.col(col) == term[1])
             elif term[0] == "lit":
-                df = df.filter(F.col(col) == term[1])
+                add(F.col(col) == term[1])
                 if term[2] and has_lang:
-                    df = df.filter(F.col("lang") == term[2])
+                    add(F.col("lang") == term[2])
             elif term[1] in sel:
-                df = df.filter(F.col(col) == F.col(sel[term[1]]))
+                add(F.col(col) == F.col(sel[term[1]]))
             else:
                 sel[term[1]] = col
+        df = triples.filter(cond) if cond is not None else triples
         cols = [F.col(c).alias(v) for v, c in sel.items()]
         if has_lang and pat.o[0] == "var" and pat.o[1] in sel \
                 and sel[pat.o[1]] == "object":
@@ -757,6 +800,9 @@ class _Compiler:
             if name == "REGEX":
                 pat = args[1][1][1]
                 return self._expr(args[0], env).rlike(pat)
+            if name == "STRSTARTS":
+                return self._expr(args[0], env).startswith(
+                    self._expr(args[1], env))
             if name == "BOUND":
                 return self._expr(args[0], env).isNotNull()
             if name in ("YEAR", "MONTH", "DAY"):
@@ -899,6 +945,15 @@ class _Compiler:
                 if env is None:
                     env = self.triples.sparkSession.range(1).select(
                         col.alias(item.var))
+                elif item.var in env.columns:
+                    # BIND on an in-scope variable is a SPARQL syntax
+                    # error, but Blazegraph (the endpoint the reference
+                    # runs) treats it as a pre-binding — the solutions
+                    # are filtered to those where the variable equals
+                    # the expression (index.qmd:142-145 binds ?prop
+                    # AFTER using it in a pattern).  withColumn would
+                    # silently overwrite instead of constraining.
+                    env = env.filter(F.col(item.var) == col)
                 else:
                     env = env.withColumn(item.var, col)
             elif isinstance(item, ValuesPat):
@@ -911,6 +966,12 @@ class _Compiler:
                     lit = self.triples.sparkSession.createDataFrame(
                         rows, list(item.vars))
                     env = self._join(env, lit)
+            elif isinstance(item, SubSelectPat):
+                senv = self._compile_group(item.query.where, triples)
+                if senv is None:
+                    continue
+                sub = _project_query(self, senv, item.query)
+                env = self._join(env, sub)
             elif isinstance(item, ServicePat):
                 if item.endpoint == WIKIBASE_LABEL_SERVICE:
                     self._register_label_service(item.group)
@@ -943,6 +1004,34 @@ class _Compiler:
 
     # -- label service -------------------------------------------------------
 
+    def _label_dim(self, prefs: tuple[str, ...]) -> DataFrame:
+        """The (subject, best-label) dimension for a preference list —
+        aggregated once per (triples frame, prefs) and memoized at
+        module level: a query with two ``?xLabel`` vars (and every other
+        query over the same session-memoized KG) reuses the materialized
+        dim instead of re-aggregating the label triples per attach."""
+        key = (id(self.triples.sparkSession), id(self.triples), prefs)
+        hit = _LABEL_DIM_MEMO.get(key)
+        if hit is not None:
+            return hit[1]
+        rank = F.when(F.col("lang") == prefs[0], F.lit(0))
+        for i, lg in enumerate(prefs[1:], start=1):
+            rank = rank.when(F.col("lang") == lg, F.lit(i))
+        dim = (
+            self.triples
+            .filter((F.col("predicate") == RDFS_LABEL)
+                    & F.col("lang").isin(list(prefs)))
+            .withColumn("__rank", rank)
+            .groupBy(F.col("subject").alias("__lbl_subject"))
+            .agg(F.min_by("object", F.struct("__rank", "object"))
+                 .alias("__lbl"))
+            .localCheckpoint(eager=True)
+        )
+        # the memo pins the triples frame too: the key uses id(triples),
+        # and a GC'd frame could otherwise hand its id to a new object
+        _LABEL_DIM_MEMO[key] = (self.triples, dim)
+        return dim
+
     def _attach_label(self, env: DataFrame, base_var: str,
                       label_var: str) -> DataFrame:
         """Wikibase label service semantics for one ``?xLabel`` var:
@@ -951,19 +1040,9 @@ class _Compiler:
         the QID).  The label dimension is aggregated per subject first
         (one tiny min_by dim), then left-joined — broadcastable at any
         corpus scale."""
-        prefs = self.label_langs or [self.auto_language]
-        rank = F.when(F.col("lang") == prefs[0], F.lit(0))
-        for i, lg in enumerate(prefs[1:], start=1):
-            rank = rank.when(F.col("lang") == lg, F.lit(i))
-        labels = (
-            self.triples
-            .filter((F.col("predicate") == RDFS_LABEL)
-                    & F.col("lang").isin(prefs))
-            .withColumn("__rank", rank)
-            .groupBy(F.col("subject").alias(base_var))
-            .agg(F.min_by("object", F.struct("__rank", "object"))
-                 .alias("__lbl"))
-        )
+        prefs = tuple(self.label_langs or [self.auto_language])
+        labels = self._label_dim(prefs).withColumnRenamed(
+            "__lbl_subject", base_var)
         out = env.join(labels, base_var, "left")
         # IRI → local-name fallback (the service falls back to the QID);
         # a literal binding (e.g. a date or external id) labels as
@@ -1005,8 +1084,13 @@ def compile_sparql(
     env = c._compile_group(q.where)
     if env is None:
         raise ValueError("query has no bindings")
+    return _project_query(c, env, q)
 
-    # computed projections and aggregates (G12) ----------------------------
+
+def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
+    """SELECT-clause semantics shared by the top-level query and
+    ``{ SELECT ... }`` subqueries: computed projections, aggregation
+    (G12), label attach, projection, DISTINCT, ORDER BY, LIMIT."""
     agg_items = [s for s in q.select
                  if isinstance(s, SelectExpr) and s.expr[0] == "agg"]
     for s in q.select:

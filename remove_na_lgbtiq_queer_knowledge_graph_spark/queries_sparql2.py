@@ -67,9 +67,9 @@ def _property_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extended_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cache(
+    return kg_memo("extended", spark, sf_dir, lambda: _cache(
         factgrid_kg(spark, sf_dir).unionByName(_property_items(spark, sf_dir))
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -185,6 +185,167 @@ def _tr(s, p, o, lang=None):
             F.lit(None).cast("string").alias("dtype")]
 
 
+def _triples_from(df: DataFrame, *rows) -> DataFrame:
+    """Many triples from ONE table scan: each row spec is
+    ``(condition_or_None, s, p, o[, lang])``; conditional rows become
+    null structs that ``array_compact`` drops before the explode.
+
+    The per-branch ``unionByName(df.filter(...).select(...))`` shape
+    this replaces re-scanned the source once per triple kind — ~10 scans
+    and ~10 jobs per service fixture at localCheckpoint time, and as
+    many py4j plan-building calls again per query call.  One projection
+    does it all; at 100 TB the same pattern holds (one pass over the
+    fact table emitting k triples per row)."""
+    as_col = lambda x: x if isinstance(x, Column) else F.lit(x)  # noqa: E731
+    structs = []
+    for spec in rows:
+        cond, s, p, o = spec[0], spec[1], spec[2], spec[3]
+        lang = spec[4] if len(spec) > 4 else None
+        st = F.struct(
+            as_col(s).alias("subject"), as_col(p).alias("predicate"),
+            as_col(o).alias("object"),
+            F.lit(lang).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype"),
+        )
+        structs.append(F.when(cond, st) if cond is not None else st)
+    return df.select(
+        F.explode(F.array_compact(F.array(*structs))).alias("t")
+    ).select("t.*")
+
+
+def _companions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All companions-specific fixture triples — the local-KG additions
+    plus BOTH mock endpoints — built in one pass and materialized in ONE
+    localCheckpoint job, tagged by ``__part`` (kg / wd / db).  Three
+    separate checkpoints cost ~2 s each at sf0.1 (most of it fixed job
+    overhead); the bundle shares the customer/supplier scans and pays
+    the overhead once.  Slices off the cached frame are free."""
+    def build() -> DataFrame:
+        ck = F.col("c_custkey")
+        sk = F.col("s_suppkey")
+        cust = t(spark, sf_dir, "customer")
+        supp = t(spark, sf_dir, "supplier")
+        tag = lambda df, part: df.withColumn("__part", F.lit(part))  # noqa: E731
+
+        # local-KG additions (`companions_and_relations.rq:36-67`)
+        cust_iri = F.concat(F.lit(FG + "Q"),
+                            (F.lit(500000) + ck).cast("string"))
+        supp_iri = F.concat(F.lit(FG + "Q"),
+                            (F.lit(600000) + sk).cast("string"))
+        kg_part = _triples_from(
+            cust,
+            (ck % 5 == 0, _COMP, FGT + "P703", cust_iri),
+            (ck % 10 == 0, cust_iri, FGT + "P189",
+             F.concat(F.lit("img-c-"), ck.cast("string"))),
+        ).unionByName(_triples_from(
+            supp,
+            (sk % 3 == 0, _COMP, FGT + "P91", supp_iri),
+            (sk % 6 == 0, supp_iri, FGT + "P189",
+             F.concat(F.lit("img-s-"), sk.cast("string"))),
+        ))
+        wiki = "https://www.wikidata.org/wiki/Q923420"
+        kg_static = spark.createDataFrame([
+            (wiki, _SCHEMA + "about", _COMP, None, None),
+            (wiki, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
+             None, None),
+            (wiki, _SCHEMA + "name", "Q923420", None, None),
+            (_COMP, RDFS_LABEL, "Companion Zero", "de", None),
+            (_COMP, RDFS_LABEL, "Companion Zero", "en", None),
+            (FG + "P703", _WIKIBASE_DC, FGT + "P703", None, None),
+            (FG + "P703", RDFS_LABEL, "companion of", "de", None),
+            (FG + "P703", RDFS_LABEL, "companion of", "en", None),
+            (FG + "P91", _WIKIBASE_DC, FGT + "P91", None, None),
+            (FG + "P91", RDFS_LABEL, "member of", "de", None),
+            (FG + "P91", RDFS_LABEL, "member of", "en", None),
+        ], _TRIPLE_SCHEMA)
+
+        # mock Wikidata endpoint (`companions_and_relations.rq:69-105`)
+        person = F.concat(F.lit(WD + "Q"),
+                          (F.lit(930000) + ck).cast("string"))
+        org = F.concat(F.lit(WD + "Q"), (F.lit(940000) + sk).cast("string"))
+        busi = WD + "Q4830453"      # business ⊑ organisation
+        wd_part = _triples_from(
+            cust,
+            (ck % 4 == 0, _WDCOMP, WDT + "P26", person),
+            (ck % 4 == 0, person, WDT + "P31", WD + "Q5"),
+            (ck % 4 == 0, person, RDFS_LABEL,
+             F.concat(F.lit("wd-"), F.col("c_name")), "en"),
+            (ck % 4 == 0, person, RDFS_LABEL,
+             F.concat(F.lit("wd-de-"), F.col("c_name")), "de"),
+            (ck % 8 == 0, person, WDT + "P18",
+             F.concat(F.lit("wd-img-"), ck.cast("string"))),
+        ).unionByName(_triples_from(
+            supp,
+            (sk % 2 == 0, _WDCOMP, WDT + "P108", org),
+            (sk % 2 == 0, org, WDT + "P31",
+             F.when(sk % 4 == 0, F.lit(WD + "Q43229"))
+              .otherwise(F.lit(busi))),
+            (sk % 2 == 0, org, RDFS_LABEL,
+             F.concat(F.lit("wd-"), F.col("s_name")), "en"),
+            (sk % 2 == 0, org, RDFS_LABEL,
+             F.concat(F.lit("wd-de-"), F.col("s_name")), "de"),
+            (sk % 6 == 0, org, WDT + "P18",
+             F.concat(F.lit("wd-img-s-"), sk.cast("string"))),
+        ))
+        wd_static = spark.createDataFrame([
+            (_WDCOMP, RDFS_LABEL, "WD Companion", "en", None),
+            (_WDCOMP, RDFS_LABEL, "WD Companion de", "de", None),
+            (busi, WDT + "P279", WD + "Q43229", None, None),
+        ], _TRIPLE_SCHEMA)
+
+        # mock DBpedia endpoint (`companions_and_relations.rq:110-137`);
+        # persons referenced by either the wikiPageWikiLink mentions (%6)
+        # or the app query's ?wd_item dbo:partner relations (%9) need
+        # type and label triples (apps/companions/queries.R:142-168)
+        root = _DBR + "Companion_Zero"
+        db_person = F.concat(F.lit(_DBR + "Person_"), ck.cast("string"))
+        db_org = F.concat(F.lit(_DBR + "Org_"), sk.cast("string"))
+        is_person = (ck % 6 == 0) | (ck % 9 == 0)
+        db_part = _triples_from(
+            cust,
+            (ck % 6 == 0, root, _DBO + "wikiPageWikiLink", db_person),
+            (is_person, db_person, _RDF_TYPE, _DBO + "Person"),
+            (is_person, db_person, RDFS_LABEL,
+             F.concat(F.lit("db-"), F.col("c_name")), "en"),
+            (is_person, db_person, RDFS_LABEL,
+             F.concat(F.lit("db-de-"), F.col("c_name")), "de"),
+            (ck % 12 == 0, db_person, _DBO + "thumbnail",
+             F.concat(F.lit("db-img-"), ck.cast("string"))),
+            (ck % 9 == 0, _WDCOMP, _DBO + "partner", db_person),
+        ).unionByName(_triples_from(
+            supp,
+            (sk % 5 == 0, _WDCOMP, _DBO + "employer", db_org),
+            (sk % 5 == 0, db_org, _RDF_TYPE, _DBO + "Organisation"),
+            (sk % 5 == 0, db_org, RDFS_LABEL,
+             F.concat(F.lit("dbo-"), F.col("s_name")), "en"),
+            (sk % 5 == 0, db_org, RDFS_LABEL,
+             F.concat(F.lit("dbo-de-"), F.col("s_name")), "de"),
+            (sk % 10 == 0, db_org, _DBO + "thumbnail",
+             F.concat(F.lit("dbo-img-"), sk.cast("string"))),
+        ))
+        zweig = _DBR + "Stefan_Zweig"
+        db_static = spark.createDataFrame([
+            (root, _OWL_SAMEAS, _WDCOMP, None, None),
+            (root, _DBO + "wikiPageWikiLink", zweig, None, None),
+            (zweig, _RDF_TYPE, _DBO + "Person", None, None),
+            (zweig, RDFS_LABEL, "Stefan Zweig", "en", None),
+        ], _TRIPLE_SCHEMA)
+
+        bundle = (
+            tag(kg_part.unionByName(kg_static), "kg")
+            .unionByName(tag(wd_part.unionByName(wd_static), "wd"))
+            .unionByName(tag(db_part.unionByName(db_static), "db"))
+        )
+        return _cache(bundle.coalesce(8))
+
+    return kg_memo("companions_bundle", spark, sf_dir, build)
+
+
+def _bundle_slice(spark: SparkSession, sf_dir: str, part: str) -> DataFrame:
+    return _companions_bundle(spark, sf_dir) \
+        .filter(F.col("__part") == part).drop("__part")
+
+
 def _companions_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``factgrid_kg`` plus the companion item fg:Q223420: a Wikidata
     sitelink (the query's ``?link schema:about/isPartOf/name`` prelude),
@@ -194,42 +355,12 @@ def _companions_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(fgt:P2/fgt:P3*)`` path), and OPTIONAL ``fgt:P189`` images on a
     subset of the related items (`companions_and_relations.rq:36-67`).
     Kept separate from ``factgrid_kg`` so existing oracles are
-    untouched."""
-    ck = F.col("c_custkey")
-    sk = F.col("s_suppkey")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
-    cust_iri = F.concat(F.lit(FG + "Q"), (F.lit(500000) + ck).cast("string"))
-    supp_iri = F.concat(F.lit(FG + "Q"), (F.lit(600000) + sk).cast("string"))
-    extra = (
-        cust.filter(ck % 5 == 0)
-            .select(*_tr(_COMP, FGT + "P703", cust_iri))
-        .unionByName(cust.filter(ck % 10 == 0).select(
-            *_tr(cust_iri, FGT + "P189",
-                 F.concat(F.lit("img-c-"), ck.cast("string")))))
-        .unionByName(supp.filter(sk % 3 == 0).select(
-            *_tr(_COMP, FGT + "P91", supp_iri)))
-        .unionByName(supp.filter(sk % 6 == 0).select(
-            *_tr(supp_iri, FGT + "P189",
-                 F.concat(F.lit("img-s-"), sk.cast("string")))))
-    )
-    wiki = "https://www.wikidata.org/wiki/Q923420"
-    static = spark.createDataFrame([
-        (wiki, _SCHEMA + "about", _COMP, None, None),
-        (wiki, _SCHEMA + "isPartOf", "https://www.wikidata.org/", None, None),
-        (wiki, _SCHEMA + "name", "Q923420", None, None),
-        (_COMP, RDFS_LABEL, "Companion Zero", "de", None),
-        (_COMP, RDFS_LABEL, "Companion Zero", "en", None),
-        (FG + "P703", _WIKIBASE_DC, FGT + "P703", None, None),
-        (FG + "P703", RDFS_LABEL, "companion of", "de", None),
-        (FG + "P703", RDFS_LABEL, "companion of", "en", None),
-        (FG + "P91", _WIKIBASE_DC, FGT + "P91", None, None),
-        (FG + "P91", RDFS_LABEL, "member of", "de", None),
-        (FG + "P91", RDFS_LABEL, "member of", "en", None),
-    ], _TRIPLE_SCHEMA)
-    return kg_memo("companions", spark, sf_dir, lambda: _cache(
-        factgrid_kg(spark, sf_dir).unionByName(extra)
-        .unionByName(static).coalesce(8)))
+    untouched.  Both halves are already materialized (factgrid_kg's own
+    checkpoint + the bundle), so the union needs no third checkpoint —
+    every BGP scan reads two cached frames."""
+    return kg_memo("companions", spark, sf_dir, lambda:
+                   factgrid_kg(spark, sf_dir)
+                   .unionByName(_bundle_slice(spark, sf_dir, "kg")))
 
 
 def _wd_companions_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,49 +371,7 @@ def _wd_companions_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     both closure lengths of ``(wdt:P31/wdt:P279*)`` are exercised.
     Labels carry real language tags so the ``FILTER(LANG(...))`` rows
     have something to cut (`companions_and_relations.rq:69-105`)."""
-    ck = F.col("c_custkey")
-    sk = F.col("s_suppkey")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
-    person = F.concat(F.lit(WD + "Q"), (F.lit(930000) + ck).cast("string"))
-    org = F.concat(F.lit(WD + "Q"), (F.lit(940000) + sk).cast("string"))
-    busi = WD + "Q4830453"      # business ⊑ organisation
-    persons = cust.filter(ck % 4 == 0)
-    orgs = supp.filter(sk % 2 == 0)
-    frame = (
-        persons.select(*_tr(_WDCOMP, WDT + "P26", person))
-        .unionByName(persons.select(*_tr(person, WDT + "P31", WD + "Q5")))
-        .unionByName(persons.select(*_tr(
-            person, RDFS_LABEL, F.concat(F.lit("wd-"), F.col("c_name")),
-            "en")))
-        .unionByName(persons.select(*_tr(
-            person, RDFS_LABEL, F.concat(F.lit("wd-de-"), F.col("c_name")),
-            "de")))
-        .unionByName(cust.filter(ck % 8 == 0).select(*_tr(
-            person, WDT + "P18", F.concat(F.lit("wd-img-"),
-                                          ck.cast("string")))))
-        .unionByName(orgs.select(*_tr(_WDCOMP, WDT + "P108", org)))
-        .unionByName(orgs.select(*_tr(
-            org, WDT + "P31",
-            F.when(sk % 4 == 0, F.lit(WD + "Q43229")).otherwise(F.lit(busi)))))
-        .unionByName(orgs.select(*_tr(
-            org, RDFS_LABEL, F.concat(F.lit("wd-"), F.col("s_name")), "en")))
-        .unionByName(orgs.select(*_tr(
-            org, RDFS_LABEL, F.concat(F.lit("wd-de-"), F.col("s_name")),
-            "de")))
-        .unionByName(supp.filter(sk % 6 == 0).select(*_tr(
-            org, WDT + "P18", F.concat(F.lit("wd-img-s-"),
-                                       sk.cast("string")))))
-    )
-    static = spark.createDataFrame([
-        (_WDCOMP, RDFS_LABEL, "WD Companion", "en", None),
-        (_WDCOMP, RDFS_LABEL, "WD Companion de", "de", None),
-        (busi, WDT + "P279", WD + "Q43229", None, None),
-    ], _TRIPLE_SCHEMA)
-    # a SERVICE group scans this frame once per triple pattern — without
-    # materialization each scan re-runs the whole union of projections
-    return kg_memo("wd_companions_svc", spark, sf_dir,
-                   lambda: _cache(frame.unionByName(static).coalesce(4)))
+    return _bundle_slice(spark, sf_dir, "wd")
 
 
 def _dbpedia_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,59 +382,7 @@ def _dbpedia_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``MINUS {FILTER(REGEX(...))}`` — a filter-only MINUS group is a
     no-op per SPARQL semantics (it is on the live endpoint too), so the
     row legitimately stays (`companions_and_relations.rq:110-137`)."""
-    ck = F.col("c_custkey")
-    sk = F.col("s_suppkey")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
-    root = _DBR + "Companion_Zero"
-    db_person = F.concat(F.lit(_DBR + "Person_"), ck.cast("string"))
-    db_org = F.concat(F.lit(_DBR + "Org_"), sk.cast("string"))
-    mentions = cust.filter(ck % 6 == 0)
-    # persons referenced by either the wikiPageWikiLink mentions (%6) or
-    # the app query's ?wd_item dbo:partner relations (%9) need type and
-    # label triples
-    persons = cust.filter((ck % 6 == 0) | (ck % 9 == 0))
-    orgs = supp.filter(sk % 5 == 0)
-    frame = (
-        mentions.select(*_tr(root, _DBO + "wikiPageWikiLink", db_person))
-        .unionByName(persons.select(*_tr(db_person, _RDF_TYPE,
-                                         _DBO + "Person")))
-        .unionByName(persons.select(*_tr(
-            db_person, RDFS_LABEL, F.concat(F.lit("db-"), F.col("c_name")),
-            "en")))
-        .unionByName(persons.select(*_tr(
-            db_person, RDFS_LABEL, F.concat(F.lit("db-de-"), F.col("c_name")),
-            "de")))
-        .unionByName(cust.filter(ck % 12 == 0).select(*_tr(
-            db_person, _DBO + "thumbnail",
-            F.concat(F.lit("db-img-"), ck.cast("string")))))
-        # the app variant (apps/companions/queries.R:142-168) walks
-        # ?wd_item ?relation ?value on DBpedia too — direct relations
-        # from the Wikidata twin to typed persons and organisations
-        .unionByName(cust.filter(ck % 9 == 0).select(*_tr(
-            _WDCOMP, _DBO + "partner", db_person)))
-        .unionByName(orgs.select(*_tr(_WDCOMP, _DBO + "employer", db_org)))
-        .unionByName(orgs.select(*_tr(db_org, _RDF_TYPE,
-                                      _DBO + "Organisation")))
-        .unionByName(orgs.select(*_tr(
-            db_org, RDFS_LABEL, F.concat(F.lit("dbo-"), F.col("s_name")),
-            "en")))
-        .unionByName(orgs.select(*_tr(
-            db_org, RDFS_LABEL, F.concat(F.lit("dbo-de-"), F.col("s_name")),
-            "de")))
-        .unionByName(supp.filter(sk % 10 == 0).select(*_tr(
-            db_org, _DBO + "thumbnail",
-            F.concat(F.lit("dbo-img-"), sk.cast("string")))))
-    )
-    zweig = _DBR + "Stefan_Zweig"
-    static = spark.createDataFrame([
-        (root, _OWL_SAMEAS, _WDCOMP, None, None),
-        (root, _DBO + "wikiPageWikiLink", zweig, None, None),
-        (zweig, _RDF_TYPE, _DBO + "Person", None, None),
-        (zweig, RDFS_LABEL, "Stefan Zweig", "en", None),
-    ], _TRIPLE_SCHEMA)
-    return kg_memo("dbpedia_svc", spark, sf_dir,
-                   lambda: _cache(frame.unionByName(static).coalesce(4)))
+    return _bundle_slice(spark, sf_dir, "db")
 
 
 def sparql_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,21 +498,25 @@ def _year_events_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaching fg:Q9 either directly (even keys, the zero-length closure)
     or through a Q401 ⊑ Q9 subclass hop (odd keys) — both lengths of
     ``(wdt:P2/wdt:P3*)`` exercised."""
-    ok = F.col("o_orderkey")
-    orders = t(spark, sf_dir, "orders")
-    item = F.concat(F.lit(FG + "Q"), (F.lit(1000000) + ok).cast("string"))
-    typ = F.when(ok % 2 == 0, F.lit(FG + "Q9")).otherwise(F.lit(FG + "Q401"))
-    frame = (
-        orders.select(*_tr(item, FGT + "P2", typ))
-        .unionByName(orders.filter(ok % 3 != 0).select(
-            *_tr(item, FGT + "P97", FG + "Q400013")))
-        .unionByName(orders.select(*_tr(
-            item, FGT + "P106", F.col("o_orderdate").cast("string"))))
-    )
-    static = spark.createDataFrame(
-        [(FG + "Q401", FGT + "P3", FG + "Q9", None, None)], _TRIPLE_SCHEMA)
-    return kg_memo("year_events", spark, sf_dir,
-                   lambda: _cache(frame.unionByName(static).coalesce(8)))
+    def build() -> DataFrame:
+        ok = F.col("o_orderkey")
+        orders = t(spark, sf_dir, "orders")
+        item = F.concat(F.lit(FG + "Q"),
+                        (F.lit(1000000) + ok).cast("string"))
+        typ = F.when(ok % 2 == 0, F.lit(FG + "Q9")) \
+               .otherwise(F.lit(FG + "Q401"))
+        frame = _triples_from(
+            orders,
+            (None, item, FGT + "P2", typ),
+            (ok % 3 != 0, item, FGT + "P97", FG + "Q400013"),
+            (None, item, FGT + "P106", F.col("o_orderdate").cast("string")),
+        )
+        static = spark.createDataFrame(
+            [(FG + "Q401", FGT + "P3", FG + "Q9", None, None)],
+            _TRIPLE_SCHEMA)
+        return _cache(frame.unionByName(static).coalesce(8))
+
+    return kg_memo("year_events", spark, sf_dir, build)
 
 
 def sparql_year_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,6 +538,70 @@ SELECT CAST(year(o_orderdate) AS VARCHAR) AS "year",
 FROM orders
 WHERE o_orderkey % 3 <> 0
 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2022-05-31 status-update notebook — nested sub-SELECT aggregations
+# ---------------------------------------------------------------------------
+
+def _status_update_query(anchor: str) -> str:
+    """Extract a query verbatim from the status-update notebook
+    (`analysis/2022-05-31-status-update/index.qmd:99-152`): single-quoted
+    R strings, located by a distinguishing anchor substring."""
+    import re
+
+    with open("/root/reference/analysis/2022-05-31-status-update/"
+              "index.qmd") as f:
+        text = f.read()
+    for m in re.finditer(r"query <- '([^']+)'", text):
+        if anchor in m.group(1):
+            return m.group(1)
+    raise ValueError(f"no status-update query containing {anchor!r}")
+
+
+def sparql_status_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim target-objects histogram: ``{ SELECT ?value
+    (COUNT(DISTINCT ?item) AS ?count) ... GROUP BY ?value }`` sub-SELECT
+    (SPARQL 1.1 §12) under an outer label service, STRSTARTS entity
+    filter, three MINUS cuts, ORDER BY DESC + LIMIT.  On the fixture KG
+    the surviving statements are the customers' residence links, so the
+    histogram counts customers per nation."""
+    return compile_sparql(
+        _status_update_query("count of target items"),
+        factgrid_kg(spark, sf_dir),
+        prefixes={"wd": FG, "wdt": FGT},
+    )
+
+
+_STATUS_TARGETS_SQL = f"""
+SELECT '{FG}Q' || CAST(225300 + c_nationkey AS VARCHAR) AS value,
+       n_name AS "valueLabel",
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS "count"
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def sparql_status_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim instances-of histogram: sub-SELECT aggregation over a
+    variable-predicate pattern whose predicate is pre-bound by a
+    trailing ``BIND (wdt:P2 AS ?prop)`` — Blazegraph pre-binding
+    semantics (BIND on an in-scope var constrains instead of
+    overwriting).  Counts project items per instance-of type."""
+    return compile_sparql(
+        _status_update_query("most common values"),
+        factgrid_kg(spark, sf_dir),
+        prefixes={"wd": FG, "wdt": FGT},
+    )
+
+
+_STATUS_INSTANCES_SQL = f"""
+SELECT '{FG}Q7' AS value, 'human' AS "valueLabel",
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS "count"
+UNION ALL
+SELECT '{FG}Q82794', 'geographical region',
+       CAST((SELECT count(*) FROM region) AS BIGINT)
 """
 
 
@@ -613,31 +718,32 @@ def _compare_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     `apps/compare-factgrid-wikidata/queries.R:33-46`) and Wikidata
     sitelinks for nation items so ``?link_value schema:about ?fg_value``
     resolves item-valued statements."""
-    n = F.col("n_nationkey")
-    nation = t(spark, sf_dir, "nation")
-    wiki = F.concat(F.lit("https://www.wikidata.org/wiki/Q"),
-                    (F.lit(820000) + n).cast("string"))
-    nat_sitelinks = (
-        nation.select(*_tr(wiki, _SCHEMA + "about",
-                           F.concat(F.lit(FG + "Q"),
-                                    (F.lit(225300) + n).cast("string"))))
-        .unionByName(nation.select(*_tr(wiki, _SCHEMA + "isPartOf",
-                                        "https://www.wikidata.org/")))
-        .unionByName(nation.select(*_tr(
-            wiki, _SCHEMA + "name",
-            F.concat(F.lit("Q"), (F.lit(820000) + n).cast("string")))))
-    )
-    static = spark.createDataFrame([
-        (FG + "P83", _WIKIBASE_PTYPE,
-         "http://wikiba.se/ontology#WikibaseItem", None, None),
-        (FG + "P83", FGT + "P343", "P2083", None, None),
-        (FG + "P76", _WIKIBASE_PTYPE,
-         "http://wikiba.se/ontology#ExternalId", None, None),
-        (FG + "P76", FGT + "P343", "P227", None, None),
-    ], _TRIPLE_SCHEMA)
-    return kg_memo("compare", spark, sf_dir, lambda: _cache(
-        factgrid_kg(spark, sf_dir).unionByName(nat_sitelinks)
-        .unionByName(static).coalesce(8)))
+    def build() -> DataFrame:
+        n = F.col("n_nationkey")
+        nation = t(spark, sf_dir, "nation")
+        wiki = F.concat(F.lit("https://www.wikidata.org/wiki/Q"),
+                        (F.lit(820000) + n).cast("string"))
+        nat_sitelinks = _triples_from(
+            nation,
+            (None, wiki, _SCHEMA + "about",
+             F.concat(F.lit(FG + "Q"), (F.lit(225300) + n).cast("string"))),
+            (None, wiki, _SCHEMA + "isPartOf", "https://www.wikidata.org/"),
+            (None, wiki, _SCHEMA + "name",
+             F.concat(F.lit("Q"), (F.lit(820000) + n).cast("string"))),
+        )
+        static = spark.createDataFrame([
+            (FG + "P83", _WIKIBASE_PTYPE,
+             "http://wikiba.se/ontology#WikibaseItem", None, None),
+            (FG + "P83", FGT + "P343", "P2083", None, None),
+            (FG + "P76", _WIKIBASE_PTYPE,
+             "http://wikiba.se/ontology#ExternalId", None, None),
+            (FG + "P76", FGT + "P343", "P227", None, None),
+        ], _TRIPLE_SCHEMA)
+        return _cache(
+            factgrid_kg(spark, sf_dir).unionByName(nat_sitelinks)
+            .unionByName(static).coalesce(8))
+
+    return kg_memo("compare", spark, sf_dir, build)
 
 
 def _wd_compare_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,36 +754,37 @@ def _wd_compare_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``?is_same = false``), absent for every 7th (the OPTIONAL miss);
     literal-valued ``wdt:P227`` GND claims matching for every 4th;
     ``wdt:P8168`` FactGrid-ID backlinks + labels on the nation twins."""
-    ck = F.col("c_custkey")
-    n = F.col("n_nationkey")
-    cust = t(spark, sf_dir, "customer")
-    nation = t(spark, sf_dir, "nation")
-    subj = F.concat(F.lit(WD + "Q"), (F.lit(900000) + ck).cast("string"))
-    nat_twin = F.concat(F.lit(WD + "Q"), (F.lit(820000) + n).cast("string"))
-    # nation claim: same nation unless ck%5==0 (then shifted by one)
-    claimed = F.when(ck % 5 != 0, F.col("c_nationkey")) \
-               .otherwise((F.col("c_nationkey") + 1) % 25)
-    p2083 = cust.filter(ck % 7 != 0).select(*_tr(
-        subj, WDT + "P2083",
-        F.concat(F.lit(WD + "Q"), (F.lit(820000) + claimed).cast("string"))))
-    p227 = (
-        cust.filter(ck % 4 == 0).select(*_tr(
-            subj, WDT + "P227",
-            F.concat(F.lit("gnd-"), ck.cast("string"))))
-        .unionByName(cust.filter(ck % 4 == 2).select(*_tr(
-            subj, WDT + "P227",
-            F.concat(F.lit("wd-gnd-"), ck.cast("string")))))
-    )
-    nat = (
-        nation.select(*_tr(nat_twin, WDT + "P8168",
-                           F.concat(F.lit("Q"),
-                                    (F.lit(225300) + n).cast("string"))))
-        .unionByName(nation.select(*_tr(
-            nat_twin, RDFS_LABEL, F.concat(F.col("n_name"), F.lit("-wd")),
-            "en")))
-    )
-    return kg_memo("wd_compare_svc", spark, sf_dir, lambda: _cache(
-        p2083.unionByName(p227).unionByName(nat).coalesce(4)))
+    def build() -> DataFrame:
+        ck = F.col("c_custkey")
+        n = F.col("n_nationkey")
+        cust = t(spark, sf_dir, "customer")
+        nation = t(spark, sf_dir, "nation")
+        subj = F.concat(F.lit(WD + "Q"), (F.lit(900000) + ck).cast("string"))
+        nat_twin = F.concat(F.lit(WD + "Q"),
+                            (F.lit(820000) + n).cast("string"))
+        # nation claim: same nation unless ck%5==0 (then shifted by one)
+        claimed = F.when(ck % 5 != 0, F.col("c_nationkey")) \
+                   .otherwise((F.col("c_nationkey") + 1) % 25)
+        cust_triples = _triples_from(
+            cust,
+            (ck % 7 != 0, subj, WDT + "P2083",
+             F.concat(F.lit(WD + "Q"),
+                      (F.lit(820000) + claimed).cast("string"))),
+            (ck % 4 == 0, subj, WDT + "P227",
+             F.concat(F.lit("gnd-"), ck.cast("string"))),
+            (ck % 4 == 2, subj, WDT + "P227",
+             F.concat(F.lit("wd-gnd-"), ck.cast("string"))),
+        )
+        nat = _triples_from(
+            nation,
+            (None, nat_twin, WDT + "P8168",
+             F.concat(F.lit("Q"), (F.lit(225300) + n).cast("string"))),
+            (None, nat_twin, RDFS_LABEL,
+             F.concat(F.col("n_name"), F.lit("-wd")), "en"),
+        )
+        return _cache(cust_triples.unionByName(nat).coalesce(4))
+
+    return kg_memo("wd_compare_svc", spark, sf_dir, build)
 
 
 _WD_SERVICES = "https://query.wikidata.org/sparql"
@@ -698,32 +805,37 @@ def _time_statement_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     in `apps/compare-factgrid-wikidata/queries.R:181-186` walks.  A
     parallel NormalRank statement (precision 7) per item proves the
     BestRank filter actually cuts."""
-    sk = F.col("s_suppkey")
-    supp = t(spark, sf_dir, "supplier").filter(sk % 3 == 0)
-    item = F.concat(F.lit(FG + "Q"), (F.lit(600000) + sk).cast("string"))
-    stmt = F.concat(F.lit("https://database.factgrid.de/statement/P49-"),
-                    sk.cast("string"))
-    stmt2 = F.concat(stmt, F.lit("-normal"))
-    vn = F.concat(F.lit("https://database.factgrid.de/value/P49-"),
-                  sk.cast("string"))
-    vn2 = F.concat(vn, F.lit("-normal"))
-    reified = (
-        supp.select(*_tr(item, _FGP + "P49", stmt))
-        .unionByName(supp.select(*_tr(stmt, _RDF_TYPE, _WB + "BestRank")))
-        .unionByName(supp.select(*_tr(stmt, _FGPSV + "P49", vn)))
-        .unionByName(supp.select(*_tr(vn, _WB + "timePrecision", "11")))
-        .unionByName(supp.select(*_tr(item, _FGP + "P49", stmt2)))
-        .unionByName(supp.select(*_tr(stmt2, _RDF_TYPE, _WB + "NormalRank")))
-        .unionByName(supp.select(*_tr(stmt2, _FGPSV + "P49", vn2)))
-        .unionByName(supp.select(*_tr(vn2, _WB + "timePrecision", "7")))
-    )
-    static = spark.createDataFrame([
-        (FG + "P49", _WIKIBASE_PTYPE, _WB + "Time", None, None),
-        (FG + "P49", FGT + "P343", "P571", None, None),
-    ], _TRIPLE_SCHEMA)
-    return kg_memo("time_statements", spark, sf_dir, lambda: _cache(
-        _compare_kg(spark, sf_dir).unionByName(reified)
-        .unionByName(static).coalesce(8)))
+    def build() -> DataFrame:
+        sk = F.col("s_suppkey")
+        supp = t(spark, sf_dir, "supplier").filter(sk % 3 == 0)
+        item = F.concat(F.lit(FG + "Q"), (F.lit(600000) + sk).cast("string"))
+        stmt = F.concat(
+            F.lit("https://database.factgrid.de/statement/P49-"),
+            sk.cast("string"))
+        stmt2 = F.concat(stmt, F.lit("-normal"))
+        vn = F.concat(F.lit("https://database.factgrid.de/value/P49-"),
+                      sk.cast("string"))
+        vn2 = F.concat(vn, F.lit("-normal"))
+        reified = _triples_from(
+            supp,
+            (None, item, _FGP + "P49", stmt),
+            (None, stmt, _RDF_TYPE, _WB + "BestRank"),
+            (None, stmt, _FGPSV + "P49", vn),
+            (None, vn, _WB + "timePrecision", "11"),
+            (None, item, _FGP + "P49", stmt2),
+            (None, stmt2, _RDF_TYPE, _WB + "NormalRank"),
+            (None, stmt2, _FGPSV + "P49", vn2),
+            (None, vn2, _WB + "timePrecision", "7"),
+        )
+        static = spark.createDataFrame([
+            (FG + "P49", _WIKIBASE_PTYPE, _WB + "Time", None, None),
+            (FG + "P49", FGT + "P343", "P571", None, None),
+        ], _TRIPLE_SCHEMA)
+        return _cache(
+            _compare_kg(spark, sf_dir).unionByName(reified)
+            .unionByName(static).coalesce(8))
+
+    return kg_memo("time_statements", spark, sf_dir, build)
 
 
 def _wd_time_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,24 +843,28 @@ def _wd_time_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agreeing except every 5th supplier, absent every 7th) plus the
     reified BestRank/psv/timePrecision chain (precision matches only
     every 4th)."""
-    sk = F.col("s_suppkey")
-    supp = t(spark, sf_dir, "supplier").filter(sk % 7 != 0)
-    subj = F.concat(F.lit(WD + "Q"), (F.lit(800000) + sk).cast("string"))
-    raw = F.when(sk % 5 != 0,
-                 F.concat(F.lit("start-"), sk.cast("string"))) \
-           .otherwise(F.concat(F.lit("wd-start-"), sk.cast("string")))
-    stmt = F.concat(F.lit("http://www.wikidata.org/statement/P571-"),
-                    sk.cast("string"))
-    vn = F.concat(F.lit("http://www.wikidata.org/value/P571-"),
-                  sk.cast("string"))
-    prec = F.when(sk % 4 == 0, F.lit("11")).otherwise(F.lit("9"))
-    return kg_memo("wd_time_svc", spark, sf_dir, lambda: _cache((
-        supp.select(*_tr(subj, WDT + "P571", raw))
-        .unionByName(supp.select(*_tr(subj, _WDP + "P571", stmt)))
-        .unionByName(supp.select(*_tr(stmt, _RDF_TYPE, _WB + "BestRank")))
-        .unionByName(supp.select(*_tr(stmt, _WDPSV + "P571", vn)))
-        .unionByName(supp.select(*_tr(vn, _WB + "timePrecision", prec)))
-    ).coalesce(4)))
+    def build() -> DataFrame:
+        sk = F.col("s_suppkey")
+        supp = t(spark, sf_dir, "supplier").filter(sk % 7 != 0)
+        subj = F.concat(F.lit(WD + "Q"), (F.lit(800000) + sk).cast("string"))
+        raw = F.when(sk % 5 != 0,
+                     F.concat(F.lit("start-"), sk.cast("string"))) \
+               .otherwise(F.concat(F.lit("wd-start-"), sk.cast("string")))
+        stmt = F.concat(F.lit("http://www.wikidata.org/statement/P571-"),
+                        sk.cast("string"))
+        vn = F.concat(F.lit("http://www.wikidata.org/value/P571-"),
+                      sk.cast("string"))
+        prec = F.when(sk % 4 == 0, F.lit("11")).otherwise(F.lit("9"))
+        return _cache(_triples_from(
+            supp,
+            (None, subj, WDT + "P571", raw),
+            (None, subj, _WDP + "P571", stmt),
+            (None, stmt, _RDF_TYPE, _WB + "BestRank"),
+            (None, stmt, _WDPSV + "P571", vn),
+            (None, vn, _WB + "timePrecision", prec),
+        ).coalesce(4))
+
+    return kg_memo("wd_time_svc", spark, sf_dir, build)
 
 
 def sparql_app_compare_time_items(spark: SparkSession,
@@ -927,4 +1043,13 @@ SPECS: dict[str, QuerySpec] = {
         "verbatim plot-full-network.qmd events-per-year query — "
         "SPARQL-text GROUP BY / COUNT(DISTINCT) (G12) with closure "
         "path and YEAR() BIND"),
+    "sparql_status_targets": QuerySpec(
+        sparql_status_targets, _STATUS_TARGETS_SQL,
+        "verbatim status-update target-objects histogram — nested "
+        "sub-SELECT aggregation, STRSTARTS filter, MINUS cuts, label "
+        "service fill"),
+    "sparql_status_instances": QuerySpec(
+        sparql_status_instances, _STATUS_INSTANCES_SQL,
+        "verbatim status-update instances histogram — sub-SELECT over "
+        "variable predicate with Blazegraph BIND pre-binding"),
 }

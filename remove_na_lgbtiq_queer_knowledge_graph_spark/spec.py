@@ -35,6 +35,13 @@ class QuerySpec:
     doc: str = ""
 
 
+# Session-scoped memo of loaded table frames.  ``spark.read.parquet``
+# costs a schema-inference py4j round trip (~0.3-0.6 s) every call; a
+# bench/oracle run issues hundreds of t() calls over the same ten
+# paths.  DataFrames are immutable plans — reusing one is free.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a star-schema table.
 
@@ -49,6 +56,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - timestamp[us] → TIMESTAMP_NTZ, which ``withWatermark`` rejects —
       plain cast.
     """
+    key = (id(spark), sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
@@ -59,8 +70,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _TABLE_MEMO[key] = df
+    return df
 
 
 def events_in_range(

@@ -264,3 +264,35 @@ SELECT ?year (COUNT(DISTINCT ?s) AS ?count) WHERE {
 }
 GROUP BY ?year""", tr, prefixes={"wdt": "http://f.org/p/"})
     assert _vals(df, "year", "count") == [("2023", 2), ("2024", 1)]
+
+
+def test_subselect_aggregation_joins_outer(triples):
+    """SPARQL 1.1 §12 subquery: the aggregated sub-SELECT joins the
+    outer group on its projected vars."""
+    df = compile_sparql(_PFX + """
+SELECT ?type ?n WHERE {
+  {
+    SELECT ?type (COUNT(DISTINCT ?s) AS ?n) WHERE {
+      ?s a ?type .
+    } GROUP BY ?type
+  } .
+  ?other a ?type .
+  FILTER(STRSTARTS(STR(?type), "http://ex.org/P"))
+}""", triples)
+    # Person has 2 instances (a, b) → the outer ?other re-join yields
+    # one row per instance, all carrying n=2; Robot is cut by STRSTARTS
+    assert _vals(df, "type", "n") == [
+        ("http://ex.org/Person", 2), ("http://ex.org/Person", 2)]
+
+
+def test_bind_on_bound_var_is_prebinding_filter(triples):
+    """Blazegraph semantics for BIND on an in-scope variable (the
+    status-update instances query): constrain, don't overwrite."""
+    df = compile_sparql(_PFX + """
+SELECT ?s ?p WHERE {
+  ?s ?p ?o .
+  BIND(ex:knows AS ?p)
+}""", triples)
+    got = _vals(df, "s", "p")
+    assert len(got) == 3
+    assert all(p == "http://ex.org/knows" for _, p in got)
