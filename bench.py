@@ -45,6 +45,12 @@ HEADLINE = [
     "dedup_remove_boilerplate",
     "ann_kmeans_cells",
     "publish_persons_pipeline",
+    # round-4 addition: SPARQL-text aggregation (G12).  er_lsh_pairs
+    # stays gate-only: at jaccard≈0.5 over TPC-H color-word names the
+    # banding candidates are inherently dense (~5M pairs at sf0.1,
+    # ~23 s on BOTH engines — Spark/DuckDB ratio ≈1), which would
+    # dominate the headline total without measuring plan quality.
+    "sparql_year_histogram",
 ]
 
 

@@ -114,3 +114,20 @@ def test_mix_domains_rates_are_broadcast(spark, sf_dir):
     the corpus on source."""
     plan = _plan(spark, "mix_domains", sf_dir)
     assert "SortMergeJoin" not in plan
+
+
+def test_sparql_aggregation_is_partial(spark, sf_dir):
+    """G12: the SPARQL-text GROUP BY must plan as partial → final
+    HashAggregate (map-side combine), shuffling one row per
+    (partition, group), never the full binding set."""
+    plan = _plan(spark, "sparql_year_histogram", sf_dir)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_er_lsh_banding_is_equi_join(spark, sf_dir):
+    """The minhash band join and the jaccard refine must stay hash
+    (equi) joins — candidate cost ∝ collisions, never all-pairs."""
+    plan = _plan(spark, "er_lsh_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

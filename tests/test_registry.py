@@ -1,0 +1,43 @@
+"""Registry contract locks.
+
+Round 3's lesson: a silent environment change (testdata format) can turn
+green queries red without any code change.  These locks make the
+registry's *shape* part of the test contract so a refactor that drops a
+query, loses an oracle, or breaks a callable import fails fast and
+locally — before the driver's 50-query rotation finds it.
+"""
+
+from __future__ import annotations
+
+
+def test_every_spec_has_an_oracle():
+    """Since round 4 every registered query is oracle-checkable — the
+    two historical rows-only entries (er_lsh_pairs, agg_sketch_distinct)
+    were re-expressed in oracle-matchable form.  A new rows-only entry
+    must be a deliberate, documented decision, not a regression."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+
+    missing = [n for n, s in all_specs().items() if s.oracle is None]
+    assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+def test_registry_does_not_shrink():
+    """151 queries registered at the end of round 4."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+
+    assert len(all_specs()) >= 151
+
+
+def test_driver_entry_surface():
+    """The driver contract: queries() and oracle_sql() agree on keys and
+    every callable is importable."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    os_ = mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(fn) for fn in qs.values())
