@@ -84,15 +84,27 @@ def main() -> None:
     specs = all_specs()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # min of PASSES runs per query: the shared host carries noisy
+    # ambient load (observed 1.7x swings on identical runs), and min
+    # over repeats is the standard way to measure the engine rather
+    # than the neighbors.  Reported as "passes" so rounds compare
+    # like-for-like.
+    PASSES = 2
     for name in HEADLINE:
-        t0 = time.perf_counter()
+        best = None
         # One broken query must not void the whole round's bench — record
         # the failure and keep timing the rest.
         try:
-            df = specs[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(PASSES):
+                t0 = time.perf_counter()
+                df = specs[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
+            if best is not None:
+                times[name] = round(best, 3)
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Concrete local baseline: the same queries' oracle SQL on DuckDB
@@ -111,10 +123,14 @@ def main() -> None:
         for name in HEADLINE:
             if specs[name].oracle is None or name in errors:
                 continue
-            t0 = time.perf_counter()
+            best = None
             try:
-                con.sql(specs[name].oracle).fetchall()
-                duck_times[name] = round(time.perf_counter() - t0, 3)
+                for _ in range(PASSES):  # same min-of-N basis as Spark
+                    t0 = time.perf_counter()
+                    con.sql(specs[name].oracle).fetchall()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                duck_times[name] = round(best, 3)
             except Exception:
                 continue
     except Exception:
@@ -133,6 +149,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "fixture_warmup_sec": fixture_warmup,
+        "passes": PASSES,
     }
     if errors:
         out["errors"] = errors
