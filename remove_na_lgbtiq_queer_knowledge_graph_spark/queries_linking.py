@@ -478,6 +478,72 @@ FROM events GROUP BY 1
 """
 
 
+_CMS_D, _CMS_K = 4, 20
+
+
+def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — the streaming/100 TB form of
+    "top users by event count".
+
+    The sketch is d=4 rows × 256 buckets; bucket(r, key) = first 2 hex
+    chars of ``md5(r|key)``, so it is identical in any engine and the
+    whole pipeline is oracle-checkable (same trick as the md5-minhash
+    banding).  Bucket totals are plain partial-aggregated sums — the
+    sketch state is O(d·256) and mergeable, vs O(distinct keys) for the
+    exact count; estimate(key) = min over rows of its bucket total
+    (overestimates only, by colliding keys).  Top-k by estimate with a
+    total-order tie-break; the exact count rides along as the oracle
+    anchor — at 100 TB you would drop it and keep only the sketch.
+    """
+    e = t(spark, sf_dir, "events")
+    exact = e.groupBy("user_id").agg(F.count("*").alias("exact"))
+    bucket = lambda r: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(f"{r}|"), F.col("user_id").cast("string"))), 1, 2)
+    rows_arr = F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+        for r in range(_CMS_D)
+    ])
+    keyed = exact.select(
+        "user_id", "exact", F.explode(rows_arr).alias("b")
+    ).select("user_id", "exact", "b.r", "b.bucket")
+    cms = keyed.groupBy("r", "bucket").agg(F.sum("exact").alias("total"))
+    est = (
+        keyed.join(cms, ["r", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("total").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.col("cms_estimate").desc(), F.col("user_id"))
+        .limit(_CMS_K)
+        .select("user_id", "cms_estimate", "exact")
+    )
+
+
+_CMS_BUCKETS = " , ".join(
+    f"({r}, substring(md5('{r}|' || CAST(user_id AS VARCHAR)), 1, 2))"
+    for r in range(_CMS_D)
+)
+_CMS_SQL = f"""
+WITH exact AS (
+  SELECT user_id, count(*) AS exact FROM events GROUP BY 1
+),
+keyed AS (
+  SELECT user_id, exact, b.r, b.bucket
+  FROM exact, LATERAL (VALUES {_CMS_BUCKETS}) AS b(r, bucket)
+),
+cms AS (
+  SELECT r, bucket, sum(exact) AS total FROM keyed GROUP BY 1, 2
+),
+est AS (
+  SELECT k.user_id, k.exact, min(c.total) AS cms_estimate
+  FROM keyed k JOIN cms c ON k.r = c.r AND k.bucket = c.bucket
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(cms_estimate AS BIGINT) AS cms_estimate, exact
+FROM est ORDER BY cms_estimate DESC, user_id LIMIT {_CMS_K}
+"""
+
+
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-group summary statistics (count/min/max/exact mean)
     (`plot-full-network.qmd:130-139` summary())."""
@@ -617,6 +683,7 @@ SPECS: dict[str, QuerySpec] = {
     "graph_reified_best_rank": QuerySpec(graph_reified_best_rank, _REIFIED_SQL),
     "stats_summary": QuerySpec(stats_summary, _SUMMARY_SQL),
     "agg_sketch_distinct": QuerySpec(agg_sketch_distinct, _SKETCH_SQL),
+    "agg_count_min_topk": QuerySpec(agg_count_min_topk, _CMS_SQL),
     "qa_unique_violations": QuerySpec(qa_unique_violations, _QA_UNIQUE_SQL),
     "qa_mapping_totality": QuerySpec(qa_mapping_totality, _QA_TOTALITY_SQL),
     "qa_fk_constraints": QuerySpec(qa_fk_constraints, _QA_FK_SQL),
