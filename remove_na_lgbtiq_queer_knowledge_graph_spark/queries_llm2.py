@@ -83,6 +83,86 @@ GROUP BY 1, 2
 """
 
 
+_BLOOM_K = 3
+
+
+def decon_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-pass — the broadcast form of
+    :func:`decon_ngram_overlap` for the 100 TB regime.
+
+    The eval set's gram hashes are folded into a Bloom filter (k=3
+    md5-derived bucket keys over a 16-bit space, kept as 4-hex-char
+    strings so both engines compute identical buckets).  The bit table
+    is ≤ k·65536 rows — broadcastable at ANY eval-set size — so the
+    training corpus is never shuffled on gram: each train gram probes
+    the broadcast bits and survives only if all k buckets hit.  Output
+    is docs with ≥1 flagged gram and the flagged-gram count — a
+    deterministic SUPERSET of the exact overlap (Bloom false-positive
+    rate (1-e^{-kn/m})^k); production runs the exact join on this
+    pre-filtered sliver only.
+    """
+    docs = t(spark, sf_dir, "documents")
+    grams = _word_grams(docs, n=3)
+    ev = grams.filter(F.col("doc_id") % 97 == 0)
+    tr = grams.filter(F.col("doc_id") % 97 != 0)
+    buckets = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("g"))), 1, 4)
+             .alias("bucket"),
+        )
+        for i in range(_BLOOM_K)
+    ])
+    bits = (
+        ev.select(F.explode(buckets).alias("b"))
+        .select("b.i", "b.bucket").distinct()
+    )
+    probes = tr.select(
+        "doc_id", "g", F.explode(buckets).alias("b")
+    ).select("doc_id", "g", "b.i", "b.bucket")
+    flagged = (
+        probes.join(F.broadcast(bits), ["i", "bucket"])
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged_grams")
+    )
+
+
+_BLOOM_BUCKETS = " , ".join(
+    f"({i}, substring(md5('{i}|' || g), 1, 4))" for i in range(_BLOOM_K)
+)
+_BLOOM_SQL = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+2], ' ')) AS g
+  FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+),
+bits AS (
+  SELECT DISTINCT b.i, b.bucket
+  FROM grams, LATERAL (VALUES {_BLOOM_BUCKETS}) AS b(i, bucket)
+  WHERE doc_id % 97 = 0
+),
+probes AS (
+  SELECT doc_id, g, b.i, b.bucket
+  FROM grams, LATERAL (VALUES {_BLOOM_BUCKETS}) AS b(i, bucket)
+  WHERE doc_id % 97 <> 0
+),
+flagged AS (
+  SELECT p.doc_id, p.g
+  FROM probes p JOIN bits ON p.i = bits.i AND p.bucket = bits.bucket
+  GROUP BY 1, 2
+  HAVING count(*) = {_BLOOM_K}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged_grams
+FROM flagged GROUP BY 1
+"""
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: concat-and-chunk documents into
     fixed-token-budget chunks (512 here), the standard pretraining
@@ -527,6 +607,10 @@ SPECS: dict[str, QuerySpec] = {
     "decon_ngram_overlap": QuerySpec(
         decon_ngram_overlap, _DECON_SQL,
         "eval-set decontamination via word-n-gram overlap join"),
+    "decon_bloom_prefilter": QuerySpec(
+        decon_bloom_prefilter, _BLOOM_SQL,
+        "Bloom-filter decontamination pre-pass (broadcast bits, no "
+        "train-side shuffle)"),
     "pack_sequences": QuerySpec(
         pack_sequences, _PACK_SQL,
         "per-shard concat-and-chunk sequence packing"),

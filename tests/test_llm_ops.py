@@ -359,3 +359,17 @@ def test_grouped_running_sum_matches_window(spark):
     want = {(r.g, r.i): r.run for r in df.withColumn(
         "run", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_bloom_prefilter_superset_of_exact(spark, sf_dir):
+    """The Bloom pre-pass must flag every doc the exact n-gram overlap
+    join finds (no false negatives — only false positives allowed)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm2 import (
+        decon_bloom_prefilter,
+        decon_ngram_overlap,
+    )
+
+    exact = {r.doc_id for r in decon_ngram_overlap(spark, sf_dir)
+             .select("doc_id").distinct().collect()}
+    bloom = {r.doc_id for r in decon_bloom_prefilter(spark, sf_dir).collect()}
+    assert exact <= bloom

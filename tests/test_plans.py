@@ -131,3 +131,11 @@ def test_er_lsh_banding_is_equi_join(spark, sf_dir):
     plan = _plan(spark, "er_lsh_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_bits_join_is_broadcast(spark, sf_dir):
+    """The Bloom bit table (≤ k·65536 rows at ANY eval-set size) must
+    broadcast — the training corpus is never shuffled on gram."""
+    plan = _plan(spark, "decon_bloom_prefilter", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
