@@ -163,6 +163,57 @@ FROM flagged GROUP BY 1
 """
 
 
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring: per-document mean token
+    "commonness band" — the integer-arithmetic stand-in for unigram-LM
+    log-prob filtering.
+
+    Band(token) = ``length(bin(document_frequency))`` = ⌊log2 df⌋+1:
+    a pure-integer log bucket, so the score is bit-identical on every
+    engine (float ``ln`` differs in the last ulp across engines and
+    would break the oracle hash).  Low mean band = rare vocabulary
+    (OCR noise, boilerplate codes, exotic text) — the same signal
+    CCNet's LM perplexity filter thresholds on.  Plan: one explode +
+    one df aggregation + one equi-join on token + a decimal-exact mean;
+    shuffle ∝ token count.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("tok")
+    )
+    dfreq = toks.select("doc_id", "tok").distinct() \
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    band = F.length(F.bin(F.col("dfreq")))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(band.cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("mean_band"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .select("doc_id", F.round("mean_band", 6).alias("mean_band"),
+                "n_tokens")
+    )
+
+
+_RARITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_DUCK}) AS tok FROM documents
+),
+dfreq AS (
+  SELECT tok, count(*) AS dfreq
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1
+)
+SELECT doc_id,
+       round(CAST(SUM(CAST(length(bin(dfreq)) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_band,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM toks JOIN dfreq USING (tok)
+GROUP BY 1
+"""
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: concat-and-chunk documents into
     fixed-token-budget chunks (512 here), the standard pretraining
@@ -611,6 +662,10 @@ SPECS: dict[str, QuerySpec] = {
         decon_bloom_prefilter, _BLOOM_SQL,
         "Bloom-filter decontamination pre-pass (broadcast bits, no "
         "train-side shuffle)"),
+    "text_rarity_score": QuerySpec(
+        text_rarity_score, _RARITY_SQL,
+        "per-doc mean token commonness band (integer log2 buckets) — "
+        "the deterministic stand-in for LM-perplexity quality filters"),
     "pack_sequences": QuerySpec(
         pack_sequences, _PACK_SQL,
         "per-shard concat-and-chunk sequence packing"),
