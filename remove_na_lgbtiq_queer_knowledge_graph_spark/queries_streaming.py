@@ -15,6 +15,7 @@ from .streaming.windows import (
     session_aggregate,
     sliding_counts,
     stateful_user_totals,
+    streaming_cms_buckets,
     streaming_dedupe_keys,
     streaming_dedupe_watermarked,
     tumbling_counts,
@@ -53,6 +54,28 @@ WITH starts AS (
   SELECT CAST(floor(epoch(date_trunc('hour', ts) - INTERVAL 1 HOUR)) AS BIGINT) FROM events
 )
 SELECT wstart_epoch, count(*) AS n FROM starts GROUP BY 1
+"""
+
+
+def stream_cms_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min-sketch maintenance: per-(row, bucket) running
+    totals with O(d·256) state at ANY key cardinality — the bounded-state
+    form of per-key counting on unbounded streams (batch query twin:
+    ``agg_count_min_topk``)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        streaming_cms_buckets(stream), "mem_cms_buckets", "complete"
+    )
+
+
+_CMS_STREAM_BUCKETS = " , ".join(
+    f"({r}, substring(md5('{r}|' || CAST(user_id AS VARCHAR)), 1, 2))"
+    for r in range(4)
+)
+_CMS_STREAM_SQL = f"""
+SELECT b.r, b.bucket, count(*) AS total
+FROM events, LATERAL (VALUES {_CMS_STREAM_BUCKETS}) AS b(r, bucket)
+GROUP BY 1, 2
 """
 
 
@@ -184,6 +207,10 @@ SPECS: dict[str, QuerySpec] = {
     "stream_stateful_totals": QuerySpec(stream_stateful_totals, _STATEFUL_SQL),
     "stream_sliding_hours": QuerySpec(stream_sliding_hours, _SLIDING_SQL),
     "stream_session_windows": QuerySpec(stream_session_windows, _SESSION_SQL),
+    "stream_cms_buckets": QuerySpec(
+        stream_cms_buckets, _CMS_STREAM_SQL,
+        "streaming count-min-sketch maintenance — O(d·256) state at any "
+        "key cardinality"),
     "stream_dedupe_keys": QuerySpec(stream_dedupe_keys, _DEDUPE_SQL),
     "stream_dedupe_watermarked": QuerySpec(stream_dedupe_watermarked, _DEDUPE_SQL),
     "stream_incremental_antijoin": QuerySpec(stream_incremental_antijoin, _INCR_SQL),

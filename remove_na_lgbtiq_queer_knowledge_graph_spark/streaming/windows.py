@@ -140,6 +140,36 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_cms_buckets(events: DataFrame, d: int = 4) -> DataFrame:
+    """Count-min-sketch maintenance on an unbounded stream: per-bucket
+    running totals over d=4 md5-derived 256-bucket hash rows.
+
+    The streaming state is the sketch itself — O(d·256) rows no matter
+    how many distinct users the stream ever sees, vs the unbounded state
+    of an exact per-key count.  Any key's frequency estimate is
+    min over rows of its bucket total (query-time lookup against this
+    table, see the batch twin ``agg_count_min_topk``).  md5 bucketing
+    keeps the sketch engine-portable and the oracle exact: a bounded
+    availableNow run equals the batch bucket totals.
+    """
+    buckets = F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}|"),
+                               F.col("user_id").cast("string"))), 1, 2)
+             .alias("bucket"),
+        )
+        for r in range(d)
+    ])
+    return (
+        events.select(F.explode(buckets).alias("b"))
+        .select("b.r", "b.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+
+
 def streaming_dedupe_keys(events: DataFrame) -> DataFrame:
     """Stateful streaming dedupe on (user_id, event_type) — the streaming
     twin of the keep-first batch dedupe (W2).  Emits each key once.

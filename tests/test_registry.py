@@ -22,10 +22,10 @@ def test_every_spec_has_an_oracle():
 
 
 def test_registry_does_not_shrink():
-    """154 queries registered at the end of round 4."""
+    """155 queries registered at the end of round 4."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
-    assert len(all_specs()) >= 154
+    assert len(all_specs()) >= 155
 
 
 def test_driver_entry_surface():
