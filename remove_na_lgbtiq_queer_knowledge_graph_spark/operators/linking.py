@@ -39,7 +39,7 @@ def label_cascade(df: DataFrame, out: str, *candidates: Column) -> DataFrame:
 
 def quickstatements_long(
     df: DataFrame, item_col: str, statements: dict[str, Column],
-    batch_size: int = 20,
+    batch_size: int = 20, eager: bool = True,
 ) -> DataFrame:
     """S12+R3: wide entity rows → long (item, property, value) statement
     rows with a 20-item upload batch number (`04-persons.R:521-533`).
@@ -49,21 +49,44 @@ def quickstatements_long(
     numbering uses the two-pass :func:`dense_ids` plan (range partition +
     per-partition offsets), not ``ROW_NUMBER() OVER (ORDER BY item)`` —
     a global window would pull every distinct item through one task.
+
+    The melt is a union of one projection per property, and the batch
+    numbering + final join reference the frame again — Spark shares no
+    identical subplans across DataFrame branches, so an expensive
+    upstream (the persons multi-join) would re-execute once per branch
+    per job (~18× observed).  So: project the wide frame down to
+    (item, value…) FIRST, materialize it once (``eager=True``,
+    :func:`..spec.materialize`), and derive the melt, the distinct item
+    list, and the batch join all from the checkpointed narrow frame.
+    ``eager=False`` keeps the op fully lazy for callers that already
+    persist their input.
     """
+    from ..spec import materialize
     from .relational import dense_ids
+
+    props = list(statements)
+    wide = df.select(
+        F.col(item_col).cast("string").alias("item"),
+        *[
+            expr.cast("string").alias(f"__v{i}")
+            for i, expr in enumerate(statements.values())
+        ],
+    )
+    if eager:
+        wide = materialize(wide)
     parts = [
-        df.select(
-            F.col(item_col).cast("string").alias("item"),
+        wide.select(
+            "item",
             F.lit(prop).alias("property"),
-            expr.cast("string").alias("value"),
+            F.col(f"__v{i}").alias("value"),
         )
-        for prop, expr in statements.items()
+        for i, prop in enumerate(props)
     ]
     long = parts[0]
     for p in parts[1:]:
         long = long.unionByName(p)
     long = long.filter(F.col("value").isNotNull())
-    items = long.select("item").distinct()
+    items = wide.select("item").distinct()
     batches = dense_ids(items, ["item"], out="__rn").withColumn(
         "batch", ((F.col("__rn") - 1) / batch_size).cast("long")
     ).drop("__rn")
