@@ -151,38 +151,98 @@ def assert_no_null(df: DataFrame, cols: Sequence[str]) -> None:
         raise AssertionError(f"null values in {list(cols)}; sample: {bad}")
 
 
+# salted_join "auto" skew estimates, keyed by (session, fact-plan
+# semanticHash, key, params).  Hot-key lists are tiny (≤ 1/hot_share).
+_HOT_KEY_MEMO: dict[tuple, list] = {}
+
+
 def salted_join(
     fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 16,
-    how: str = "inner",
+    how: str = "inner", hot_keys: Sequence | str | None = "auto",
+    hot_share: float = 0.02, sample_rows: int = 100_000,
 ) -> DataFrame:
-    """Skew-resistant equi-join: split each fact key into ``n_salts``
-    sub-partitions via a deterministic salt, replicate the (small) dim
-    side across all salts, join on (key, salt).
+    """Skew-resistant equi-join: spread HOT fact keys over ``n_salts``
+    sub-partitions via a deterministic salt, replicate the dim rows for
+    those keys across all salts, and join cold keys with a plain join.
 
     Semantically identical to ``fact.join(dim, key, how)`` for
     ``how in ('inner', 'left')`` — the salt is an execution detail that
     never reaches the output.  Right/full joins are rejected: the dim
     side is exploded across ``n_salts`` salts, so an unmatched dim row
-    would be emitted once per salt.  Use when a few
-    hot keys (a viral document id, a null-bucket fk) would pin one
-    reducer: the hot key's rows now spread over ``n_salts`` tasks.  AQE's
-    skew-join handles *sorted-shuffle* skew automatically; salting is the
-    explicit form that also covers aggregations-after-join and works with
-    AQE off.  Dim-side cost is ×n_salts rows — keep the dim the small
-    side (it is usually broadcastable anyway; salting matters when the
-    dim is too big to broadcast but far smaller than the fact).
+    would be emitted once per salt.
+
+    Salting everything makes the common (unskewed) case ``n_salts``×
+    more expensive on the dim side to protect against the rare hot key,
+    so the replication is scoped to keys known or estimated to be hot:
+
+    - ``hot_keys=<sequence>`` — explicit hot-key values (a viral
+      document id, a null-bucket fk) salt; everything else plain-joins.
+    - ``hot_keys="auto"`` (default) — estimate from a bounded sample of
+      the fact side (``sample_rows`` rows max, one small job): keys
+      owning more than ``hot_share`` of the sample are hot.  The sample
+      reads only the partitions needed to fill ``sample_rows``, so at
+      100 TB the estimate costs a prefix scan, not a pass — tune
+      ``sample_rows`` up if hot keys cluster late in partition order.
+    - ``hot_keys=None`` / empty — plain join (AQE's skew-join already
+      rebalances moderate *sorted-shuffle* skew; explicit salting is for
+      the extreme keys and for aggregations-after-join with AQE off).
+
+    Hot keys are by construction few (share > ``hot_share`` → at most
+    ``1/hot_share``), so the hot-key list is driver-side metadata.
     """
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how in ('inner', 'left'), got {how!r}: "
             "replicated dim rows would duplicate unmatched right-side output"
         )
-    salt = F.pmod(F.xxhash64(*[c for c in fact.columns]), F.lit(n_salts))
-    f = fact.withColumn("__salt", salt.cast("int"))
-    d = dim.withColumn(
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"hot_keys must be a sequence, 'auto', or None, got {hot_keys!r}")
+        # One bounded job: Arrow-transfer the sampled key column and
+        # count on the driver (a hot key at share p appears ~p*n times
+        # in an n-row sample; n in the thousands resolves hot_share=2%).
+        # The estimate is a pure function of the fact plan + params, so
+        # memoize it per plan (semanticHash) like table statistics — a
+        # bench/pipeline that re-executes the same join pays the
+        # sampling job once per session, not per execution.
+        memo_key = (
+            id(fact.sparkSession),
+            fact._jdf.queryExecution().analyzed().semanticHash(),
+            key, hot_share, sample_rows,
+        )
+        hot = _HOT_KEY_MEMO.get(memo_key)
+        if hot is None:
+            pdf = (
+                fact.select(key)
+                .sample(fraction=0.01, seed=42)
+                .limit(sample_rows)
+                .toPandas()
+            )
+            total = len(pdf) or 1
+            vc = pdf[key].value_counts(dropna=True)
+            hot = [k for k, n in vc.items() if n / total > hot_share]
+            if pdf[key].dtype.kind in "iu":  # numpy ints → Python for isin
+                hot = [int(k) for k in hot]
+            _HOT_KEY_MEMO[memo_key] = hot
+    else:
+        hot = [k for k in (hot_keys or []) if k is not None]
+
+    if not hot:
+        return fact.join(dim, key, how)
+
+    kc = F.col(key)
+    f_hot = fact.filter(kc.isin(hot))
+    f_cold = fact.filter(~kc.isin(hot) | kc.isNull())
+    d_hot = dim.filter(F.col(key).isin(hot)).withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return f.join(d, [key, "__salt"], how).drop("__salt")
+    salt = F.pmod(F.xxhash64(*[c for c in fact.columns]), F.lit(n_salts))
+    salted = (
+        f_hot.withColumn("__salt", salt.cast("int"))
+        .join(d_hot, [key, "__salt"], how)
+        .drop("__salt")
+    )
+    return f_cold.join(dim, key, how).unionByName(salted)
 
 
 def dense_ids(

@@ -864,12 +864,16 @@ SELECT fp, count(*) AS n FROM (
 
 
 def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resistant fact⋈dim join via deterministic salting
+    """Skew-resistant fact⋈dim join via ADAPTIVE salting
     (operators/relational.salted_join): lineitem⋈orders on l_orderkey,
     revenue per order priority.  Semantically identical to the plain
-    join — the oracle IS the plain join — while hot keys spread over 16
-    sub-partitions.  The demo dim (orders) stands in for a
-    too-big-to-broadcast mid-size table."""
+    join — the oracle IS the plain join.  ``hot_keys="auto"`` samples
+    the fact side and salts only keys owning >2% of it; TPC-H orderkeys
+    are uniform, so the estimator correctly finds none and the plan
+    degrades to the plain join — paying one bounded sampling job
+    instead of the ×16 dim replication the unconditional form cost.
+    The salted path itself is exercised (and equality-tested against
+    the plain join) on a skewed frame in tests/test_er.py."""
     from .operators.relational import salted_join
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -877,7 +881,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     return (
-        salted_join(li, o, "l_orderkey", n_salts=16)
+        salted_join(li, o, "l_orderkey", n_salts=16, hot_keys="auto")
         .groupBy("o_orderpriority")
         .agg(
             _dec_sum(F.col("l_extendedprice"), "revenue"),

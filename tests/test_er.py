@@ -69,6 +69,68 @@ def test_salted_join_matches_plain_join(spark):
         sorted(map(tuple, want_left.select("k", "payload", "name").collect()))
 
 
+def test_salted_join_hot_key_split(spark):
+    """Explicit hot keys: salted branch + cold plain branch together
+    reproduce the plain join exactly, inner and left, including
+    unmatched hot fact rows and null keys."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        salted_join,
+    )
+
+    rows = [(1, f"hot{i}") for i in range(50)] + [
+        (2, "c"), (3, "d"), (7, "miss"), (None, "nul")
+    ]
+    fact = spark.createDataFrame(rows, "k int, payload string")
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], ["k", "name"]
+    )
+    skey = lambda row: tuple(str(v) for v in row)  # None-safe total order
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "k", n_salts=4, how=how, hot_keys=[1])
+        want = fact.join(dim, "k", how)
+        assert sorted(
+            map(tuple, got.select("k", "payload", "name").collect()), key=skey
+        ) == sorted(
+            map(tuple, want.select("k", "payload", "name").collect()), key=skey
+        )
+
+
+def test_salted_join_auto_detects_skew(spark):
+    """'auto' finds a key owning most of the fact side and salts only
+    it: the exploded dim branch carries the hot key, and results still
+    match the plain join."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        salted_join,
+    )
+
+    rows = [(42, i) for i in range(2000)] + [(k, 0) for k in range(100)]
+    fact = spark.createDataFrame(rows, "k int, payload int")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(100)] + [(42, "hot")],
+                                ["k", "name"])
+    got = salted_join(fact, dim, "k", n_salts=4, hot_keys="auto",
+                      sample_rows=500)
+    want = fact.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the union+explode shape is present for the genuinely skewed frame
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan and ("Generate" in plan or "explode" in plan)
+
+
+def test_salted_join_uniform_plan_has_no_explode(spark):
+    """With no hot keys (uniform data / hot_keys=None) the plan is the
+    plain join: no Generate/explode, no ×n_salts dim replication."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([(i % 50, i) for i in range(500)],
+                                 "k int, payload int")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(50)], ["k", "name"])
+    plan = salted_join(fact, dim, "k", hot_keys=None)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Generate" not in plan and "explode" not in plan
+
+
 def test_star_cc_matches_label_propagation(spark):
     """large-star/small-star CC agrees with min-label propagation on
     chains, cliques, forests and a pseudo-random graph."""
