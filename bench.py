@@ -69,16 +69,22 @@ def main() -> None:
     # over an existing KG — same basis as the DuckDB oracle, which reads
     # the relational tables directly and has no KG to build.
     t0 = time.perf_counter()
+    warmup_error = None
     try:
         from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_sparql import factgrid_kg
         from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_sparql2 import (
             _companions_bundle,
+            _year_events_kg,
         )
 
         factgrid_kg(spark, sf_dir)
         _companions_bundle(spark, sf_dir)
-    except Exception:
-        pass
+        _year_events_kg(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        # A broken fixture must not void the bench, but silently
+        # reporting ~0 warmup would shift KG-build cost into the timed
+        # SPARQL queries with no signal — record it in the output.
+        warmup_error = f"{type(exc).__name__}: {exc}"[:500]
     fixture_warmup = round(time.perf_counter() - t0, 3)
 
     specs = all_specs()
@@ -151,6 +157,8 @@ def main() -> None:
         "fixture_warmup_sec": fixture_warmup,
         "passes": PASSES,
     }
+    if warmup_error:
+        out["fixture_warmup_error"] = warmup_error
     if errors:
         out["errors"] = errors
     if duck_times:

@@ -1079,12 +1079,31 @@ def compile_sparql(
     resolves undeclared wd:/wdt: to its own namespaces — explicit
     PREFIX declarations override).
     """
+    # Prepared-statement memo: compiling a 30+-pattern query costs
+    # ~1-3 s of parser + per-pattern Catalyst analysis, and the KG
+    # frames are session-memoized objects — same (session, text, KG
+    # identity, services, prefixes) always yields the same immutable
+    # plan.  The memo value pins the KG/service frames so a recycled
+    # id() can never alias a different frame.
+    memo_key = (
+        id(triples.sparkSession), text, id(triples),
+        tuple(sorted((k, id(v)) for k, v in (services or {}).items())),
+        auto_language, tuple(sorted((prefixes or {}).items())),
+    )
+    hit = _COMPILE_MEMO.get(memo_key)
+    if hit is not None:
+        return hit[-1]
     q = parse(text, prefixes)
     c = _Compiler(triples, services, auto_language)
     env = c._compile_group(q.where)
     if env is None:
         raise ValueError("query has no bindings")
-    return _project_query(c, env, q)
+    out = _project_query(c, env, q)
+    _COMPILE_MEMO[memo_key] = (triples, services, out)
+    return out
+
+
+_COMPILE_MEMO: dict[tuple, tuple] = {}
 
 
 def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:

@@ -342,8 +342,12 @@ def _companions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bundle_slice(spark: SparkSession, sf_dir: str, part: str) -> DataFrame:
-    return _companions_bundle(spark, sf_dir) \
-        .filter(F.col("__part") == part).drop("__part")
+    # kg_memo also gives the slice a STABLE object identity per
+    # (session, sf_dir) — compile_sparql's prepared-statement memo keys
+    # on frame ids, so a fresh filter() per call would defeat it.
+    return kg_memo(f"companions_slice_{part}", spark, sf_dir, lambda:
+        _companions_bundle(spark, sf_dir)
+        .filter(F.col("__part") == part).drop("__part"))
 
 
 def _companions_kg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# (session, path) → inferred parquet schema: schema inference is a
+# driver-side file-footer job; the schema is immutable per testdata dir.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream — same ``ts`` normalization as the
@@ -31,7 +35,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast is value-identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    skey = (id(spark), path)
+    schema = _SCHEMA_MEMO.get(skey)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[skey] = schema
     # the file-stream source wants a directory; glob-filter to the one file
     stream = (
         spark.readStream.schema(schema)
