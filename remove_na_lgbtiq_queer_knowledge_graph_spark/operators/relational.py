@@ -318,6 +318,7 @@ def grouped_running_sum(
     df: DataFrame, group: Sequence[str], order: Sequence[str],
     value_col: str, out: str = "running",
     num_partitions: int | None = None,
+    max_meta_rows: int | None = 100_000,
 ) -> DataFrame:
     """Per-group INCLUSIVE running sum of ``value_col`` in ``order``,
     without the per-group window sort that funnels a huge group through
@@ -331,11 +332,40 @@ def grouped_running_sum(
     per partition); cumulative offsets per group across partitions; an
     Arrow pass adds ``offset + within-partition running total``.
     ``group + order`` must be a total key (repo determinism rule).
+
+    Regime guard: the two-pass plan's driver metadata is one row per
+    (partition × group-slice).  That is tiny for its intended regime
+    (few giant groups) but a driver bomb for high-cardinality groups —
+    so the group count is estimated first (``approx_count_distinct``,
+    one map-side-combinable job) and when ``partitions × groups``
+    would exceed ``max_meta_rows`` the op falls back to the plain
+    window formulation, which is exactly right for many small groups
+    (each group sorts within one task).  ``max_meta_rows=None``
+    disables the estimate job and forces the two-pass plan.
     """
     from pyspark.sql import types as T
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+
+    vtype = dict(df.dtypes)[value_col]
+    out_type = T.DoubleType() if vtype in ("double", "float") \
+        else T.LongType()
+
+    if max_meta_rows is not None:
+        n_groups = df.agg(
+            F.approx_count_distinct(F.concat_ws("\x1f", *group)).alias("g")
+        ).collect()[0]["g"]
+        if n * n_groups > max_meta_rows:
+            w = (
+                Window.partitionBy(*group)
+                .orderBy(*[F.col(c) for c in order])
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return df.withColumn(
+                out, F.sum(value_col).over(w).cast(out_type)
+            )
+
     keys = [F.col(c) for c in (*group, *order)]
     parted = (
         df.repartitionByRange(n, *keys)
@@ -354,8 +384,6 @@ def grouped_running_sum(
         offsets[(r["__pid"], gkey)] = acc.get(gkey, 0)
         acc[gkey] = acc.get(gkey, 0) + r["__psum"]
 
-    vtype = dict(df.dtypes)[value_col]
-    out_type = T.DoubleType() if vtype in ("double", "float")         else T.LongType()
     out_schema = T.StructType(df.schema.fields + [T.StructField(out, out_type)])
     gcols = list(group)
 

@@ -361,6 +361,29 @@ def test_grouped_running_sum_matches_window(spark):
     assert got == want
 
 
+def test_grouped_running_sum_many_groups_falls_back_to_window(spark):
+    """High-cardinality groups: the (partition × group) driver metadata
+    would explode, so the op must take the window plan — asserted via
+    the physical plan (Window node, no mapInPandas Arrow pass) — and
+    still produce the right sums."""
+    import pyspark.sql.functions as F
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        grouped_running_sum)
+
+    rows = [(g, i, 1) for g in range(400) for i in range(3)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    out = grouped_running_sum(df, ["g"], ["i"], "v", out="run",
+                              num_partitions=8, max_meta_rows=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "MapInPandas" not in plan
+    got = {(r.g, r.i): r.run for r in out.collect()}
+    assert got[(7, 0)] == 1 and got[(7, 2)] == 3
+    # ... and the two-pass path stays available when forced
+    forced = grouped_running_sum(df, ["g"], ["i"], "v", out="run",
+                                 num_partitions=8, max_meta_rows=None)
+    assert {(r.g, r.i): r.run for r in forced.collect()} == got
+
+
 def test_bloom_prefilter_superset_of_exact(spark, sf_dir):
     """The Bloom pre-pass must flag every doc the exact n-gram overlap
     join finds (no false negatives — only false positives allowed)."""
