@@ -117,6 +117,7 @@ def tree_edge_betweenness(
 def sampled_edge_betweenness(
     edges: DataFrame, pivots: DataFrame, max_depth: int,
     src: str = "src", dst: str = "dst", pivot: str = "p",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """G16 on GENERAL graphs: Brandes edge betweenness from a
     deterministic pivot set, depth-bounded (`02-look-into-data.R:49`
@@ -142,16 +143,21 @@ def sampled_edge_betweenness(
     """
     from .. import spec as _spec
 
+    # Pivot-sample state frames are small relative to cluster width;
+    # fewer partitions cut per-iteration task overhead (the same 2.6x
+    # effect measured on the KG fixtures).  The count should track
+    # |pivots| × |frontier|: default to 1/4 of the cluster parallelism
+    # (state is a sample, not the full graph), overridable via
+    # ``state_partitions`` when the pivot set is large.
+    nparts = state_partitions or max(
+        2, edges.sparkSession.sparkContext.defaultParallelism // 4
+    )
     sym = _spec.materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # pivot-sample state frames are small relative to cluster width;
-        # fewer partitions cut per-iteration task overhead (the same
-        # 2.6x effect measured on the KG fixtures).  At real scale the
-        # partition count should track |pivots|*|frontier|.
-        .coalesce(8)
+        .coalesce(nparts)
     )
     lvl0 = _spec.materialize(
         pivots.select(
@@ -169,12 +175,12 @@ def sampled_edge_betweenness(
             .join(seen, ["p", "node"], "left_anti")
             .groupBy("p", "node")
             .agg(F.sum("sigma").alias("sigma"))
-            .coalesce(8)
+            .coalesce(nparts)
         )
         if nxt.isEmpty():
             break
         seen = _spec.materialize(
-            seen.unionAll(nxt.select("p", "node")).coalesce(8))
+            seen.unionAll(nxt.select("p", "node")).coalesce(nparts))
         levels.append(nxt)
 
     dec_sum = F.round(
@@ -204,13 +210,13 @@ def sampled_edge_betweenness(
                 (F.col("sv") / F.col("sw") * (F.lit(1.0) + F.col("delta")))
                 .alias("c"),
             )
-            .coalesce(8)
+            .coalesce(nparts)
         )
         contribs.append(con)
         delta = _spec.materialize(
             con.groupBy("p", F.col("vn").alias("node"))
             .agg(dec_sum.alias("delta"))
-            .coalesce(8)
+            .coalesce(nparts)
         )
 
     if not contribs:

@@ -1115,9 +1115,17 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
     for s in q.select:
         if isinstance(s, SelectExpr) and s.expr[0] != "agg":
             env = env.withColumn(s.var, c._expr(s.expr, env))
-    if agg_items or q.group_by:
+    grouped = bool(agg_items or q.group_by)
+    if grouped:
         aggcols = [c._agg(s.expr, env).alias(s.var) for s in agg_items]
-        keys = [k for k in q.group_by if k in env.columns]
+        missing = [k for k in q.group_by if k not in env.columns]
+        if missing:
+            # a typoed/unbound group var would silently degrade to a
+            # coarser (or global) aggregation — fail instead
+            raise NotImplementedError(
+                f"GROUP BY variable(s) {missing} are unbound in the "
+                "group pattern")
+        keys = list(q.group_by)
         env = env.groupBy(*keys).agg(*aggcols) if keys else env.agg(*aggcols)
     select = [s.var if isinstance(s, SelectExpr) else s for s in q.select]
     if select == ["*"]:
@@ -1133,6 +1141,14 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
             cols.append(F.col(v))
         elif v in env.columns:
             cols.append(F.col(v))
+        elif grouped:
+            # SPARQL engines reject projecting a variable that is
+            # neither a GROUP BY key nor an aggregate alias; the
+            # unbound-NULL fallback below would return silently wrong
+            # results for such a query
+            raise NotImplementedError(
+                f"cannot project ?{v}: not a GROUP BY key or aggregate "
+                "alias")
         else:
             # unbound projection (SPARQL allows it), incl. Description /
             # AltLabel service vars we don't model

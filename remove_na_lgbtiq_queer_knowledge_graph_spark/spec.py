@@ -56,7 +56,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - timestamp[us] → TIMESTAMP_NTZ, which ``withWatermark`` rejects —
       plain cast.
     """
-    key = (id(spark), sf_dir, name)
+    # keyed on file mtime so a driver that regenerates testdata
+    # in-session (possibly with a different physical ts form — the
+    # round-3 failure class) invalidates the frozen plan instead of
+    # serving it stale; the stat is one syscall per t() call
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (id(spark), sf_dir, name, mtime)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
