@@ -138,6 +138,11 @@ class NotExistsPat:          # FILTER NOT EXISTS and MINUS
 
 
 @dataclass(frozen=True)
+class ExistsPat:             # FILTER EXISTS
+    group: "GroupPat"
+
+
+@dataclass(frozen=True)
 class BindPat:
     expr: tuple
     var: str
@@ -394,7 +399,8 @@ class _Parser:
                     g.items.append(NotExistsPat(self.parse_group()))
                 elif (self.peek() and self.peek().kind == "word"
                         and self.peek().text.upper() == "EXISTS"):
-                    raise NotImplementedError("FILTER EXISTS not in subset")
+                    self.next()
+                    g.items.append(ExistsPat(self.parse_group()))
                 else:
                     self.expect("op", "(")
                     e = self.parse_expr()
@@ -933,6 +939,27 @@ class _Compiler:
                     continue
                 if self._shared(env, sub):
                     env = self._join(env, sub, "left_anti")
+            elif isinstance(item, ExistsPat):
+                # dual of NOT EXISTS: keep solutions with ≥1 compatible
+                # binding in the sub-group → left-semi join on shared
+                # vars (SPARQL 1.1 §8.1.1)
+                sub = self._compile_group(item.group, triples)
+                if env is None:
+                    continue
+                if sub is None:
+                    # sub-group yields no bindings → EXISTS is false
+                    # for every solution
+                    env = env.filter(F.lit(False))
+                elif self._shared(env, sub):
+                    env = self._join(env, sub, "left_semi")
+                else:
+                    # no shared vars: keep all solutions iff the
+                    # sub-pattern has any match at all — a 1-row
+                    # broadcast cross join (empty sub → empty result)
+                    env = env.crossJoin(
+                        F.broadcast(sub.limit(1).select(
+                            F.lit(1).alias("__exists"))))
+                    env = env.drop("__exists")
             elif isinstance(item, FilterPat):
                 if env is None:
                     # a filter-only group (e.g. MINUS {FILTER(...)},

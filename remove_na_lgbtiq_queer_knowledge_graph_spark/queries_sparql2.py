@@ -1009,7 +1009,162 @@ WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# network-02-starting-point.rq — statement-node walk (G18) + double
+# sitelink→IRI prelude + federated check, executed verbatim
+# ---------------------------------------------------------------------------
+
+_FGPS = "https://database.factgrid.de/prop/statement/"
+
+
+def _network02_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``factgrid_kg`` plus what ``network-02-starting-point.rq`` walks
+    from its root (fg:Q225307 = nation 7): Wikidata sitelinks for
+    nations AND for the root's statement values (both sitelink preludes
+    are required patterns), reified ``fgp:P2`` instance-of statement
+    nodes on the region items and on fg:Q6256 whose ``fgps:P2`` values
+    reach the ``VALUES ?fg_entities`` set through both closure lengths
+    of ``(fgps:P2/(fgt:P3*))`` — Q6256's statement lands on fg:Q12
+    directly (zero-length star), the regions' land on fg:Q82794 and
+    need the new Q82794 ⊑ Q11214 subclass hop."""
+    def build() -> DataFrame:
+        nation = t(spark, sf_dir, "nation")
+        n = F.col("n_nationkey")
+        nat_item = F.concat(F.lit(FG + "Q"), (F.lit(225300) + n).cast("string"))
+        nat_link = F.concat(F.lit("https://www.wikidata.org/wiki/Q"),
+                            (F.lit(920000) + n).cast("string"))
+        nat_qid = F.concat(F.lit("Q"), (F.lit(920000) + n).cast("string"))
+        region = t(spark, sf_dir, "region")
+        r = F.col("r_regionkey")
+        reg_item = F.concat(F.lit(FG + "Q"), (F.lit(300000) + r).cast("string"))
+        reg_stmt = F.concat(
+            F.lit("https://database.factgrid.de/statement/P2-R"),
+            r.cast("string"))
+        reg_link = F.concat(F.lit("https://www.wikidata.org/wiki/Q"),
+                            (F.lit(930000) + r).cast("string"))
+        reg_qid = F.concat(F.lit("Q"), (F.lit(930000) + r).cast("string"))
+        extra = _triples_from(
+            nation,
+            (None, nat_link, _SCHEMA + "about", nat_item),
+            (None, nat_link, _SCHEMA + "isPartOf", "https://www.wikidata.org/"),
+            (None, nat_link, _SCHEMA + "name", nat_qid),
+        ).unionByName(_triples_from(
+            region,
+            (None, reg_item, _FGP + "P2", reg_stmt),
+            (None, reg_stmt, _FGPS + "P2", FG + "Q82794"),
+            (None, reg_link, _SCHEMA + "about", reg_item),
+            (None, reg_link, _SCHEMA + "isPartOf", "https://www.wikidata.org/"),
+            (None, reg_link, _SCHEMA + "name", reg_qid),
+        ))
+        stmt_c = "https://database.factgrid.de/statement/P2-country"
+        link_c = "https://www.wikidata.org/wiki/Qcountry"
+        static = spark.createDataFrame([
+            (FG + "Q6256", _FGP + "P2", stmt_c, None, None),
+            (stmt_c, _FGPS + "P2", FG + "Q12", None, None),
+            (link_c, _SCHEMA + "about", FG + "Q6256", None, None),
+            (link_c, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
+             None, None),
+            (link_c, _SCHEMA + "name", "Q6256WD", None, None),
+            (FG + "Q82794", FGT + "P3", FG + "Q11214", None, None),
+        ], _TRIPLE_SCHEMA)
+        # factgrid_kg is already checkpointed; materialize only the
+        # additions (companions-bundle pattern — no third checkpoint)
+        return factgrid_kg(spark, sf_dir).unionByName(
+            _cache(extra.unionByName(static).coalesce(4)))
+
+    return kg_memo("network02", spark, sf_dir, build)
+
+
+def _network02_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock Wikidata endpoint for network-02's federated check
+    ``?wd_item ?wdt1 ?wd_value``: the nations' Wikidata twins link to
+    their region twins and to the country-class twin, mirroring the
+    local statements the query walked."""
+    def build() -> DataFrame:
+        nation = t(spark, sf_dir, "nation")
+        n = F.col("n_nationkey")
+        wd_nat = F.concat(F.lit(WD + "Q"), (F.lit(920000) + n).cast("string"))
+        wd_reg = F.concat(F.lit(WD + "Q"),
+                          (F.lit(930000) + F.col("n_regionkey")).cast("string"))
+        return _cache(_triples_from(
+            nation,
+            (None, wd_nat, WDT + "P131", wd_reg),
+            (None, wd_nat, WDT + "P31", WD + "Q6256WD"),
+        ).coalesce(2))
+
+    return kg_memo("network02_svc", spark, sf_dir, build)
+
+
+def sparql_network_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``network-02-starting-point.rq``
+    (`data-publishing/factgrid/queries/network-02-starting-point.rq:22-58`):
+    BIND-bound root, variable predicate + ``wikibase:directClaim``
+    resolution, a reified statement-node walk
+    ``?fg_value fgp:P2 ?statement1 . ?statement1 (fgps:P2/(fgt:P3*))
+    ?fg_entities`` against a ``VALUES`` whitelist (G18), TWO
+    sitelink→``BIND(IRI(CONCAT(STR(wd:), ?qid)))`` preludes (root and
+    value), and a federated SERVICE check that the Wikidata twins are
+    linked too."""
+    return compile_sparql(
+        _ref_rq("network-02-starting-point.rq"),
+        _network02_kg(spark, sf_dir),
+        services={_WD_SERVICES: _network02_service(spark, sf_dir)},
+    )
+
+
+_NETWORK_02_SQL = f"""
+SELECT '{FG}Q225307' AS fg_item, n.n_name AS "fg_itemLabel",
+       '{FG}P47' AS property, 'located in' AS "propertyLabel",
+       '{FG}Q' || CAST(300000 + n.n_regionkey AS VARCHAR) AS fg_value,
+       r.r_name AS "fg_valueLabel",
+       '{WD}Q' || CAST(920000 + n.n_nationkey AS VARCHAR) AS wd_item,
+       '{WD}Q' || CAST(930000 + n.n_regionkey AS VARCHAR) AS wd_value
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE n.n_nationkey = 7
+UNION ALL
+SELECT '{FG}Q225307', n_name, '{FG}P2', 'instance of',
+       '{FG}Q6256', 'country',
+       '{WD}Q' || CAST(920000 + n_nationkey AS VARCHAR),
+       '{WD}Q6256WD'
+FROM nation WHERE n_nationkey = 7
+"""
+
+
+def sparql_exists_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER EXISTS — the dual of get_factgrid_ids_from_wikidata.rq's
+    FILTER NOT EXISTS (`get_factgrid_ids_from_wikidata.rq:18-21`):
+    project humans that DO carry a GND id (fgt:P76), compiled to a
+    left-semi join on the shared variable."""
+    q = """\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+PREFIX wikibase: <http://wikiba.se/ontology#>
+PREFIX bd: <http://www.bigdata.com/rdf#>
+
+SELECT ?item ?itemLabel WHERE {
+  ?item fgt:P2 fg:Q7 .
+  FILTER EXISTS { ?item fgt:P76 ?gnd }
+  SERVICE wikibase:label { bd:serviceParam wikibase:language "[AUTO_LANGUAGE],en". }
+}"""
+    return compile_sparql(q, factgrid_kg(spark, sf_dir))
+
+
+_EXISTS_GND_SQL = f"""
+SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS item,
+       c_name AS "itemLabel"
+FROM customer WHERE c_custkey % 3 <> 0
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "sparql_network_statements": QuerySpec(
+        sparql_network_statements, _NETWORK_02_SQL,
+        "verbatim network-02-starting-point.rq (reified statement walk "
+        "+ double sitelink IRI prelude + federated check)"),
+    "sparql_exists_gnd": QuerySpec(
+        sparql_exists_gnd, _EXISTS_GND_SQL,
+        "FILTER EXISTS as left-semi join (dual of the reference's "
+        "NOT EXISTS)"),
     "sparql_sitelinks": QuerySpec(
         sparql_sitelinks, _SITELINKS_SQL,
         "verbatim get_wiki_sitelinks.rq (grouped path + 5 OPTIONAL "

@@ -82,6 +82,27 @@ SELECT ?s WHERE { ?s a ex:Person . MINUS { ?s ex:knows ex:b } }""", triples)
     assert _vals(df, "s") == [("http://ex.org/b",)]
 
 
+def test_filter_exists_keeps_matching(triples):
+    # dual of MINUS/NOT EXISTS: left-semi on the shared var
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ex:Person . FILTER EXISTS { ?s ex:knows ex:b } }""",
+                        triples)
+    assert _vals(df, "s") == [("http://ex.org/a",)]
+
+
+def test_filter_exists_no_shared_vars(triples):
+    # no shared vars: EXISTS is a global guard — all rows survive when
+    # the sub-pattern matches anywhere, none when it matches nowhere
+    kept = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ex:Person . FILTER EXISTS { ?x a ex:Robot } }""",
+                          triples)
+    assert _vals(kept, "s") == [("http://ex.org/a",), ("http://ex.org/b",)]
+    cut = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ex:Person . FILTER EXISTS { ?x a ex:Spaceship } }""",
+                        triples)
+    assert _vals(cut, "s") == []
+
+
 def test_optional_keeps_unmatched(triples):
     df = compile_sparql(_PFX + """
 SELECT ?s ?o WHERE { ?s a ex:Robot . OPTIONAL { ?s ex:missing ?o } }""",
