@@ -41,13 +41,19 @@ _MODULES = (
 )
 
 
-def _prior_green() -> set[str]:
-    """Query names with a fully-green row in any prior round's
-    CORRECTNESS_r*.json (repo root).  Missing/unreadable files → empty
-    set (base order stands)."""
+def _last_green_round() -> dict[str, int]:
+    """Latest driver round with a fully-green row, per query name, from
+    CORRECTNESS_r*.json (repo root; the local all-query runs are named
+    CORRECTNESS_local_* and deliberately not matched — rotation tracks
+    DRIVER verification staleness).  Missing/unreadable files → empty
+    dict (base order stands)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            continue
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -60,8 +66,8 @@ def _prior_green() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    return green
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -70,12 +76,15 @@ def all_specs() -> dict[str, QuerySpec]:
         mod = __import__(f"{__package__}.{mod_name}", fromlist=["SPECS"])
         base.update(mod.SPECS)
 
-    green = _prior_green()
-    specs: dict[str, QuerySpec] = {}
-    for name, spec in base.items():  # never-verified first, module order
-        if name not in green:
-            specs[name] = spec
-    for name, spec in base.items():  # already driver-green trail
-        if name in green:
-            specs[name] = spec
-    return specs
+    # Least-recently-verified first: never-verified queries lead (base
+    # module order), then ascending by the last driver round that
+    # re-checked them — the driver verifies a window from the head each
+    # round, so stale greens (whose shared fixtures may have been
+    # refactored since) cycle back through driver verification instead
+    # of keeping their round-1 row forever.
+    last = _last_green_round()
+    order = sorted(
+        enumerate(base.items()),
+        key=lambda e: (last.get(e[1][0], 0), e[0]),
+    )
+    return {name: spec for _, (name, spec) in order}

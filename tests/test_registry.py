@@ -22,10 +22,29 @@ def test_every_spec_has_an_oracle():
 
 
 def test_registry_does_not_shrink():
-    """155 queries registered at the end of round 4."""
+    """157 queries registered in round 5 (155 end of round 4 +
+    sparql_network_statements + sparql_exists_gnd)."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
-    assert len(all_specs()) >= 155
+    assert len(all_specs()) >= 157
+
+
+def test_rotation_orders_by_staleness():
+    """The driver verifies a window from the registry head each round,
+    so ordering must be least-recently-verified first: never-verified
+    queries lead, then ascending last-green driver round."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import (
+        _last_green_round,
+        all_specs,
+    )
+
+    last = _last_green_round()
+    assert last, "driver CORRECTNESS_r*.json rows should exist"
+    rounds = [last.get(n, 0) for n in all_specs()]
+    assert rounds == sorted(rounds)
+    # the two queries added this round have no driver row yet → head
+    head = list(all_specs())[:2]
+    assert all(last.get(n, 0) == 0 for n in head)
 
 
 def test_driver_entry_surface():

@@ -39,6 +39,8 @@ def normalize(rows, cols):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None,
+                    help="write driver-style per-query rows to this path")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -56,6 +58,7 @@ def main() -> int:
     specs = all_specs()
     names = args.names or list(specs)
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name in names:
         spec = specs[name]
         t0 = time.time()
@@ -63,36 +66,52 @@ def main() -> int:
             sdf = spec.fn(spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-        except Exception:
+        except Exception as exc:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
             n_fail += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"spark: {exc}"[:300]}
             continue
         if spec.oracle is None:
             print(f"ROWS {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            results[name] = {"rows_only": True, "spark_rows": len(srows),
+                             "err": None}
             continue
         try:
             res = con.sql(spec.oracle)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
-        except Exception:
+        except Exception as exc:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
             n_fail += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"duckdb: {exc}"[:300]}
             continue
 
         problems = []
-        if len(srows) != len(drows):
+        rows_match = len(srows) == len(drows)
+        schema_match = sorted(scols) == sorted(dcols)
+        hash_match = False
+        if not rows_match:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        if not schema_match:
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
         if not problems:
             ns, nd = normalize(srows, scols), normalize(drows, dcols)
-            if ns != nd:
+            hash_match = ns == nd
+            if not hash_match:
                 diff_s = [r for r in ns if r not in set(nd)][:3]
                 diff_d = [r for r in nd if r not in set(ns)][:3]
                 problems.append(f"values differ; spark-only={diff_s} duckdb-only={diff_d}")
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
@@ -101,6 +120,12 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
