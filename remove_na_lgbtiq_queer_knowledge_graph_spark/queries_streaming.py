@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from .spec import QuerySpec, t
 from .streaming.windows import (
     read_events_stream,
+    run_append_to_files,
     run_to_memory,
     session_aggregate,
     sliding_counts,
@@ -36,6 +37,78 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS wday, event_type,
        count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM events GROUP BY 1, 2
+"""
+
+
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows in APPEND mode to a parquet FILE sink
+    with watermark-driven finalization (production sink shape — the
+    memory-sink queries above run complete mode).  The sink receives
+    exactly the windows the 1-hour watermark closed:
+    ``window.end ≤ max(ts) − 1 hour`` — the batch oracle applies the
+    same cut, so open windows are provably withheld and state provably
+    evicts."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_append_to_files(
+        tumbling_counts(stream, "1 day"), "tumbling_append"
+    )
+
+
+_TUMBLING_APPEND_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS wday, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) in APPEND mode to a parquet file
+    sink — the hard bounded-state case: a session stays open (and in
+    state) as long as events keep arriving within the gap, and is
+    finalized only when the watermark passes ``last event + gap``.  The
+    oracle applies the same closure cut to batch-computed sessions:
+    ``last_ts + gap ≤ max(ts) − delay``."""
+    from .streaming.windows import read_events_stream
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_append_to_files(stream, "session_append")
+
+
+_SESSION_APPEND_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sess
+HAVING max(ts) + INTERVAL 30 MINUTE
+       <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
 """
 
 
@@ -204,6 +277,14 @@ FROM events c JOIN events p
 
 SPECS: dict[str, QuerySpec] = {
     "stream_tumbling_daily": QuerySpec(stream_tumbling_daily, _TUMBLING_SQL),
+    "stream_tumbling_append": QuerySpec(
+        stream_tumbling_append, _TUMBLING_APPEND_SQL,
+        "append-mode parquet file sink — only watermark-closed windows "
+        "land; oracle applies the same end ≤ max(ts) − delay cut"),
+    "stream_session_append": QuerySpec(
+        stream_session_append, _SESSION_APPEND_SQL,
+        "session windows in append mode to a file sink — sessions "
+        "finalize at watermark > last event + gap"),
     "stream_stateful_totals": QuerySpec(stream_stateful_totals, _STATEFUL_SQL),
     "stream_sliding_hours": QuerySpec(stream_sliding_hours, _SLIDING_SQL),
     "stream_session_windows": QuerySpec(stream_session_windows, _SESSION_SQL),

@@ -72,6 +72,38 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
     return spark.table(name)
 
 
+def run_append_to_files(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive an append-mode stream into a parquet FILE sink (fresh temp
+    dir per run, checkpoint alongside) and return the files read back.
+
+    This is the production sink shape: append mode emits each window
+    exactly once, when the watermark passes its end — so the sink holds
+    only FINALIZED windows, the state store provably evicts (bounded
+    state), and downstream batch jobs can read the directory
+    incrementally.  The availableNow run ends with a no-data micro-batch
+    that advances the watermark to (global max event time − delay) and
+    flushes every window closed by it, which makes the result
+    deterministic: windows with ``end ≤ max(ts) − delay``, regardless
+    of how the source was split into micro-batches.  (The memory-sink
+    helpers above run complete mode — driver-resident results; this
+    closes the bounded-state story end-to-end.)
+    """
+    import tempfile
+
+    spark = stream_df.sparkSession
+    d = tempfile.mkdtemp(prefix=f"{name}_")
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(d, "data"))
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(d, "data"))
+
+
 def tumbling_counts(events: DataFrame, width: str = "1 day") -> DataFrame:
     """Tumbling-window counts/sums per event_type with watermark."""
     return (
