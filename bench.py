@@ -51,6 +51,11 @@ HEADLINE = [
     # ~23 s on BOTH engines — Spark/DuckDB ratio ≈1), which would
     # dominate the headline total without measuring plan quality.
     "sparql_year_histogram",
+    # round-5 additions: the high-threshold LSH variant (2 bands of 6,
+    # jaccard ≥ 0.8 — sparse candidates, measures the banding join
+    # itself) and the append-mode file-sink streaming path
+    "er_lsh_pairs_sparse",
+    "stream_tumbling_append",
 ]
 
 
