@@ -87,7 +87,9 @@ def quickstatements_long(
         long = long.unionByName(p)
     long = long.filter(F.col("value").isNotNull())
     items = wide.select("item").distinct()
-    batches = dense_ids(items, ["item"], out="__rn").withColumn(
+    batches = dense_ids(
+        items, ["item"], out="__rn", materialize_parted=eager,
+    ).withColumn(
         "batch", ((F.col("__rn") - 1) / batch_size).cast("long")
     ).drop("__rn")
     return long.join(batches, "item")

@@ -248,6 +248,7 @@ def salted_join(
 def dense_ids(
     df: DataFrame, order: Sequence[str], out: str = "id",
     num_partitions: int | None = None,
+    materialize_parted: bool = False,
 ) -> DataFrame:
     """W1 at scale: dense 1..N surrogate keys in ``order`` without a
     global single-partition sort.
@@ -268,11 +269,14 @@ def dense_ids(
 
     The range shuffle executes once per job that consumes it (the count
     pass and the final pass); Spark's range-boundary sampling is
-    deterministically seeded, so both executions agree.  On a real
-    cluster persist the partitioned frame between the passes.
-    ``order`` must be a total key (repo determinism rule) — equal keys
-    split across a partition boundary would otherwise make ids
-    order-ambiguous anyway.
+    deterministically seeded, so both executions agree.
+    ``materialize_parted=True`` localCheckpoints the partitioned frame
+    between the passes so the range shuffle runs ONCE — the right call
+    when the input is itself expensive or large; the default keeps the
+    plan fully lazy/inspectable (the surrogate-key plan lock asserts on
+    the rangepartitioning node).  ``order`` must be a total key (repo
+    determinism rule) — equal keys split across a partition boundary
+    would otherwise make ids order-ambiguous anyway.
     """
     from pyspark.sql import types as T
 
@@ -283,6 +287,10 @@ def dense_ids(
         .sortWithinPartitions(*order)
         .withColumn("__pid", F.spark_partition_id())
     )
+    if materialize_parted:
+        from ..spec import materialize
+
+        parted = materialize(parted)
     counts = {
         r["__pid"]: r["cnt"]
         for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
