@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .functions.strings import transliterate
 from .spec import QuerySpec, t
+from .spec import materialize as _cache
 
 _WORDS_SPARK = 'filter(split(regexp_replace(text, "[^a-zA-Z ]", " "), " "), x -> x != "")'
 _WORDS_DUCK = (
@@ -654,7 +655,160 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing + incremental cross-snapshot dedup
+# ---------------------------------------------------------------------------
+
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling (the multilingual-LM mixing
+    rule): sampling share q_s ∝ p_s^α with α=0.5, flattening the
+    language distribution so small languages are upweighted relative to
+    their raw share.  α=0.5 keeps the pipeline bit-deterministic across
+    engines — p^0.5 is IEEE sqrt, correctly rounded everywhere, unlike
+    a general pow/ln chain.  Target rows per source = N·√n_s / Σ√n_j,
+    applied as a keep-rate (capped at 1 — oversampling beyond 1×
+    replicates, a separate op) through the same deterministic md5
+    bucket cut as :func:`mix_domains`.
+
+    Plan shape: per-source counts (map-side combinable) → one-row
+    totals frame (√ sums pass through DECIMAL so partial-agg order
+    can't change bits) → broadcast rate dim joined to the corpus scan.
+    No collect, no driver loop; at 100 TB the rate table is one row
+    per source."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.sqrt(F.col("cnt")).cast("decimal(28,10)"))
+         .cast("double").alias("z"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.floor(F.lit(10000.0) * F.col("total") * F.sqrt(F.col("cnt"))
+                    / (F.col("z") * F.col("cnt"))).cast("long"),
+        ).alias("thresh"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long"),
+        F.lit(10000),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("thresh"))
+        .select("doc_id", "lang")
+    )
+
+
+_MIX_TEMP_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(SUM(CAST(sqrt(cnt) AS DECIMAL(28,10))) AS DOUBLE) AS z
+  FROM counts
+),
+rates AS (
+  SELECT lang,
+         least(10000, CAST(floor(10000.0 * total * sqrt(cnt)
+                                 / (z * cnt)) AS BIGINT)) AS thresh
+  FROM counts CROSS JOIN totals
+)
+SELECT doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+      % 10000 < r.thresh
+"""
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup: keep NEW documents (every 5th
+    doc_id — the freshly crawled batch) that have no MinHash-band
+    collision with the EXISTING corpus (the rest) — the
+    dedupe-new-against-old step every recurring crawl pipeline runs.
+
+    One signature pass over all docs, bands exploded once; new-side
+    bands left-semi join corpus bands on (band, bucket) → collided new
+    ids; kept = new ids anti-join collided.  Shuffle ∝ band rows +
+    collisions, never new×corpus; the corpus side would be a
+    pre-materialized signature table in production (signatures are
+    per-row and additive, so snapshots append)."""
+    from .operators.dedup import minhash_signature, shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sig = minhash_signature(sh, 12)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"h{b * 3 + i}") for i in range(3)])
+            .alias("bucket"),
+        )
+        for b in range(4)
+    ])
+    bands = _cache(
+        sig.select("id", F.explode(band_structs).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    new_b = bands.filter(F.col("id") % 5 == 0)
+    corp_b = bands.filter(F.col("id") % 5 != 0)
+    collided = (
+        new_b.join(corp_b, ["band", "bucket"], "left_semi")
+        .select("id").distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .join(collided.withColumnRenamed("id", "doc_id"),
+              "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+_MINS12 = ",\n       ".join(
+    f"min(md5('{s}|' || s)) AS h{s}" for s in range(12))
+_BANDS12 = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{3*b} || h{3*b+1} || h{3*b+2} AS bucket FROM sig"
+    for b in range(4))
+_INCR_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS s
+  FROM toks, unnest(range(1, len(w) - 1)) t(i)
+),
+sig AS (SELECT doc_id, {_MINS12} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS12}),
+collided AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands n JOIN bands c
+    ON n.band = c.band AND n.bucket = c.bucket
+   AND n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id % 5 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM collided)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "mix_temperature_sample": QuerySpec(
+        mix_temperature_sample, _MIX_TEMP_SQL,
+        "temperature-scaled (α=0.5) domain mixing with deterministic "
+        "hash cut — √ keeps it bit-identical across engines"),
+    "dedup_incremental_minhash": QuerySpec(
+        dedup_incremental_minhash, _INCR_DEDUP_SQL,
+        "incremental cross-snapshot dedup: new batch anti-joined "
+        "against corpus MinHash bands"),
     "decon_ngram_overlap": QuerySpec(
         decon_ngram_overlap, _DECON_SQL,
         "eval-set decontamination via word-n-gram overlap join"),

@@ -18,6 +18,8 @@ BGP), so parser + planner + materializer are all under test.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -229,9 +231,19 @@ def kg_memo(key: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     SPARQL query scans are identical for every query in a session, so
     re-running the R2RML materialize per query (the localCheckpoint is
     per-DataFrame) is pure waste — in the oracle gate and bench that is
-    dozens of rebuilds.  Keyed by (session, sf_dir); localCheckpointed
-    frames stay valid for the session lifetime."""
-    k = (id(spark), sf_dir, key)
+    dozens of rebuilds.  Keyed by (session, sf_dir, source mtimes) —
+    like spec.t's table memo, regenerated testdata invalidates the
+    checkpointed fixture instead of serving it stale."""
+    import glob as _glob
+
+    try:
+        mtimes = tuple(sorted(
+            (os.path.basename(p), os.path.getmtime(p))
+            for p in _glob.glob(os.path.join(sf_dir, "*.parquet"))
+        ))
+    except OSError:
+        mtimes = ()
+    k = (id(spark), sf_dir, key, mtimes)
     if k not in _KG_MEMO:
         _KG_MEMO[k] = build()
     return _KG_MEMO[k]

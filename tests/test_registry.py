@@ -22,11 +22,12 @@ def test_every_spec_has_an_oracle():
 
 
 def test_registry_does_not_shrink():
-    """157 queries registered in round 5 (155 end of round 4 +
-    sparql_network_statements + sparql_exists_gnd)."""
+    """162 queries registered in round 5 (155 end of round 4 + FILTER
+    EXISTS, network-02, append-mode sinks ×2, sparse LSH, temperature
+    mixing, incremental dedup)."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
-    assert len(all_specs()) >= 157
+    assert len(all_specs()) >= 162
 
 
 def test_rotation_orders_by_staleness():
