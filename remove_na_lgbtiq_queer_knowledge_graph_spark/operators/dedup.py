@@ -293,22 +293,30 @@ def remove_frequent_ngrams(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gram_hash:bigint>>"))
-    grams = df.select(
+    from ..spec import materialize
+
+    # grams feed BOTH the doc-frequency aggregation and the coverage
+    # semi-join — materialize the explode once instead of running the
+    # token-scale slice/hash pass per consumer (Spark shares no
+    # identical subplans across branches)
+    grams = materialize(df.select(
         F.col(id_col), F.explode(grams_arr).alias("g")
     ).select(id_col, F.col("g.pos").alias("pos"),
-             F.col("g.gram_hash").alias("gram_hash"))
+             F.col("g.gram_hash").alias("gram_hash")))
     frequent = (
         grams.groupBy("gram_hash")
         .agg(F.countDistinct(id_col).alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_doc_freq)
         .select("gram_hash")
     )
+    # no distinct on covered: it is only ever the RIGHT side of the
+    # positional anti-join below, where duplicate (doc, wpos) rows are
+    # harmless — deduping would add a full token-scale shuffle
     covered = (
         grams.join(frequent, "gram_hash", "left_semi")
         .select(id_col,
                 F.explode(F.sequence(F.col("pos"),
                                      F.col("pos") + (n - 1))).alias("wpos"))
-        .distinct()
     )
     words = df.select(
         F.col(id_col), F.posexplode(toks).alias("wpos", "word"))
