@@ -124,8 +124,12 @@ def pivot_wide(
 
 def anti_incremental(df: DataFrame, done: DataFrame, on: Sequence[str]) -> DataFrame:
     """J4: the incremental idiom — exclude already-processed keys before
-    expensive work.  Reference: ``lobid/02-search-via-author-title.R:36-49``."""
-    return df.join(done.select(*on).dropDuplicates(list(on)), list(on), "left_anti")
+    expensive work.  Reference: ``lobid/02-search-via-author-title.R:36-49``.
+
+    No dedupe on the done side: duplicate keys on the right of an
+    anti-join are harmless, and a dropDuplicates would insert a full
+    extra shuffle of the done table."""
+    return df.join(done.select(*on), list(on), "left_anti")
 
 
 def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
