@@ -683,7 +683,13 @@ class _Compiler:
         pairs: DataFrame | None = None
         for st in pat.path:
             if st.pred[0] != "iri":
-                raise NotImplementedError("variable predicate inside a path")
+                # not a subset gap: the SPARQL 1.1 grammar (§18.2,
+                # PathPrimary) only admits IRIs inside property paths —
+                # a variable here is a syntax error on any engine
+                raise NotImplementedError(
+                    "variable predicate inside a property path is not "
+                    "valid SPARQL (PathPrimary admits only IRIs); bind "
+                    "the predicate in a plain triple pattern instead")
             edges = triples.filter(F.col("predicate") == st.pred[1]).select(
                 F.col("subject").alias("src"), F.col("object").alias("dst")
             )
@@ -823,6 +829,47 @@ class _Compiler:
                 return F.when(self._expr(args[0], env),
                               self._expr(args[1], env)) \
                         .otherwise(self._expr(args[2], env))
+            if name == "CONTAINS":
+                return self._expr(args[0], env).contains(
+                    self._expr(args[1], env))
+            if name == "STRENDS":
+                return self._expr(args[0], env).endswith(
+                    self._expr(args[1], env))
+            if name == "STRLEN":
+                return F.length(self._expr(args[0], env))
+            if name == "SUBSTR":
+                # SPARQL SUBSTR is 1-based with optional length — same
+                # convention as Spark's substr
+                s = self._expr(args[0], env)
+                start = self._expr(args[1], env)
+                if len(args) > 2:
+                    return s.substr(start, self._expr(args[2], env))
+                return s.substr(start, F.length(s))
+            if name == "UCASE":
+                return F.upper(self._expr(args[0], env))
+            if name == "LCASE":
+                return F.lower(self._expr(args[0], env))
+            if name in ("STRBEFORE", "STRAFTER"):
+                # "" when the separator does not occur (SPARQL 1.1
+                # §17.4.3.7-8) — substring_index alone would return the
+                # whole string.  Spark's substring_index takes a plain
+                # string delimiter; SPARQL queries pass a literal here.
+                if args[1][0] != "term" or args[1][1][0] != "lit":
+                    raise NotImplementedError(
+                        f"{name} requires a literal separator")
+                s = self._expr(args[0], env)
+                sep = args[1][1][1]
+                part = (F.substring_index(s, sep, 1) if name == "STRBEFORE"
+                        else F.substring_index(s, sep, -1))
+                return F.when(s.contains(F.lit(sep)), part).otherwise(F.lit(""))
+            if name == "COALESCE":
+                return F.coalesce(*[self._expr(a, env) for a in args])
+            if name == "SAMETERM":
+                return self._expr(args[0], env) == self._expr(args[1], env)
+            if name in ("ABS", "CEIL", "FLOOR", "ROUND"):
+                fn = {"ABS": F.abs, "CEIL": F.ceil, "FLOOR": F.floor,
+                      "ROUND": F.round}[name]
+                return fn(self._expr(args[0], env).cast("double"))
             raise NotImplementedError(f"SPARQL function {name}")
         raise NotImplementedError(f"expression node {kind}")
 

@@ -82,6 +82,27 @@ SELECT ?s WHERE { ?s a ex:Person . MINUS { ?s ex:knows ex:b } }""", triples)
     assert _vals(df, "s") == [("http://ex.org/b",)]
 
 
+def test_string_numeric_builtins(triples):
+    # the SPARQL 1.1 §17.4 builtins a ported query hits first:
+    # CONTAINS/STRENDS/STRLEN/SUBSTR/UCASE/LCASE/STRBEFORE/STRAFTER/
+    # COALESCE/ABS — BIND-computed and FILTER-used
+    df = compile_sparql(_PFX + """
+SELECT ?s ?up ?pre ?post ?ln WHERE {
+  ?s rdfs:label ?l .
+  FILTER(CONTAINS(?l, "li") && STRENDS(STR(?s), "/a"))
+  BIND(UCASE(?l) AS ?up)
+  BIND(STRBEFORE(?l, "li") AS ?pre)
+  BIND(STRAFTER(?l, "zzz") AS ?post)
+  BIND(STRLEN(SUBSTR(?l, 2)) AS ?ln)
+}""", triples)
+    rows = {(r.s, r.up, r.pre, r.post, r.ln) for r in df.collect()}
+    # labels of ex:a: "Alice"(en), "Alix"(de) — both contain "li"
+    assert rows == {
+        ("http://ex.org/a", "ALICE", "A", "", 4),
+        ("http://ex.org/a", "ALIX", "A", "", 3),
+    }
+
+
 def test_filter_exists_keeps_matching(triples):
     # dual of MINUS/NOT EXISTS: left-semi on the shared var
     df = compile_sparql(_PFX + """
