@@ -237,6 +237,18 @@ def candidate_pairs_minhash(
     banding collisions, not n²; the refine join touches candidate grams
     only.  Reference semantics: ``calc_similarity(..., min_sim)``
     `entity-resolution/entities/01-within-entities.R:48-49`.
+
+    Exact-duplicate collapse: ids with identical gram SETS are grouped
+    into one equivalence class first; banding and refine run per CLASS
+    (the minhash signature is a pure function of the gram set, so
+    class-level banding collides exactly when id-level banding would),
+    and pairs are expanded back at the end — within-class pairs at
+    jaccard 1.0, cross-class pairs at the class pair's exact jaccard.
+    On a mostly-unique corpus the collapse is one extra map-side
+    aggregation; under heavy duplication (web crawls, template text —
+    or TPC-H's 92-word name vocabulary) it turns O(dup²) clique refine
+    work into O(classes²), which is the standard trick production
+    MinHash dedup pipelines use before LSH.
     """
     from ..spec import materialize
 
@@ -246,12 +258,26 @@ def candidate_pairs_minhash(
             F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
         ).distinct()
     )
-    sig = minhash_signature_grams(gset, num_hashes)
+    # Equivalence classes of identical gram sets: cls = hash of the
+    # sorted gram set (map-side combinable collect_set, one shuffle).
+    members = materialize(
+        gset.groupBy("id").agg(
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_set("gram")))
+            ).alias("cls")
+        )
+    )
+    reps = members.groupBy("cls").agg(F.min("id").alias("id"))
+    rep_gset = materialize(
+        gset.join(reps, "id").select(F.col("cls").alias("id"), "gram")
+    )
+
+    sig = minhash_signature_grams(rep_gset, num_hashes)
     cand = band_candidates(sig, num_hashes, band_size)
 
-    cards = gset.groupBy("id").agg(F.count("*").alias("card"))
-    g1 = gset.select(F.col("id").alias("id_1"), "gram")
-    g2 = gset.select(F.col("id").alias("id_2"), "gram")
+    cards = rep_gset.groupBy("id").agg(F.count("*").alias("card"))
+    g1 = rep_gset.select(F.col("id").alias("id_1"), "gram")
+    g2 = rep_gset.select(F.col("id").alias("id_2"), "gram")
     inter = (
         cand.join(g1, "id_1").join(g2, ["id_2", "gram"])
         .groupBy("id_1", "id_2")
@@ -262,12 +288,40 @@ def candidate_pairs_minhash(
     value = F.round(
         F.col("inter") / (F.col("card_1") + F.col("card_2") - F.col("inter")), 6
     )
-    return (
+    cls_pairs = (
         inter.join(c1, "id_1").join(c2, "id_2")
         .withColumn("value", value)
         .filter(F.col("value") >= min_sim)
-        .select("id_1", "id_2", "value")
+        .select(
+            F.col("id_1").alias("cls_1"),
+            F.col("id_2").alias("cls_2"),
+            "value",
+        )
     )
+
+    # Expand class pairs back to id pairs.  Cross-class: every member
+    # of one class against every member of the other, re-canonicalized
+    # to id_1 < id_2 (class order is hash order, not id order).
+    m1 = members.select(F.col("cls").alias("cls_1"), F.col("id").alias("ida"))
+    m2 = members.select(F.col("cls").alias("cls_2"), F.col("id").alias("idb"))
+    cross = (
+        cls_pairs.join(m1, "cls_1").join(m2, "cls_2")
+        .select(
+            F.least("ida", "idb").alias("id_1"),
+            F.greatest("ida", "idb").alias("id_2"),
+            "value",
+        )
+    )
+    # Within-class: identical gram sets ⇒ identical signatures ⇒ always
+    # band-collide, exact jaccard 1.0 ≥ any threshold.
+    w1 = members.select("cls", F.col("id").alias("id_1"))
+    w2 = members.select("cls", F.col("id").alias("id_2"))
+    within = (
+        w1.join(w2, "cls")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", F.lit(1.0).alias("value"))
+    )
+    return cross.unionByName(within)
 
 
 def minhash_signature_grams(gset: DataFrame, num_hashes: int) -> DataFrame:
