@@ -132,6 +132,81 @@ def anti_incremental(df: DataFrame, done: DataFrame, on: Sequence[str]) -> DataF
     return df.join(done.select(*on), list(on), "left_anti")
 
 
+def fixedpoint_sums(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[tuple[Column, str]],
+    *,
+    count_alias: str | None = None,
+) -> DataFrame:
+    """Deterministic multi-SUM aggregation in fixed-point long space.
+
+    The repo's determinism rule sums doubles as DECIMAL(18,6) so the
+    result is independent of partial-aggregate order.  Spark's decimal
+    SUM widens past precision 18, which leaves the compact-long Decimal
+    representation and runs every row through BigDecimal — measured ~6×
+    slower than a double sum on the hot path (TPC-H Q1 shape).  This
+    operator keeps the bit-exact contract at long-sum speed:
+
+    1. per row, quantize each term to integer micros with
+       ``floor(x·1e6 + 0.5) → long`` — pure IEEE multiply/add/floor in
+       whole-stage codegen (Spark's ``round`` on doubles itself detours
+       through BigDecimal, which would reintroduce the cost this
+       operator removes).  Half-up; on negative values this rounds
+       half-toward-+∞ rather than away from zero, identically in both
+       engines, so determinism is unaffected;
+    2. partial-sum the micros per (group, input partition) — map-side
+       combine means each scan task emits one row per group, and a long
+       partial cannot overflow: |partial| ≤ rows-per-partition × |x|·1e6,
+       bounded by ``spark.sql.files.maxPartitionBytes`` (128 MB ≈ ≤4M
+       rows ≈ ≤4e17 for values up to 1e5 — two orders under 2^63);
+    3. combine the per-partition partials as DECIMAL(38,0) — exact,
+       associative, and only (groups × partitions) rows ever reach the
+       decimal path;
+    4. emit ``cast(total as double) / 1e6``.
+
+    The oracle twin is ``CAST(SUM(CAST(floor(x*1e6 + 0.5) AS BIGINT))
+    AS DOUBLE) / 1e6`` (DuckDB sums BIGINT into exact HUGEINT): both
+    engines floor an IEEE-identical product, sum exactly, and convert
+    the same integer to double — bit-equal.
+    Note the quantization point differs from the DECIMAL(18,6) helper by
+    at most one ulp of the 6th decimal (double-string vs double-product
+    rounding), so a query's Spark AND SQL sides must pick the same
+    helper family.
+
+    Intended regime: LOW-cardinality groups (aggregate dashboards,
+    pricing summaries) where per-row decimal cost dominates.  For
+    high-cardinality groups (≈1 row per group) the per-row decimal work
+    is negligible and plain ``sum(cast(x as decimal))`` is simpler.
+    """
+    micros = [
+        F.floor(expr * F.lit(1_000_000.0) + F.lit(0.5)).alias(f"__m{i}")
+        for i, (expr, _) in enumerate(sums)
+    ]
+    partial = (
+        df.select(*keys, *micros)
+        .groupBy(*keys, F.spark_partition_id().alias("__pid"))
+        .agg(
+            *[F.sum(f"__m{i}").alias(f"__s{i}") for i in range(len(sums))],
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    finals = [
+        (F.sum(F.col(f"__s{i}").cast("decimal(38,0)")).cast("double")
+         / F.lit(1_000_000.0)).alias(alias)
+        for i, (_, alias) in enumerate(sums)
+    ]
+    if count_alias is not None:
+        finals.append(F.sum("__n").alias(count_alias))
+    return partial.groupBy(*keys).agg(*finals)
+
+
+def fsum_sql(expr: str, alias: str) -> str:
+    """Oracle-side twin of one :func:`fixedpoint_sums` column."""
+    return (f"CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT))"
+            f" AS DOUBLE) / 1000000.0 AS {alias}")
+
+
 def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
     """§5 assertion op: fail fast when a key is not unique.
 
