@@ -38,8 +38,68 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _pair_cosine_np():
+    """Arrow-batched cosine over (vec, vec) pairs.
+
+    Catalyst's higher-order functions (``zip_with`` + ``aggregate``)
+    evaluate interpreted, one boxed element at a time — measured ~1 s
+    per 5M element-ops on the ANN paths.  This pandas UDF computes the
+    SAME fold: vectorized across the pair batch, sequential over
+    dimensions, so per pair the additions run in index order —
+    ``acc_d = acc_{d-1} + x_d·y_d`` — bit-identical to the expression
+    fold and to DuckDB's sequential ``list_dot_product``.  The rounding
+    that pins cross-engine drift stays OUTSIDE in JVM ``F.round``, so
+    swapping the transport layer cannot move a score.
+
+    Requires equal-length vectors within a batch (any real embedding
+    column is fixed-dim); falls back to a per-row fold on ragged input.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # No type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve locals; hint-less defaults to
+    # the scalar eval type, which is what this is.
+    def pair_cosine(a, b):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        try:
+            A = np.stack(a.to_numpy())
+            B = np.stack(b.to_numpy())
+        except ValueError:  # ragged — per-row index-order fold
+            out = []
+            for va, vb in zip(a, b):
+                acc = na = nb = 0.0
+                for x, y in zip(va, vb):
+                    acc += x * y
+                    na += x * x
+                    nb += y * y
+                out.append(acc / ((na ** 0.5) * (nb ** 0.5)))
+            return pd.Series(out, dtype="float64")
+        dots = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for d in range(A.shape[1]):
+            x = A[:, d]
+            y = B[:, d]
+            dots = dots + x * y
+            na = na + x * x
+            nb = nb + y * y
+        return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+
+    return pandas_udf(pair_cosine, "double")
+
+
+_PAIR_COSINE = None
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+    global _PAIR_COSINE
+    if _PAIR_COSINE is None:
+        _PAIR_COSINE = _pair_cosine_np()
+    return F.round(_PAIR_COSINE(a, b), 6)
 
 
 def brute_force_topk(
