@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import ann as ann_ops
+from .operators import multimodal as mm_ops
 from .operators.dedup import (
     exact_dup_groups,
     exact_keep_first,
@@ -752,6 +753,72 @@ SELECT doc_id, CAST((pos - 1) // 16 AS BIGINT) AS window_idx,
 FROM samples GROUP BY doc_id, (pos - 1) // 16
 """
 
+def mm_wav_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: build genuine RIFF/WAVE PCM16 bytes
+    per doc (square wave, parameters derived from doc_id), then decode
+    them back with the stdlib ``wave`` parser through the same
+    mapInPandas seam as the stub decoders.  The oracle knows the
+    metadata analytically (even-length ±A square wave ⇒ RMS exactly A),
+    so this is an encode→decode round-trip proof — the multimodal
+    column story with an actual codec, not a simulation
+    (operators/multimodal.py encode_wav_square/decode_wav_real)."""
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        mm_ops.wav_payload_builder, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        mm_ops.decode_wav_real, schema=mm_ops.WAV_META_SCHEMA
+    )
+
+
+_MM_WAV_SQL = """
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(800 + (doc_id % 10) * 160 AS BIGINT) AS n_samples,
+       round(CAST((800 + (doc_id % 10) * 160) * 1000 AS DOUBLE) / 8000, 6)
+         AS duration_ms,
+       round(CAST(1000 + (doc_id % 5) * 500 AS DOUBLE), 6) AS rms
+FROM documents
+"""
+
+
+def mm_ppm_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: genuine binary-netpbm P6 bytes per
+    doc (gradient px[i,j]=(i+j+doc_id)%256, size derived from doc_id),
+    decoded back by the real header/raster parser.  Oracle recomputes
+    the mean pixel from the gradient formula — same exact integer
+    sum / count division on both engines."""
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        mm_ops.ppm_payload_builder, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        mm_ops.decode_ppm_real, schema=mm_ops.PPM_META_SCHEMA
+    )
+
+
+# Grid bounds: height = 12 + id%8 ≤ 19 < 20, width = 16 + id%16 ≤ 31 < 32.
+# The raster repeats the gradient across 3 channels, so the decoder's
+# sum/count is (3·Σ)/(3·w·h) — the oracle divides the same two integers
+# so the double division is bit-identical.
+_MM_PPM_SQL = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       round(CAST(3 * SUM((i.i + j.j + d.doc_id) % 256) AS DOUBLE)
+             / (3 * d.w * d.h), 6) AS mean_px
+FROM dims d
+JOIN range(0, 20) i(i) ON i.i < d.h
+JOIN range(0, 32) j(j) ON j.j < d.w
+GROUP BY d.doc_id, d.w, d.h
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact_groups": QuerySpec(dedup_exact_groups_q, _EXACT_SQL),
     "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first_q, _KEEPFIRST_SQL),
@@ -779,4 +846,12 @@ SPECS: dict[str, QuerySpec] = {
     "mm_frame_sample": QuerySpec(mm_frame_sample_q, _MM_FRAMES_SQL),
     "mm_resize_plan": QuerySpec(mm_resize_plan_q, _MM_RESIZE_SQL),
     "mm_audio_energy": QuerySpec(mm_audio_energy_q, _MM_AUDIO_SQL),
+    "mm_wav_real_decode": QuerySpec(
+        mm_wav_real_decode_q, _MM_WAV_SQL,
+        "REAL RIFF/WAVE codec (stdlib wave + numpy) — encode→decode "
+        "round trip against an analytic oracle"),
+    "mm_ppm_real_decode": QuerySpec(
+        mm_ppm_real_decode_q, _MM_PPM_SQL,
+        "REAL binary-netpbm codec — encode→decode round trip against "
+        "an analytic oracle"),
 }

@@ -484,3 +484,85 @@ def test_bloom_prefilter_superset_of_exact(spark, sf_dir):
              .select("doc_id").distinct().collect()}
     bloom = {r.doc_id for r in decon_bloom_prefilter(spark, sf_dir).collect()}
     assert exact <= bloom
+
+
+def test_wav_real_codec_round_trip(spark):
+    """The REAL WAV path: encode genuine RIFF/WAVE bytes, decode with
+    the stdlib parser, and match the analytically-known metadata."""
+    import io
+    import wave
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
+        decode_wav_real,
+        encode_wav_square,
+        wav_payload_builder,
+    )
+
+    # driver-side sanity: the bytes really are a WAV file
+    raw = encode_wav_square(3, 1280, 2000)
+    with wave.open(io.BytesIO(raw), "rb") as w:
+        assert (w.getframerate(), w.getnchannels(), w.getnframes()) == (8000, 1, 1280)
+
+    ids = spark.createDataFrame([(i,) for i in range(25)], ["doc_id"])
+    payloads = ids.mapInPandas(
+        wav_payload_builder, schema="doc_id bigint, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in payloads.mapInPandas(
+            decode_wav_real,
+            schema="doc_id bigint, sample_rate bigint, n_channels bigint, "
+                   "n_samples bigint, duration_ms double, rms double",
+        ).collect()
+    }
+    for d in range(25):
+        r = out[d]
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["n_samples"] == 800 + (d % 10) * 160
+        # even-length ±A square wave: RMS is exactly A
+        assert r["rms"] == float(1000 + (d % 5) * 500)
+
+
+def test_ppm_real_codec_round_trip_and_corrupt(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
+        decode_ppm_real,
+        encode_ppm_gradient,
+        ppm_payload_builder,
+    )
+
+    raw = encode_ppm_gradient(7, 5, 4)
+    assert raw.startswith(b"P6\n5 4\n255\n")
+    assert len(raw) == len(b"P6\n5 4\n255\n") + 5 * 4 * 3
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    payloads = ids.mapInPandas(
+        ppm_payload_builder, schema="doc_id bigint, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in payloads.mapInPandas(
+            decode_ppm_real,
+            schema="doc_id bigint, width bigint, height bigint, "
+                   "maxval bigint, mean_px double",
+        ).collect()
+    }
+    for d in range(20):
+        w, h = 16 + d % 16, 12 + d % 8
+        r = out[d]
+        assert (r["width"], r["height"], r["maxval"]) == (w, h, 255)
+        exact = sum((i + j + d) % 256 for i in range(h) for j in range(w))
+        assert r["mean_px"] == round(3 * exact / (3 * w * h), 6)
+
+    # corrupt payloads fail loudly, like a real decoder
+    def batches():
+        yield pd.DataFrame({"doc_id": [1], "payload": [b"JFIF not a ppm"]})
+
+    with _pytest.raises(ValueError, match="netpbm"):
+        list(decode_ppm_real(batches()))
+
+    def truncated():
+        yield pd.DataFrame({"doc_id": [1], "payload": [raw[:-10]]})
+
+    with _pytest.raises(ValueError, match="truncated"):
+        list(decode_ppm_real(truncated()))
