@@ -171,6 +171,9 @@ _DBO = "http://dbpedia.org/ontology/"
 _DBR = "http://dbpedia.org/resource/"
 _COMP = FG + "Q223420"          # the BIND(fg:Q223420) starting item
 _WDCOMP = WD + "Q923420"        # its Wikidata twin via the sitelink
+_HIRSCH = FG + "Q225307"        # companions_hirschfeld.rq's BIND root
+_WDHIRSCH = WD + "Q935786"      # its Wikidata twin via the sitelink
+_DBHIRSCH = _DBR + "Magnus_Hirschfeld"
 
 _TRIPLE_SCHEMA = ("subject string, predicate string, object string, "
                   "lang string, dtype string")
@@ -257,6 +260,14 @@ def _companions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (FG + "P91", _WIKIBASE_DC, FGT + "P91", None, None),
             (FG + "P91", RDFS_LABEL, "member of", "de", None),
             (FG + "P91", RDFS_LABEL, "member of", "en", None),
+            # hirschfeld root's sitelink prelude
+            ("https://www.wikidata.org/wiki/Q935786",
+             _SCHEMA + "about", _HIRSCH, None, None),
+            ("https://www.wikidata.org/wiki/Q935786",
+             _SCHEMA + "isPartOf", "https://www.wikidata.org/", None, None),
+            ("https://www.wikidata.org/wiki/Q935786",
+             _SCHEMA + "name", "Q935786", None, None),
+            (_HIRSCH, RDFS_LABEL, "Hirschfeld", "en", None),
         ], _TRIPLE_SCHEMA)
 
         # mock Wikidata endpoint (`companions_and_relations.rq:69-105`)
@@ -304,6 +315,14 @@ def _companions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         db_part = _triples_from(
             cust,
             (ck % 6 == 0, root, _DBO + "wikiPageWikiLink", db_person),
+            # hirschfeld variant: same person mentions from its page,
+            # plus the wikilink→Wikidata sameAs its inline FILTER keeps
+            # and a DBpedia-local alias the regex legitimately cuts
+            (ck % 6 == 0, _DBHIRSCH, _DBO + "wikiPageWikiLink", db_person),
+            (ck % 6 == 0, db_person, _OWL_SAMEAS,
+             F.concat(F.lit(WD + "Q"), (F.lit(930000) + ck).cast("string"))),
+            (ck % 6 == 0, db_person, _OWL_SAMEAS,
+             F.concat(F.lit(_DBR + "alias_"), ck.cast("string"))),
             (is_person, db_person, _RDF_TYPE, _DBO + "Person"),
             (is_person, db_person, RDFS_LABEL,
              F.concat(F.lit("db-"), F.col("c_name")), "en"),
@@ -326,6 +345,7 @@ def _companions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         zweig = _DBR + "Stefan_Zweig"
         db_static = spark.createDataFrame([
             (root, _OWL_SAMEAS, _WDCOMP, None, None),
+            (_DBHIRSCH, _OWL_SAMEAS, _WDHIRSCH, None, None),
             (root, _DBO + "wikiPageWikiLink", zweig, None, None),
             (zweig, _RDF_TYPE, _DBO + "Person", None, None),
             (zweig, RDFS_LABEL, "Stefan Zweig", "en", None),
@@ -387,6 +407,40 @@ def _dbpedia_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op per SPARQL semantics (it is on the live endpoint too), so the
     row legitimately stays (`companions_and_relations.rq:110-137`)."""
     return _bundle_slice(spark, sf_dir, "db")
+
+
+def sparql_companions_hirschfeld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``companions_hirschfeld.rq``
+    (`data-publishing/factgrid/queries/companions_hirschfeld.rq:22-60`):
+    the ImageGrid variant rooted at fg:Q225307 — sitelink→IRI prelude,
+    a DBpedia SERVICE whose single OPTIONAL block requires the
+    wikiPageWikiLink mention to be a typed Person WITH a
+    wikidata-filtered ``owl:sameAs`` (inline FILTER) AND a thumbnail
+    (all-or-nothing within the block), the same no-op
+    ``MINUS {FILTER(REGEX(...))}`` as the flagship, and an EMPTY
+    ``OPTIONAL {}`` inside the Wikidata SERVICE that must compile to a
+    no-op."""
+    return compile_sparql(
+        _ref_rq("companions_hirschfeld.rq"),
+        _companions_kg(spark, sf_dir),
+        services={
+            "https://query.wikidata.org/sparql":
+                _wd_companions_service(spark, sf_dir),
+            "https://dbpedia.org/sparql": _dbpedia_service(spark, sf_dir),
+        },
+    )
+
+
+# Mentions come from customers %6 (wikilink + Person type + sameAs);
+# only %12 carries a thumbnail, and the OPTIONAL block is
+# all-or-nothing, so exactly the %12 rows survive.  The DBpedia-local
+# alias sameAs rows are cut by the inline FILTER(regex 'wikidata').
+_COMPANIONS_HIRSCH_SQL = f"""
+SELECT DISTINCT
+       '{_DBR}Person_' || CAST(c_custkey AS VARCHAR) AS db_wikilink,
+       'db-img-' || CAST(c_custkey AS VARCHAR) AS image
+FROM customer WHERE c_custkey % 12 = 0
+"""
 
 
 def sparql_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,6 +1235,11 @@ SPECS: dict[str, QuerySpec] = {
         sparql_companions, _COMPANIONS_SQL,
         "verbatim companions_and_relations.rq (5-way UNION over local "
         "BGPs + Wikidata/DBpedia federation, label-service fill)"),
+    "sparql_companions_hirschfeld": QuerySpec(
+        sparql_companions_hirschfeld, _COMPANIONS_HIRSCH_SQL,
+        "verbatim companions_hirschfeld.rq (ImageGrid variant: "
+        "all-or-nothing OPTIONAL in the DBpedia SERVICE, inline "
+        "FILTER on sameAs, empty OPTIONAL in the Wikidata SERVICE)"),
     "sparql_app_companions": QuerySpec(
         sparql_app_companions, _APP_COMPANIONS_SQL,
         "companions Shiny app query via R paste0 template extraction "
