@@ -698,6 +698,52 @@ SELECT DISTINCT s_nationkey FROM supplier
 """
 
 
+def bind_cols_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: ``bind_cols`` — horizontally concatenate two key-less frames
+    by generated row position (the reference aligns an API result frame
+    back to its input rows, `lobid/01-search-via-isbn.R:192`).
+
+    Spark-first: positional ids come from :func:`dense_ids` (the
+    two-pass zipWithIndex plan) on BOTH sides — a
+    ``row_number() OVER (ORDER BY ...)`` id would funnel each frame
+    through one task, the classic 100 TB killer; the equi-join on the
+    dense id is an ordinary shuffle join.  Alignment is well-defined
+    because each side carries a total order (repo determinism rule)."""
+    from .operators.relational import dense_ids
+
+    c = t(spark, sf_dir, "customer")
+    left = dense_ids(
+        c.select("c_custkey", "c_name"), ["c_custkey"], out="rid"
+    )
+    # stand-in for the API-result frame: a key-less fingerprint column
+    # with its own (total, unique) order
+    right = dense_ids(
+        c.select(F.md5(F.col("c_name")).alias("fp")), ["fp"], out="rid"
+    )
+    return (
+        left.join(right, "rid")
+        .select(
+            F.col("rid").cast("bigint").alias("rid"),
+            "c_custkey", "c_name",
+            F.col("fp").alias("fp_aligned"),
+        )
+    )
+
+
+_BIND_COLS_SQL = """
+WITH a AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS rid, c_custkey, c_name
+  FROM customer
+), b AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(c_name)) AS rid, md5(c_name) AS fp
+  FROM customer
+)
+SELECT CAST(a.rid AS BIGINT) AS rid, a.c_custkey, a.c_name,
+       b.fp AS fp_aligned
+FROM a JOIN b USING (rid)
+"""
+
+
 # ---------------------------------------------------------------------------
 # R-family reshape
 # ---------------------------------------------------------------------------
@@ -1006,6 +1052,10 @@ SPECS: dict[str, QuerySpec] = {
     "sort_top_k_global": QuerySpec(top_k_global, _TOPK_SQL),
     "setop_union_align": QuerySpec(union_align, _UNION_SQL),
     "setop_minus": QuerySpec(set_minus, _MINUS_SQL),
+    "setop_bind_cols": QuerySpec(
+        bind_cols_rowid, _BIND_COLS_SQL,
+        "U2 bind_cols: positional concat via two-pass dense ids on "
+        "both sides — no single-partition row_number"),
     "reshape_explode_words": QuerySpec(explode_words, _EXPLODE_SQL),
     "reshape_split_columns": QuerySpec(split_columns, _SPLIT_SQL),
     "reshape_melt_long": QuerySpec(melt_long, _MELT_SQL),
