@@ -79,6 +79,19 @@ def _factgrid_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # gives get_gnd_from_fg_and_wd.rq a real required-pattern cut
         F.when(ck % 3 != 0, F.concat(F.lit("gnd-"), ck.cast("string")))
          .alias("gnd"),
+        # per-language Wikipedia sitelink titles for PERSONS
+        # (get_wiki_sitelinks_removena.rq runs the 4-language OPTIONAL
+        # chain over the whole P131 collection) — same null-semantics
+        # as the supplier titles: different moduli so every OPTIONAL
+        # has both bound and unbound rows
+        F.when(ck % 3 == 0, F.concat(F.lit("de-"), F.col("c_name")))
+         .alias("cdewiki"),
+        F.when(ck % 4 == 0, F.concat(F.lit("en-"), F.col("c_name")))
+         .alias("cenwiki"),
+        F.when(ck % 5 == 0, F.concat(F.lit("fr-"), F.col("c_name")))
+         .alias("cfrwiki"),
+        F.when(ck % 7 == 0, F.concat(F.lit("es-"), F.col("c_name")))
+         .alias("ceswiki"),
         "c_custkey",
     )
     k = F.col("s_suppkey")
@@ -191,6 +204,18 @@ def factgrid_maps() -> list[TriplesMap]:
             ])
             for wiki, col in (("de", "dewiki"), ("en", "enwiki"),
                               ("fr", "frwiki"), ("es", "eswiki"))
+        ],
+        # the customer-side (person) twin of the supplier wiki maps
+        *[
+            TriplesMap("cust", Template(f"https://{wiki}.wikipedia.org/wiki/C",
+                                        "fg_id"), [
+                (SCHEMA + "about", q("fg_id")),
+                (SCHEMA + "isPartOf",
+                 ("const", f"https://{wiki}.wikipedia.org/")),
+                (SCHEMA + "name", col),
+            ])
+            for wiki, col in (("de", "cdewiki"), ("en", "cenwiki"),
+                              ("fr", "cfrwiki"), ("es", "ceswiki"))
         ],
         TriplesMap("nation", q("nat_id"), [
             (FGT + "P47", q("reg_id")),

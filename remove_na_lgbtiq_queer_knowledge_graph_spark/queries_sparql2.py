@@ -105,6 +105,36 @@ FROM supplier
 """
 
 
+def sparql_sitelinks_removena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``get_wiki_sitelinks_removena.rq``: the whole
+    ``fgt:P131 fg:Q400012`` collection (persons, not the organisations
+    path) through the Wikidata-IRI OPTIONAL plus the four
+    per-language Wikipedia sitelink OPTIONALs."""
+    return compile_sparql(_ref_rq("get_wiki_sitelinks_removena.rq"),
+                          factgrid_kg(spark, sf_dir))
+
+
+_SITELINKS_REMOVENA_SQL = f"""
+SELECT DISTINCT
+       '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS fg_item,
+       c_name AS "fg_itemLabel",
+       CASE WHEN c_custkey % 2 = 0
+            THEN '{WD}Q' || CAST(900000 + c_custkey AS VARCHAR) END AS wd_item,
+       CASE WHEN c_custkey % 3 = 0 THEN 'de-' || c_name END AS "Sdewiki",
+       CASE WHEN c_custkey % 4 = 0 THEN 'en-' || c_name END AS "Senwiki",
+       CASE WHEN c_custkey % 5 = 0 THEN 'fr-' || c_name END AS "Sfrwiki",
+       CASE WHEN c_custkey % 7 = 0 THEN 'es-' || c_name END AS "Seswiki"
+FROM customer
+UNION ALL
+-- regions are in the P131 collection too (no sitelinks of any kind)
+SELECT '{FG}Q' || CAST(300000 + r_regionkey AS VARCHAR) AS fg_item,
+       r_name AS "fg_itemLabel",
+       NULL AS wd_item, NULL AS "Sdewiki", NULL AS "Senwiki",
+       NULL AS "Sfrwiki", NULL AS "Seswiki"
+FROM region
+"""
+
+
 def sparql_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim ``get_gnd_from_fg_and_wd.rq``: GND ids from both ends —
     required ``fgt:P76`` + sitelink on the FactGrid side, OPTIONAL
@@ -1223,6 +1253,10 @@ SPECS: dict[str, QuerySpec] = {
         sparql_sitelinks, _SITELINKS_SQL,
         "verbatim get_wiki_sitelinks.rq (grouped path + 5 OPTIONAL "
         "sitelink blocks)"),
+    "sparql_sitelinks_removena": QuerySpec(
+        sparql_sitelinks_removena, _SITELINKS_REMOVENA_SQL,
+        "verbatim get_wiki_sitelinks_removena.rq (whole P131 "
+        "collection through 5 OPTIONAL sitelink blocks)"),
     "sparql_gnd": QuerySpec(
         sparql_gnd, _GND_SQL,
         "verbatim get_gnd_from_fg_and_wd.rq (OPTIONAL inside SERVICE "
