@@ -49,6 +49,7 @@ from .bgp import transitive_closure
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+SKOS_ALT_LABEL = "http://www.w3.org/2004/02/skos/core#altLabel"
 WIKIBASE_LABEL_SERVICE = "http://wikiba.se/ontology#label"
 
 
@@ -1106,6 +1107,58 @@ class _Compiler:
         _LABEL_DIM_MEMO[key] = (self.triples, dim)
         return dim
 
+    def _alt_label_dim(self, prefs: tuple[str, ...]) -> DataFrame:
+        """The (subject, aliases) dimension for ``?xAltLabel``:
+        ``skos:altLabel`` values in the best-preference language that
+        has any, sorted and comma-joined (WDQS joins multiple aliases
+        with ", ").  Memoized like the label dim."""
+        key = (id(self.triples.sparkSession), id(self.triples),
+               ("alt",) + prefs)
+        hit = _LABEL_DIM_MEMO.get(key)
+        if hit is not None:
+            return hit[1]
+        rank = F.when(F.col("lang") == prefs[0], F.lit(0))
+        for i, lg in enumerate(prefs[1:], start=1):
+            rank = rank.when(F.col("lang") == lg, F.lit(i))
+        best = F.min("__rank")
+        rows = F.sort_array(F.collect_list(F.struct("__rank", "object")))
+        dim = (
+            self.triples
+            .filter((F.col("predicate") == SKOS_ALT_LABEL)
+                    & F.col("lang").isin(list(prefs)))
+            .withColumn("__rank", rank)
+            .groupBy(F.col("subject").alias("__alt_subject"))
+            .agg(best.alias("__best"), rows.alias("__rows"))
+            .select(
+                "__alt_subject",
+                F.array_join(
+                    F.transform(
+                        F.filter("__rows",
+                                 lambda x: x["__rank"] == F.col("__best")),
+                        lambda x: x["object"],
+                    ),
+                    ", ",
+                ).alias("__alt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _LABEL_DIM_MEMO[key] = (self.triples, dim)
+        return dim
+
+    def _attach_alt_label(self, env: DataFrame, base_var: str,
+                          alt_var: str) -> DataFrame:
+        """``?xAltLabel`` service semantics: comma-joined aliases in the
+        best available language; NO fallback — the service leaves the
+        var unbound when the item has no aliases."""
+        prefs = tuple(self.label_langs or [self.auto_language])
+        alts = self._alt_label_dim(prefs).withColumnRenamed(
+            "__alt_subject", base_var)
+        return (
+            env.join(alts, base_var, "left")
+            .withColumn(alt_var, F.col("__alt"))
+            .drop("__alt")
+        )
+
     def _attach_label(self, env: DataFrame, base_var: str,
                       label_var: str) -> DataFrame:
         """Wikibase label service semantics for one ``?xLabel`` var:
@@ -1207,7 +1260,12 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
                   if not col.startswith(("__lang__", "__bnode"))]
     cols: list[Column] = []
     for v in select:
-        if v.endswith("Label") and v[:-5] in env.columns:
+        # AltLabel must be tested before Label — "xAltLabel" ends with
+        # "Label" too, but its base var is x, not xAlt
+        if v.endswith("AltLabel") and v[:-8] in env.columns:
+            env = c._attach_alt_label(env, v[:-8], v)
+            cols.append(F.col(v))
+        elif v.endswith("Label") and v[:-5] in env.columns:
             # base var bound → label service applies even when the label
             # var itself is already (partially) bound by an explicit
             # rdfs:label pattern in some UNION branch
@@ -1224,8 +1282,8 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
                 f"cannot project ?{v}: not a GROUP BY key or aggregate "
                 "alias")
         else:
-            # unbound projection (SPARQL allows it), incl. Description /
-            # AltLabel service vars we don't model
+            # unbound projection (SPARQL allows it), incl. Description
+            # service vars we don't model (AltLabel IS modeled above)
             cols.append(F.lit(None).cast("string").alias(v))
     out = env.select(*cols)
     if q.distinct:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .plans.r2rml import Template, TriplesMap, materialize
-from .plans.sparql import RDFS_LABEL, compile_sparql
+from .plans.sparql import RDFS_LABEL, SKOS_ALT_LABEL, compile_sparql
 from .spec import QuerySpec, t
 from .spec import materialize as _cache
 
@@ -84,6 +84,12 @@ def _factgrid_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # chain over the whole P131 collection) — same null-semantics
         # as the supplier titles: different moduli so every OPTIONAL
         # has both bound and unbound rows
+        # skos:altLabel aliases (label-service ?xAltLabel): one for %4,
+        # a second for %8 so the comma-join has multi-alias rows
+        F.when(ck % 4 == 0, F.concat(F.lit("alias-"), F.col("c_name")))
+         .alias("calias1"),
+        F.when(ck % 8 == 0, F.concat(F.lit("aka-"), F.col("c_name")))
+         .alias("calias2"),
         F.when(ck % 3 == 0, F.concat(F.lit("de-"), F.col("c_name")))
          .alias("cdewiki"),
         F.when(ck % 4 == 0, F.concat(F.lit("en-"), F.col("c_name")))
@@ -160,6 +166,8 @@ def factgrid_maps() -> list[TriplesMap]:
             (FGT + "P76", "gnd"),
             (RDFS_LABEL, "c_name", "de"),
             (RDFS_LABEL, "c_name", "en"),
+            (SKOS_ALT_LABEL, "calias1", "en"),
+            (SKOS_ALT_LABEL, "calias2", "en"),
         ]),
         # Wikidata sitelinks for even customer keys only — the odd ones
         # are the "items missing from Wikidata" the reference query hunts

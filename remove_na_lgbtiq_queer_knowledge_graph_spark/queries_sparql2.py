@@ -135,6 +135,44 @@ FROM region
 """
 
 
+def sparql_factgrid_ids_removena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``get_factgrid_ids_from_wikidata-removena.rq``: the
+    P131 collection members that DO have a Wikidata sitelink (required
+    prelude, the dual of the original's NOT EXISTS hunt), the
+    ``?fg_itemAltLabel`` label-service variable (comma-joined
+    ``skos:altLabel`` aliases in the best preference language — newly
+    modeled), and an OPTIONAL ``wdt:P8168`` FactGrid-id lookup inside
+    the federated Wikidata SERVICE."""
+    from .queries_sparql import wikidata_service
+
+    return compile_sparql(
+        _ref_rq("get_factgrid_ids_from_wikidata-removena.rq"),
+        factgrid_kg(spark, sf_dir),
+        services={"https://query.wikidata.org/sparql":
+                  wikidata_service(spark, sf_dir)},
+    )
+
+
+# Sitelinks exist for even custkeys only; aliases: %4 → alias-, %8 →
+# additionally aka- (sorted comma-join puts "aka-" first); wd P8168
+# ids exist for %3.  Regions are in the collection but have no
+# sitelink, so the required prelude cuts them.
+_FACTGRID_IDS_REMOVENA_SQL = f"""
+SELECT DISTINCT
+       '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS fg_item,
+       c_name AS "fg_itemLabel",
+       CASE WHEN c_custkey % 8 = 0
+            THEN 'aka-' || c_name || ', alias-' || c_name
+            WHEN c_custkey % 4 = 0 THEN 'alias-' || c_name
+       END AS "fg_itemAltLabel",
+       '{WD}Q' || CAST(900000 + c_custkey AS VARCHAR) AS wd_item,
+       CASE WHEN c_custkey % 3 = 0
+            THEN 'Q' || CAST(500000 + c_custkey AS VARCHAR)
+       END AS wd_fg_id
+FROM customer WHERE c_custkey % 2 = 0
+"""
+
+
 def sparql_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim ``get_gnd_from_fg_and_wd.rq``: GND ids from both ends —
     required ``fgt:P76`` + sitelink on the FactGrid side, OPTIONAL
@@ -1257,6 +1295,10 @@ SPECS: dict[str, QuerySpec] = {
         sparql_sitelinks_removena, _SITELINKS_REMOVENA_SQL,
         "verbatim get_wiki_sitelinks_removena.rq (whole P131 "
         "collection through 5 OPTIONAL sitelink blocks)"),
+    "sparql_factgrid_ids_removena": QuerySpec(
+        sparql_factgrid_ids_removena, _FACTGRID_IDS_REMOVENA_SQL,
+        "verbatim get_factgrid_ids_from_wikidata-removena.rq "
+        "(?xAltLabel label-service aliases + OPTIONAL inside SERVICE)"),
     "sparql_gnd": QuerySpec(
         sparql_gnd, _GND_SQL,
         "verbatim get_gnd_from_fg_and_wd.rq (OPTIONAL inside SERVICE "

@@ -338,3 +338,43 @@ SELECT ?s ?p WHERE {
     got = _vals(df, "s", "p")
     assert len(got) == 3
     assert all(p == "http://ex.org/knows" for _, p in got)
+
+
+def test_alt_label_service(spark):
+    """?xAltLabel: comma-joined skos:altLabel aliases in the BEST
+    preference language that has any; unbound (NULL) when an item has
+    no aliases; plain ?xLabel unaffected."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.sparql import (
+        compile_sparql,
+    )
+
+    RL = "http://www.w3.org/2000/01/rdf-schema#label"
+    AL = "http://www.w3.org/2004/02/skos/core#altLabel"
+    triples = spark.createDataFrame(
+        [
+            ("urn:a", "urn:p", "urn:x", None, None),
+            ("urn:b", "urn:p", "urn:x", None, None),
+            ("urn:a", RL, "Item A", "en", None),
+            ("urn:b", RL, "Item B", "en", None),
+            # a: de aliases win over en (pref order de,en); two de
+            # aliases comma-join sorted
+            ("urn:a", AL, "zwei", "de", None),
+            ("urn:a", AL, "eins", "de", None),
+            ("urn:a", AL, "english-alias", "en", None),
+            # b: no aliases → NULL
+        ],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string",
+    )
+    q = """
+    PREFIX wikibase: <http://wikiba.se/ontology#>
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?s ?sLabel ?sAltLabel WHERE {
+      SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en". }
+      ?s <urn:p> <urn:x> .
+    }
+    """
+    got = {r["s"]: (r["sLabel"], r["sAltLabel"])
+           for r in compile_sparql(q, triples).collect()}
+    assert got["urn:a"] == ("Item A", "eins, zwei")
+    assert got["urn:b"] == ("Item B", None)
