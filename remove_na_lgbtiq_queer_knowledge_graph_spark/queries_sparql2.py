@@ -135,6 +135,28 @@ FROM region
 """
 
 
+def sparql_properties_person(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``get_all_properties_person_with_corresponding_prop.rq``:
+    the person-property-group slice (required ``fgt:P8 fg:Q100632``
+    membership instead of the OPTIONAL group lookup), a Description
+    service var that stays unbound, and the reference's misspelled
+    ``ORDER BY (?PropertyLabel)`` — bound nowhere, so it compares
+    all-equal and is dropped."""
+    return compile_sparql(
+        _ref_rq("get_all_properties_person_with_corresponding_prop.rq"),
+        _extended_kg(spark, sf_dir),
+    )
+
+
+_PROPERTIES_PERSON_SQL = f"""
+SELECT '{FG}P' || CAST(1000 + n_nationkey AS VARCHAR) AS fg_property,
+       n_name AS "fg_propertyLabel",
+       CAST(NULL AS VARCHAR) AS "fg_propertyDescription",
+       '{WDT}P' || CAST(2000 + n_nationkey AS VARCHAR) AS wd_property
+FROM nation WHERE n_nationkey % 2 = 0
+"""
+
+
 def sparql_factgrid_ids_removena(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim ``get_factgrid_ids_from_wikidata-removena.rq``: the
     P131 collection members that DO have a Wikidata sitelink (required
@@ -1295,6 +1317,10 @@ SPECS: dict[str, QuerySpec] = {
         sparql_sitelinks_removena, _SITELINKS_REMOVENA_SQL,
         "verbatim get_wiki_sitelinks_removena.rq (whole P131 "
         "collection through 5 OPTIONAL sitelink blocks)"),
+    "sparql_properties_person": QuerySpec(
+        sparql_properties_person, _PROPERTIES_PERSON_SQL,
+        "verbatim get_all_properties_person_with_corresponding_prop.rq "
+        "(required group membership, unbound ORDER BY var dropped)"),
     "sparql_factgrid_ids_removena": QuerySpec(
         sparql_factgrid_ids_removena, _FACTGRID_IDS_REMOVENA_SQL,
         "verbatim get_factgrid_ids_from_wikidata-removena.rq "
