@@ -135,6 +135,42 @@ FROM region
 """
 
 
+def sparql_person_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``db_all_person_relations.rq``: a 3-way UNION where each
+    branch wraps a VALUES-bound VARIABLE-predicate scan in an OPTIONAL
+    (local FactGrid kinship predicates, DBpedia relation ontology via
+    SERVICE, Wikidata family properties via SERVICE), each requiring an
+    image on the related item.  The local and DBpedia branches have no
+    matching relation triples, so their OPTIONALs yield the bare
+    root row (DISTINCT collapses the two); the Wikidata branch yields
+    spouse items carrying ``wdt:P18``.  ``?valueLabel`` falls back to
+    the IRI local name (the service QID fallback) because the remote
+    items have no local-KG labels."""
+    return compile_sparql(
+        _ref_rq("db_all_person_relations.rq"),
+        _companions_kg(spark, sf_dir),
+        services={
+            "https://query.wikidata.org/sparql":
+                _wd_companions_service(spark, sf_dir),
+            "https://dbpedia.org/sparql": _dbpedia_service(spark, sf_dir),
+        },
+    )
+
+
+_PERSON_RELATIONS_SQL = f"""
+SELECT 'Companion Zero' AS "fg_itemLabel",
+       CAST(NULL AS VARCHAR) AS value,
+       CAST(NULL AS VARCHAR) AS "valueLabel",
+       CAST(NULL AS VARCHAR) AS image
+UNION ALL
+SELECT 'Companion Zero',
+       '{WD}Q' || CAST(930000 + c_custkey AS VARCHAR),
+       'Q' || CAST(930000 + c_custkey AS VARCHAR),
+       'wd-img-' || CAST(c_custkey AS VARCHAR)
+FROM customer WHERE c_custkey % 8 = 0
+"""
+
+
 def sparql_properties_person(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim ``get_all_properties_person_with_corresponding_prop.rq``:
     the person-property-group slice (required ``fgt:P8 fg:Q100632``
@@ -1317,6 +1353,11 @@ SPECS: dict[str, QuerySpec] = {
         sparql_sitelinks_removena, _SITELINKS_REMOVENA_SQL,
         "verbatim get_wiki_sitelinks_removena.rq (whole P131 "
         "collection through 5 OPTIONAL sitelink blocks)"),
+    "sparql_person_relations": QuerySpec(
+        sparql_person_relations, _PERSON_RELATIONS_SQL,
+        "verbatim db_all_person_relations.rq (3-way UNION of "
+        "OPTIONAL-wrapped VALUES variable-predicate scans, two "
+        "federated)"),
     "sparql_properties_person": QuerySpec(
         sparql_properties_person, _PROPERTIES_PERSON_SQL,
         "verbatim get_all_properties_person_with_corresponding_prop.rq "
