@@ -276,6 +276,90 @@ def cosine_dup_pairs(
     )
 
 
+def _nearest_cell_udf(cent_rows: list):
+    """Vectorized nearest-centroid assignment against a driver-held
+    centroid matrix: one Arrow batch pass computes every (row, centroid)
+    cosine and returns the argmax cell id directly — no crossJoin row
+    blow-up, no row_number window shuffle.
+
+    Per centroid the dot/norm accumulate sequentially over dimensions
+    (``acc_d = acc_{d-1} + x_d*y_d``), the same index-order fold as
+    :func:`_pair_cosine_np` and DuckDB's ``list_dot_product``, so the
+    scores that feed the argmax are bit-identical to the oracle's.
+    Ties break to the lowest cent_id (rows sorted; ``argmax`` takes the
+    first maximum) — same as the ``ORDER BY sim DESC, cent_id`` the
+    window formulation used.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    C = np.array([r[1] for r in rows], dtype="float64")  # k × dim
+    cn = np.zeros(len(C))
+    for d in range(C.shape[1]):
+        cn = cn + C[:, d] * C[:, d]
+    cn = np.sqrt(cn)
+
+    def assign(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(v.to_numpy()).astype("float64")
+        dots = np.zeros((len(A), len(C)))
+        na = np.zeros(len(A))
+        for d in range(A.shape[1]):
+            x = A[:, d:d + 1]
+            dots = dots + x * C[:, d]
+            na = na + (A[:, d] * A[:, d])
+        sims = dots / (np.sqrt(na)[:, None] * cn[None, :])
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return pandas_udf(assign, "long")
+
+
+def _fit_rows(
+    rows: list, n_centroids: int, iters: int, decimals: int,
+) -> list:
+    """Driver-side Lloyd's over an already-collected (id, vec) sample.
+
+    Bit-parity with the SQL oracle: cosine dot/norms accumulate
+    sequentially over dimensions (index-order fold, same as
+    ``list_dot_product``); assignment ties break to the lowest centroid
+    id (argmax-first over id-sorted centroids); per-(cell, dim) means
+    round half-away-from-zero to ``decimals`` (SQL ``round``; numpy's
+    ``round`` is half-even, so it is NOT used)."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    X = np.array([r[1] for r in rows], dtype="float64")
+    xid = np.array([r[0] for r in rows], dtype="int64")
+    ids = xid[xid < n_centroids]
+    C = X[xid < n_centroids]
+    scale = 10.0 ** decimals
+    for _ in range(iters):
+        dots = np.zeros((len(X), len(C)))
+        na = np.zeros(len(X))
+        cn = np.zeros(len(C))
+        for d in range(X.shape[1]):
+            dots = dots + X[:, d:d + 1] * C[:, d]
+            na = na + X[:, d] * X[:, d]
+            cn = cn + C[:, d] * C[:, d]
+        best = np.argmax(dots / (np.sqrt(na)[:, None] * np.sqrt(cn)[None, :]),
+                         axis=1)
+        keep, new_c = [], []
+        for j in range(len(C)):
+            m = X[best == j]
+            if len(m):
+                mean = m.mean(axis=0)
+                keep.append(ids[j])
+                new_c.append(np.floor(np.abs(mean) * scale + 0.5)
+                             / scale * np.sign(mean))
+        ids = np.array(keep, dtype="int64")
+        C = np.array(new_c)
+    return [(int(i), [float(x) for x in v]) for i, v in zip(ids, C)]
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -283,54 +367,44 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    sample_mod: int = 1,
 ) -> DataFrame:
-    """Distributed Lloyd's k-means over an embedding column — the real
-    quantizer behind :func:`ivf_topk` (which accepts any small
-    ``(cent_id, cent_v)`` frame).
+    """Lloyd's k-means quantizer over an embedding column — the fit
+    behind :func:`ivf_topk` (which accepts any small ``(cent_id,
+    cent_v)`` frame).
 
     Deterministic by construction so the whole fit is oracle-checkable:
-    init = the ``n_centroids`` lowest-id corpus vectors; assignment
+    init = the ``n_centroids`` lowest-id sample vectors; assignment
     tie-breaks on centroid id; each iteration's re-averaged centroid
     components round to ``decimals`` places, pinning cross-engine float
     drift before it can flip a later assignment.
 
-    Scale: per iteration one corpus pass — broadcast nested-loop against
-    the k-row centroid frame (no shuffle for assignment), then a
-    ``posexplode`` + map-side-combinable ``avg`` per (cell, dim) and a
-    k-row regroup.  The k-row centroid frame is localCheckpointed each
-    round to cut the iterative lineage.  A cell that loses all members
-    drops out (standard Lloyd's degeneracy) — k shrinks rather than
-    producing NaN centroids.
+    Scale (the FAISS-IVF training design): the quantizer trains on a
+    BOUNDED deterministic sample (``sample_mod`` keeps every m-th id —
+    size the sample to the driver, e.g. ≤1M rows, regardless of corpus
+    size), iterates entirely driver-side in numpy with zero Spark jobs
+    per iteration, and only the final cell ASSIGNMENT touches the full
+    corpus — one shuffle-free pass with the k·dim centroid matrix in
+    the UDF closure (:func:`_nearest_cell_udf`).  The corpus is never
+    collected, never crossJoined, never windowed.  A cell that loses
+    all members drops out (standard Lloyd's degeneracy) — k shrinks
+    rather than producing NaN centroids.
     """
-    cents = vectors.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).cast("long").alias("cent_id"),
-        _dvec(vec_col).alias("cent_v"),
+    spark = vectors.sparkSession
+    sample = vectors if sample_mod <= 1 else \
+        vectors.filter(F.col(id_col) % sample_mod == 0)
+    rows = [
+        (int(r["i"]), [float(x) for x in r["v"]])
+        for r in sample.select(
+            F.col(id_col).cast("long").alias("i"),
+            _dvec(vec_col).alias("v"),
+        ).collect()
+    ]
+    cent_rows = _fit_rows(rows, n_centroids, iters, decimals)
+    return spark.createDataFrame(
+        [(cid, v) for cid, v in cent_rows],
+        "cent_id long, cent_v array<double>",
     )
-    corpus = vectors.select(
-        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_sim").desc(), F.col("cent_id"))
-    for _ in range(iters):
-        assigned = (
-            corpus.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cv", "cent_id",
-                    cosine(F.col("cv"), F.col("cent_v")).alias("cell_sim"))
-            .withColumn("rn", F.row_number().over(aw))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cent_id", "cv")
-        )
-        cents = (
-            assigned.select("cent_id", F.posexplode("cv").alias("dim", "val"))
-            .groupBy("cent_id", "dim")
-            .agg(F.round(F.avg("val"), decimals).alias("coord"))
-            .groupBy("cent_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "coord")))
-                 .alias("s"))
-            .select("cent_id",
-                    F.transform("s", lambda x: x["coord"]).alias("cent_v"))
-            .localCheckpoint(eager=True)
-        )
-    return cents
 
 
 def kmeans_cells(
@@ -339,21 +413,21 @@ def kmeans_cells(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Fitted centroids exploded to scalar rows (cell, dim, coord) plus
     the final member count per cell — the oracle-comparable view of
-    :func:`kmeans_centroids`."""
-    cents = kmeans_centroids(vectors, n_centroids, iters, id_col, vec_col)
+    :func:`kmeans_centroids`.  The member count is the one full-corpus
+    pass: a single shuffle-free assignment against the closure-held
+    centroid matrix, then a map-side-combinable count per cell."""
+    cents = kmeans_centroids(vectors, n_centroids, iters, id_col, vec_col,
+                             sample_mod=sample_mod)
+    cent_rows = [(int(r["cent_id"]), [float(x) for x in r["cent_v"]])
+                 for r in cents.collect()]
     corpus = vectors.select(
         F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_sim").desc(), F.col("cent_id"))
     members = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id",
-                cosine(F.col("cv"), F.col("cent_v")).alias("cell_sim"))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
+        corpus.withColumn("cent_id", _nearest_cell_udf(cent_rows)(F.col("cv")))
         .groupBy("cent_id")
         .agg(F.count("*").alias("n_members"))
     )

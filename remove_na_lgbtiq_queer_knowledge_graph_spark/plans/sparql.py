@@ -735,6 +735,28 @@ class _Compiler:
     def _shared(a: DataFrame, b: DataFrame) -> list[str]:
         return [c for c in a.columns if c in b.columns]
 
+    # Outer-env fan-out probe bound: a UNION distributes Join(env, b_i)
+    # over its branches, and Spark shares no identical subplans — each
+    # branch join re-executes env's whole subtree.  ≤ this many rows and
+    # env gets a broadcast hint, making the N per-branch
+    # BroadcastExchanges canonically identical so exchange reuse
+    # executes env ONCE per run.
+    _ENV_BCAST_ROWS = 10_000
+
+    def _hint_small(self, env: DataFrame) -> DataFrame:
+        """CBO-style plan-time statistics probe before fanning a shared
+        outer env over N union branches.  The probe runs once per
+        compile (compiles are memoized per (query, kg) — prepared
+        statements collecting stats, the ANALYZE idiom); the count is
+        LocalLimit-gated so a huge env costs one early-exiting partial
+        scan and simply doesn't get the hint, keeping the plain
+        per-branch equi-joins that are right at scale."""
+        try:
+            n = env.limit(self._ENV_BCAST_ROWS + 1).count()
+        except Exception:  # noqa: BLE001 — probe must never break compile
+            return env
+        return F.broadcast(env) if n <= self._ENV_BCAST_ROWS else env
+
     def _join(self, env: DataFrame | None, df: DataFrame,
               how: str = "inner") -> DataFrame:
         if env is None:
@@ -975,6 +997,8 @@ class _Compiler:
                 # equi-joins on each branch's actually-bound keys, not a
                 # SPARQL-compatibility theta-join, which is the plan you
                 # want at scale.
+                if env is not None and len(parts) > 1:
+                    env = self._hint_small(env)
                 joined = [self._join(env, p) for p in parts] \
                     if env is not None else parts
                 u = joined[0]

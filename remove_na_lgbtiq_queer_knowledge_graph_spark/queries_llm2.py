@@ -405,27 +405,35 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 
 
 def ann_kmeans_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means fit over the embeddings corpus
-    (2 iterations, 8 init cells) — the real IVF quantizer, exploded to
-    scalar (cell, dim, coord, n_members) rows for the oracle."""
+    """Lloyd's k-means IVF quantizer over the embeddings corpus
+    (2 iterations, 8 init cells), exploded to scalar (cell, dim, coord,
+    n_members) rows for the oracle.  The fit trains on the bounded
+    deterministic half-sample (``vec_id % 2 = 0``, the FAISS-style
+    train-on-a-sample path); the member count assigns the FULL corpus
+    in one shuffle-free pass."""
     from .operators.ann import kmeans_cells
 
     v = t(spark, sf_dir, "embeddings")
-    return kmeans_cells(v, n_centroids=8, iters=2)
+    return kmeans_cells(v, n_centroids=8, iters=2, sample_mod=2)
 
 
-def _kmeans_oracle_sql(k: int, iters: int, decimals: int = 6) -> str:
+def _kmeans_oracle_sql(k: int, iters: int, decimals: int = 6,
+                       sample_mod: int = 1) -> str:
     """Unrolled Lloyd's iterations as chained CTEs (the PageRank-oracle
     idiom): assignment = argmin over the centroid cross join with the
     same (cos desc, cent_id) tie-break, re-average rounded to the same
-    decimals."""
+    decimals.  The fit CTEs range over the ``sample_mod`` id-sample
+    (``vf``); the final full-corpus assignment ranges over ``v``."""
+    samp = f" WHERE vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
     out = [f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
+), vf AS (
+  SELECT * FROM v{samp}
 ), c0 AS (
   SELECT CAST(vec_id AS BIGINT) AS cent_id, cv AS cent_v
-  FROM v WHERE vec_id < {k}
+  FROM vf WHERE vec_id < {k}
 )"""]
     prev = "c0"
     for i in range(1, iters + 1):
@@ -438,7 +446,7 @@ WITH v AS (
                       / (sqrt(list_dot_product(v.cv, v.cv))
                          * sqrt(list_dot_product(c.cent_v, c.cent_v))) DESC,
                       c.cent_id) AS rn
-    FROM v CROSS JOIN {prev} c
+    FROM vf v CROSS JOIN {prev} c
   ) WHERE rn = 1
 ), c{i} AS (
   SELECT cent_id, list(coord ORDER BY dim) AS cent_v FROM (
@@ -476,7 +484,7 @@ FROM (
     return "".join(out)
 
 
-_KMEANS_SQL = _kmeans_oracle_sql(8, 2)
+_KMEANS_SQL = _kmeans_oracle_sql(8, 2, sample_mod=2)
 
 
 
