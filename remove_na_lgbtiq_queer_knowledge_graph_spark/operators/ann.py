@@ -107,27 +107,76 @@ def brute_force_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
-    vectors (excluding itself).  Queries are broadcast — the corpus scan
-    is a single pass at any scale."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    vectors (excluding itself).
+
+    The scale shape: the query set ships in the scorer's closure
+    (bounded — same contract as a broadcast join build side), the corpus
+    streams through ONE ``mapInPandas`` pass that scores a whole Arrow
+    batch against all queries as a matrix and emits only its LOCAL
+    top-k per query, and the final merge ranks |batches|·|q|·k rows —
+    never the |corpus|·|q| cross product.  Dot/norms accumulate
+    sequentially over dimensions (index-order fold, bit-identical to
+    ``list_dot_product``); rounding to 6 decimals happens half-away-
+    from-zero INSIDE the scorer so the local prune uses exactly the
+    (cos_sim DESC, cand_id) total order the global rank uses — pruning
+    on unrounded scores could drop a row that re-ties after rounding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        (int(r["i"]), [float(x) for x in r["v"]])
+        for r in queries.select(
+            F.col(id_col).cast("long").alias("i"),
+            _dvec(vec_col).alias("v")).collect()
     )
+    qids = np.array([r[0] for r in q_rows], dtype="int64")
+    Q = np.array([r[1] for r in q_rows], dtype="float64")
+    qn = np.zeros(len(Q))
+    for d in range(Q.shape[1]):
+        qn = qn + Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["cv"].to_numpy()).astype("float64")
+            cids = pdf["cand_id"].to_numpy()
+            dots = np.zeros((len(A), len(Q)))
+            na = np.zeros(len(A))
+            for d in range(A.shape[1]):
+                dots = dots + A[:, d:d + 1] * Q[:, d]
+                na = na + A[:, d] * A[:, d]
+            sims = dots / (np.sqrt(na)[:, None] * qn[None, :])
+            sims = np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6 * np.sign(sims)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(Q)):
+                s = sims[:, j]
+                keep = cids != qids[j]
+                order = np.lexsort((cids[keep], -s[keep]))[:k]
+                kc = cids[keep][order]
+                out_q.extend([qids[j]] * len(kc))
+                out_c.extend(kc)
+                out_s.extend(s[keep][order])
+            yield pd.DataFrame({
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "cand_id": pd.Series(np.array(out_c, dtype=cids.dtype)),
+                "cos_sim": pd.Series(out_s, dtype="float64"),
+            })
+
     c = vectors.select(
-        F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id", "cand_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
+        F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv"))
+    local = c.mapInPandas(
+        score,
+        f"query_id long, cand_id {c.schema['cand_id'].dataType.simpleString()},"
+        " cos_sim double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        local.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rk")
     )
@@ -197,19 +246,17 @@ def ivf_topk(
         vectors.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v")
         )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_sim").desc(), F.col("cent_id")
-    )
+    # Corpus cell assignment: the centroid frame is small by contract,
+    # so it rides in the assignment UDF's closure — ONE shuffle-free
+    # corpus pass instead of a k-way crossJoin + row_number window.
+    # decimals=6 mirrors the rounded cosine the window formulation
+    # ordered by (and the oracle's ORDER BY round(..., 6)).
+    cent_rows = [(int(r["cent_id"]), [float(x) for x in r["cent_v"]])
+                 for r in cents.collect()]
     assigned = (
         vectors.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "cv", "cent_id",
-            cosine(F.col("cv"), F.col("cent_v")).alias("cell_sim"),
-        )
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"), "cv")
+        .withColumn("cell", _nearest_cell_udf(cent_rows, decimals=6)(F.col("cv")))
+        .select("vec_id", "cell", "cv")
     )
     probes = (
         queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
@@ -229,22 +276,62 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", F.col("cent_id").alias("cell"))
     )
-    scored = (
-        # probes ≈ |queries|·n_probe rows — always the broadcast side;
-        # without the hint post-window stats are unknown and Spark falls
-        # back to a sort-merge join on `cell`.
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("cand_id"),
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
+    # Per-cell scoring: cogroup the corpus cell with the probes that
+    # chose it and score as one matrix — candidates never materialize as
+    # per-pair (vector, vector) rows, and each (query, cell) emits only
+    # its local top-k under the SAME (rounded cos DESC, cand_id) total
+    # order the global rank uses, so the prune is lossless.  Shuffle =
+    # corpus keyed by cell + |q|·n_probe probe rows; the final rank sees
+    # ≤ |q|·n_probe·k rows.
+    import numpy as np
+    import pandas as pd
+
+    def cell_topk(corp, prb):
+        if not len(corp) or not len(prb):
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "cand_id": pd.Series([], dtype="int64"),
+                 "cos_sim": pd.Series([], dtype="float64")})
+        A = np.stack(corp["cv"].to_numpy()).astype("float64")
+        cids = corp["vec_id"].to_numpy()
+        Q = np.stack(prb["qv"].to_numpy()).astype("float64")
+        qids = prb["query_id"].to_numpy()
+        dots = np.zeros((len(A), len(Q)))
+        na = np.zeros(len(A))
+        qn = np.zeros(len(Q))
+        for d in range(A.shape[1]):
+            dots = dots + A[:, d:d + 1] * Q[:, d]
+            na = na + A[:, d] * A[:, d]
+            qn = qn + Q[:, d] * Q[:, d]
+        sims = dots / (np.sqrt(na)[:, None] * np.sqrt(qn)[None, :])
+        sims = np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6 * np.sign(sims)
+        out_q, out_c, out_s = [], [], []
+        for j in range(len(Q)):
+            s = sims[:, j]
+            keep = cids != qids[j]
+            order = np.lexsort((cids[keep], -s[keep]))[:k]
+            out_q.extend([qids[j]] * len(order))
+            out_c.extend(cids[keep][order])
+            out_s.extend(s[keep][order])
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int64"),
+            "cand_id": pd.Series(np.array(out_c, dtype=cids.dtype)),
+            "cos_sim": pd.Series(out_s, dtype="float64")})
+
+    local = (
+        assigned.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(
+            cell_topk,
+            f"query_id long,"
+            f" cand_id {assigned.schema['vec_id'].dataType.simpleString()},"
+            " cos_sim double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        local.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rk")
     )
@@ -276,7 +363,7 @@ def cosine_dup_pairs(
     )
 
 
-def _nearest_cell_udf(cent_rows: list):
+def _nearest_cell_udf(cent_rows: list, decimals: int | None = None):
     """Vectorized nearest-centroid assignment against a driver-held
     centroid matrix: one Arrow batch pass computes every (row, centroid)
     cosine and returns the argmax cell id directly — no crossJoin row
@@ -288,7 +375,11 @@ def _nearest_cell_udf(cent_rows: list):
     scores that feed the argmax are bit-identical to the oracle's.
     Ties break to the lowest cent_id (rows sorted; ``argmax`` takes the
     first maximum) — same as the ``ORDER BY sim DESC, cent_id`` the
-    window formulation used.
+    window formulation used.  ``decimals`` rounds the scores
+    half-away-from-zero BEFORE the argmax, for callers whose oracle
+    orders by a rounded cosine (rounding coarsens the order, so it can
+    flip which centroid wins a near-tie — the argmax must see exactly
+    what the oracle's ORDER BY sees).
     """
     import numpy as np
     import pandas as pd
@@ -313,6 +404,9 @@ def _nearest_cell_udf(cent_rows: list):
             dots = dots + x * C[:, d]
             na = na + (A[:, d] * A[:, d])
         sims = dots / (np.sqrt(na)[:, None] * cn[None, :])
+        if decimals is not None:
+            scale = 10.0 ** decimals
+            sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
         return pd.Series(ids[np.argmax(sims, axis=1)])
 
     return pandas_udf(assign, "long")

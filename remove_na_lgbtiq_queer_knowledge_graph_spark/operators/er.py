@@ -21,6 +21,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Driver fast-path gate: ER/dedup pair graphs are usually a tiny
+# fraction of the corpus (dup clusters), and the iterative fixpoint
+# pays ~0.5 s of job overhead per round regardless of size.  Below
+# this many symmetrized edges the component structure fits trivially
+# on the driver and a union-find answers in microseconds — same
+# counted-before-collected gate as the BGP driver-BFS path.  Above it
+# the distributed fixpoint (or the star algorithm) stands.
+_DRIVER_CC_EDGES = 100_000
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Union-find over an already-bounded collected edge list; returns
+    the same (node, comp = min reachable id) contract with the input's
+    id type preserved."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    groups: dict = {}
+    for node in parent:
+        groups.setdefault(find(node), []).append(node)
+    out = [(n, min(members))
+           for members in groups.values() for n in members]
+    utype = sym.schema["u"].dataType
+    schema = StructType([StructField("node", utype),
+                         StructField("comp", utype)])
+    return sym.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:
@@ -31,6 +76,8 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v"), F.col("u"))).distinct()
     sym = sym.localCheckpoint()
+    if sym.count() <= _DRIVER_CC_EDGES:
+        return _driver_union_find(sym)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
