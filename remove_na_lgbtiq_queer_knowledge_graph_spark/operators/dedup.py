@@ -272,76 +272,80 @@ def remove_frequent_ngrams(
     3. frequent grams (df ≥ threshold) semi-join back — shuffle keyed
        on the same gram hash, typically tiny right side (AQE broadcasts
        it when it is);
-    4. covered word positions = explode of ``sequence(pos, pos+n-1)``,
-       anti-joined against the word stream per ``(doc, position)``;
-    5. ordered reassembly: ``array_sort(collect_list(struct(pos,word)))``
-       per doc — shuffle keyed on the doc id.
+    4. covered word positions collapse to ONE array row per document
+       (``collect_set`` — the only remaining token-scale shuffle);
+    5. reassembly is pure per-row array algebra: kept positions =
+       ``array_except(sequence(0, nw-1), covered)`` (hash-set
+       difference, order-preserving, O(tokens)), words re-looked-up by
+       ``element_at`` — no word explode, no positional anti-join, no
+       ``collect_list`` re-sort.
 
-    Shuffle volume is ∝ token count, the floor for any corpus-wide
-    positional operator.  The 64-bit gram hash trades a ~1e-11 collision
-    chance for not shuffling raw gram strings at 100 TB.
+    Two token-scale shuffles total (gram doc-frequency + covered-set
+    collapse) — down from four in the join-based formulation; the
+    per-document rebuild stays linear in tokens.  The 64-bit gram hash
+    trades a ~1e-11 collision chance for not shuffling raw gram strings
+    at 100 TB.
     """
-    toks = F.split(F.col(text_col), " ")
-    grams_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " "))
-                 .alias("gram_hash"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram_hash:bigint>>"))
+    from pyspark.sql import Window
+
     from ..spec import materialize
 
+    toks = F.split(F.col(text_col), " ")
+    # gram stream via posexplode + window lead (the shingles plan): a
+    # per-row transform() lambda evaluates interpreted per element and
+    # measured ~2x slower than the lead formulation at corpus scale.
     # grams feed BOTH the doc-frequency aggregation and the coverage
     # semi-join — materialize the explode once instead of running the
-    # token-scale slice/hash pass per consumer (Spark shares no
-    # identical subplans across branches)
-    grams = materialize(df.select(
-        F.col(id_col), F.explode(grams_arr).alias("g")
-    ).select(id_col, F.col("g.pos").alias("pos"),
-             F.col("g.gram_hash").alias("gram_hash")))
+    # token-scale pass per consumer (Spark shares no identical subplans
+    # across branches).
+    base = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = materialize(
+        base.select(
+            id_col, "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .select(id_col, "pos", F.xxhash64("gram").alias("gram_hash"))
+    )
     frequent = (
         grams.groupBy("gram_hash")
         .agg(F.countDistinct(id_col).alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_doc_freq)
         .select("gram_hash")
     )
-    # no distinct on covered: it is only ever the RIGHT side of the
-    # positional anti-join below, where duplicate (doc, wpos) rows are
-    # harmless — deduping would add a full token-scale shuffle
+    # collect_set dedupes overlapping-gram positions as part of the
+    # same (map-side combinable) shuffle that collapses coverage to one
+    # row per document
     covered = (
         grams.join(frequent, "gram_hash", "left_semi")
         .select(id_col,
                 F.explode(F.sequence(F.col("pos"),
                                      F.col("pos") + (n - 1))).alias("wpos"))
-    )
-    words = df.select(
-        F.col(id_col), F.posexplode(toks).alias("wpos", "word"))
-    rebuilt = (
-        words.join(covered, [id_col, "wpos"], "left_anti")
         .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("wpos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count("*").alias("n_words_after"),
-        )
+        .agg(F.collect_set("wpos").alias("__cov"))
+    )
+    # split() never yields an empty array (splitting "" gives [""]), but
+    # guard anyway: sequence(0, -1) would count DOWN, not produce []
+    kept = F.array_except(
+        F.when(F.size("__toks") > 0,
+               F.sequence(F.lit(0), F.size("__toks") - 1))
+         .otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
     )
     return (
-        df.select(F.col(id_col), F.size(toks).alias("n_words_before"))
-        .join(rebuilt, id_col, "left")
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .join(covered, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.col("n_words_before").cast("bigint").alias("n_words_before"),
-            F.coalesce(F.col("n_words_after"), F.lit(0))
+            F.array_join(
+                F.transform(kept, lambda p: F.element_at(
+                    F.col("__toks"), p + 1)), " ").alias("clean_text"),
+            F.size("__toks").cast("bigint").alias("n_words_before"),
+            F.size(kept)
              .cast("bigint").alias("n_words_after"),
         )
     )

@@ -51,9 +51,13 @@ def token_counts(text: Column) -> tuple[Column, Column]:
     return ws, bpe
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(df: DataFrame, id_col: str, text_col: str,
+                     keep: list[str] | None = None) -> DataFrame:
     """Quality-scoring features: length, token counts, mean token length,
-    punctuation ratio, stopword ratio, and a case_when quality tier."""
+    punctuation ratio, stopword ratio, and a case_when quality tier.
+    ``keep`` passes extra columns through, so upstream per-row results
+    (e.g. ``lang_id``) can ride the same single corpus pass instead of
+    re-joining on the id."""
     text = F.col(text_col)
     toks = norm_tokens(text)
     n_tokens = F.size(toks)
@@ -73,6 +77,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         punct.cast("long").alias("n_punct"),

@@ -532,22 +532,16 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end LLM-corpus curation pipeline as ONE declarative
     plan: exact dedup (keep min-id) → language ID → quality features →
     keep confident-language, medium+ tier docs.  Composes the individual
-    operators; Catalyst sees the whole chain, so the md5 grouping, the
-    stopword scans and the tier filter all run in one pass over the
-    corpus plus one dedup shuffle.  The deduped frame feeds two branches
-    (lang + quality), hence one materialize."""
+    operators in ONE pass: ``lang_id`` keeps its input columns and
+    ``quality_features(keep=...)`` carries the language through, so the
+    md5-dedup window is the only shuffle — no id re-join, no
+    materialized intermediate."""
     from .operators.dedup import exact_keep_first
-    from .spec import materialize
 
-    d = materialize(
-        exact_keep_first(t(spark, sf_dir, "documents"), "doc_id", "text")
-    )
-    lid = lang_id(d, "text").select("doc_id", "predicted_lang")
-    q = quality_features(d, "doc_id", "text").select(
-        "doc_id", "n_tokens", "quality_tier"
-    )
+    d = exact_keep_first(t(spark, sf_dir, "documents"), "doc_id", "text")
     return (
-        lid.join(q, "doc_id")
+        quality_features(lang_id(d, "text"), "doc_id", "text",
+                         keep=["predicted_lang"])
         .filter(
             (F.col("quality_tier") != "low")
             & (F.col("predicted_lang") != "unknown")
