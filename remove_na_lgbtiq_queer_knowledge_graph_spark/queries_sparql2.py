@@ -1336,6 +1336,68 @@ FROM customer WHERE c_custkey % 3 <> 0
 """
 
 
+def _network03_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``network-03-federated.rq``'s walk, bound at every step EXCEPT
+    the one that can never bind: root fg:Q226350 gets a sitelink
+    prelude, a ``fgt:P47`` neighbor whose own direct edge and reified
+    ``fgp:P2`` statement node exist, and the statement's ``fgps:P2``
+    value is a FactGrid item (fg:Q7) — but the query's ``VALUES
+    ?entities`` set lives in the WIKIDATA namespace (wd:Q7/Q12/Q11214),
+    which FactGrid statement values never reach through ``wdt:P3*``
+    (zero-length included: the endpoints differ by namespace).  The
+    fixture proves the emptiness comes from that cross-namespace
+    closure, not from an unbound prelude."""
+    root = FG + "Q226350"
+    nbr = FG + "Q226351"
+    stmt = "https://database.factgrid.de/statement/P2-N3"
+    link = "https://www.wikidata.org/wiki/Q940001"
+
+    def build() -> DataFrame:
+        static = spark.createDataFrame([
+            (link, _SCHEMA + "about", root, None, None),
+            (link, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
+             None, None),
+            (link, _SCHEMA + "name", "Q940001", None, None),
+            (root, FGT + "P47", nbr, None, None),
+            (nbr, FGT + "P2", FG + "Q7", None, None),
+            (nbr, _FGP + "P2", stmt, None, None),
+            (stmt, _FGPS + "P2", FG + "Q7", None, None),
+        ], _TRIPLE_SCHEMA)
+        return _network02_kg(spark, sf_dir).unionByName(_cache(static))
+
+    return kg_memo("network03", spark, sf_dir, build)
+
+
+def sparql_network_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``network-03-federated.rq``
+    (`data-publishing/factgrid/queries/network-03-federated.rq:24-48`):
+    the reference's experimental neighbor walk.  As shipped it returns
+    NOTHING on any endpoint — its ``(fgps:P2/(wdt:P3*))`` closure
+    targets a ``VALUES`` whitelist declared in the WIKIDATA namespace
+    that FactGrid statement values can never reach — and the engine
+    reproduces exactly that: every pattern up to the closure binds
+    against the fixture (see :func:`_network03_kg`), the closure joins
+    to zero rows, and the result is the empty frame with the query's
+    projected schema."""
+    return compile_sparql(
+        _ref_rq("network-03-federated.rq"),
+        _network03_kg(spark, sf_dir),
+    )
+
+
+# Empty by construction — the oracle asserts the SCHEMA the query
+# projects and that no row survives the cross-namespace closure.
+_NETWORK_03_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS fg_item,
+       CAST(NULL AS VARCHAR) AS "fg_itemLabel",
+       CAST(NULL AS VARCHAR) AS property1,
+       CAST(NULL AS VARCHAR) AS "property1Label",
+       CAST(NULL AS VARCHAR) AS item1,
+       CAST(NULL AS VARCHAR) AS "item1Label"
+WHERE FALSE
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "sparql_network_statements": QuerySpec(
         sparql_network_statements, _NETWORK_02_SQL,
@@ -1345,6 +1407,11 @@ SPECS: dict[str, QuerySpec] = {
         sparql_exists_gnd, _EXISTS_GND_SQL,
         "FILTER EXISTS as left-semi join (dual of the reference's "
         "NOT EXISTS)"),
+    "sparql_network_federated": QuerySpec(
+        sparql_network_federated, _NETWORK_03_SQL,
+        "verbatim network-03-federated.rq — empty by construction "
+        "(cross-namespace wdt:P3* closure); fixture binds every "
+        "earlier pattern so the emptiness is the closure's"),
     "sparql_sitelinks": QuerySpec(
         sparql_sitelinks, _SITELINKS_SQL,
         "verbatim get_wiki_sitelinks.rq (grouped path + 5 OPTIONAL "

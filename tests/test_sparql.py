@@ -378,3 +378,25 @@ def test_alt_label_service(spark):
            for r in compile_sparql(q, triples).collect()}
     assert got["urn:a"] == ("Item A", "eins, zwei")
     assert got["urn:b"] == ("Item B", None)
+
+
+def test_network03_empty_at_the_closure_not_the_prelude(spark):
+    """network-03-federated.rq returns nothing AS SHIPPED because its
+    ``(fgps:P2/(wdt:P3*))`` closure targets a VALUES whitelist in the
+    WIKIDATA namespace that FactGrid statement values never reach.
+    Guard against a vacuously-empty fixture: rewriting ONLY the VALUES
+    set into the FactGrid namespace makes the same walk non-empty, so
+    every pattern up to the closure genuinely binds."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_sparql2 import (
+        _network03_kg,
+        _ref_rq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kg = _network03_kg(spark, sf)
+    rq = _ref_rq("network-03-federated.rq")
+    assert compile_sparql(rq, kg).count() == 0
+    fg_values = rq.replace("VALUES ?entities { wd:Q7 wd:Q12 wd:Q11214}",
+                           "VALUES ?entities { fg:Q7 fg:Q12 fg:Q11214}")
+    assert fg_values != rq
+    assert compile_sparql(fg_values, kg).count() > 0
