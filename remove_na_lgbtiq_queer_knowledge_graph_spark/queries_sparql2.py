@@ -1336,6 +1336,114 @@ FROM customer WHERE c_custkey % 3 <> 0
 """
 
 
+def _compare_rq_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_compare_kg`` plus what the two standalone compare ``.rq``
+    files need beyond the app template's fixtures: the ``fgt:P117``
+    focus property mapped to the same corresponding Wikidata property
+    the mock endpoint already serves (``fg:P117 fgt:P343 "P2083"``),
+    and the ``BIND(fg:Q223420)`` root with a sitelink, labels, and
+    ``fgt:P117`` statements whose nation-item values are already
+    sitelinked by ``_compare_kg``."""
+    root = FG + "Q223420"
+    link = "https://www.wikidata.org/wiki/Q902234"
+
+    def build() -> DataFrame:
+        n = F.col("n_nationkey")
+        nation = t(spark, sf_dir, "nation").filter(n % 2 == 0)
+        stmts = _triples_from(
+            nation,
+            (None, root, FGT + "P117",
+             F.concat(F.lit(FG + "Q"), (F.lit(225300) + n).cast("string"))),
+        )
+        static = spark.createDataFrame([
+            (link, _SCHEMA + "about", root, None, None),
+            (link, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
+             None, None),
+            (link, _SCHEMA + "name", "Q902234", None, None),
+            (root, RDFS_LABEL, "Root Compare", "de", None),
+            (root, RDFS_LABEL, "Root Compare", "en", None),
+            (FG + "P117", FGT + "P343", "P2083", None, None),
+        ], _TRIPLE_SCHEMA)
+        return _compare_kg(spark, sf_dir).unionByName(
+            _cache(stmts.unionByName(static)))
+
+    return kg_memo("compare_rq", spark, sf_dir, build)
+
+
+def _compare_rq_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_wd_compare_service`` plus the root twin's claims: every 4th
+    nation twin as a ``wdt:P2083`` value, overlapping the root's
+    FactGrid values on the diagonal so ``?is_same`` comes out both
+    ways in the many-items variant."""
+    def build() -> DataFrame:
+        n = F.col("n_nationkey")
+        nation = t(spark, sf_dir, "nation").filter(n % 4 == 0)
+        claims = _triples_from(
+            nation,
+            (None, WD + "Q902234", WDT + "P2083",
+             F.concat(F.lit(WD + "Q"), (F.lit(820000) + n).cast("string"))),
+        )
+        return _wd_compare_service(spark, sf_dir).unionByName(_cache(claims))
+
+    return kg_memo("compare_rq_svc", spark, sf_dir, build)
+
+
+def sparql_compare_one_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``compare-factgrid-wikidata_one_item.rq``
+    (`data-publishing/factgrid/queries/compare-factgrid-wikidata_one_item.rq:23-66`):
+    BIND-rooted single-item compare — property-as-item corresponding-
+    property lookup, double sitelink→IRI resolution (root and value),
+    and a federated ``OPTIONAL`` whose predicate variable arrives
+    pre-bound from an outer computed IRI."""
+    return compile_sparql(
+        _ref_rq("compare-factgrid-wikidata_one_item.rq"),
+        _compare_rq_kg(spark, sf_dir),
+        services={_WD_SERVICES: _compare_rq_service(spark, sf_dir)},
+    )
+
+
+_COMPARE_ONE_ITEM_SQL = f"""
+SELECT DISTINCT
+       '{FG}Q223420' AS fg_item,
+       'Root Compare' AS "fg_itemLabel",
+       '{FGT}P117' AS fg_property,
+       '{WDT}P2083' AS wd_property,
+       '{FG}Q' || CAST(225300 + a.n AS VARCHAR) AS fg_value,
+       '{WD}Q' || CAST(820000 + a.n AS VARCHAR) AS wd_value_from_fg,
+       '{WD}Q' || CAST(820000 + b.n AS VARCHAR) AS wd_value_from_wd
+FROM (SELECT n_nationkey AS n FROM nation WHERE n_nationkey % 2 = 0) a
+CROSS JOIN (SELECT n_nationkey AS n FROM nation WHERE n_nationkey % 4 = 0) b
+"""
+
+
+def sparql_compare_many_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``compare-factgrid-wikidata_many_items.rq`` — the
+    unrooted twin: every sitelinked item with a ``fgt:P117`` statement
+    flows through the same compare pipeline, plus the
+    ``BIND(IF(?wd_value_from_fg = ?wd_value_from_wd, ...))`` verdict."""
+    return compile_sparql(
+        _ref_rq("compare-factgrid-wikidata_many_items.rq"),
+        _compare_rq_kg(spark, sf_dir),
+        services={_WD_SERVICES: _compare_rq_service(spark, sf_dir)},
+    )
+
+
+_COMPARE_MANY_ITEMS_SQL = f"""
+SELECT DISTINCT
+       '{FG}Q223420' AS fg_item,
+       'Root Compare' AS "fg_itemLabel",
+       '{WD}Q902234' AS wd_item,
+       '{FGT}P117' AS fg_property,
+       '{WDT}P2083' AS wd_property,
+       '{FG}Q' || CAST(225300 + a.n AS VARCHAR) AS fg_value,
+       '{WD}Q' || CAST(820000 + a.n AS VARCHAR) AS wd_value_from_fg,
+       '{WD}Q' || CAST(820000 + b.n AS VARCHAR) AS wd_value_from_wd,
+       CASE WHEN a.n = b.n THEN 'true' ELSE 'false' END AS is_same
+FROM (SELECT n_nationkey AS n FROM nation WHERE n_nationkey % 2 = 0) a
+CROSS JOIN (SELECT n_nationkey AS n FROM nation WHERE n_nationkey % 4 = 0) b
+"""
+
+
 def _network03_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``network-03-federated.rq``'s walk, bound at every step EXCEPT
     the one that can never bind: root fg:Q226350 gets a sitelink
@@ -1412,6 +1520,15 @@ SPECS: dict[str, QuerySpec] = {
         "verbatim network-03-federated.rq — empty by construction "
         "(cross-namespace wdt:P3* closure); fixture binds every "
         "earlier pattern so the emptiness is the closure's"),
+    "sparql_compare_one_item": QuerySpec(
+        sparql_compare_one_item, _COMPARE_ONE_ITEM_SQL,
+        "verbatim compare-factgrid-wikidata_one_item.rq (BIND-rooted "
+        "compare, double sitelink prelude, pre-bound federated "
+        "predicate var)"),
+    "sparql_compare_many_items": QuerySpec(
+        sparql_compare_many_items, _COMPARE_MANY_ITEMS_SQL,
+        "verbatim compare-factgrid-wikidata_many_items.rq (unrooted "
+        "twin + IF() same-value verdict)"),
     "sparql_sitelinks": QuerySpec(
         sparql_sitelinks, _SITELINKS_SQL,
         "verbatim get_wiki_sitelinks.rq (grouped path + 5 OPTIONAL "
