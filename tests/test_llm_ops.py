@@ -566,3 +566,50 @@ def test_ppm_real_codec_round_trip_and_corrupt(spark):
 
     with _pytest.raises(ValueError, match="truncated"):
         list(decode_ppm_real(truncated()))
+
+
+def test_brute_topk_rounded_tie_at_k_boundary(spark):
+    """The mapInPandas scorer prunes per BATCH on (rounded cos DESC,
+    cand_id ASC); the global rank must agree even when candidates from
+    DIFFERENT partitions tie at 6 decimals on the k boundary — the case
+    that breaks if pruning happened on unrounded scores.  Candidates 1
+    and 2 are both exactly cos=1 with the query (same direction, scaled)
+    and sit in different partitions; k=1 must keep cand_id=1."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [2.0, 0.0], 0),   # cos(q,·)=1, lower id → global rank 1
+        (2, [3.0, 0.0], 0),   # cos(q,·)=1, higher id → pruned
+        (3, [0.0, 1.0], 0),   # orthogonal
+    ]
+    emb = (
+        spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+        .repartition(4, "vec_id")  # spread ties across partitions
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    got = brute_force_topk(emb, q, k=1).collect()
+    assert len(got) == 1
+    assert (got[0].cand_id, got[0].rk, got[0].cos_sim) == (1, 1, 1.0)
+
+
+def test_kmeans_degenerate_cell_drops_out(spark):
+    """A centroid that attracts no members disappears (k shrinks)
+    instead of producing NaN coordinates — the Lloyd's degeneracy rule
+    the driver-side fit must preserve."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+
+    # ids 0,1 seed the two initial centroids with the SAME direction —
+    # every vector ties between them and the tie breaks to the lower
+    # cent_id, so cell 1 empties on the first iteration
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),
+        (2, [1.0, 0.001]),
+        (3, [1.0, 0.002]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>"))
+    cells = ann_ops.kmeans_cells(emb, n_centroids=2, iters=2).collect()
+    assert {r.cell for r in cells} == {0}  # cell 1 dropped, k shrank
+    assert all(r.coord == r.coord for r in cells)  # no NaN survives
+    assert sum(r.n_members for r in cells if r.dim == 0) == 4
