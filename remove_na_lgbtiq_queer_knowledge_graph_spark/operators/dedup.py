@@ -251,6 +251,77 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    sh: DataFrame, min_sim: float = 0.8, block_col: str | None = None
+) -> DataFrame:
+    """Exact n-gram jaccard pairs ≥ min_sim via PREFIX FILTERING
+    (SSJoin/PPJoin, Chaudhuri et al. / Xiao et al.) — same contract and
+    results as :func:`jaccard_pairs`, different candidate generator.
+
+    The inverted-index self-join's shuffle is Σ df(gram)² — quadratic
+    in how hot the hottest gram is, which is what blows up on a corpus
+    with heavy duplication or stop-phrases.  Prefix filtering restores
+    exactness-preserving pruning: under a global gram order (document
+    frequency ASC, gram ASC — rarest first), two sets with jaccard ≥ t
+    MUST share a gram within both of their first ``⌊(1-t)·|x|⌋ + 1``
+    grams.  Proof of the one-sided bound: if the intersection avoids
+    x's prefix, then o ≤ |x| - (⌊(1-t)|x|⌋+1) < t·|x| ≤ t·(|x|+|y|-o),
+    so J < t; the both-sided form is the standard prefix-filter lemma
+    with α = max(⌈t|x|⌉, ⌈t|y|⌉), of which each per-doc prefix is a
+    superset.  Hot grams are frequent, so they sort LAST and fall out
+    of every prefix — the candidate join touches only rare grams.
+
+    Verification joins each candidate pair to its two sorted gram
+    arrays and counts the intersection per row (hash intersect,
+    O(card)), so post-filter cost ∝ candidates, not Σ df².
+    ``sh`` must be a (id, shingle) SET (the :func:`shingles` default).
+    """
+    from pyspark.sql import Window
+
+    from ..spec import materialize
+
+    sh = materialize(sh)
+    blk = [block_col] if block_col else []
+    dfreq = sh.groupBy(*blk, "shingle").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "shingle")
+    wc = Window.partitionBy("id")
+    prefix = (
+        sh.join(dfreq, blk + ["shingle"])
+        .select(*blk, "id", "shingle",
+                F.row_number().over(w).alias("__rn"),
+                F.count("*").over(wc).alias("__card"))
+        .filter(F.col("__rn") <=
+                F.floor((1.0 - min_sim) * F.col("__card")) + 1)
+        .select(*blk, "id", "shingle")
+    )
+    cand = (
+        prefix.select(*blk, F.col("id").alias("id_1"), "shingle")
+        .join(prefix.select(*blk, F.col("id").alias("id_2"), "shingle"),
+              blk + ["shingle"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    gsets = materialize(sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("__g"),
+        F.count("*").alias("__card")))
+    g1 = gsets.select(F.col("id").alias("id_1"),
+                      F.col("__g").alias("__g1"),
+                      F.col("__card").alias("__c1"))
+    g2 = gsets.select(F.col("id").alias("id_2"),
+                      F.col("__g").alias("__g2"),
+                      F.col("__card").alias("__c2"))
+    inter = F.size(F.array_intersect("__g1", "__g2"))
+    return (
+        cand.join(g1, "id_1").join(g2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.col("__c1") + F.col("__c2") - inter), 6))
+        .filter(F.col("jaccard") >= min_sim)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
 def remove_frequent_ngrams(
     df: DataFrame,
     id_col: str,

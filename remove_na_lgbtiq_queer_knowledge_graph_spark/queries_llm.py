@@ -234,6 +234,19 @@ WHERE round(i / (c1.card + c2.card - i), 6) >= 0.8
 """
 
 
+def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact jaccard-pairs contract through the PREFIX-FILTER
+    candidate generator (PPJoin) — identical results, shuffle ∝ rare
+    grams instead of Σ df(gram)², the formulation that survives a
+    corpus with hot stop-phrases or heavy duplication (see the 10x
+    duplication-stress table in PLANS.md)."""
+    from .operators.dedup import jaccard_pairs_prefix
+
+    sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3,
+                  extra_cols=["lang"])
+    return jaccard_pairs_prefix(sh, 0.8, block_col="lang")
+
+
 def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.3 within a label block
     (semantic dedupe)."""
@@ -821,6 +834,10 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs_q, _SIMHASH_PAIRS_SQL),
     "dedup_near_cluster_keep": QuerySpec(dedup_cluster_keep_q, _CLUSTER_KEEP_SQL),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs_q, _JACCARD_DOC_SQL),
+    "dedup_jaccard_prefix": QuerySpec(
+        dedup_jaccard_prefix_q, _JACCARD_DOC_SQL,
+        "exact jaccard pairs via PPJoin prefix filtering — same "
+        "results, hot-gram-immune candidate generation"),
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs_q, _EMB_PAIRS_SQL),
     "ann_brute_topk": QuerySpec(ann_brute_topk_q, _ANN_BRUTE_SQL),
     "ann_bucketed_topk": QuerySpec(ann_bucketed_topk_q, _ANN_BUCKET_SQL),

@@ -613,3 +613,31 @@ def test_kmeans_degenerate_cell_drops_out(spark):
     assert {r.cell for r in cells} == {0}  # cell 1 dropped, k shrank
     assert all(r.coord == r.coord for r in cells)  # no NaN survives
     assert sum(r.n_members for r in cells if r.dim == 0) == 4
+
+
+def test_jaccard_prefix_filter_matches_direct_join(spark):
+    """PPJoin prefix filtering is an exactness-preserving candidate
+    generator: identical (id_1, id_2, jaccard) sets as the
+    inverted-index self-join, including under a planted hot gram that
+    every document shares (the case the prefix filter exists for —
+    hot grams sort last in the df-order and fall out of every
+    prefix)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingles,
+    )
+
+    hot = "the end of every document is the same boilerplate sentence"
+    docs = spark.createDataFrame(
+        [(i, f"{t} {hot}") for i, (_, t) in enumerate(DOCS)]
+        + [(99, "an unrelated document about completely different things "
+                + hot)],
+        ["doc_id", "text"],
+    )
+    sh = shingles(docs, "doc_id", "text", 3)
+    for t_ in (0.5, 0.8):
+        a = {tuple(r) for r in jaccard_pairs(sh, t_).collect()}
+        b = {tuple(r) for r in jaccard_pairs_prefix(sh, t_).collect()}
+        assert a == b, (t_, a ^ b)
+    assert a  # non-vacuous: the hot boilerplate creates real pairs
