@@ -1018,11 +1018,90 @@ WHERE e.event_type = 'view'
 """
 
 
+# ---------------------------------------------------------------------------
+# S8/S9 sinks, oracle-visible: write → read-back round trips.  The sink
+# helpers were previously pytest-verified only (a bare sink has no
+# oracle-comparable result set); routing a read-back THROUGH the sink
+# puts the whole write path under the driver's value-hash gate.
+# ---------------------------------------------------------------------------
+
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 overwrite sink, Hive-partitioned, then a pruned read-back:
+    orders written ``partitionBy(o_orderstatus)`` to a scratch dir, read
+    back filtered to one status — the filter resolves as a
+    `PartitionFilters` directory prune, no data files of other statuses
+    are opened — and aggregated per priority.  Values flow through the
+    sink's parquet round trip, so the oracle hash checks the WRITE path
+    (encoders, partition layout) end to end, not just the query."""
+    import tempfile
+
+    from .sources.io import write_partitioned
+
+    d = tempfile.mkdtemp(prefix="sink_part_") + "/orders"
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    write_partitioned(orders, d, ["o_orderstatus"])
+    back = spark.read.parquet(d).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        _dec_sum(F.col("o_totalprice"), "total"),
+    )
+
+
+_SINK_PART_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+def sink_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 append sink: two incremental batches (the reference's
+    ``dbAppendTable`` pattern — odd custkeys land first, evens appended
+    after) into one scratch dir, read back and aggregated per segment.
+    The counts only reconcile if BOTH appends landed and neither
+    clobbered the other."""
+    import tempfile
+
+    from .sources.io import append_sink
+
+    d = tempfile.mkdtemp(prefix="sink_app_") + "/customer"
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    append_sink(c.filter(F.col("c_custkey") % 2 == 1), d)
+    append_sink(c.filter(F.col("c_custkey") % 2 == 0), d)
+    return spark.read.parquet(d).groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        _dec_sum(F.col("c_acctbal"), "bal"),
+    )
+
+
+_SINK_APPEND_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
     "join_asof_last_value": QuerySpec(asof_last_purchase, _ASOF_SQL),
     "window_trailing_hour": QuerySpec(window_trailing_hour, _TRAILING_SQL),
+    "sink_partitioned_roundtrip": QuerySpec(
+        sink_partitioned_roundtrip, _SINK_PART_SQL,
+        "S9 overwrite sink + Hive partitioning + pruned read-back — "
+        "the write path under the value-hash gate"),
+    "sink_append_roundtrip": QuerySpec(
+        sink_append_roundtrip, _SINK_APPEND_SQL,
+        "S8 append sink, two incremental batches reconciled on "
+        "read-back"),
     "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
     "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
     "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),
