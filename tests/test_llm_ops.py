@@ -641,3 +641,56 @@ def test_jaccard_prefix_filter_matches_direct_join(spark):
         b = {tuple(r) for r in jaccard_pairs_prefix(sh, t_).collect()}
         assert a == b, (t_, a ^ b)
     assert a  # non-vacuous: the hot boilerplate creates real pairs
+
+
+def test_jaccard_prefix_equivalence_property(spark):
+    """Property check of the prefix-filter lemma over random corpora
+    with a tiny vocabulary (maximally hot grams, heavy ties in the
+    global df-order): for random documents and thresholds, the PPJoin
+    candidate generator yields exactly the direct join's pairs."""
+    import random
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingles,
+    )
+
+    rng = random.Random(20260814)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    for trial in range(4):
+        docs = spark.createDataFrame(
+            [(i, " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(3, 12))))
+             for i in range(14)],
+            ["doc_id", "text"],
+        )
+        sh = shingles(docs, "doc_id", "text", 2)
+        t_ = [0.3, 0.5, 0.8, 0.9][trial]
+        a = {tuple(r) for r in jaccard_pairs(sh, t_).collect()}
+        b = {tuple(r) for r in jaccard_pairs_prefix(sh, t_).collect()}
+        assert a == b, (trial, t_, a ^ b)
+
+
+def test_driver_union_find_matches_star_cc_property(spark):
+    """The gated driver union-find and the distributed large-star/
+    small-star algorithm agree on random graphs (self-loops, isolated
+    pairs, chains, multi-edges)."""
+    import random
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.er import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 30
+        edges = [(rng.randint(0, n), rng.randint(0, n))
+                 for _ in range(rng.randint(5, 40))]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        uf = {(r.node, r.comp)
+              for r in connected_components(df).collect()}  # driver path
+        star = {(r.node, r.comp)
+                for r in connected_components_star(df).collect()}
+        assert uf == star, (trial, uf ^ star)
