@@ -698,9 +698,24 @@ class _Compiler:
                 plus = transitive_closure(edges)  # p+ pairs
                 if pairs is None:
                     if st.star:
-                        raise NotImplementedError(
-                            "leading p* (zero-length over unbound domain)")
-                    pairs = plus
+                        # leading p*: the zero-length path relates every
+                        # TERM OF THE GRAPH to itself (SPARQL 1.1
+                        # §18.4 ZeroOrMorePath), so seed with the
+                        # identity over all subjects ∪ objects, then
+                        # add the p+ pairs.  One distinct over the two
+                        # term columns — at scale this is the price of
+                        # an unbounded-domain star, which is why
+                        # constant-anchored stars (the common shape)
+                        # never take this branch.
+                        terms = (
+                            triples.select(F.col("subject").alias("src"))
+                            .union(triples.select(F.col("object")))
+                            .distinct()
+                        )
+                        zero = terms.select("src", F.col("src").alias("dst"))
+                        pairs = zero.unionByName(plus).distinct()
+                    else:
+                        pairs = plus
                 else:
                     ext = (
                         pairs.alias("a")

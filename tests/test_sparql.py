@@ -400,3 +400,27 @@ def test_network03_empty_at_the_closure_not_the_prelude(spark):
                            "VALUES ?entities { fg:Q7 fg:Q12 fg:Q11214}")
     assert fg_values != rq
     assert compile_sparql(fg_values, kg).count() > 0
+
+
+def test_leading_star_zero_length_over_unbound_domain(spark):
+    """A path starting with p* (no preceding step, unbound subject)
+    includes the zero-length identity over every term of the graph
+    (SPARQL 1.1 ZeroOrMorePath), not just p+ reachability."""
+    triples = spark.createDataFrame(
+        [
+            ("urn:a", "urn:p", "urn:b", None, None),
+            ("urn:b", "urn:p", "urn:c", None, None),
+            ("urn:x", "urn:q", "urn:y", None, None),  # no urn:p edges
+        ],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string",
+    )
+    q = """
+    SELECT ?s ?o WHERE { ?s <urn:p>* ?o }
+    """
+    got = {(r.s, r.o) for r in compile_sparql(q, triples).collect()}
+    # identity over ALL graph terms (a,b,c,x,y) + p-reachability
+    want = {(t, t) for t in ["urn:a", "urn:b", "urn:c", "urn:x", "urn:y"]} | {
+        ("urn:a", "urn:b"), ("urn:a", "urn:c"), ("urn:b", "urn:c"),
+    }
+    assert got == want
