@@ -1089,6 +1089,74 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# OLAP grouping extensions: ROLLUP / CUBE.  Spark compiles both to ONE
+# Expand + partial-aggregated groupBy — every grouping set shares the
+# single fact scan and map-side combine, which is the 100 TB-correct
+# plan (k grouping sets ≠ k passes).
+# ---------------------------------------------------------------------------
+
+def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region → nation hierarchy: per-nation rows,
+    per-region subtotals, and the grand total in one pass, tagged with
+    ``grouping_id`` so consumers can tell a real NULL from a rolled-up
+    level."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    c = t(spark, sf_dir, "customer")
+    base = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("r_name", "n_name", "c_acctbal")
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            _dec_sum(F.col("c_acctbal"), "total_bal"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def agg_cube_two_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets — the
+    cross-tab, both marginals, and the grand total — from one Expand
+    pass over orders."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _dec_sum(F.col("o_totalprice"), "total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
@@ -1102,6 +1170,14 @@ SPECS: dict[str, QuerySpec] = {
         sink_append_roundtrip, _SINK_APPEND_SQL,
         "S8 append sink, two incremental batches reconciled on "
         "read-back"),
+    "agg_rollup_hierarchy": QuerySpec(
+        agg_rollup_hierarchy, _ROLLUP_SQL,
+        "ROLLUP region→nation with grouping_id — one Expand pass, "
+        "map-side combinable"),
+    "agg_cube_two_dim": QuerySpec(
+        agg_cube_two_dim, _CUBE_SQL,
+        "CUBE (status, priority): all four grouping sets from one "
+        "Expand pass"),
     "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
     "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
     "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),
