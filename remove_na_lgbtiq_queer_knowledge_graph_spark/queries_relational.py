@@ -1157,6 +1157,62 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def ts_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: hourly event counts per
+    type INCLUDING empty hours — the hypertable/`time_bucket_gapfill`
+    operation.  The spine is ``sequence(min_hour, max_hour)`` exploded
+    from a one-row bounds aggregate crossed with the distinct types —
+    |types|·|hours| rows, broadcast-sized regardless of event volume —
+    left-joined to the map-side-combinable hourly aggregate and
+    zero-filled.  Hours emit as epoch seconds so the oracle hash is
+    timezone-proof."""
+    e = t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = e.groupBy(
+        F.col("event_type"), hour.alias("h")
+    ).agg(F.count("*").cast("long").alias("n"),
+          _dec_sum(F.col("value"), "total"))
+    bounds = e.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    spine = (
+        bounds.select(F.explode(F.sequence(
+            "lo", "hi", F.expr("interval 1 hour"))).alias("h"))
+        .crossJoin(e.select("event_type").distinct())
+    )
+    return (
+        spine.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("h").cast("long").alias("hour_epoch"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+_RESAMPLE_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type,
+         unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+),
+counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type,
+       CAST(epoch(s.h) AS BIGINT) AS hour_epoch,
+       COALESCE(c.n, 0) AS n,
+       COALESCE(c.total, 0.0) AS total
+FROM spine s LEFT JOIN counts c USING (event_type, h)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
@@ -1178,6 +1234,10 @@ SPECS: dict[str, QuerySpec] = {
         agg_cube_two_dim, _CUBE_SQL,
         "CUBE (status, priority): all four grouping sets from one "
         "Expand pass"),
+    "ts_resample_hourly": QuerySpec(
+        ts_resample_hourly, _RESAMPLE_SQL,
+        "gap-filled hourly resampling (time_bucket_gapfill): "
+        "broadcast spine ⋈ map-side-combined counts, zero-filled"),
     "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
     "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
     "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),
