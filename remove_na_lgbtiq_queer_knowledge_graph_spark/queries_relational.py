@@ -1213,6 +1213,61 @@ FROM spine s LEFT JOIN counts c USING (event_type, h)
 """
 
 
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of the streaming session
+    windows): events more than 30 minutes apart start a new session per
+    user — ``lag`` marks boundaries, a running sum numbers sessions,
+    one groupBy emits per-session stats.  Two sorted passes over the
+    same (user, time) partitioning; Catalyst reuses the sort.  Ordering
+    ties break on event_id for a total order."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact fractional-second gap (timestamp→double keeps microseconds)
+    # so the 1800 s boundary test is bit-identical to the oracle's
+    # epoch() arithmetic; output epochs floor explicitly on both sides
+    sec = F.col("ts").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.floor(F.min(F.col("ts").cast("double"))).cast("long")
+         .alias("start_epoch"),
+        F.floor(F.max(F.col("ts").cast("double"))).cast("long")
+         .alias("end_epoch"),
+    ).withColumn("session_idx", F.col("session_idx").cast("long"))
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
@@ -1238,6 +1293,10 @@ SPECS: dict[str, QuerySpec] = {
         ts_resample_hourly, _RESAMPLE_SQL,
         "gap-filled hourly resampling (time_bucket_gapfill): "
         "broadcast spine ⋈ map-side-combined counts, zero-filled"),
+    "ts_sessionize": QuerySpec(
+        ts_sessionize, _SESSIONIZE_SQL,
+        "batch gap-sessionization: lag boundary flags + running-sum "
+        "session numbering, one reused sort"),
     "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
     "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
     "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),
