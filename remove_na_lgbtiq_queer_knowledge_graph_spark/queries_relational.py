@@ -1268,6 +1268,106 @@ FROM numbered GROUP BY user_id, session_idx
 """
 
 
+def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis over the event stream: per user, the earliest
+    view, the earliest click within ONE HOUR after that view, and the
+    earliest purchase within ONE HOUR after that click — conditional
+    array-min steps over per-user event-time lists, each built by a
+    map-side-combinable groupBy; the event table is never self-joined.
+    Emits the funnel report: users per reached depth."""
+    e = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    base = e.select("user_id", "event_type", sec.alias("s"))
+    v = base.filter(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("s").alias("t_view"))
+    c = base.filter(F.col("event_type") == "click") \
+        .groupBy("user_id").agg(F.collect_list("s").alias("cs"))
+    p = base.filter(F.col("event_type") == "purchase") \
+        .groupBy("user_id").agg(F.collect_list("s").alias("ps"))
+    stepped = (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .withColumn("t_click", F.array_min(F.filter(
+            F.coalesce("cs", F.array()),
+            lambda x: (x >= F.col("t_view"))
+            & (x <= F.col("t_view") + 3600))))
+        .withColumn("t_purchase", F.array_min(F.filter(
+            F.coalesce("ps", F.array()),
+            lambda x: (x >= F.col("t_click"))
+            & (x <= F.col("t_click") + 3600))))
+    )
+    depth = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return stepped.select(depth.alias("depth")).groupBy("depth").agg(
+        F.count("*").cast("long").alias("n_users")
+    ).withColumn("depth", F.col("depth").cast("long"))
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(epoch(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT v.user_id, min(epoch(e.ts)) AS t_click
+  FROM v JOIN events e ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch(e.ts) >= v.t_view
+    AND epoch(e.ts) <= v.t_view + 3600
+  GROUP BY v.user_id
+),
+p AS (
+  SELECT c.user_id, min(epoch(e.ts)) AS t_purchase
+  FROM c JOIN events e ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= c.t_click
+    AND epoch(e.ts) <= c.t_click + 3600
+  GROUP BY c.user_id
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM (
+  SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth
+  FROM v LEFT JOIN c ON v.user_id = c.user_id
+  LEFT JOIN p ON v.user_id = p.user_id
+) GROUP BY depth
+"""
+
+
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day (cohort),
+    counted as active per day-offset from that cohort day — the
+    product-analytics staple.  Two map-side-combinable aggregations
+    (first-activity per user, distinct activity days per user) and one
+    broadcast-sized report; the event table is never self-joined."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    per_user_day = e.select("user_id", day.alias("d")).distinct()
+    first = per_user_day.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        per_user_day.join(first, "user_id")
+        .groupBy("cohort_d", (F.col("d") - F.col("cohort_d")).alias("offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .withColumn("cohort_d", F.col("cohort_d").cast("long"))
+        .withColumn("offset", F.col("offset").cast("long"))
+    )
+
+
+_COHORT_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+),
+first AS (SELECT user_id, min(d) AS cohort_d FROM ud GROUP BY user_id)
+SELECT f.cohort_d, ud.d - f.cohort_d AS "offset",
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+FROM ud JOIN first f ON ud.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
@@ -1297,6 +1397,13 @@ SPECS: dict[str, QuerySpec] = {
         ts_sessionize, _SESSIONIZE_SQL,
         "batch gap-sessionization: lag boundary flags + running-sum "
         "session numbering, one reused sort"),
+    "ts_funnel_steps": QuerySpec(
+        ts_funnel_steps, _FUNNEL_SQL,
+        "view→click→purchase funnel: ordered conditional-min steps, "
+        "no event-table self-joins"),
+    "ts_cohort_retention": QuerySpec(
+        ts_cohort_retention, _COHORT_SQL,
+        "first-activity-day cohorts × day-offset active counts"),
     "agg_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL),
     "agg_string_agg_per_key": QuerySpec(string_agg_per_key, _STRING_AGG_SQL),
     "agg_freq_count": QuerySpec(freq_count, _FREQ_SQL),
