@@ -38,6 +38,52 @@ def in_out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph —
+    (node, n_triangles) for every node in ≥1 triangle.
+
+    The scalable formulation (node-iterator with DEGREE ORIENTATION):
+    symmetrize + dedup, then orient every edge from the (degree, id)-
+    smaller endpoint to the larger.  Each triangle survives as exactly
+    one oriented wedge u→v→w closed by u→w, and the orientation bounds
+    every out-degree by O(√m) — so the wedge join is Σ outdeg² ≤ O(m^1.5)
+    instead of Σ deg² (which a hub node makes quadratic).  Two
+    equi-joins, one explode, one groupBy; no collect.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    und = e.select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b")).distinct()
+    sym = und.unionByName(und.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    withd = (
+        sym.join(deg, "a")
+        .join(deg.select(F.col("a").alias("b"), F.col("d").alias("d2")), "b")
+    )
+    o = withd.filter(
+        (F.col("d") < F.col("d2"))
+        | ((F.col("d") == F.col("d2")) & (F.col("a") < F.col("b")))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    from ..spec import materialize
+
+    o = materialize(o)  # three join sides, one token of work
+    wedges = (
+        o.select(F.col("u"), F.col("v"))
+        .join(o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
+    )
+    tris = wedges.join(
+        o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
+    )
+    return (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
 def two_hop(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """G14: 2-hop neighborhood — (a)-[]->(b)-[]->(c) motif
     (``network-00-starting-point.rq:11-16``)."""

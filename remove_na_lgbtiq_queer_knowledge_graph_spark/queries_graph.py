@@ -612,7 +612,52 @@ def graph_materialize_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(tables, doc.maps)
 
 
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16-family: per-node triangle participation over the part
+    co-occurrence graph (parts appearing in the same order — the
+    books-co-cited-together shape).  Degree-oriented node-iterator
+    (see :func:`operators.graph.triangle_counts`): orientation bounds
+    the wedge join at O(m^1.5) regardless of hub parts."""
+    from .operators.graph import triangle_counts
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    return triangle_counts(pairs, "p1", "p2")
+
+
+_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "graph_triangle_counts": QuerySpec(
+        graph_triangle_counts, _TRIANGLES_SQL,
+        "degree-oriented triangle counting over the part co-occurrence "
+        "graph — O(m^1.5) wedge join, hub-immune"),
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
     "graph_materialize_yaml": QuerySpec(graph_materialize_yaml, _MATERIALIZE_SQL),
     "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),

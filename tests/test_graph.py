@@ -174,3 +174,26 @@ def test_pagerank_matches_power_iteration(spark):
     for n in nodes:
         assert abs(got[n] - rank[n]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Known graph: K4 on {1,2,3,4} (4 triangles, each node in 3) plus
+    a pendant 5-6 edge (no triangles) plus a hub 0 connected to
+    everything (turning each K4 edge + the pendant edge into extra
+    triangles).  Direction/duplication of the input edges must not
+    matter."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(5, 6)] + [(0, n) for n in range(1, 7)]
+    # duplicates + reversed copies should collapse
+    edges = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    # triangles: C(4,3)=4 inside K4; hub 0 + each K4 edge (6); hub + 5-6
+    assert got[0] == 7
+    assert all(got[n] == 3 + 3 for n in (1, 2, 3, 4))  # 3 in K4 + 3 via hub
+    assert got[5] == 1 and got[6] == 1
+    assert sum(got.values()) % 3 == 0  # each triangle counted thrice
