@@ -275,7 +275,49 @@ FROM events c JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
 """
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the event stream enriched against a STATIC
+    dimension (users → mktsegment via ``customer``), then windowed
+    daily counts per segment.  The static side is a plain batch
+    DataFrame joined into the streaming plan — Spark broadcasts it per
+    micro-batch and re-resolves it if the files change, which is how
+    dimension enrichment works in production (no state, unlike
+    stream–stream joins).  Complete-mode memory sink."""
+    from .spec import t
+    from .streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = stream.join(dim, "user_id")  # inner: unknown users drop
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "segment")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("w.start").cast("date").alias("wday"), "segment", "n")
+    )
+    return run_to_memory(agg, "mem_stream_static", "complete")
+
+
+_STREAM_STATIC_SQL = """
+SELECT CAST(date_trunc('day', e.ts) AS DATE) AS wday,
+       c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stream_static_enrich": QuerySpec(
+        stream_static_enrich, _STREAM_STATIC_SQL,
+        "stream-static dimension enrichment joined per micro-batch, "
+        "windowed counts per segment"),
     "stream_tumbling_daily": QuerySpec(stream_tumbling_daily, _TUMBLING_SQL),
     "stream_tumbling_append": QuerySpec(
         stream_tumbling_append, _TUMBLING_APPEND_SQL,
