@@ -1368,7 +1368,71 @@ GROUP BY 1, 2
 """
 
 
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert (S10's set-level sibling — the lakehouse staple)
+    re-expressed as ONE full outer join + per-column coalesce: a delta
+    of modified balances (every 3rd customer, +100) plus brand-new keys
+    (beyond the current max) merges into the base — matched rows take
+    the delta's values, unmatched-source rows insert, unmatched-target
+    rows persist.  No read-modify-write loop, no driver state; at scale
+    this is the shuffle-on-key plan Delta/Iceberg MERGE compiles to."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    updates = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name",
+                (F.col("c_acctbal") + 100).alias("c_acctbal"))
+    )
+    mx = 1 << 40  # key offset far above any real custkey
+    inserts = c.filter(F.col("c_custkey") % 1000 == 7).select(
+        (F.col("c_custkey") + mx).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    delta = updates.unionByName(inserts)
+    return (
+        c.alias("t").join(delta.alias("s"), "c_custkey", "full_outer")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("s.c_name"), F.col("t.c_name")).alias("c_name"),
+            F.round(F.coalesce(F.col("s.c_acctbal"), F.col("t.c_acctbal"))
+                    .cast("decimal(18,6)"), 2).cast("double")
+             .alias("c_acctbal"),
+            F.when(F.col("t.c_custkey").isNull(), "inserted")
+             .when(F.col("s.c_custkey").isNull(), "kept")
+             .otherwise("updated").alias("action"),
+        )
+    )
+
+
+_MERGE_SQL = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+delta AS (
+  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal
+  FROM base WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + (1::BIGINT << 40), 'new-' || c_name, 0.0
+  FROM base WHERE c_custkey % 1000 = 7
+),
+merged AS (
+  SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+         COALESCE(s.c_name, t.c_name) AS c_name,
+         CAST(round(CAST(COALESCE(s.c_acctbal, t.c_acctbal)
+                         AS DECIMAL(18,6)), 2) AS DOUBLE) AS c_acctbal,
+         CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+              WHEN s.c_custkey IS NULL THEN 'kept'
+              ELSE 'updated' END AS action
+  FROM base t FULL OUTER JOIN delta s ON t.c_custkey = s.c_custkey
+)
+SELECT c_custkey, c_name, c_acctbal, action FROM merged
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "sink_merge_upsert": QuerySpec(
+        sink_merge_upsert, _MERGE_SQL,
+        "MERGE/upsert as one full-outer join + coalesce — the "
+        "Delta/Iceberg MERGE plan, no read-modify-write loop"),
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
     "join_asof_last_value": QuerySpec(asof_last_purchase, _ASOF_SQL),
