@@ -124,18 +124,23 @@ def brute_force_topk(
     import numpy as np
     import pandas as pd
 
+    c = vectors.select(
+        F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv"))
+    id_type = c.schema["cand_id"].dataType.simpleString()
+    out_schema = f"query_id {id_type}, cand_id {id_type}, cos_sim double"
+    # ids keep their NATIVE type end to end (no long cast) — string or
+    # numeric ids compare apples-to-apples in the self-exclusion test
+    # and in the output schema
     q_rows = sorted(
-        (int(r["i"]), [float(x) for x in r["v"]])
+        (r["i"], [float(x) for x in r["v"]])
         for r in queries.select(
-            F.col(id_col).cast("long").alias("i"),
-            _dvec(vec_col).alias("v")).collect()
+            F.col(id_col).alias("i"), _dvec(vec_col).alias("v")).collect()
     )
-    qids = np.array([r[0] for r in q_rows], dtype="int64")
+    if not q_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], out_schema + ", rk long")
+    qids = np.array([r[0] for r in q_rows])
     Q = np.array([r[1] for r in q_rows], dtype="float64")
-    qn = np.zeros(len(Q))
-    for d in range(Q.shape[1]):
-        qn = qn + Q[:, d] * Q[:, d]
-    qn = np.sqrt(qn)
 
     def score(batches):
         for pdf in batches:
@@ -143,13 +148,7 @@ def brute_force_topk(
                 continue
             A = np.stack(pdf["cv"].to_numpy()).astype("float64")
             cids = pdf["cand_id"].to_numpy()
-            dots = np.zeros((len(A), len(Q)))
-            na = np.zeros(len(A))
-            for d in range(A.shape[1]):
-                dots = dots + A[:, d:d + 1] * Q[:, d]
-                na = na + A[:, d] * A[:, d]
-            sims = dots / (np.sqrt(na)[:, None] * qn[None, :])
-            sims = np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6 * np.sign(sims)
+            sims = _round_half_away(_seq_cosine(A, Q))
             out_q, out_c, out_s = [], [], []
             for j in range(len(Q)):
                 s = sims[:, j]
@@ -160,18 +159,12 @@ def brute_force_topk(
                 out_c.extend(kc)
                 out_s.extend(s[keep][order])
             yield pd.DataFrame({
-                "query_id": pd.Series(out_q, dtype="int64"),
+                "query_id": pd.Series(np.array(out_q, dtype=qids.dtype)),
                 "cand_id": pd.Series(np.array(out_c, dtype=cids.dtype)),
                 "cos_sim": pd.Series(out_s, dtype="float64"),
             })
 
-    c = vectors.select(
-        F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv"))
-    local = c.mapInPandas(
-        score,
-        f"query_id long, cand_id {c.schema['cand_id'].dataType.simpleString()},"
-        " cos_sim double",
-    )
+    local = c.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
@@ -286,25 +279,19 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
+    id_type = assigned.schema["vec_id"].dataType.simpleString()
+
     def cell_topk(corp, prb):
         if not len(corp) or not len(prb):
             return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "cand_id": pd.Series([], dtype="int64"),
+                {"query_id": pd.Series([], dtype="object"),
+                 "cand_id": pd.Series([], dtype="object"),
                  "cos_sim": pd.Series([], dtype="float64")})
         A = np.stack(corp["cv"].to_numpy()).astype("float64")
         cids = corp["vec_id"].to_numpy()
         Q = np.stack(prb["qv"].to_numpy()).astype("float64")
         qids = prb["query_id"].to_numpy()
-        dots = np.zeros((len(A), len(Q)))
-        na = np.zeros(len(A))
-        qn = np.zeros(len(Q))
-        for d in range(A.shape[1]):
-            dots = dots + A[:, d:d + 1] * Q[:, d]
-            na = na + A[:, d] * A[:, d]
-            qn = qn + Q[:, d] * Q[:, d]
-        sims = dots / (np.sqrt(na)[:, None] * np.sqrt(qn)[None, :])
-        sims = np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6 * np.sign(sims)
+        sims = _round_half_away(_seq_cosine(A, Q))
         out_q, out_c, out_s = [], [], []
         for j in range(len(Q)):
             s = sims[:, j]
@@ -314,7 +301,7 @@ def ivf_topk(
             out_c.extend(cids[keep][order])
             out_s.extend(s[keep][order])
         return pd.DataFrame({
-            "query_id": pd.Series(out_q, dtype="int64"),
+            "query_id": pd.Series(np.array(out_q, dtype=qids.dtype)),
             "cand_id": pd.Series(np.array(out_c, dtype=cids.dtype)),
             "cos_sim": pd.Series(out_s, dtype="float64")})
 
@@ -323,9 +310,7 @@ def ivf_topk(
         .cogroup(probes.groupBy("cell"))
         .applyInPandas(
             cell_topk,
-            f"query_id long,"
-            f" cand_id {assigned.schema['vec_id'].dataType.simpleString()},"
-            " cos_sim double")
+            f"query_id {id_type}, cand_id {id_type}, cos_sim double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -363,6 +348,35 @@ def cosine_dup_pairs(
     )
 
 
+def _round_half_away(x, decimals: int = 6):
+    """Half-away-from-zero rounding (SQL ``round`` / Spark ``F.round``
+    semantics) — numpy's ``round`` is half-EVEN and must never touch a
+    score that feeds an oracle-compared order."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.floor(np.abs(x) * scale + 0.5) / scale * np.sign(x)
+
+
+def _seq_cosine(A, B):
+    """|A|×|B| cosine matrix with SEQUENTIAL index-order accumulation
+    over dimensions (``acc_d = acc_{d-1} + x_d·y_d``) — bit-identical
+    to the expression fold and DuckDB's ``list_dot_product``, unlike a
+    BLAS ``A @ B.T`` whose pairwise summation drifts in the last ulp.
+    The single numeric kernel behind every ANN scorer here; bit parity
+    lives in exactly one place."""
+    import numpy as np
+
+    dots = np.zeros((len(A), len(B)))
+    na = np.zeros(len(A))
+    nb = np.zeros(len(B))
+    for d in range(A.shape[1]):
+        dots = dots + A[:, d:d + 1] * B[:, d]
+        na = na + A[:, d] * A[:, d]
+        nb = nb + B[:, d] * B[:, d]
+    return dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+
+
 def _nearest_cell_udf(cent_rows: list, decimals: int | None = None):
     """Vectorized nearest-centroid assignment against a driver-held
     centroid matrix: one Arrow batch pass computes every (row, centroid)
@@ -388,25 +402,14 @@ def _nearest_cell_udf(cent_rows: list, decimals: int | None = None):
     rows = sorted(cent_rows, key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype="int64")
     C = np.array([r[1] for r in rows], dtype="float64")  # k × dim
-    cn = np.zeros(len(C))
-    for d in range(C.shape[1]):
-        cn = cn + C[:, d] * C[:, d]
-    cn = np.sqrt(cn)
 
     def assign(v):
         if len(v) == 0:
             return pd.Series([], dtype="int64")
         A = np.stack(v.to_numpy()).astype("float64")
-        dots = np.zeros((len(A), len(C)))
-        na = np.zeros(len(A))
-        for d in range(A.shape[1]):
-            x = A[:, d:d + 1]
-            dots = dots + x * C[:, d]
-            na = na + (A[:, d] * A[:, d])
-        sims = dots / (np.sqrt(na)[:, None] * cn[None, :])
+        sims = _seq_cosine(A, C)
         if decimals is not None:
-            scale = 10.0 ** decimals
-            sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+            sims = _round_half_away(sims, decimals)
         return pd.Series(ids[np.argmax(sims, axis=1)])
 
     return pandas_udf(assign, "long")
@@ -428,27 +431,20 @@ def _fit_rows(
     rows = sorted(rows, key=lambda r: r[0])
     X = np.array([r[1] for r in rows], dtype="float64")
     xid = np.array([r[0] for r in rows], dtype="int64")
-    ids = xid[xid < n_centroids]
-    C = X[xid < n_centroids]
-    scale = 10.0 ** decimals
+    # init = the n_centroids LOWEST ids present in the sample — NOT
+    # `id < n_centroids`, which under a sampled fit (sample_mod > 1)
+    # keeps only the sampled ids below k and silently shrinks the
+    # requested k before the first iteration
+    ids = xid[:n_centroids]
+    C = X[:n_centroids]
     for _ in range(iters):
-        dots = np.zeros((len(X), len(C)))
-        na = np.zeros(len(X))
-        cn = np.zeros(len(C))
-        for d in range(X.shape[1]):
-            dots = dots + X[:, d:d + 1] * C[:, d]
-            na = na + X[:, d] * X[:, d]
-            cn = cn + C[:, d] * C[:, d]
-        best = np.argmax(dots / (np.sqrt(na)[:, None] * np.sqrt(cn)[None, :]),
-                         axis=1)
+        best = np.argmax(_seq_cosine(X, C), axis=1)
         keep, new_c = [], []
         for j in range(len(C)):
             m = X[best == j]
             if len(m):
-                mean = m.mean(axis=0)
                 keep.append(ids[j])
-                new_c.append(np.floor(np.abs(mean) * scale + 0.5)
-                             / scale * np.sign(mean))
+                new_c.append(_round_half_away(m.mean(axis=0), decimals))
         ids = np.array(keep, dtype="int64")
         C = np.array(new_c)
     return [(int(i), [float(x) for x in v]) for i, v in zip(ids, C)]

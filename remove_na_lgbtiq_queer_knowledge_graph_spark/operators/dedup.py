@@ -289,8 +289,14 @@ def jaccard_pairs_prefix(
         .select(*blk, "id", "shingle",
                 F.row_number().over(w).alias("__rn"),
                 F.count("*").over(wc).alias("__card"))
+        # +1e-9 before the floor: (1 - t) is already inexact in float
+        # ((1-0.8)*10 = 1.9999999999999996), and flooring it one short
+        # SHRINKS the prefix — which silently drops qualifying pairs
+        # (e.g. an 8-of-10 subset pair at t=0.8).  The epsilon can only
+        # ever LENGTHEN the prefix, which costs candidates, never
+        # correctness.
         .filter(F.col("__rn") <=
-                F.floor((1.0 - min_sim) * F.col("__card")) + 1)
+                F.floor((1.0 - min_sim) * F.col("__card") + 1e-9) + 1)
         .select(*blk, "id", "shingle")
     )
     cand = (
@@ -350,11 +356,13 @@ def remove_frequent_ngrams(
        ``element_at`` — no word explode, no positional anti-join, no
        ``collect_list`` re-sort.
 
-    Two token-scale shuffles total (gram doc-frequency + covered-set
-    collapse) — down from four in the join-based formulation; the
-    per-document rebuild stays linear in tokens.  The 64-bit gram hash
-    trades a ~1e-11 collision chance for not shuffling raw gram strings
-    at 100 TB.
+    Three token-scale shuffles total (the gram window sort, the
+    doc-frequency aggregation, the frequent-gram semi-join probe) plus
+    a coverage-scale collapse — the join-based formulation additionally
+    paid a positional anti-join and a collect_list re-sort, both token-
+    scale; the per-document rebuild stays linear in tokens.  The 64-bit
+    gram hash trades a ~1e-11 collision chance for not shuffling raw
+    gram strings at 100 TB.
     """
     from pyspark.sql import Window
 

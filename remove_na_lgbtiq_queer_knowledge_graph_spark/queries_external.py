@@ -315,6 +315,8 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
 
         get = fetcher or (lambda u: urllib.request.urlopen(u).read())
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: a zero-column frame
+                continue      # would fail schema coercion
             out = []
             for _, row in pdf.iterrows():
                 payload = _json.loads(get(row[url_col]).decode("utf-8"))

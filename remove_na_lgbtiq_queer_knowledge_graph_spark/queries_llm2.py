@@ -433,7 +433,7 @@ WITH v AS (
   SELECT * FROM v{samp}
 ), c0 AS (
   SELECT CAST(vec_id AS BIGINT) AS cent_id, cv AS cent_v
-  FROM vf WHERE vec_id < {k}
+  FROM vf ORDER BY vec_id LIMIT {k}
 )"""]
     prev = "c0"
     for i in range(1, iters + 1):

@@ -694,3 +694,25 @@ def test_driver_union_find_matches_star_cc_property(spark):
         star = {(r.node, r.comp)
                 for r in connected_components_star(df).collect()}
         assert uf == star, (trial, uf ^ star)
+
+
+def test_jaccard_prefix_boundary_card_multiple_of_five(spark):
+    """Regression: float (1-0.8)*10 = 1.9999... floored one short shrank
+    the prefix and silently dropped an exact-boundary pair.  Doc y's 8
+    shingles are a subset of doc x's 10 → jaccard exactly 0.8; x's two
+    non-shared grams have df=1 so the rarest-first order fills a
+    too-short prefix with them, and only the epsilon-corrected length
+    keeps the pair."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    shared = [f"s{i}" for i in range(8)]
+    rows = [(1, g) for g in shared + ["only-x-1", "only-x-2"]] + \
+           [(2, g) for g in shared]
+    sh = spark.createDataFrame(rows, ["id", "shingle"])
+    direct = {tuple(r) for r in jaccard_pairs(sh, 0.8).collect()}
+    pref = {tuple(r) for r in jaccard_pairs_prefix(sh, 0.8).collect()}
+    assert direct == {(1, 2, 0.8)}
+    assert pref == direct
