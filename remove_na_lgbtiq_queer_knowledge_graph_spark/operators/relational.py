@@ -327,7 +327,7 @@ def salted_join(
 def dense_ids(
     df: DataFrame, order: Sequence[str], out: str = "id",
     num_partitions: int | None = None,
-    materialize_parted: bool = False,
+    materialize_parted: bool = True,
 ) -> DataFrame:
     """W1 at scale: dense 1..N surrogate keys in ``order`` without a
     global single-partition sort.
@@ -346,16 +346,20 @@ def dense_ids(
        ``offset[pid] + position`` with a running counter.  No window, no
        second shuffle, no single-partition exchange.
 
-    The range shuffle executes once per job that consumes it (the count
-    pass and the final pass); Spark's range-boundary sampling is
-    deterministically seeded, so both executions agree.
-    ``materialize_parted=True`` localCheckpoints the partitioned frame
-    between the passes so the range shuffle runs ONCE — the right call
-    when the input is itself expensive or large; the default keeps the
-    plan fully lazy/inspectable (the surrogate-key plan lock asserts on
-    the rangepartitioning node).  ``order`` must be a total key (repo
-    determinism rule) — equal keys split across a partition boundary
-    would otherwise make ids order-ambiguous anyway.
+    ``materialize_parted`` (default TRUE) localCheckpoints the
+    partitioned frame between the passes — this is a CORRECTNESS
+    requirement, not an optimization: the count pass and the assign
+    pass otherwise each re-execute the range shuffle, and Spark's
+    range-boundary SAMPLING is seeded per RDD id, so two executions
+    can draw different boundaries.  Rows near a boundary then land in
+    different partitions across the passes, the driver's offsets no
+    longer describe the assign pass's partition sizes, and the emitted
+    ids gap/overlap (observed at sf0.1: 10 of 15k ids lost —
+    zipWithIndex has always demanded a stable input for the same
+    reason).  Pass ``False`` only to inspect the lazy plan shape.
+    ``order`` must be a total key (repo determinism rule) — equal keys
+    split across a partition boundary would otherwise make ids
+    order-ambiguous anyway.
     """
     from pyspark.sql import types as T
 

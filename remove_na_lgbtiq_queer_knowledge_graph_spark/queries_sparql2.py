@@ -399,7 +399,13 @@ def _companions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mock Wikidata endpoint (`companions_and_relations.rq:69-105`)
         person = F.concat(F.lit(WD + "Q"),
                           (F.lit(930000) + ck).cast("string"))
-        org = F.concat(F.lit(WD + "Q"), (F.lit(940000) + sk).cast("string"))
+        # org twins live at 5_000_000+sk — far above the person range
+        # (930000+ck) at any tested SF; at sf0.1 the old 940000 base
+        # COLLIDED with persons for ck in (10000, 11000], making org
+        # nodes double as persons and silently inflating three
+        # companions-family results (caught by the full sf0.1 oracle
+        # sweep, invisible at sf0.01)
+        org = F.concat(F.lit(WD + "Q"), (F.lit(5000000) + sk).cast("string"))
         busi = WD + "Q4830453"      # business ⊑ organisation
         wd_part = _triples_from(
             cust,
@@ -618,7 +624,7 @@ WITH b1 AS (
          'wikidata' AS source
   FROM customer WHERE c_custkey % 4 = 0
 ), b4 AS (
-  SELECT '{WD}Q' || CAST(940000 + s_suppkey AS VARCHAR) AS value,
+  SELECT '{WD}Q' || CAST(5000000 + s_suppkey AS VARCHAR) AS value,
          'wd-' || s_name AS valueLabel,
          '{WDT}P108' AS relation,
          CAST(NULL AS VARCHAR) AS relation_stringLabel,
@@ -1345,7 +1351,7 @@ def _compare_rq_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fgt:P117`` statements whose nation-item values are already
     sitelinked by ``_compare_kg``."""
     root = FG + "Q223420"
-    link = "https://www.wikidata.org/wiki/Q902234"
+    link = "https://www.wikidata.org/wiki/Q7002234"
 
     def build() -> DataFrame:
         n = F.col("n_nationkey")
@@ -1359,7 +1365,7 @@ def _compare_rq_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (link, _SCHEMA + "about", root, None, None),
             (link, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
              None, None),
-            (link, _SCHEMA + "name", "Q902234", None, None),
+            (link, _SCHEMA + "name", "Q7002234", None, None),
             (root, RDFS_LABEL, "Root Compare", "de", None),
             (root, RDFS_LABEL, "Root Compare", "en", None),
             (FG + "P117", FGT + "P343", "P2083", None, None),
@@ -1380,7 +1386,7 @@ def _compare_rq_service(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation = t(spark, sf_dir, "nation").filter(n % 4 == 0)
         claims = _triples_from(
             nation,
-            (None, WD + "Q902234", WDT + "P2083",
+            (None, WD + "Q7002234", WDT + "P2083",
              F.concat(F.lit(WD + "Q"), (F.lit(820000) + n).cast("string"))),
         )
         return _wd_compare_service(spark, sf_dir).unionByName(_cache(claims))
@@ -1432,7 +1438,7 @@ _COMPARE_MANY_ITEMS_SQL = f"""
 SELECT DISTINCT
        '{FG}Q223420' AS fg_item,
        'Root Compare' AS "fg_itemLabel",
-       '{WD}Q902234' AS wd_item,
+       '{WD}Q7002234' AS wd_item,
        '{FGT}P117' AS fg_property,
        '{WDT}P2083' AS wd_property,
        '{FG}Q' || CAST(225300 + a.n AS VARCHAR) AS fg_value,

@@ -72,11 +72,24 @@ def test_simhash_banding_is_equi_join(spark, sf_dir):
 def test_surrogate_keys_has_no_global_sort(spark, sf_dir):
     """The dense-id plan must never funnel the table through one task:
     no single-partition exchange, no global Sort — range partitioning +
-    per-partition assignment only (VERDICT r1 'What's wrong' #2)."""
+    per-partition assignment only (VERDICT r1 'What's wrong' #2).
+    The registry query's lineage is truncated at the between-pass
+    checkpoint (a correctness requirement — see dense_ids), so the
+    rangepartitioning node is asserted on the lazy variant."""
     plan = _plan(spark, "window_surrogate_keys", sf_dir)
     assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" in plan                 # the two-pass plan
     assert "Window" not in plan                        # no row_number window at all
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        dense_ids,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    lazy = dense_ids(t(spark, sf_dir, "customer").select("c_name"),
+                     ["c_name"], out="name_id", materialize_parted=False)
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in lazy_plan            # the two-pass plan
+    assert "Exchange SinglePartition" not in lazy_plan
 
 
 def test_gazetteer_is_blocked_equi_join(spark, sf_dir):
