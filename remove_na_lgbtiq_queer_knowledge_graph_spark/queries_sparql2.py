@@ -1450,6 +1450,67 @@ CROSS JOIN (SELECT n_nationkey AS n FROM nation WHERE n_nationkey % 4 = 0) b
 """
 
 
+def sparql_companions_no_constants(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Verbatim ``companions_and_relations_no_constants.rq`` — the
+    flagship's working twin, NOT identical algebra: it projects only
+    ``?fg_item ?valueLabel ?image ?sortname`` (``?sortname`` is bound
+    NOWHERE in the query and must come back as an all-NULL column), a
+    sixth UNION branch walks DBpedia with a VARIABLE predicate off the
+    ``owl:sameAs`` targets (``?wd_item ?relation ?value``), and branch
+    five constant-BINDs ``?relation`` to ``dbo:wikiPageWikiLink``.
+    DISTINCT over the narrow projection collapses branches that land on
+    the same (label, image)."""
+    return compile_sparql(
+        _ref_rq("companions_and_relations_no_constants.rq"),
+        _companions_kg(spark, sf_dir),
+        services={
+            "https://query.wikidata.org/sparql":
+                _wd_companions_service(spark, sf_dir),
+            "https://dbpedia.org/sparql": _dbpedia_service(spark, sf_dir),
+        },
+    )
+
+
+_COMPANIONS_NC_SQL = f"""
+SELECT DISTINCT '{_COMP}' AS fg_item, valueLabel AS "valueLabel", image,
+       CAST(NULL AS VARCHAR) AS sortname
+FROM (
+  SELECT c_name AS valueLabel,
+         CASE WHEN c_custkey % 10 = 0
+              THEN 'img-c-' || CAST(c_custkey AS VARCHAR) END AS image
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT s_name,
+         CASE WHEN s_suppkey % 6 = 0
+              THEN 'img-s-' || CAST(s_suppkey AS VARCHAR) END
+  FROM supplier WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT 'wd-' || c_name,
+         CASE WHEN c_custkey % 8 = 0
+              THEN 'wd-img-' || CAST(c_custkey AS VARCHAR) END
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 'wd-' || s_name,
+         CASE WHEN s_suppkey % 6 = 0
+              THEN 'wd-img-s-' || CAST(s_suppkey AS VARCHAR) END
+  FROM supplier WHERE s_suppkey % 2 = 0
+  UNION ALL
+  SELECT 'db-' || c_name,
+         CASE WHEN c_custkey % 12 = 0
+              THEN 'db-img-' || CAST(c_custkey AS VARCHAR) END
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT 'Stefan Zweig', NULL
+  UNION ALL
+  SELECT 'db-' || c_name,
+         CASE WHEN c_custkey % 12 = 0
+              THEN 'db-img-' || CAST(c_custkey AS VARCHAR) END
+  FROM customer WHERE c_custkey % 9 = 0
+)
+"""
+
+
 def _network03_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``network-03-federated.rq``'s walk, bound at every step EXCEPT
     the one that can never bind: root fg:Q226350 gets a sitelink
@@ -1535,6 +1596,11 @@ SPECS: dict[str, QuerySpec] = {
         sparql_compare_many_items, _COMPARE_MANY_ITEMS_SQL,
         "verbatim compare-factgrid-wikidata_many_items.rq (unrooted "
         "twin + IF() same-value verdict)"),
+    "sparql_companions_no_constants": QuerySpec(
+        sparql_companions_no_constants, _COMPANIONS_NC_SQL,
+        "verbatim companions_and_relations_no_constants.rq (6th "
+        "variable-predicate DBpedia branch, never-bound ?sortname "
+        "projected as NULL, narrow-projection DISTINCT collapse)"),
     "sparql_sitelinks": QuerySpec(
         sparql_sitelinks, _SITELINKS_SQL,
         "verbatim get_wiki_sitelinks.rq (grouped path + 5 OPTIONAL "
