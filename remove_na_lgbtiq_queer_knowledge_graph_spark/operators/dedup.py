@@ -213,10 +213,48 @@ def simhash_pairs(
 
 
 def jaccard_pairs(
+    sh: DataFrame, min_sim: float = 0.8, block_col: str | None = None,
+    plan: str = "prefix",
+) -> DataFrame:
+    """Exact n-gram jaccard pairs ≥ min_sim (optionally blocked).
+    ``sh`` from :func:`shingles`.
+
+    Default plan is PPJoin prefix filtering (:func:`jaccard_pairs_prefix`)
+    — the scale-safe candidate generator.  The direct inverted-index
+    self-join (``plan="direct"``) shuffles Σ df(gram)² rows, quadratic
+    in gram hotness: a 10×-duplicated corpus grew its wall time 9.4×
+    (PLANS.md duplication-stress table) where prefix grew 2.2×, and on
+    a crawl corpus with real duplication the direct shuffle is a
+    skewed-key bomb.  Prefix costs one extra df-ranking pass (+0.2 s at
+    sf0.1 where nothing is hot) and degrades gracefully: hot grams sort
+    last in the df-order and drop out of every prefix automatically, so
+    no routing heuristic is needed.  Auto-routing on a sampled max-df
+    estimate (the ``salted_join`` gate pattern) was considered and
+    rejected: the regime that blows up the direct join is BROAD
+    moderate hotness (df≈10 across most grams, per-gram share ~2e-5),
+    which a bounded driver-side sample cannot resolve — estimating
+    Σ df² needs a full gram-frequency pass, which is exactly the pass
+    the prefix plan already runs as its first step.
+
+    Both plans are equality-tested against each other (sf0.1, the 10×
+    stress corpus, a planted every-doc hot gram, and the 8-of-10 float
+    boundary — ``tests/test_llm_ops.py``).
+    """
+    if plan == "prefix":
+        return jaccard_pairs_prefix(sh, min_sim, block_col)
+    if plan != "direct":
+        raise ValueError(f"plan must be 'prefix' or 'direct', got {plan!r}")
+    return jaccard_pairs_direct(sh, min_sim, block_col)
+
+
+def jaccard_pairs_direct(
     sh: DataFrame, min_sim: float = 0.8, block_col: str | None = None
 ) -> DataFrame:
     """Exact n-gram jaccard pairs ≥ min_sim via inverted-index self-join
-    (optionally blocked).  ``sh`` from :func:`shingles`."""
+    (optionally blocked).  ``sh`` from :func:`shingles`.
+
+    Tiny-data fast path: shuffle is Σ df(gram)², so ONLY safe when no
+    gram is hot — prefer :func:`jaccard_pairs` (prefix default)."""
     from ..spec import materialize
 
     sh = materialize(sh)  # used by both join sides + the cardinality agg

@@ -214,7 +214,14 @@ WHERE c.id IS NULL OR c.component = d.doc_id
 
 
 def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram jaccard near-dup pairs ≥ 0.8, blocked by lang."""
+    """Exact word-3-gram jaccard near-dup pairs ≥ 0.8, blocked by lang.
+
+    Runs the operator's default plan — since round 6 that is PPJoin
+    prefix filtering, the hot-gram-immune candidate generator (the
+    direct inverted-index join's Σ df² shuffle grew 9.4× on the 10×
+    duplication-stress corpus; see ``jaccard_pairs``'s docstring and
+    PLANS.md).  ``dedup_jaccard_prefix`` pins the prefix plan
+    explicitly and shares this oracle."""
     sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3,
                   extra_cols=["lang"])
     return jaccard_pairs(sh, 0.8, block_col="lang")

@@ -623,7 +623,7 @@ def test_jaccard_prefix_filter_matches_direct_join(spark):
     hot grams sort last in the df-order and fall out of every
     prefix)."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
-        jaccard_pairs,
+        jaccard_pairs_direct,
         jaccard_pairs_prefix,
         shingles,
     )
@@ -637,7 +637,7 @@ def test_jaccard_prefix_filter_matches_direct_join(spark):
     )
     sh = shingles(docs, "doc_id", "text", 3)
     for t_ in (0.5, 0.8):
-        a = {tuple(r) for r in jaccard_pairs(sh, t_).collect()}
+        a = {tuple(r) for r in jaccard_pairs_direct(sh, t_).collect()}
         b = {tuple(r) for r in jaccard_pairs_prefix(sh, t_).collect()}
         assert a == b, (t_, a ^ b)
     assert a  # non-vacuous: the hot boilerplate creates real pairs
@@ -651,7 +651,7 @@ def test_jaccard_prefix_equivalence_property(spark):
     import random
 
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
-        jaccard_pairs,
+        jaccard_pairs_direct,
         jaccard_pairs_prefix,
         shingles,
     )
@@ -667,7 +667,7 @@ def test_jaccard_prefix_equivalence_property(spark):
         )
         sh = shingles(docs, "doc_id", "text", 2)
         t_ = [0.3, 0.5, 0.8, 0.9][trial]
-        a = {tuple(r) for r in jaccard_pairs(sh, t_).collect()}
+        a = {tuple(r) for r in jaccard_pairs_direct(sh, t_).collect()}
         b = {tuple(r) for r in jaccard_pairs_prefix(sh, t_).collect()}
         assert a == b, (trial, t_, a ^ b)
 
@@ -704,7 +704,7 @@ def test_jaccard_prefix_boundary_card_multiple_of_five(spark):
     too-short prefix with them, and only the epsilon-corrected length
     keeps the pair."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
-        jaccard_pairs,
+        jaccard_pairs_direct,
         jaccard_pairs_prefix,
     )
 
@@ -712,7 +712,32 @@ def test_jaccard_prefix_boundary_card_multiple_of_five(spark):
     rows = [(1, g) for g in shared + ["only-x-1", "only-x-2"]] + \
            [(2, g) for g in shared]
     sh = spark.createDataFrame(rows, ["id", "shingle"])
-    direct = {tuple(r) for r in jaccard_pairs(sh, 0.8).collect()}
+    direct = {tuple(r) for r in jaccard_pairs_direct(sh, 0.8).collect()}
     pref = {tuple(r) for r in jaccard_pairs_prefix(sh, 0.8).collect()}
     assert direct == {(1, 2, 0.8)}
     assert pref == direct
+
+
+def test_jaccard_pairs_default_plan_is_prefix(spark):
+    """Round-6 contract: the operator's default routes through PPJoin
+    prefix filtering (hot-gram-immune), the direct inverted-index join
+    is opt-in, and an unknown plan name fails loudly."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        jaccard_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    sh = shingles(docs, "doc_id", "text", 3)
+    default = {tuple(r) for r in jaccard_pairs(sh, 0.5).collect()}
+    direct = {tuple(r) for r in jaccard_pairs(sh, 0.5, plan="direct").collect()}
+    assert default == direct and default
+    # the default plan's candidate join must touch only prefix grams —
+    # lock it structurally: the plan contains the df-ranking window the
+    # direct join does not have
+    plan = jaccard_pairs(sh, 0.5)._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan.lower()
+    with pytest.raises(ValueError, match="plan"):
+        jaccard_pairs(sh, 0.5, plan="banded")

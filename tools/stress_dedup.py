@@ -1,0 +1,99 @@
+"""Duplication-stress harness (the PLANS.md 10x table, reproducible).
+
+The SF ladder scales data at a constant duplicate rate; dedup's hard
+regime is the opposite — constant data, exploding duplication.  This
+builds the round-5 stress fixture (every sf0.1 document plus 10 shifted
+near-copies, one perturbed token per copy so exact-dup collapse cannot
+erase them), writes it to a scratch dir shaped like a testdata sf dir,
+and times the named dedup queries against it and against plain sf0.1.
+
+Usage: python tools/stress_dedup.py [--sf /root/testdata/sf0.1] [names...]
+Default names: dedup_jaccard_pairs (default plan) and its direct-plan
+twin — the pair the round-5 stress run measured at 9.4x wall growth
+(direct) vs 2.2x (prefix).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_fixture(spark, sf_dir: str, out_dir: str, copies: int = 10):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = copies
+    copies_df = (
+        docs.withColumn("__k", F.explode(F.array(*[F.lit(i) for i in range(1, n)])))
+        .withColumn("doc_id", F.col("doc_id") * n + F.col("__k"))
+        # one perturbed token per copy: prepend a copy-unique marker word
+        .withColumn("text", F.concat(F.concat_ws("", F.lit("cp"), F.col("__k")),
+                                     F.lit(" "), F.col("text")))
+        .drop("__k")
+    )
+    base = docs.withColumn("doc_id", F.col("doc_id") * n)
+    base.unionByName(copies_df).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("names", nargs="*",
+                    default=["dedup_jaccard_pairs", "dedup_jaccard_direct"])
+    args = ap.parse_args()
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        jaccard_pairs_direct,
+        shingles,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm import (
+        dedup_jaccard_pairs_q,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark()
+    scratch = tempfile.mkdtemp(prefix="stress_")
+    try:
+        build_fixture(spark, args.sf, scratch)
+
+        def direct_q(spark, sf_dir):
+            sh = shingles(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                "doc_id", "text", 3, extra_cols=["lang"])
+            return jaccard_pairs_direct(sh, 0.8, block_col="lang")
+
+        specs = all_specs()
+        for name in args.names:
+            if name == "dedup_jaccard_direct":
+                fn = direct_q
+            elif name == "dedup_jaccard_pairs":
+                fn = dedup_jaccard_pairs_q
+            else:
+                fn = specs[name].fn
+            row = {"name": name}
+            for label, d in (("sf0.1", args.sf), ("10x", scratch)):
+                best, rows = None, None
+                for _ in range(args.passes):
+                    t0 = time.monotonic()
+                    rows = fn(spark, d).count()
+                    dt = time.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+                row[label] = round(best, 2)
+                row[f"{label}_rows"] = rows
+            row["growth"] = round(row["10x"] / row["sf0.1"], 1)
+            print(row, flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
