@@ -1106,6 +1106,133 @@ WHERE s_suppkey % 6 = 0
 """
 
 
+def _time_items_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FactGrid side for the verbatim ``time-items.rq``: one time-item
+    per nation row at ``fg:Q(376279 + n_nationkey)`` so the query's
+    ``BIND(fg:Q376282 as ?fg_item)`` lands on the ``n_nationkey = 3``
+    row.  Each item carries the ``fgt:P131 fg:Q400012`` membership the
+    query requires (odd keys only — the even twins prove the triple
+    pattern cuts), an English label for the label service, a Wikidata
+    sitelink (``schema:about``/``isPartOf``/``name`` — the QID→IRI
+    prelude at `time-items.rq:47-50`), the direct ``fgt:P38`` time
+    value, and the Wikibase-reified BestRank statement/value chain with
+    a ``wikibase:timePrecision`` (`time-items.rq:57-60`); a parallel
+    NormalRank statement (precision 7) per item proves the rank filter
+    cuts.  Static: ``fg:P38`` is a Time property whose corresponding
+    Wikidata property (``fgt:P343``) is P571."""
+    def build() -> DataFrame:
+        n = F.col("n_nationkey")
+        nation = t(spark, sf_dir, "nation")
+        item = F.concat(F.lit(FG + "Q"), (F.lit(376279) + n).cast("string"))
+        wiki = F.concat(F.lit("https://www.wikidata.org/wiki/Q"),
+                        (F.lit(880000) + n).cast("string"))
+        stmt = F.concat(F.lit("https://database.factgrid.de/statement/P38-"),
+                        n.cast("string"))
+        stmt2 = F.concat(stmt, F.lit("-normal"))
+        vn = F.concat(F.lit("https://database.factgrid.de/value/P38-"),
+                      n.cast("string"))
+        vn2 = F.concat(vn, F.lit("-normal"))
+        prec = F.when(n % 2 == 1, F.lit("11")).otherwise(F.lit("9"))
+        raw = F.concat(F.lit("time-"), n.cast("string"))
+        triples = _triples_from(
+            nation,
+            (n % 2 == 1, item, FGT + "P131", FG + "Q400012"),
+            (None, item, RDFS_LABEL, F.col("n_name"), "en"),
+            (None, wiki, _SCHEMA + "about", item),
+            (None, wiki, _SCHEMA + "isPartOf", "https://www.wikidata.org/"),
+            (None, wiki, _SCHEMA + "name",
+             F.concat(F.lit("Q"), (F.lit(880000) + n).cast("string"))),
+            (None, item, FGT + "P38", raw),
+            (None, item, _FGP + "P38", stmt),
+            (None, stmt, _RDF_TYPE, _WB + "BestRank"),
+            (None, stmt, _FGPSV + "P38", vn),
+            (None, vn, _WB + "timePrecision", prec),
+            (None, item, _FGP + "P38", stmt2),
+            (None, stmt2, _RDF_TYPE, _WB + "NormalRank"),
+            (None, stmt2, _FGPSV + "P38", vn2),
+            (None, vn2, _WB + "timePrecision", "7"),
+        )
+        static = spark.createDataFrame([
+            (FG + "P38", _WIKIBASE_PTYPE, _WB + "Time", None, None),
+            (FG + "P38", FGT + "P343", "P571", None, None),
+        ], _TRIPLE_SCHEMA)
+        return _cache(triples.unionByName(static).coalesce(4))
+
+    return kg_memo("time_items_kg", spark, sf_dir, build)
+
+
+def _wd_time_items_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikidata side for the verbatim ``time-items.rq``: ``wdt:P571``
+    raw values on the sitelink twins (agreeing except every 5th nation,
+    absent every 7th — the OPTIONAL miss) plus the reified
+    BestRank/psv/timePrecision chain (precision agreeing with FactGrid's
+    odd-key "11"), and a NormalRank decoy (precision 6) proving the
+    rank filter cuts inside the federated block too."""
+    def build() -> DataFrame:
+        n = F.col("n_nationkey")
+        nation = t(spark, sf_dir, "nation")
+        subj = F.concat(F.lit(WD + "Q"), (F.lit(880000) + n).cast("string"))
+        raw = F.when(n % 5 != 0,
+                     F.concat(F.lit("time-"), n.cast("string"))) \
+               .otherwise(F.concat(F.lit("wd-time-"), n.cast("string")))
+        stmt = F.concat(F.lit("http://www.wikidata.org/statement/P571-"),
+                        n.cast("string"))
+        stmt2 = F.concat(stmt, F.lit("-normal"))
+        vn = F.concat(F.lit("http://www.wikidata.org/value/P571-"),
+                      n.cast("string"))
+        vn2 = F.concat(vn, F.lit("-normal"))
+        prec = F.when(n % 2 == 1, F.lit("11")).otherwise(F.lit("8"))
+        keep = n % 7 != 0
+        return _cache(_triples_from(
+            nation,
+            (keep, subj, WDT + "P571", raw),
+            (keep, subj, _WDP + "P571", stmt),
+            (keep, stmt, _RDF_TYPE, _WB + "BestRank"),
+            (keep, stmt, _WDPSV + "P571", vn),
+            (keep, vn, _WB + "timePrecision", prec),
+            (keep, subj, _WDP + "P571", stmt2),
+            (keep, stmt2, _RDF_TYPE, _WB + "NormalRank"),
+            (keep, stmt2, _WDPSV + "P571", vn2),
+            (keep, vn2, _WB + "timePrecision", "6"),
+        ).coalesce(4))
+
+    return kg_memo("wd_time_items_svc", spark, sf_dir, build)
+
+
+def sparql_time_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``time-items.rq``
+    (`data-publishing/factgrid/queries/time-items.rq:1-81`) — the last
+    non-scratch reference query file: a BIND-rooted single item
+    (``fg:Q376282``), BIND-bound statement/value predicate variables
+    walked through nested blank-node property lists on BOTH the local
+    KG and inside the federated Wikidata SERVICE, raw time value
+    concatenated with its ``wikibase:timePrecision`` before the
+    ``IF(?fg_value = ?wd_value, ...)`` comparison.  The app-side
+    superset (`sparql_app_compare_time_items`) runs the R-rendered
+    parameterization; this entry runs the checked-in file itself."""
+    return compile_sparql(
+        _ref_rq("time-items.rq"),
+        _time_items_kg(spark, sf_dir),
+        services={_WD_SERVICES: _wd_time_items_service(spark, sf_dir)},
+    )
+
+
+_TIME_ITEMS_SQL = f"""
+SELECT DISTINCT
+       '{FG}Q' || CAST(376279 + n_nationkey AS VARCHAR) AS fg_item,
+       n_name AS "fg_itemLabel",
+       '{WD}Q' || CAST(880000 + n_nationkey AS VARCHAR) AS wd_item,
+       'time-' || CAST(n_nationkey AS VARCHAR) || '/11' AS fg_value,
+       CASE WHEN n_nationkey % 5 <> 0
+            THEN 'time-' || CAST(n_nationkey AS VARCHAR)
+            ELSE 'wd-time-' || CAST(n_nationkey AS VARCHAR) END
+       || '/11' AS wd_value,
+       CASE WHEN n_nationkey % 5 <> 0 THEN 'true' ELSE 'false' END AS is_same
+FROM nation
+WHERE n_nationkey = 376282 - 376279
+"""
+
+
 def sparql_app_compare_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compare app's ``query_items`` run verbatim from the R source
     (`apps/compare-factgrid-wikidata/queries.R:5-73`), rendered with the
@@ -1574,6 +1701,11 @@ WHERE FALSE
 
 
 SPECS: dict[str, QuerySpec] = {
+    "sparql_time_items": QuerySpec(
+        sparql_time_items, _TIME_ITEMS_SQL,
+        "verbatim time-items.rq (BIND-rooted item, reified time "
+        "statement + timePrecision concat on both the local KG and "
+        "the federated SERVICE)"),
     "sparql_network_statements": QuerySpec(
         sparql_network_statements, _NETWORK_02_SQL,
         "verbatim network-02-starting-point.rq (reified statement walk "
