@@ -120,6 +120,15 @@ def brute_force_topk(
     from-zero INSIDE the scorer so the local prune uses exactly the
     (cos_sim DESC, cand_id) total order the global rank uses — pruning
     on unrounded scores could drop a row that re-ties after rounding.
+
+    SIZE CONTRACT: the QUERY set (and only the query set) is collected
+    to the driver and shipped in every task's closure — it must fit the
+    same budget as a broadcast join build side (rule of thumb ≤ ~10 MB
+    / low-millions of floats; |q|·dim·8 bytes).  The CORPUS side is
+    never collected.  A query set that outgrows broadcast belongs on
+    the cogrouped path instead: :func:`ivf_topk` shuffles queries to
+    their probed cells and scores them cogrouped, with no driver-side
+    query materialization beyond the centroid table.
     """
     import numpy as np
     import pandas as pd
@@ -225,49 +234,73 @@ def ivf_topk(
     probe the ``n_probe`` nearest cells per query, exact top-k within
     the candidate union.
 
-    ``centroids`` is any small ``(cent_id, cent_v)`` frame —
+    ``centroids`` is any small ``(cent_id, cent_v)`` frame with
+    ORDERABLE ids (string or numeric — ids keep their native type end
+    to end; assignment and probing argmax over INDICES and map back) —
     :func:`kmeans_centroids` fits one distributed and deterministically;
     the default (the ``n_centroids`` lowest-id corpus vectors) keeps the
     zero-fit path oracle-checkable.  Every other step is identical.
 
-    Scale notes: centroids are broadcast, so cell assignment is one
-    corpus pass with no shuffle; the probe join replaces the cross join
-    with an equi-join on cell id — cost ~ n·n_probe/n_centroids
-    candidates per query, the IVF recall/throughput dial.
+    Scale notes: the centroid matrix rides in the UDF closures, so cell
+    assignment is one corpus pass with no shuffle and probe selection is
+    one query pass with no crossJoin and no window; the probe join
+    replaces the cross join with an equi-join on cell id — cost
+    ~ n·n_probe/n_centroids candidates per query, the IVF
+    recall/throughput dial.
+
+    One rounding kernel governs the whole operator: probe ranking, cell
+    assignment, and candidate scoring all round half-away-from-zero in
+    numpy (:func:`_round_half_away`) before any argmax/ordering, so a
+    near-tie cannot resolve differently between probe choice and
+    assignment (JVM ``F.round`` goes through BigDecimal and can differ
+    from the float-scaled form by one ulp on adversarial inputs).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     cents = centroids if centroids is not None else \
         vectors.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v")
         )
-    # Corpus cell assignment: the centroid frame is small by contract,
-    # so it rides in the assignment UDF's closure — ONE shuffle-free
-    # corpus pass instead of a k-way crossJoin + row_number window.
-    # decimals=6 mirrors the rounded cosine the window formulation
-    # ordered by (and the oracle's ORDER BY round(..., 6)).
-    cent_rows = [(int(r["cent_id"]), [float(x) for x in r["cent_v"]])
-                 for r in cents.collect()]
+    # Centroid frame is small by contract — collect once, sort by id so
+    # index order == the (sim DESC, cent_id ASC) tie-break order, and
+    # keep ids in their NATIVE type (mapped back via an array literal).
+    cent_rows = sorted(
+        ((r["cent_id"], [float(x) for x in r["cent_v"]])
+         for r in cents.collect()),
+        key=lambda r: r[0])
+    Cm = np.array([r[1] for r in cent_rows], dtype="float64")
+    id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
+
+    # Corpus cell assignment: ONE shuffle-free corpus pass instead of a
+    # k-way crossJoin + row_number window.  decimals=6 mirrors the
+    # rounded cosine the window formulation ordered by (and the
+    # oracle's ORDER BY round(..., 6)).
     assigned = (
         vectors.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
-        .withColumn("cell", _nearest_cell_udf(cent_rows, decimals=6)(F.col("cv")))
-        .select("vec_id", "cell", "cv")
+        .withColumn("__ci", _nearest_index_udf(Cm, decimals=6)(F.col("cv")))
+        .select("vec_id", F.element_at(id_arr, (F.col("__ci") + 1).cast("int")).alias("cell"),
+                "cv")
     )
+
+    @pandas_udf("array<long>")
+    def probe_indices(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        sims = _round_half_away(_seq_cosine(A, Cm))
+        idx = np.arange(Cm.shape[0])
+        return pd.Series([
+            np.lexsort((idx, -sims[i]))[:n_probe].tolist()
+            for i in range(len(A))
+        ])
+
     probes = (
         queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "query_id", "qv", "cent_id",
-            cosine(F.col("qv"), F.col("cent_v")).alias("cell_sim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("cell_sim").desc(), F.col("cent_id")
-                )
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+        .withColumn("__pi", F.explode(probe_indices(F.col("qv"))))
+        .select("query_id", "qv",
+                F.element_at(id_arr, (F.col("__pi") + 1).cast("int")).alias("cell"))
     )
     # Per-cell scoring: cogroup the corpus cell with the probes that
     # chose it and score as one matrix — candidates never materialize as
@@ -377,6 +410,30 @@ def _seq_cosine(A, B):
     return dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
 
 
+def _nearest_index_udf(C, decimals: int | None = None):
+    """Vectorized nearest-centroid ARGMAX INDEX against a driver-held
+    k×dim matrix whose rows are already in tie-break order (ties go to
+    the lowest index; callers sort by centroid id before building
+    ``C``).  Returning the index instead of an id keeps the caller free
+    to map back to ids of ANY orderable type — string centroid ids work
+    the same as numeric ones.  Same sequential-fold cosine and
+    half-away-from-zero rounding as every other scorer here."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def assign(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(v.to_numpy()).astype("float64")
+        sims = _seq_cosine(A, C)
+        if decimals is not None:
+            sims = _round_half_away(sims, decimals)
+        return pd.Series(np.argmax(sims, axis=1).astype("int64"))
+
+    return pandas_udf(assign, "long")
+
+
 def _nearest_cell_udf(cent_rows: list, decimals: int | None = None):
     """Vectorized nearest-centroid assignment against a driver-held
     centroid matrix: one Arrow batch pass computes every (row, centroid)
@@ -457,7 +514,8 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
+    max_sample_rows: int = 1_000_000,
 ) -> DataFrame:
     """Lloyd's k-means quantizer over an embedding column — the fit
     behind :func:`ivf_topk` (which accepts any small ``(cent_id,
@@ -479,8 +537,22 @@ def kmeans_centroids(
     collected, never crossJoined, never windowed.  A cell that loses
     all members drops out (standard Lloyd's degeneracy) — k shrinks
     rather than producing NaN centroids.
+
+    The driver-side collect is BOUNDED BY DEFAULT: with
+    ``sample_mod=None`` the modulus is derived from one corpus count so
+    the collected sample never exceeds ~``max_sample_rows`` — a caller
+    who forgets the parameter cannot OOM the driver on a large corpus
+    (the round-5 default of ``sample_mod=1`` collected everything
+    unless every caller remembered to sample).  Pass an explicit
+    ``sample_mod`` when the oracle must mirror the sample with a fixed
+    ``vec_id % m = 0`` predicate; the derived modulus is equally
+    oracle-expressible (``ceil(count(*) / max_sample_rows)``) but
+    data-dependent.
     """
     spark = vectors.sparkSession
+    if sample_mod is None:
+        n = vectors.count()
+        sample_mod = -(-n // max_sample_rows)  # ceil; 1 when n fits
     sample = vectors if sample_mod <= 1 else \
         vectors.filter(F.col(id_col) % sample_mod == 0)
     rows = [
@@ -503,7 +575,7 @@ def kmeans_cells(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Fitted centroids exploded to scalar rows (cell, dim, coord) plus
     the final member count per cell — the oracle-comparable view of

@@ -296,7 +296,9 @@ FROM located
 
 
 def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
-                      parse, fetcher=None) -> DataFrame:
+                      parse, fetcher=None, timeout: float = 30.0,
+                      retries: int = 2, max_bytes: int = 64 << 20,
+                      on_error: str = "raise") -> DataFrame:
     """S7 REST-fetch seam: one ``mapInPandas`` pass that opens every
     URL in ``url_col`` with a REAL ``urllib.request.urlopen`` (or an
     injected fetcher), feeds the decoded JSON to ``parse(row_dict)``,
@@ -305,22 +307,69 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
     fan-out; rate limits are the partition count.  Offline tests and
     the oracle entry exercise the exact same code over ``file://``
     URLs — a REST deployment is the same seam with an ``https://``
-    scheme (plus retry/backoff in the fetcher)."""
+    scheme.
+
+    Failure semantics (a hung or broken endpoint must not stall the
+    job indefinitely or kill a task undiagnosably):
+
+    - every default fetch carries an explicit ``timeout`` (seconds) and
+      is retried ``retries`` times with linear backoff before giving
+      up — one slow endpoint costs bounded wall time, not a wedged
+      executor slot;
+    - responses are read through a ``max_bytes`` cap so a runaway
+      payload cannot OOM a worker (exceeding it is an error, not a
+      silent truncation);
+    - ``on_error="raise"`` (default) fails the task with the URL in
+      the exception message; ``on_error="null"`` emits a row of NULLs
+      for the failed URL instead (``parse`` receives ``__json=None``
+      and ``__error=<message>``) so a long crawl surfaces per-row
+      diagnostics rather than dying on the first 404.
+    """
     import json as _json
 
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
     def run(batches):
+        import time as _time
         import urllib.request
 
         import pandas as pd
 
-        get = fetcher or (lambda u: urllib.request.urlopen(u).read())
+        def default_get(u):
+            last = None
+            for attempt in range(retries + 1):
+                try:
+                    with urllib.request.urlopen(u, timeout=timeout) as resp:
+                        data = resp.read(max_bytes + 1)
+                    if len(data) > max_bytes:
+                        raise ValueError(
+                            f"payload exceeds max_bytes={max_bytes}")
+                    return data
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    last = e
+                    if attempt < retries:
+                        _time.sleep(0.5 * (attempt + 1))
+            raise last
+
+        get = fetcher or default_get
         for pdf in batches:
             if not len(pdf):  # empty Arrow batch: a zero-column frame
                 continue      # would fail schema coercion
             out = []
             for _, row in pdf.iterrows():
-                payload = _json.loads(get(row[url_col]).decode("utf-8"))
-                out.append(parse({**row.to_dict(), "__json": payload}))
+                url = row[url_col]
+                try:
+                    payload = _json.loads(get(url).decode("utf-8"))
+                    err = None
+                except Exception as e:  # noqa: BLE001
+                    if on_error == "raise":
+                        raise RuntimeError(
+                            f"fetch_json_source failed for {url!r}: {e}"
+                        ) from e
+                    payload, err = None, str(e)
+                out.append(parse(
+                    {**row.to_dict(), "__json": payload, "__error": err}))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, out_schema)
@@ -335,10 +384,11 @@ def external_rest_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes them relationally."""
     import json as _json
     import os
-    import tempfile
+
+    from .spec import scratch_dir
 
     n = t(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="rest_mock_")
+    d = scratch_dir("rest_mock_")
     for r in n.select("n_nationkey", "n_name").collect():
         with open(os.path.join(d, f"{r.n_nationkey}.json"), "w") as f:
             _json.dump({"key": r.n_nationkey, "name": r.n_name,

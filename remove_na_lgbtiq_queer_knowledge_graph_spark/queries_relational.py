@@ -1033,11 +1033,10 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are opened — and aggregated per priority.  Values flow through the
     sink's parquet round trip, so the oracle hash checks the WRITE path
     (encoders, partition layout) end to end, not just the query."""
-    import tempfile
-
     from .sources.io import write_partitioned
+    from .spec import scratch_dir
 
-    d = tempfile.mkdtemp(prefix="sink_part_") + "/orders"
+    d = scratch_dir("sink_part_") + "/orders"
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
     write_partitioned(orders, d, ["o_orderstatus"])
@@ -1065,11 +1064,10 @@ def sink_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     after) into one scratch dir, read back and aggregated per segment.
     The counts only reconcile if BOTH appends landed and neither
     clobbered the other."""
-    import tempfile
-
     from .sources.io import append_sink
+    from .spec import scratch_dir
 
-    d = tempfile.mkdtemp(prefix="sink_app_") + "/customer"
+    d = scratch_dir("sink_app_") + "/customer"
     c = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal")
     append_sink(c.filter(F.col("c_custkey") % 2 == 1), d)

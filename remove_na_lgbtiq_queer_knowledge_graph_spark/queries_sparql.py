@@ -288,10 +288,10 @@ def kg_memo(key: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
         # 2.5 s → 1.4 s on the flagship query).  This is also the
         # reference's own shape — its KG materializes to a file
         # (create-rdf.py) before any query runs.
-        import tempfile
+        from .spec import scratch_dir
 
         df = build()
-        d = os.path.join(tempfile.mkdtemp(prefix=f"kg_{key}_"), "t")
+        d = os.path.join(scratch_dir(f"kg_{key}_"), "t")
         df.write.mode("overwrite").parquet(d)
         _KG_MEMO[k] = spark.read.parquet(d)
     return _KG_MEMO[k]

@@ -35,6 +35,37 @@ class QuerySpec:
     doc: str = ""
 
 
+def scratch_dir(prefix: str) -> str:
+    """Process-scoped scratch directory for intermediate parquet (KG
+    fixture stores, sink round-trips, streaming checkpoints, mock
+    endpoints).
+
+    Root comes from ``SPARK_GRAFT_SCRATCH_ROOT`` (default: the system
+    temp dir).  Every directory created here is registered for
+    ``atexit`` removal, so repeated sessions don't accumulate orphaned
+    ``/tmp`` trees (the round-5 ``tempfile.mkdtemp`` call sites leaked
+    one per fixture per process).
+
+    CLUSTER NOTE: these paths are written by executors and re-read by
+    ``spark.read.parquet``, which is only correct when driver and
+    executors share the filesystem — i.e. local mode, or a scratch
+    root on shared storage (NFS, HDFS/S3 via a mounted path).  On a
+    real cluster set ``SPARK_GRAFT_SCRATCH_ROOT`` to a shared
+    location; a driver-local ``/tmp`` root will produce
+    empty-directory reads.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH_ROOT")
+    if root:
+        os.makedirs(root, exist_ok=True)
+    d = tempfile.mkdtemp(prefix=prefix, dir=root or None)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # Session-scoped memo of loaded table frames.  ``spark.read.parquet``
 # costs a schema-inference py4j round trip (~0.3-0.6 s) every call; a
 # bench/oracle run issues hundreds of t() calls over the same ten

@@ -116,10 +116,10 @@ def run_append_to_files(stream_df: DataFrame, name: str) -> DataFrame:
     helpers above run complete mode — driver-resident results; this
     closes the bounded-state story end-to-end.)
     """
-    import tempfile
+    from ..spec import scratch_dir
 
     spark = stream_df.sparkSession
-    d = tempfile.mkdtemp(prefix=f"{name}_")
+    d = scratch_dir(f"{name}_")
     with _state_partitions(spark):
         q = (
             stream_df.writeStream.outputMode("append")

@@ -741,3 +741,49 @@ def test_jaccard_pairs_default_plan_is_prefix(spark):
     assert "row_number" in plan.lower()
     with pytest.raises(ValueError, match="plan"):
         jaccard_pairs(sh, 0.5, plan="banded")
+
+
+def test_ivf_topk_preserves_string_centroid_ids(spark):
+    """Regression (round-6 advice): the matrix-scored path cast centroid
+    ids through int(), so a caller-supplied centroid frame with string
+    ids raised.  Ids must keep their native type end to end — the
+    assignment/probe argmax is index-based and maps back."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in range(9)],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [("axis-x", [1.0, 0.0, 0.0]), ("axis-y", [0.0, 1.0, 0.0]),
+         ("axis-z", [0.0, 0.0, 1.0])],
+        ["cent_id", "cent_v"],
+    )
+    out = ann_ops.ivf_topk(emb, emb.limit(2), k=2, n_probe=2,
+                           centroids=cents)
+    rows = out.collect()
+    assert rows, "string-centroid path must produce candidates"
+    assert all(isinstance(r.rk, int) for r in rows)
+
+
+def test_brute_force_topk_collects_query_side_only(spark, monkeypatch):
+    """Size-contract lock: brute_force_topk may collect ONLY the query
+    set (broadcast-build-side budget); the corpus must stream through
+    mapInPandas uncollected."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"])
+    collected = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        collected.append(tuple(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    ann_ops.brute_force_topk(emb, emb.limit(3), k=2).count()
+    assert collected == [("i", "v")], collected

@@ -185,3 +185,42 @@ def test_read_jdbc_seam(spark):
     except Exception as e:  # no driver jar in this container
         assert "sqlite" in str(e).lower() or "driver" in str(e).lower() \
             or "ClassNotFound" in str(e)
+
+
+def test_fetch_json_source_failure_semantics(spark, tmp_path):
+    """Round-6 advice: the REST seam must bound a broken endpoint —
+    on_error='null' yields a diagnosable row instead of killing the
+    task; on_error='raise' names the URL; a fetcher that fails every
+    attempt surfaces after the retry budget, not as a hang."""
+    import json
+
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_external import (
+        fetch_json_source,
+    )
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"v": 7}))
+    urls = spark.createDataFrame(
+        [(f"file://{good}",), ("file:///nonexistent-xyz.json",)], ["url"])
+
+    def parse(row):
+        j = row["__json"]
+        return {"url": row["url"], "v": None if j is None else j["v"],
+                "err": row["__error"]}
+
+    rows = {r.url: r for r in fetch_json_source(
+        urls, "url", "url string, v long, err string",
+        parse, retries=0, on_error="null").collect()}
+    assert rows[f"file://{good}"].v == 7 and rows[f"file://{good}"].err is None
+    bad = rows["file:///nonexistent-xyz.json"]
+    assert bad.v is None and bad.err
+
+    with pytest.raises(Exception, match="nonexistent-xyz"):
+        fetch_json_source(
+            urls, "url", "url string, v long, err string",
+            parse, retries=0, on_error="raise").collect()
+
+    with pytest.raises(ValueError, match="on_error"):
+        fetch_json_source(urls, "url", "url string", parse, on_error="skip")
