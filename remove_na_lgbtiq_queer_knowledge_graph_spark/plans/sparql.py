@@ -192,6 +192,7 @@ class Query:
     limit: int | None = None
     label_langs: list[str] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    having: list[tuple] = field(default_factory=list)  # constraint exprs
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +360,12 @@ class _Parser:
         if t.kind == "word" and self.peek(1) and self.peek(1).text == "(":
             name = self.next().text.upper()
             self.next()  # (
+            if name in self._AGG_FUNCS:
+                # aggregates are ordinary expression atoms, so HAVING
+                # (COUNT(?x) > 2) and (SUM(?a) / COUNT(?a) AS ?m) parse;
+                # the compiler hoists ("agg", ...) subnodes into the
+                # groupBy.agg and substitutes their result columns
+                return self._parse_agg_call(name)
             args = []
             if not (self.peek().kind == "op" and self.peek().text == ")"):
                 args.append(self.parse_expr())
@@ -551,6 +558,7 @@ class _Parser:
         where = self.parse_group()
         order_by: list[tuple[str, bool]] = []
         group_by: list[str] = []
+        having: list[tuple] = []
         limit = None
         while self.peek() is not None:
             t = self.peek()
@@ -559,6 +567,20 @@ class _Parser:
                 self.expect("word", "BY")
                 while self.peek() and self.peek().kind == "var":
                     group_by.append(self.next().text[1:])
+                continue
+            if t.kind == "word" and t.text.upper() == "HAVING":
+                # HAVING (constraint) [(constraint) ...] — each
+                # parenthesized constraint may contain aggregate calls
+                # (they parse to ("agg", ...) nodes via _expr_primary)
+                self.next()
+                self.expect("op", "(")
+                having.append(self.parse_expr())
+                self.expect("op", ")")
+                while (self.peek() and self.peek().kind == "op"
+                        and self.peek().text == "("):
+                    self.next()
+                    having.append(self.parse_expr())
+                    self.expect("op", ")")
                 continue
             if t.kind == "word" and t.text.upper() == "ORDER":
                 self.next()
@@ -588,27 +610,37 @@ class _Parser:
                 continue
             break
         return Query(select, distinct, where, order_by, limit,
-                     group_by=group_by)
+                     group_by=group_by, having=having)
 
-    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG",
+                  "GROUP_CONCAT", "SAMPLE")
 
     def _parse_agg_or_expr(self) -> tuple:
         """Aggregate call ``COUNT([DISTINCT] ?v | *)`` etc., or a plain
-        expression (``(STR(?x) AS ?y)``).  Aggregates nested inside
-        arithmetic are outside the reference subset."""
-        t = self.peek()
-        if (t and t.kind == "word" and t.text.upper() in self._AGG_FUNCS
-                and self.peek(1) and self.peek(1).text == "("):
-            name = self.next().text.upper()
-            self.next()  # (
-            distinct = bool(self.accept("word", "DISTINCT"))
-            if self.accept("op", "*"):
-                arg = None
-            else:
-                arg = self.parse_expr()
-            self.expect("op", ")")
-            return ("agg", name, distinct, arg)
+        expression (``(STR(?x) AS ?y)``).  Since round 6 aggregates
+        parse anywhere inside an expression (see :meth:`_expr_primary`),
+        so HAVING constraints and arithmetic over aggregates work."""
         return self.parse_expr()
+
+    def _parse_agg_call(self, name: str) -> tuple:
+        """Body of an aggregate call after ``NAME(`` is consumed:
+        ``[DISTINCT] (?v | *) [; SEPARATOR = "..."]``.  Returns
+        ("agg", name, distinct, arg, separator)."""
+        distinct = bool(self.accept("word", "DISTINCT"))
+        if self.accept("op", "*"):
+            arg = None
+        else:
+            arg = self.parse_expr()
+        sep = " "  # the SPARQL 1.1 default separator (§18.5.1.7)
+        if self.accept("op", ";"):
+            self.expect("word", "SEPARATOR")
+            self.expect("op", "=")
+            t = self.next()
+            if t.kind not in ("string", "sstring"):
+                raise SyntaxError(f"SEPARATOR expects a string, got {t}")
+            sep = self._parse_string(t.text)[1]
+        self.expect("op", ")")
+        return ("agg", name, distinct, arg, sep)
 
 
 def parse(text: str, prefixes: dict[str, str] | None = None) -> Query:
@@ -810,6 +842,10 @@ class _Compiler:
 
     def _expr(self, node: tuple, env: DataFrame | None) -> Column:
         kind = node[0]
+        if kind == "aggref":
+            # an ("agg", ...) subnode already computed by the groupBy
+            # (see _project_query's hoist) — read its result column
+            return F.col(node[1])
         if kind == "term":
             term = node[1]
             if term[0] == "var":
@@ -927,6 +963,20 @@ class _Compiler:
             return (F.countDistinct(col) if distinct
                     else F.count(col)).cast("long")
         col = self._expr(arg, env)
+        if name == "GROUP_CONCAT":
+            # SPARQL leaves GROUP_CONCAT's element order unspecified;
+            # this engine pins it to ascending element order so results
+            # are deterministic across partitionings and oracle-
+            # comparable (DuckDB twin: string_agg([DISTINCT] x, sep
+            # ORDER BY x)).  collect_list/collect_set are partial-agg
+            # (map-side combinable); the sort is per-group, post-agg.
+            sep = node[4] if len(node) > 4 else " "
+            coll = F.collect_set(col) if distinct else F.collect_list(col)
+            return F.concat_ws(sep, F.array_sort(coll))
+        if name == "SAMPLE":
+            # any element satisfies SAMPLE's contract; MIN makes the
+            # choice deterministic and oracle-matchable
+            return F.min(col)
         if distinct:
             if name == "SUM":
                 return F.sum_distinct(col)
@@ -1276,14 +1326,46 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
     """SELECT-clause semantics shared by the top-level query and
     ``{ SELECT ... }`` subqueries: computed projections, aggregation
     (G12), label attach, projection, DISTINCT, ORDER BY, LIMIT."""
-    agg_items = [s for s in q.select
-                 if isinstance(s, SelectExpr) and s.expr[0] == "agg"]
+    def collect_aggs(node, acc):
+        """All ("agg", ...) subnodes of an expression tree, in order."""
+        if isinstance(node, tuple):
+            if node and node[0] == "agg":
+                if node not in acc:
+                    acc.append(node)
+            else:
+                for x in node:
+                    collect_aggs(x, acc)
+
+    def subst_aggs(node, names):
+        """Expression tree with agg subnodes replaced by ("aggref",
+        column) so it can evaluate over the aggregated frame."""
+        if isinstance(node, tuple):
+            if node and node[0] == "agg":
+                return ("aggref", names[node])
+            return tuple(subst_aggs(x, names) for x in node)
+        return node
+
+    agg_nodes: list[tuple] = []
     for s in q.select:
-        if isinstance(s, SelectExpr) and s.expr[0] != "agg":
-            env = env.withColumn(s.var, c._expr(s.expr, env))
-    grouped = bool(agg_items or q.group_by)
+        if isinstance(s, SelectExpr):
+            collect_aggs(s.expr, agg_nodes)
+    for h in q.having:
+        collect_aggs(h, agg_nodes)
+    # plain computed projections evaluate BEFORE any grouping (they may
+    # be group keys); aggregate-bearing ones evaluate after the agg
+    for s in q.select:
+        if isinstance(s, SelectExpr):
+            has_agg: list[tuple] = []
+            collect_aggs(s.expr, has_agg)
+            if not has_agg:
+                env = env.withColumn(s.var, c._expr(s.expr, env))
+    grouped = bool(agg_nodes or q.group_by)
     if grouped:
-        aggcols = [c._agg(s.expr, env).alias(s.var) for s in agg_items]
+        # hoist every distinct agg subnode into ONE groupBy.agg —
+        # shared subaggregates (a COUNT used in both the projection and
+        # HAVING) compute once
+        agg_names = {nd: f"__agg{i}" for i, nd in enumerate(agg_nodes)}
+        aggcols = [c._agg(nd, env).alias(nm) for nd, nm in agg_names.items()]
         missing = [k for k in q.group_by if k not in env.columns]
         if missing:
             # a typoed/unbound group var would silently degrade to a
@@ -1293,6 +1375,16 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
                 "group pattern")
         keys = list(q.group_by)
         env = env.groupBy(*keys).agg(*aggcols) if keys else env.agg(*aggcols)
+        for h in q.having:
+            env = env.filter(c._expr(subst_aggs(h, agg_names), env))
+        for s in q.select:
+            if isinstance(s, SelectExpr):
+                has_agg = []
+                collect_aggs(s.expr, has_agg)
+                if has_agg:
+                    env = env.withColumn(
+                        s.var, c._expr(subst_aggs(s.expr, agg_names), env))
+        env = env.drop(*agg_names.values())
     select = [s.var if isinstance(s, SelectExpr) else s for s in q.select]
     if select == ["*"]:
         select = [col for col in env.columns

@@ -731,6 +731,50 @@ GROUP BY 1
 """
 
 
+def sparql_group_concat_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 extension (round 6): ``GROUP_CONCAT(DISTINCT ...;
+    SEPARATOR=...)``, ``SAMPLE``, and ``HAVING`` over an aggregate —
+    the FactGrid-dashboard shape ("members per collection with their
+    authority ids concatenated") a user porting a new query hits first
+    when they outgrow COUNT.  Element order inside GROUP_CONCAT is
+    pinned ascending (SPARQL leaves it unspecified) so the result is
+    deterministic and oracle-comparable; HAVING compiles to a filter
+    over the SAME hoisted aggregate column the projection reads —
+    one groupBy, shared subaggregates."""
+    q = f"""
+    SELECT ?nation (COUNT(DISTINCT ?item) AS ?n_members)
+           (GROUP_CONCAT(DISTINCT ?gnd; SEPARATOR="|") AS ?gnd_ids)
+           (SAMPLE(?gnd) AS ?first_gnd)
+    WHERE {{
+      ?item <{FGT}P131> <{FG}Q400012> .
+      ?item <{FGT}P83> ?nation .
+      ?item <{FGT}P76> ?gnd .
+    }}
+    GROUP BY ?nation
+    HAVING (COUNT(DISTINCT ?item) > 3)
+    ORDER BY ?nation
+    """
+    return compile_sparql(q, factgrid_kg(spark, sf_dir))
+
+
+_GROUP_CONCAT_SQL = f"""
+WITH m AS (
+  SELECT '{FG}Q' || CAST(225300 + c_nationkey AS VARCHAR) AS nation,
+         c_custkey AS item,
+         'gnd-' || CAST(c_custkey AS VARCHAR) AS gnd
+  FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT nation,
+       CAST(count(DISTINCT item) AS BIGINT) AS n_members,
+       string_agg(DISTINCT gnd, '|' ORDER BY gnd) AS gnd_ids,
+       min(gnd) AS first_gnd
+FROM m
+GROUP BY nation
+HAVING count(DISTINCT item) > 3
+ORDER BY nation
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2022-05-31 status-update notebook — nested sub-SELECT aggregations
 # ---------------------------------------------------------------------------
@@ -1701,6 +1745,10 @@ WHERE FALSE
 
 
 SPECS: dict[str, QuerySpec] = {
+    "sparql_group_concat_gnd": QuerySpec(
+        sparql_group_concat_gnd, _GROUP_CONCAT_SQL,
+        "GROUP_CONCAT(DISTINCT; SEPARATOR) + SAMPLE + HAVING over a "
+        "hoisted shared aggregate (G12 extension)"),
     "sparql_time_items": QuerySpec(
         sparql_time_items, _TIME_ITEMS_SQL,
         "verbatim time-items.rq (BIND-rooted item, reified time "

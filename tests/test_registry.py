@@ -22,12 +22,11 @@ def test_every_spec_has_an_oracle():
 
 
 def test_registry_does_not_shrink():
-    """162 queries registered in round 5 (155 end of round 4 + FILTER
-    EXISTS, network-02, append-mode sinks ×2, sparse LSH, temperature
-    mixing, incremental dedup)."""
+    """189 queries registered in round 6 (187 end of round 5 +
+    sparql_time_items, sparql_group_concat_gnd)."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
-    assert len(all_specs()) >= 162
+    assert len(all_specs()) >= 189
 
 
 def test_rotation_orders_by_staleness():

@@ -424,3 +424,70 @@ def test_leading_star_zero_length_over_unbound_domain(spark):
         ("urn:a", "urn:b"), ("urn:a", "urn:c"), ("urn:b", "urn:c"),
     }
     assert got == want
+
+
+def test_group_concat_sample_having(spark):
+    """Round-6 aggregate surface: GROUP_CONCAT keeps duplicates unless
+    DISTINCT, pins ascending element order (SPARQL leaves it
+    unspecified — determinism is the contract here), honors SEPARATOR
+    and the SPARQL 1.1 default separator (single space); SAMPLE is
+    deterministic (min); HAVING filters on aggregates, including ones
+    not projected; and a shared aggregate is hoisted once."""
+    t = spark.createDataFrame(
+        [("s1", "http://ex.org/cat", "a", None, None),
+         ("s1", "http://ex.org/tag", "x", None, None),
+         ("s2", "http://ex.org/cat", "a", None, None),
+         ("s2", "http://ex.org/tag", "x", None, None),
+         ("s3", "http://ex.org/cat", "a", None, None),
+         ("s3", "http://ex.org/tag", "y", None, None),
+         ("s4", "http://ex.org/cat", "b", None, None),
+         ("s4", "http://ex.org/tag", "z", None, None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    df = compile_sparql(_PFX + """
+    SELECT ?cat (GROUP_CONCAT(?tag; SEPARATOR=",") AS ?all_tags)
+           (GROUP_CONCAT(DISTINCT ?tag; SEPARATOR=",") AS ?tags)
+           (GROUP_CONCAT(?tag) AS ?default_sep)
+           (SAMPLE(?tag) AS ?one)
+    WHERE { ?s ex:cat ?cat . ?s ex:tag ?tag . }
+    GROUP BY ?cat
+    HAVING (COUNT(?s) > 1)
+    """, t)
+    rows = {r.cat: r for r in df.collect()}
+    assert set(rows) == {"a"}  # HAVING cut 'b' via an unprojected COUNT
+    assert rows["a"].all_tags == "x,x,y"       # duplicates kept, sorted
+    assert rows["a"].tags == "x,y"             # DISTINCT collapses
+    assert rows["a"].default_sep == "x x y"    # SPARQL default " "
+    assert rows["a"].one == "x"                # deterministic SAMPLE
+
+
+def test_having_multiple_constraints_and_agg_arithmetic(spark):
+    t = spark.createDataFrame(
+        [("s1", "http://ex.org/cat", "a", None, None),
+         ("s2", "http://ex.org/cat", "a", None, None),
+         ("s3", "http://ex.org/cat", "b", None, None),
+         ("s4", "http://ex.org/cat", "b", None, None),
+         ("s5", "http://ex.org/cat", "b", None, None),
+         ("s6", "http://ex.org/cat", "c", None, None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    df = compile_sparql(_PFX + """
+    SELECT ?cat (COUNT(?s) AS ?n)
+    WHERE { ?s ex:cat ?cat . }
+    GROUP BY ?cat
+    HAVING (COUNT(?s) > 1) (COUNT(?s) < 3)
+    """, t)
+    assert _vals(df, "cat", "n") == [("a", 2)]
+
+
+def test_grouped_projection_of_nonkey_still_raises(spark):
+    t = spark.createDataFrame(
+        [("s1", "http://ex.org/cat", "a", None, None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    with pytest.raises(NotImplementedError, match="GROUP BY key"):
+        compile_sparql(_PFX + """
+        SELECT ?s (COUNT(?cat) AS ?n)
+        WHERE { ?s ex:cat ?cat . }
+        GROUP BY ?cat
+        """, t).collect()
