@@ -735,10 +735,15 @@ def test_jaccard_pairs_default_plan_is_prefix(spark):
     direct = {tuple(r) for r in jaccard_pairs(sh, 0.5, plan="direct").collect()}
     assert default == direct and default
     # the default plan's candidate join must touch only prefix grams —
-    # lock it structurally: the plan contains the df-ranking window the
-    # direct join does not have
+    # lock it structurally: the prefix path verifies by gram-array
+    # intersection (array_intersect), which the direct inverted-index
+    # join never does; the slice/array_sort prefix build itself hides
+    # behind the materialize() lineage cut
     plan = jaccard_pairs(sh, 0.5)._jdf.queryExecution().optimizedPlan().toString()
-    assert "row_number" in plan.lower()
+    assert "array_intersect" in plan.lower()
+    direct_plan = jaccard_pairs(sh, 0.5, plan="direct") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" not in direct_plan.lower()
     with pytest.raises(ValueError, match="plan"):
         jaccard_pairs(sh, 0.5, plan="banded")
 
