@@ -365,6 +365,81 @@ def jaccard_pairs_prefix(
     )
 
 
+def overlap_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8,
+    min_len: int | None = None, max_df: int | None = None,
+) -> DataFrame:
+    """Exact k-token overlap spans between document pairs — the
+    exact-substring dedup of Lee et al. ("Deduplicating Training Data
+    Makes Language Models Better", which builds a suffix array)
+    re-expressed relationally: a match of L ≥ k consecutive shared
+    tokens produces k-gram hash anchors at every offset, so maximal
+    spans are the classic gaps-and-islands grouping of anchors along
+    each (id_1, id_2, diagonal) where diagonal = pos_1 − pos_2.
+
+    Returns (id_1, id_2, start_1, start_2, length) with id_1 < id_2,
+    token positions 0-based, ``length`` in tokens (≥ k; ≥ ``min_len``
+    if given).  A span means tokens[start_1 : start_1+length] of doc 1
+    == tokens[start_2 : start_2+length] of doc 2 exactly.
+
+    Scale: one token explode + one windowed k-gram projection per
+    document (both ∝ tokens), an equi-join on the k-gram hash whose
+    shuffle is Σ df(gram)² — for EXACT k-token grams df ≈ 1 except on
+    true duplication/boilerplate, which is the pair mass the operator
+    exists to surface.  ``max_df`` caps pathological boilerplate grams
+    (a df-capped gram can only split a reported span, never invent
+    one).  The islands merge is a per-(pair, diagonal) window over
+    anchor counts — rows ∝ matching anchors, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    from ..spec import materialize
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(norm_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    kg = (
+        toks.select(
+            "id", "pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            parts[-1].isNotNull().alias("__full"))
+        .filter(F.col("__full"))
+        .select("id", "pos", "h")
+    )
+    if max_df is not None:
+        heavy = kg.groupBy("h").agg(F.count("*").alias("df")) \
+                  .filter(F.col("df") > max_df)
+        kg = kg.join(F.broadcast(heavy.select("h")), "h", "left_anti")
+    kg = materialize(kg)
+    anchors = (
+        kg.select(F.col("id").alias("id_1"), F.col("pos").alias("pos_1"), "h")
+        .join(kg.select(F.col("id").alias("id_2"),
+                        F.col("pos").alias("pos_2"), "h"), "h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "pos_1", "pos_2")
+    )
+    diag = (F.col("pos_1") - F.col("pos_2")).alias("diag")
+    wrun = Window.partitionBy("id_1", "id_2", diag).orderBy("pos_1")
+    spans = (
+        anchors.withColumn("__rn", F.row_number().over(wrun))
+        .groupBy("id_1", "id_2", diag,
+                 (F.col("pos_1") - F.col("__rn")).alias("__grp"))
+        .agg(F.min("pos_1").alias("start_1"), F.max("pos_1").alias("__end"))
+        .select(
+            "id_1", "id_2",
+            F.col("start_1").cast("long").alias("start_1"),
+            (F.col("start_1") - F.col("diag")).cast("long").alias("start_2"),
+            (F.col("__end") - F.col("start_1") + k).cast("long")
+             .alias("length"))
+    )
+    if min_len is not None:
+        spans = spans.filter(F.col("length") >= min_len)
+    return spans
+
+
 def remove_frequent_ngrams(
     df: DataFrame,
     id_col: str,

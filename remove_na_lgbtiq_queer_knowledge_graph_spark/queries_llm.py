@@ -254,6 +254,47 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(sh, 0.8, block_col="lang")
 
 
+def dedup_overlap_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ≥12-token overlap spans between document pairs (8-token
+    anchors merged along diagonals) — the exact-substring dedup
+    complement to the probabilistic MinHash/SimHash family: it reports
+    WHERE two documents share verbatim text and for how long, the
+    operation behind cross-document span excision in training-data
+    pipelines (Lee et al. 2022 build a suffix array; this is the
+    relational re-expression, `operators/dedup.py::overlap_spans`)."""
+    from .operators.dedup import overlap_spans
+
+    return overlap_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_len=12)
+
+
+_OVERLAP_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+kg AS (
+  SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS h
+  FROM toks, unnest(range(1, len(w) - 6)) u(i)
+),
+anchors AS (
+  SELECT a.id AS id_1, b.id AS id_2, a.pos AS pos_1, b.pos AS pos_2
+  FROM kg a JOIN kg b ON a.h = b.h AND a.id < b.id
+),
+runs AS (
+  SELECT id_1, id_2, pos_1 - pos_2 AS diag, pos_1,
+         row_number() OVER (PARTITION BY id_1, id_2, pos_1 - pos_2
+                            ORDER BY pos_1) AS rn
+  FROM anchors
+)
+SELECT id_1, id_2,
+       CAST(min(pos_1) AS BIGINT) AS start_1,
+       CAST(min(pos_1) - diag AS BIGINT) AS start_2,
+       CAST(max(pos_1) - min(pos_1) + 8 AS BIGINT) AS length
+FROM runs
+GROUP BY id_1, id_2, diag, pos_1 - rn
+HAVING max(pos_1) - min(pos_1) + 8 >= 12
+"""
+
+
 def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.3 within a label block
     (semantic dedupe)."""
@@ -841,6 +882,10 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs_q, _SIMHASH_PAIRS_SQL),
     "dedup_near_cluster_keep": QuerySpec(dedup_cluster_keep_q, _CLUSTER_KEEP_SQL),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs_q, _JACCARD_DOC_SQL),
+    "dedup_overlap_spans": QuerySpec(
+        dedup_overlap_spans_q, _OVERLAP_SPANS_SQL,
+        "exact >=12-token overlap spans via k-gram anchors merged "
+        "along diagonals (relational exact-substring dedup)"),
     "dedup_jaccard_prefix": QuerySpec(
         dedup_jaccard_prefix_q, _JACCARD_DOC_SQL,
         "exact jaccard pairs via PPJoin prefix filtering — same "

@@ -792,3 +792,37 @@ def test_brute_force_topk_collects_query_side_only(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", spy)
     ann_ops.brute_force_topk(emb, emb.limit(3), k=2).count()
     assert collected == [("i", "v")], collected
+
+
+def test_overlap_spans_exact_boundaries(spark):
+    """overlap_spans reports exact maximal spans: a planted 10-token
+    shared run with k=4 anchors merges to one span with the right
+    start positions and length; a doc repeating the phrase twice
+    yields two diagonals; no span crosses a mismatch."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        overlap_spans,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"aa bb {shared} cc dd"),
+         (2, f"xx {shared} yy zz ww"),
+         # doc 3 contains the shared run TWICE -> two diagonals vs doc 1
+         (3, f"{shared} qq {shared}"),
+         (4, "totally different words with no anchor overlap here")],
+        ["doc_id", "text"],
+    )
+    rows = overlap_spans(docs, "doc_id", "text", k=4).collect()
+    got = {(r.id_1, r.id_2, r.start_1, r.start_2, r.length) for r in rows}
+    # doc1 tokens: aa bb one...ten cc dd -> shared starts at 2, len 10
+    # doc2 tokens: xx one...ten yy zz ww -> starts at 1
+    assert (1, 2, 2, 1, 10) in got
+    # doc3: run at 0 and at 11 -> two spans vs doc1's single run
+    assert (1, 3, 2, 0, 10) in got and (1, 3, 2, 11, 10) in got
+    # doc2 vs doc3 similarly two spans
+    assert (2, 3, 1, 0, 10) in got and (2, 3, 1, 11, 10) in got
+    assert not any(4 in (a, b) for (a, b, *_) in got)
+    # min_len filters; max_df=1 kills every anchor (each 4-gram of the
+    # shared run appears in 3 docs)
+    assert overlap_spans(docs, "doc_id", "text", k=4, min_len=11).count() == 0
+    assert overlap_spans(docs, "doc_id", "text", k=4, max_df=1).count() == 0
