@@ -826,3 +826,54 @@ def test_overlap_spans_exact_boundaries(spark):
     # shared run appears in 3 docs)
     assert overlap_spans(docs, "doc_id", "text", k=4, min_len=11).count() == 0
     assert overlap_spans(docs, "doc_id", "text", k=4, max_df=1).count() == 0
+
+
+def test_overlap_spans_matches_brute_force_property(spark):
+    """Property check over random tiny-vocabulary corpora (maximal
+    repetition pressure): overlap_spans == a brute-force O(n²·L²)
+    reference that extends every matching diagonal maximally."""
+    import random
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        norm_tokens,  # noqa: F401 — same tokenizer contract
+        overlap_spans,
+    )
+
+    rng = random.Random(20260814)
+    vocab = ["a", "b", "c"]
+    k = 3
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(k, 14))))
+                for i in range(6)]
+        toks = {i: t.split() for i, t in docs}
+
+        def brute():
+            out = set()
+            for i, ti in toks.items():
+                for j, tj in toks.items():
+                    if i >= j:
+                        continue
+                    for d in range(-(len(tj) - k), len(ti) - k + 1):
+                        # maximal runs along diagonal d (pos_i - pos_j = d)
+                        run = 0
+                        start = None
+                        lo = max(0, d)
+                        hi = min(len(ti), len(tj) + d)
+                        for p in range(lo, hi + 1):
+                            ok = p < hi and ti[p] == tj[p - d]
+                            if ok:
+                                if start is None:
+                                    start = p
+                                run += 1
+                            else:
+                                if run >= k:
+                                    out.add((i, j, start, start - d, run))
+                                run, start = 0, None
+                    # note: runs shorter than k produce no anchors
+            return out
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {(r.id_1, r.id_2, r.start_1, r.start_2, r.length)
+               for r in overlap_spans(df, "doc_id", "text", k=k).collect()}
+        assert got == brute(), (trial, got ^ brute())
