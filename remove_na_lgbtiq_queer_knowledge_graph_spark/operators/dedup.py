@@ -440,6 +440,60 @@ def overlap_spans(
     return spans
 
 
+def excise_overlap_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8,
+    min_len: int | None = None, max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document exact-duplicate span EXCISION (the second half of
+    Lee et al.'s exact-substring dedup): every span reported by
+    :func:`overlap_spans` is cut from the HIGHER-id document of its
+    pair, so the lowest-id occurrence of any duplicated run survives —
+    deterministic keep-first semantics, the same rule the exact-dup
+    collapse uses.
+
+    Returns (id, text, n_cut_tokens) for EVERY input document
+    (untouched docs carry n_cut_tokens = 0 and their normalized text).
+    Text is rebuilt from the kept tokens, whitespace-normalized —
+    callers comparing against the input must compare token streams.
+
+    Plan: spans aggregate to one interval array per losing doc (rows ∝
+    docs that lose a span), joined back to the corpus on doc id — left
+    to AQE, which broadcasts the interval side while it fits the 64 MB
+    threshold and falls back to a shuffle join on a pathologically
+    duplicated corpus.  The cut itself is a higher-order-function
+    filter over the token array INSIDE codegen — position ∉ any
+    interval — so there is no per-token shuffle anywhere.
+    """
+    spans = overlap_spans(df, id_col, text_col, k, min_len, max_df)
+    cuts = (
+        spans.groupBy(F.col("id_2").alias("__cut_id"))
+        .agg(F.collect_list(
+            F.struct(F.col("start_2").alias("s"),
+                     (F.col("start_2") + F.col("length") - 1).alias("e"))
+        ).alias("__iv"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        norm_tokens(F.col(text_col)).alias("__t"),
+    )
+    pos_structs = F.expr(
+        "transform(__t, (x, i) -> struct(x as tok, i as pos))")
+    kept = F.expr(
+        "filter(__pt, p -> __iv is null or "
+        "not exists(__iv, iv -> p.pos >= iv.s and p.pos <= iv.e))")
+    return (
+        toks.join(cuts, F.col("id") == F.col("__cut_id"), "left")
+        .withColumn("__pt", pos_structs)
+        .withColumn("__kept", kept)
+        .select(
+            "id",
+            F.array_join(F.expr("transform(__kept, p -> p.tok)"), " ")
+             .alias("text"),
+            (F.size("__pt") - F.size("__kept")).cast("long")
+             .alias("n_cut_tokens"))
+    )
+
+
 def remove_frequent_ngrams(
     df: DataFrame,
     id_col: str,

@@ -295,6 +295,65 @@ HAVING max(pos_1) - min(pos_1) + 8 >= 12
 """
 
 
+def dedup_excise_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-duplicate span EXCISION: every ≥12-token
+    shared span is cut from the higher-id document (keep-first), and
+    every document comes back with its rebuilt text and cut-token
+    count — the operation training pipelines run after span detection
+    (`operators/dedup.py::excise_overlap_spans`)."""
+    from .operators.dedup import excise_overlap_spans
+
+    return excise_overlap_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_len=12)
+
+
+_EXCISE_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+kg AS (
+  SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS h
+  FROM toks, unnest(range(1, len(w) - 6)) u(i)
+),
+anchors AS (
+  SELECT a.id AS id_1, b.id AS id_2, a.pos AS pos_1, b.pos AS pos_2
+  FROM kg a JOIN kg b ON a.h = b.h AND a.id < b.id
+),
+runs AS (
+  SELECT id_1, id_2, pos_1 - pos_2 AS diag, pos_1,
+         row_number() OVER (PARTITION BY id_1, id_2, pos_1 - pos_2
+                            ORDER BY pos_1) AS rn
+  FROM anchors
+),
+spans AS (
+  SELECT id_2, min(pos_1) - diag AS start_2,
+         max(pos_1) - min(pos_1) + 8 AS length
+  FROM runs
+  GROUP BY id_1, id_2, diag, pos_1 - rn
+  HAVING max(pos_1) - min(pos_1) + 8 >= 12
+),
+cuts AS (
+  SELECT id_2 AS id,
+         list({{'s': start_2, 'e': start_2 + length - 1}}) AS iv
+  FROM spans GROUP BY id_2
+),
+kept AS (
+  SELECT t.doc_id AS id, t.w,
+         list_filter(
+           list_transform(t.w, (x, i) -> {{'tok': x, 'pos': CAST(i - 1 AS BIGINT)}}),
+           p -> c.iv IS NULL OR
+                len(list_filter(c.iv, v -> p.pos >= v.s AND p.pos <= v.e)) = 0
+         ) AS kp
+  FROM toks t LEFT JOIN cuts c ON t.doc_id = c.id
+)
+SELECT id,
+       -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+       COALESCE(array_to_string(list_transform(kp, p -> p.tok), ' '), '')
+         AS text,
+       CAST(len(w) - len(kp) AS BIGINT) AS n_cut_tokens
+FROM kept
+"""
+
+
 def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.3 within a label block
     (semantic dedupe)."""
@@ -886,6 +945,10 @@ SPECS: dict[str, QuerySpec] = {
         dedup_overlap_spans_q, _OVERLAP_SPANS_SQL,
         "exact >=12-token overlap spans via k-gram anchors merged "
         "along diagonals (relational exact-substring dedup)"),
+    "dedup_excise_spans": QuerySpec(
+        dedup_excise_spans_q, _EXCISE_SPANS_SQL,
+        "keep-first span excision: shared spans cut from the "
+        "higher-id doc via a codegen interval filter over tokens"),
     "dedup_jaccard_prefix": QuerySpec(
         dedup_jaccard_prefix_q, _JACCARD_DOC_SQL,
         "exact jaccard pairs via PPJoin prefix filtering — same "

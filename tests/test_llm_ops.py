@@ -877,3 +877,29 @@ def test_overlap_spans_matches_brute_force_property(spark):
         got = {(r.id_1, r.id_2, r.start_1, r.start_2, r.length)
                for r in overlap_spans(df, "doc_id", "text", k=k).collect()}
         assert got == brute(), (trial, got ^ brute())
+
+
+def test_excise_overlap_spans_keep_first(spark):
+    """Keep-first excision: the higher-id doc loses each shared span,
+    the lower-id doc keeps its copy verbatim, untouched docs pass
+    through with n_cut_tokens = 0, and a fully-duplicated doc excises
+    to empty text (not NULL)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        excise_overlap_spans,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"aa bb {shared} cc dd"),
+         (2, f"xx {shared} yy"),
+         (3, shared),  # exactly the shared run -> excised to empty
+         (4, "no overlap with anything else at all")],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r for r in excise_overlap_spans(
+        docs, "doc_id", "text", k=4).collect()}
+    assert got[1].text == f"aa bb {shared} cc dd" and got[1].n_cut_tokens == 0
+    assert got[2].text == "xx yy" and got[2].n_cut_tokens == 10
+    assert got[3].text == "" and got[3].n_cut_tokens == 10
+    assert got[4].text == "no overlap with anything else at all"
+    assert got[4].n_cut_tokens == 0
