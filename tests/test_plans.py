@@ -152,3 +152,14 @@ def test_bloom_bits_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, "decon_bloom_prefilter", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_overlap_spans_is_anchor_equi_join(spark, sf_dir):
+    """Exact-substring span detection must stay an equi-join on the
+    k-gram anchor hash (shuffle ∝ true duplication), with the islands
+    merge as a keyed window — never all-pairs, never a global sort."""
+    for name in ("dedup_overlap_spans", "dedup_excise_spans"):
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
