@@ -368,6 +368,7 @@ def jaccard_pairs_prefix(
 def overlap_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 8,
     min_len: int | None = None, max_df: int | None = None,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-token overlap spans between document pairs — the
     exact-substring dedup of Lee et al. ("Deduplicating Training Data
@@ -390,37 +391,50 @@ def overlap_spans(
     (a df-capped gram can only split a reported span, never invent
     one).  The islands merge is a per-(pair, diagonal) window over
     anchor counts — rows ∝ matching anchors, not corpus size.
+
+    ``other``: cross-corpus mode — spans between ``df`` documents
+    (``id_1`` side) and ``other`` documents (``id_2`` side, same
+    id/text column names), with no id-order filter.  This is exact
+    decontamination WITH EVIDENCE: each benchmark document's verbatim
+    occurrences in the training corpus, located to the token.  The
+    ``max_df`` cut then applies per side.
     """
     from pyspark.sql import Window
 
     from ..spec import materialize
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(norm_tokens(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    kg = (
-        toks.select(
-            "id", "pos",
-            F.md5(F.concat_ws(" ", *parts)).alias("h"),
-            parts[-1].isNotNull().alias("__full"))
-        .filter(F.col("__full"))
-        .select("id", "pos", "h")
-    )
-    if max_df is not None:
-        heavy = kg.groupBy("h").agg(F.count("*").alias("df")) \
-                  .filter(F.col("df") > max_df)
-        kg = kg.join(F.broadcast(heavy.select("h")), "h", "left_anti")
-    kg = materialize(kg)
+    def kgrams(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(norm_tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w)
+                                  for i in range(1, k)]
+        kg = (
+            toks.select(
+                "id", "pos",
+                F.md5(F.concat_ws(" ", *parts)).alias("h"),
+                parts[-1].isNotNull().alias("__full"))
+            .filter(F.col("__full"))
+            .select("id", "pos", "h")
+        )
+        if max_df is not None:
+            heavy = kg.groupBy("h").agg(F.count("*").alias("df")) \
+                      .filter(F.col("df") > max_df)
+            kg = kg.join(F.broadcast(heavy.select("h")), "h", "left_anti")
+        return materialize(kg)
+
+    kg = kgrams(df)
+    kg2 = kg if other is None else kgrams(other)
     anchors = (
         kg.select(F.col("id").alias("id_1"), F.col("pos").alias("pos_1"), "h")
-        .join(kg.select(F.col("id").alias("id_2"),
-                        F.col("pos").alias("pos_2"), "h"), "h")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "pos_1", "pos_2")
+        .join(kg2.select(F.col("id").alias("id_2"),
+                         F.col("pos").alias("pos_2"), "h"), "h")
     )
+    if other is None:
+        anchors = anchors.filter(F.col("id_1") < F.col("id_2"))
+    anchors = anchors.select("id_1", "id_2", "pos_1", "pos_2")
     diag = (F.col("pos_1") - F.col("pos_2")).alias("diag")
     wrun = Window.partitionBy("id_1", "id_2", diag).orderBy("pos_1")
     spans = (

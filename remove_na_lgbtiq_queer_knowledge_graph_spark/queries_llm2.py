@@ -808,7 +808,62 @@ WHERE d.doc_id % 5 = 0
 """
 
 
+def decon_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decontamination WITH EVIDENCE (round 6): every verbatim
+    ≥12-token occurrence of an eval-set document inside a training
+    document, located to the token — the audit trail the n-gram flag
+    (`decon_ngram_overlap`) and the Bloom pre-pass can't give.
+    Eval split is doc_id % 5 (NOT the % 97 convention of the other
+    decon entries: the sparse split leaves the eval slice with zero
+    exact overlaps at the driver's sf0.01 — a vacuous always-empty
+    check; % 5 intersects real near-dup families at every tested SF
+    so the span math stays under the value hash).  Cross-corpus mode
+    of `operators/dedup.py::overlap_spans`."""
+    from .operators.dedup import overlap_spans
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return overlap_spans(train, "doc_id", "text", k=8, min_len=12,
+                         other=ev)
+
+
+_TOKS2 = ("string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
+          " ' ')")
+
+_DECON_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS2} AS w FROM documents),
+kg AS (
+  SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS h
+  FROM toks, unnest(range(1, len(w) - 6)) u(i)
+),
+anchors AS (
+  SELECT a.id AS id_1, b.id AS id_2, a.pos AS pos_1, b.pos AS pos_2
+  FROM kg a JOIN kg b ON a.h = b.h
+  WHERE a.id % 5 <> 0 AND b.id % 5 = 0
+),
+runs AS (
+  SELECT id_1, id_2, pos_1 - pos_2 AS diag, pos_1,
+         row_number() OVER (PARTITION BY id_1, id_2, pos_1 - pos_2
+                            ORDER BY pos_1) AS rn
+  FROM anchors
+)
+SELECT id_1, id_2,
+       CAST(min(pos_1) AS BIGINT) AS start_1,
+       CAST(min(pos_1) - diag AS BIGINT) AS start_2,
+       CAST(max(pos_1) - min(pos_1) + 8 AS BIGINT) AS length
+FROM runs
+GROUP BY id_1, id_2, diag, pos_1 - rn
+HAVING max(pos_1) - min(pos_1) + 8 >= 12
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "decon_overlap_spans": QuerySpec(
+        decon_overlap_spans, _DECON_SPANS_SQL,
+        "exact decontamination with evidence: token-located verbatim "
+        "eval-set spans inside training docs"),
     "mix_temperature_sample": QuerySpec(
         mix_temperature_sample, _MIX_TEMP_SQL,
         "temperature-scaled (α=0.5) domain mixing with deterministic "

@@ -903,3 +903,30 @@ def test_excise_overlap_spans_keep_first(spark):
     assert got[3].text == "" and got[3].n_cut_tokens == 10
     assert got[4].text == "no overlap with anything else at all"
     assert got[4].n_cut_tokens == 0
+
+
+def test_overlap_spans_cross_corpus_mode(spark):
+    """other= runs train-vs-eval: no id-order filter (an eval doc with
+    a HIGHER id still matches), ids stay on their own sides, and
+    within-corpus pairs are NOT reported."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        overlap_spans,
+    )
+
+    shared = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [(10, f"aa {shared} bb"), (11, f"cc {shared} dd")],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(2, shared), (99, f"zz {shared}")], ["doc_id", "text"])
+    got = {(r.id_1, r.id_2, r.start_1, r.start_2, r.length)
+           for r in overlap_spans(train, "doc_id", "text", k=4,
+                                  other=ev).collect()}
+    # every train doc matches both eval docs — including eval id 2 < 10
+    # (order-free) and 99 > 11
+    assert got == {
+        (10, 2, 1, 0, 8), (10, 99, 1, 1, 8),
+        (11, 2, 1, 0, 8), (11, 99, 1, 1, 8),
+    }
+    # within-corpus pair (10, 11) must NOT appear in cross mode
+    assert not any(a == 10 and b == 11 for (a, b, *_) in got)
