@@ -491,3 +491,48 @@ def test_grouped_projection_of_nonkey_still_raises(spark):
         WHERE { ?s ex:cat ?cat . }
         GROUP BY ?cat
         """, t).collect()
+
+
+def test_aggregate_surface_differential_vs_duckdb(spark):
+    """Randomized differential check of the round-6 aggregate surface:
+    GROUP_CONCAT (with and without DISTINCT, separators including
+    regex-special and multi-char strings), SAMPLE, HAVING — engine
+    output must equal DuckDB computing the same contract
+    (string_agg ORDER BY element, min, HAVING) over the same rows."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260814)
+    cats = ["a", "b", "c"]
+    tags = ["t1", "t2", "t3", "t4"]
+    for sep, min_n in ((",", 1), ("|;|", 2), ("$^", 1)):
+        rows = [(f"s{i}", rng.choice(cats), rng.choice(tags))
+                for i in range(30)]
+        t = spark.createDataFrame(
+            [(s, "http://ex.org/cat", c, None, None) for s, c, _ in rows]
+            + [(s, "http://ex.org/tag", g, None, None) for s, _, g in rows],
+            "subject string, predicate string, object string, "
+            "lang string, dtype string")
+        df = compile_sparql(_PFX + f"""
+        SELECT ?cat (GROUP_CONCAT(DISTINCT ?tag; SEPARATOR="{sep}") AS ?tags)
+               (GROUP_CONCAT(?tag; SEPARATOR="{sep}") AS ?all_tags)
+               (SAMPLE(?tag) AS ?one) (COUNT(?s) AS ?n)
+        WHERE {{ ?s ex:cat ?cat . ?s ex:tag ?tag . }}
+        GROUP BY ?cat
+        HAVING (COUNT(?s) >= {min_n})
+        """, t)
+        got = sorted(tuple(r) for r in
+                     df.select("cat", "tags", "all_tags", "one", "n").collect())
+        con = duckdb.connect()
+        con.sql("CREATE TABLE r(s VARCHAR, cat VARCHAR, tag VARCHAR)")
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.sql(f"""
+            SELECT cat,
+                   string_agg(DISTINCT tag, '{sep}' ORDER BY tag) AS tags,
+                   string_agg(tag, '{sep}' ORDER BY tag) AS all_tags,
+                   min(tag) AS one,
+                   CAST(count(s) AS BIGINT) AS n
+            FROM r GROUP BY cat HAVING count(s) >= {min_n}
+        """).fetchall())
+        assert got == want, (sep, got, want)
