@@ -1351,6 +1351,30 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
             collect_aggs(s.expr, agg_nodes)
     for h in q.having:
         collect_aggs(h, agg_nodes)
+
+    def term_vars(node, acc):
+        if isinstance(node, tuple):
+            if node and node[0] == "term" and node[1][0] == "var":
+                acc.append(node[1][1])
+            else:
+                for x in node:
+                    term_vars(x, acc)
+
+    # label-service vars INSIDE aggregates (the FactGrid
+    # `GROUP_CONCAT(DISTINCT ?authorLabel; ...)` pattern): the
+    # projection-time attach below runs after the groupBy, too late
+    # for an aggregate argument — attach before aggregation instead
+    agg_arg_vars: list[str] = []
+    for nd in agg_nodes:
+        if nd[3] is not None:
+            term_vars(nd[3], agg_arg_vars)
+    for v in agg_arg_vars:
+        if v in env.columns:
+            continue
+        if v.endswith("AltLabel") and v[:-8] in env.columns:
+            env = c._attach_alt_label(env, v[:-8], v)
+        elif v.endswith("Label") and v[:-5] in env.columns:
+            env = c._attach_label(env, v[:-5], v)
     # plain computed projections evaluate BEFORE any grouping (they may
     # be group keys); aggregate-bearing ones evaluate after the agg
     for s in q.select:

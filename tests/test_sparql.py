@@ -536,3 +536,46 @@ def test_aggregate_surface_differential_vs_duckdb(spark):
             FROM r GROUP BY cat HAVING count(s) >= {min_n}
         """).fetchall())
         assert got == want, (sep, got, want)
+
+
+def test_group_concat_over_label_service_var(spark):
+    """The FactGrid pattern GROUP_CONCAT(DISTINCT ?memberLabel): a
+    label-service variable used as an AGGREGATE argument attaches
+    before the groupBy (the projection-time attach runs too late)."""
+    t = spark.createDataFrame(
+        [("http://ex.org/i1", "http://ex.org/cat", "g", None, None),
+         ("http://ex.org/i2", "http://ex.org/cat", "g", None, None),
+         ("http://ex.org/i1",
+          "http://www.w3.org/2000/01/rdf-schema#label", "Alpha", "en", None),
+         ("http://ex.org/i2",
+          "http://www.w3.org/2000/01/rdf-schema#label", "Beta", "en", None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    df = compile_sparql(_PFX + """
+    SELECT ?cat (GROUP_CONCAT(DISTINCT ?mLabel; SEPARATOR=", ") AS ?members)
+    WHERE {
+      ?m ex:cat ?cat .
+      SERVICE <http://wikiba.se/ontology#label> { }
+    }
+    GROUP BY ?cat
+    """, t)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].members == "Alpha, Beta"
+
+
+def test_having_inside_subquery(spark):
+    t = spark.createDataFrame(
+        [("s1", "http://ex.org/cat", "a", None, None),
+         ("s2", "http://ex.org/cat", "a", None, None),
+         ("s3", "http://ex.org/cat", "b", None, None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    df = compile_sparql(_PFX + """
+    SELECT ?cat ?n WHERE {
+      { SELECT ?cat (COUNT(?s) AS ?n)
+        WHERE { ?s ex:cat ?cat . }
+        GROUP BY ?cat
+        HAVING (COUNT(?s) > 1) }
+    }
+    """, t)
+    assert _vals(df, "cat", "n") == [("a", 2)]
