@@ -543,18 +543,24 @@ def kmeans_centroids(
     the collected sample never exceeds ~``max_sample_rows`` — a caller
     who forgets the parameter cannot OOM the driver on a large corpus
     (the round-5 default of ``sample_mod=1`` collected everything
-    unless every caller remembered to sample).  Pass an explicit
-    ``sample_mod`` when the oracle must mirror the sample with a fixed
-    ``vec_id % m = 0`` predicate; the derived modulus is equally
-    oracle-expressible (``ceil(count(*) / max_sample_rows)``) but
-    data-dependent.
+    unless every caller remembered to sample).  The derived path
+    samples on a HASH of the id (``xxhash64(id) % m``), not the id
+    itself — an id-modulus bound silently fails on non-dense ids (a
+    corpus keyed ``doc_id * 10`` keeps every row under ``% 2``) and
+    errors on string ids.  Pass an explicit ``sample_mod`` when the
+    oracle must mirror the sample with a fixed ``vec_id % m = 0``
+    predicate (that path keeps the id-modulus semantics and is only
+    sound for dense integer ids).
     """
     spark = vectors.sparkSession
     if sample_mod is None:
         n = vectors.count()
-        sample_mod = -(-n // max_sample_rows)  # ceil; 1 when n fits
-    sample = vectors if sample_mod <= 1 else \
-        vectors.filter(F.col(id_col) % sample_mod == 0)
+        mod = -(-n // max_sample_rows)  # ceil; 1 when n fits
+        sample = vectors if mod <= 1 else \
+            vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+    else:
+        sample = vectors if sample_mod <= 1 else \
+            vectors.filter(F.col(id_col) % sample_mod == 0)
     rows = [
         (int(r["i"]), [float(x) for x in r["v"]])
         for r in sample.select(

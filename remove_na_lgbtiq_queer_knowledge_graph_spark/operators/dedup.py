@@ -419,11 +419,15 @@ def overlap_spans(
             .filter(F.col("__full"))
             .select("id", "pos", "h")
         )
+        # materialize BEFORE the heavy-gram cut: the df aggregation and
+        # the anti-join probe side both consume kg, and un-materialized
+        # lineage would re-run the token explode + k-gram window twice
+        kg = materialize(kg)
         if max_df is not None:
             heavy = kg.groupBy("h").agg(F.count("*").alias("df")) \
                       .filter(F.col("df") > max_df)
             kg = kg.join(F.broadcast(heavy.select("h")), "h", "left_anti")
-        return materialize(kg)
+        return kg
 
     kg = kgrams(df)
     kg2 = kg if other is None else kgrams(other)

@@ -1384,6 +1384,12 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
             if not has_agg:
                 env = env.withColumn(s.var, c._expr(s.expr, env))
     grouped = bool(agg_nodes or q.group_by)
+    if q.having and not grouped:
+        # same fail-loud policy as the unbound-GROUP-BY-var check: a
+        # HAVING on an ungrouped query would otherwise be silently
+        # dropped and return unfiltered rows
+        raise NotImplementedError(
+            "HAVING requires a grouped query (GROUP BY or aggregates)")
     if grouped:
         # hoist every distinct agg subnode into ONE groupBy.agg —
         # shared subaggregates (a COUNT used in both the projection and

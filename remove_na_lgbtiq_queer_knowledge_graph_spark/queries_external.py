@@ -342,14 +342,19 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
                 try:
                     with urllib.request.urlopen(u, timeout=timeout) as resp:
                         data = resp.read(max_bytes + 1)
-                    if len(data) > max_bytes:
-                        raise ValueError(
-                            f"payload exceeds max_bytes={max_bytes}")
-                    return data
                 except Exception as e:  # noqa: BLE001 — re-raised below
+                    # transient (network) errors retry with backoff
                     last = e
                     if attempt < retries:
                         _time.sleep(0.5 * (attempt + 1))
+                    continue
+                if len(data) > max_bytes:
+                    # deterministic failure — re-downloading an
+                    # oversized payload `retries` more times only
+                    # multiplies the wasted transfer
+                    raise ValueError(
+                        f"payload exceeds max_bytes={max_bytes}")
+                return data
             raise last
 
         get = fetcher or default_get

@@ -828,11 +828,12 @@ def decon_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                          other=ev)
 
 
-_TOKS2 = ("string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
-          " ' ')")
+# the span oracle must tokenize exactly like the dedup oracles — one
+# shared fragment, not a copy that can drift
+from .queries_llm import _TOKS as _SPAN_TOKS  # noqa: E402
 
 _DECON_SPANS_SQL = f"""
-WITH toks AS (SELECT doc_id, {_TOKS2} AS w FROM documents),
+WITH toks AS (SELECT doc_id, {_SPAN_TOKS} AS w FROM documents),
 kg AS (
   SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
          md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS h

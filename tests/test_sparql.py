@@ -579,3 +579,16 @@ def test_having_inside_subquery(spark):
     }
     """, t)
     assert _vals(df, "cat", "n") == [("a", 2)]
+
+
+def test_having_without_grouping_fails_loudly(spark):
+    """A HAVING on an ungrouped query must raise, not silently drop
+    the constraint (fail-loud policy, round-6 review finding)."""
+    t = spark.createDataFrame(
+        [("s1", "http://ex.org/cat", "a", None, None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    with pytest.raises(NotImplementedError, match="HAVING"):
+        compile_sparql(_PFX + """
+        SELECT ?s WHERE { ?s ex:cat ?c . } HAVING (?s = "zzz")
+        """, t).collect()

@@ -2,9 +2,9 @@
 
 The SF ladder scales data at a constant duplicate rate; dedup's hard
 regime is the opposite — constant data, exploding duplication.  This
-builds the round-5 stress fixture (every sf0.1 document plus 10 shifted
-near-copies, one perturbed token per copy so exact-dup collapse cannot
-erase them), writes it to a scratch dir shaped like a testdata sf dir,
+builds the round-5 stress fixture (every sf0.1 document plus 9 shifted
+near-copies — 10x volume total — one perturbed token per copy so
+exact-dup collapse cannot erase them), writes it to a scratch dir shaped like a testdata sf dir,
 and times the named dedup queries against it and against plain sf0.1.
 
 Usage: python tools/stress_dedup.py [--sf /root/testdata/sf0.1] [names...]

@@ -81,20 +81,23 @@ def main():
                 salted_join(li, orders, "l_orderkey", n_salts=16,
                             hot_keys="auto")),
         }
-        counts = {}
+        results = {}
         for name, fn in plans.items():
             best = None
             for _ in range(args.passes):
                 t0 = time.monotonic()
-                rows = fn().count()
+                rows = sorted(tuple(r) for r in fn().collect())
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
-            counts[name] = rows
-            print({"plan": name, "sec": round(best, 2), "groups": rows},
+            results[name] = rows
+            print({"plan": name, "sec": round(best, 2), "groups": len(rows)},
                   flush=True)
-        assert counts["skewed-plain"] == counts["skewed-salted-auto"] \
-            == counts["skewed-salted-explicit"]
-        assert counts["uniform-plain"] == counts["uniform-salted-auto"]
+        # full per-group (priority, n, revenue) equality — a salted join
+        # that drops or duplicates rows changes the VALUES even when
+        # every priority still appears
+        assert results["skewed-plain"] == results["skewed-salted-auto"] \
+            == results["skewed-salted-explicit"]
+        assert results["uniform-plain"] == results["uniform-salted-auto"]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
