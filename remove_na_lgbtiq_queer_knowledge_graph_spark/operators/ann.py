@@ -309,9 +309,6 @@ def ivf_topk(
     # order the global rank uses, so the prune is lossless.  Shuffle =
     # corpus keyed by cell + |q|·n_probe probe rows; the final rank sees
     # ≤ |q|·n_probe·k rows.
-    import numpy as np
-    import pandas as pd
-
     id_type = assigned.schema["vec_id"].dataType.simpleString()
 
     def cell_topk(corp, prb):

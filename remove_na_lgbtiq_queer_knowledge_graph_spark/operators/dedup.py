@@ -223,7 +223,7 @@ def jaccard_pairs(
     — the scale-safe candidate generator.  The direct inverted-index
     self-join (``plan="direct"``) shuffles Σ df(gram)² rows, quadratic
     in gram hotness: a 10×-duplicated corpus grew its wall time 9.4×
-    (PLANS.md duplication-stress table) where prefix grew 2.2×, and on
+    (PLANS.md duplication-stress table) where prefix grew 2.6×, and on
     a crawl corpus with real duplication the direct shuffle is a
     skewed-key bomb.  Prefix costs one extra df-ranking pass (+0.2 s at
     sf0.1 where nothing is hot) and degrades gracefully: hot grams sort
@@ -403,7 +403,7 @@ def overlap_spans(
 
     from ..spec import materialize
 
-    def kgrams(frame: DataFrame) -> DataFrame:
+    def kgrams(frame: DataFrame, reused: bool) -> DataFrame:
         toks = frame.select(
             F.col(id_col).alias("id"),
             F.posexplode(norm_tokens(F.col(text_col))).alias("pos", "tok"),
@@ -419,18 +419,27 @@ def overlap_spans(
             .filter(F.col("__full"))
             .select("id", "pos", "h")
         )
-        # materialize BEFORE the heavy-gram cut: the df aggregation and
-        # the anti-join probe side both consume kg, and un-materialized
-        # lineage would re-run the token explode + k-gram window twice
-        kg = materialize(kg)
+        # materialize BEFORE the heavy-gram cut, but only when something
+        # actually consumes kg twice (the df aggregation + anti-join
+        # probe when max_df is set, or both sides of the self-join) —
+        # an eager corpus-sized pin buys nothing in single-consumer
+        # cross-corpus mode and risks storage eviction at scale.
         if max_df is not None:
+            kg = materialize(kg)
             heavy = kg.groupBy("h").agg(F.count("*").alias("df")) \
                       .filter(F.col("df") > max_df)
-            kg = kg.join(F.broadcast(heavy.select("h")), "h", "left_anti")
+            # no broadcast hint: heavy is tiny for sane max_df, but its
+            # size is corpus-dependent (up to total_grams/max_df rows on
+            # boilerplate-dominated corpora); let AQE pick broadcast vs
+            # shuffle from the measured size instead of forcing a
+            # driver collect that can blow the broadcast limit.
+            kg = kg.join(heavy.select("h"), "h", "left_anti")
+        elif reused:
+            kg = materialize(kg)
         return kg
 
-    kg = kgrams(df)
-    kg2 = kg if other is None else kgrams(other)
+    kg = kgrams(df, reused=other is None)
+    kg2 = kg if other is None else kgrams(other, reused=False)
     anchors = (
         kg.select(F.col("id").alias("id_1"), F.col("pos").alias("pos_1"), "h")
         .join(kg2.select(F.col("id").alias("id_2"),

@@ -69,7 +69,7 @@ _TOKEN_RE = re.compile(
         # trailing '.' is the triple terminator (SPARQL PN_LOCAL rule)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<num>\d+(?:\.\d+)?)
-      | (?P<op>&&|\|\||!=|<=|>=|[{}()\[\].;,/|*+=!<>])
+      | (?P<op>&&|\|\||!=|<=|>=|[{}()\[\].;,/|*+=!<>-])
     """,
     re.X,
 )
@@ -338,16 +338,38 @@ class _Parser:
         return e
 
     def _expr_cmp(self) -> tuple:
-        e = self._expr_unary()
+        e = self._expr_add()
         nxt = self.peek()
         if nxt and nxt.kind == "op" and nxt.text in ("=", "!=", "<", ">", "<=", ">="):
             op = self.next().text
-            return ("cmp", op, e, self._expr_unary())
+            return ("cmp", op, e, self._expr_add())
         return e
+
+    def _expr_add(self) -> tuple:
+        e = self._expr_mul()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.text in ("+", "-"):
+                self.next()
+                e = ("arith", t.text, e, self._expr_mul())
+            else:
+                return e
+
+    def _expr_mul(self) -> tuple:
+        e = self._expr_unary()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.text in ("*", "/"):
+                self.next()
+                e = ("arith", t.text, e, self._expr_unary())
+            else:
+                return e
 
     def _expr_unary(self) -> tuple:
         if self.accept("op", "!"):
             return ("not", self._expr_unary())
+        if self.accept("op", "-"):
+            return ("neg", self._expr_unary())
         return self._expr_primary()
 
     def _expr_primary(self) -> tuple:
@@ -857,6 +879,18 @@ class _Compiler:
             op, a, b = node[1], self._expr(node[2], env), self._expr(node[3], env)
             return {"=": a == b, "!=": a != b, "<": a < b, ">": a > b,
                     "<=": a <= b, ">=": a >= b}[op]
+        if kind == "arith":
+            # arithmetic evaluates in double: RDF objects are lexical
+            # forms (strings), and ANSI mode (Spark 4 default) rejects
+            # string operands outright — and SPARQL 1.1 §17.3 makes
+            # integer ÷ integer xsd:decimal anyway (DuckDB's `/`
+            # agrees).  Oracles should CAST(... AS DOUBLE) to match.
+            op = node[1]
+            a = self._expr(node[2], env).cast("double")
+            b = self._expr(node[3], env).cast("double")
+            return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
+        if kind == "neg":
+            return -self._expr(node[1], env).cast("double")
         if kind == "and":
             return self._expr(node[1], env) & self._expr(node[2], env)
         if kind == "or":
@@ -1360,15 +1394,19 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
                 for x in node:
                     term_vars(x, acc)
 
-    # label-service vars INSIDE aggregates (the FactGrid
-    # `GROUP_CONCAT(DISTINCT ?authorLabel; ...)` pattern): the
-    # projection-time attach below runs after the groupBy, too late
-    # for an aggregate argument — attach before aggregation instead
-    agg_arg_vars: list[str] = []
+    # label-service vars consumed BY the grouping machinery — aggregate
+    # arguments (the FactGrid `GROUP_CONCAT(DISTINCT ?authorLabel; ...)`
+    # pattern), GROUP BY keys (`GROUP BY ?catLabel`), and HAVING
+    # expressions: the projection-time attach below runs after the
+    # groupBy, too late for any of these — attach before aggregation
+    pre_group_vars: list[str] = []
     for nd in agg_nodes:
         if nd[3] is not None:
-            term_vars(nd[3], agg_arg_vars)
-    for v in agg_arg_vars:
+            term_vars(nd[3], pre_group_vars)
+    pre_group_vars.extend(q.group_by)
+    for h in q.having:
+        term_vars(h, pre_group_vars)
+    for v in pre_group_vars:
         if v in env.columns:
             continue
         if v.endswith("AltLabel") and v[:-8] in env.columns:
@@ -1404,7 +1442,13 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
                 f"GROUP BY variable(s) {missing} are unbound in the "
                 "group pattern")
         keys = list(q.group_by)
-        env = env.groupBy(*keys).agg(*aggcols) if keys else env.agg(*aggcols)
+        if aggcols:
+            env = env.groupBy(*keys).agg(*aggcols) if keys else env.agg(*aggcols)
+        else:
+            # GROUP BY with no aggregates = grouping-as-distinct (the
+            # SPARQL dedup idiom); .agg() with zero exprs would raise a
+            # bare AssertionError from pyspark internals
+            env = env.select(*keys).distinct()
         for h in q.having:
             env = env.filter(c._expr(subst_aggs(h, agg_names), env))
         for s in q.select:

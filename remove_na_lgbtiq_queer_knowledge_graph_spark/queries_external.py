@@ -312,10 +312,12 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
     Failure semantics (a hung or broken endpoint must not stall the
     job indefinitely or kill a task undiagnosably):
 
-    - every default fetch carries an explicit ``timeout`` (seconds) and
-      is retried ``retries`` times with linear backoff before giving
-      up — one slow endpoint costs bounded wall time, not a wedged
-      executor slot;
+    - every default fetch carries an explicit ``timeout`` (seconds);
+      transient failures (timeouts, connection resets, HTTP 5xx) retry
+      ``retries`` times with linear backoff, while deterministic ones
+      (HTTP 4xx, malformed URLs, oversized payloads) fail immediately —
+      one slow endpoint costs bounded wall time, and a crawl over dead
+      links doesn't burn executor time re-downloading known failures;
     - responses are read through a ``max_bytes`` cap so a runaway
       payload cannot OOM a worker (exceeding it is an error, not a
       silent truncation);
@@ -332,6 +334,7 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
 
     def run(batches):
         import time as _time
+        import urllib.error
         import urllib.request
 
         import pandas as pd
@@ -342,6 +345,19 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
                 try:
                     with urllib.request.urlopen(u, timeout=timeout) as resp:
                         data = resp.read(max_bytes + 1)
+                except urllib.error.HTTPError as e:
+                    # 4xx responses are deterministic (dead link, auth,
+                    # bad request) — retrying re-downloads the same
+                    # failure; only server-side 5xx is worth a retry.
+                    if e.code < 500:
+                        raise
+                    last = e
+                    if attempt < retries:
+                        _time.sleep(0.5 * (attempt + 1))
+                    continue
+                except ValueError:
+                    # malformed URL — deterministic, never retries
+                    raise
                 except Exception as e:  # noqa: BLE001 — re-raised below
                     # transient (network) errors retry with backoff
                     last = e

@@ -592,3 +592,74 @@ def test_having_without_grouping_fails_loudly(spark):
         compile_sparql(_PFX + """
         SELECT ?s WHERE { ?s ex:cat ?c . } HAVING (?s = "zzz")
         """, t).collect()
+
+
+def _num_triples(spark):
+    return spark.createDataFrame(
+        [("http://ex.org/i1", "http://ex.org/cat", "g", None, None),
+         ("http://ex.org/i2", "http://ex.org/cat", "g", None, None),
+         ("http://ex.org/i3", "http://ex.org/cat", "h", None, None),
+         ("http://ex.org/i1", "http://ex.org/val", "4", None, None),
+         ("http://ex.org/i2", "http://ex.org/val", "5", None, None),
+         ("http://ex.org/i3", "http://ex.org/val", "10", None, None),
+         ("http://ex.org/i1",
+          "http://www.w3.org/2000/01/rdf-schema#label", "Alpha", "en", None),
+         ("http://ex.org/i2",
+          "http://www.w3.org/2000/01/rdf-schema#label", "Beta", "en", None),
+         ("http://ex.org/i3",
+          "http://www.w3.org/2000/01/rdf-schema#label", "Gamma", "en", None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+
+
+def test_arithmetic_over_aggregates(spark):
+    """(SUM(?v) / COUNT(?v) AS ?avg) — the FactGrid avg-ratio pattern —
+    plus +,-,* in projections and HAVING.  Arithmetic evaluates in
+    double (SPARQL's integer/integer = xsd:decimal; ANSI Spark rejects
+    string operands without the cast)."""
+    df = compile_sparql(_PFX + """
+    SELECT ?cat (SUM(?v) / COUNT(?v) AS ?avg) (SUM(?v) - COUNT(?v) AS ?d)
+    WHERE { ?m ex:cat ?cat . ?m ex:val ?v . }
+    GROUP BY ?cat
+    HAVING (SUM(?v) * 2 > 5)
+    """, _num_triples(spark))
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("g", 4.5, 7.0), ("h", 10.0, 9.0)]
+
+
+def test_arithmetic_in_bind_and_filter(spark):
+    """+,-,*,/ and unary minus in BIND and FILTER expressions."""
+    t = _num_triples(spark)
+    df = compile_sparql(_PFX + """
+    SELECT ?m ?w WHERE { ?m ex:val ?v . BIND(-1 * (?v + 2) AS ?w) }
+    """, t)
+    assert sorted((r.m, r.w) for r in df.collect()) == [
+        ("http://ex.org/i1", -6.0), ("http://ex.org/i2", -7.0),
+        ("http://ex.org/i3", -12.0)]
+    df = compile_sparql(
+        _PFX + "SELECT ?m WHERE { ?m ex:val ?v . FILTER(?v - 3 > 1) }", t)
+    assert sorted(r.m for r in df.collect()) == [
+        "http://ex.org/i2", "http://ex.org/i3"]
+
+
+def test_group_by_without_aggregates_is_distinct(spark):
+    """GROUP BY with no aggregates = grouping-as-distinct (SPARQL dedup
+    idiom); used to die in pyspark internals with a bare
+    AssertionError (round-6 review finding)."""
+    df = compile_sparql(
+        _PFX + "SELECT ?cat WHERE { ?m ex:cat ?cat . } GROUP BY ?cat",
+        _num_triples(spark))
+    assert sorted(r.cat for r in df.collect()) == ["g", "h"]
+
+
+def test_group_by_label_service_var(spark):
+    """GROUP BY ?xLabel — the other half of the FactGrid dashboard
+    pattern: a label-service variable as the GROUP KEY (not just as an
+    aggregate argument) attaches before the groupBy."""
+    df = compile_sparql(_PFX + """
+    SELECT ?mLabel (COUNT(?m) AS ?n)
+    WHERE { ?m ex:cat ?cat . SERVICE <http://wikiba.se/ontology#label> { } }
+    GROUP BY ?mLabel
+    """, _num_triples(spark))
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("Alpha", 1), ("Beta", 1), ("Gamma", 1)]
