@@ -775,6 +775,48 @@ ORDER BY nation
 """
 
 
+def sparql_agg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 extension (round 6): arithmetic over aggregates — the
+    FactGrid avg-ratio dashboard shape ``(SUM(?x) / COUNT(?x) AS
+    ?avg)`` with arithmetic in HAVING too, plus a BIND that derives the
+    numeric from a lexical form (``STRAFTER + 0``).  Arithmetic
+    evaluates in double (SPARQL integer ÷ integer is xsd:decimal);
+    the summed values are integers ≤ 2^53, so the double sum is exact
+    in any partition order and the avg is bit-deterministic against
+    the oracle.  One hoisted groupBy serves projection and HAVING."""
+    q = f"""
+    SELECT ?nation (COUNT(DISTINCT ?item) AS ?n_members)
+           (SUM(?k) / COUNT(?k) AS ?avg_key)
+    WHERE {{
+      ?item <{FGT}P131> <{FG}Q400012> .
+      ?item <{FGT}P83> ?nation .
+      ?item <{FGT}P76> ?gnd .
+      BIND(STRAFTER(?gnd, "gnd-") + 0 AS ?k)
+    }}
+    GROUP BY ?nation
+    HAVING (COUNT(DISTINCT ?item) * 2 > 8)
+    ORDER BY ?nation
+    """
+    return compile_sparql(q, factgrid_kg(spark, sf_dir))
+
+
+_AGG_ARITHMETIC_SQL = f"""
+WITH m AS (
+  SELECT '{FG}Q' || CAST(225300 + c_nationkey AS VARCHAR) AS nation,
+         c_custkey AS item,
+         CAST(c_custkey AS DOUBLE) AS k
+  FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT nation,
+       CAST(count(DISTINCT item) AS BIGINT) AS n_members,
+       sum(k) / count(k) AS avg_key
+FROM m
+GROUP BY nation
+HAVING count(DISTINCT item) * 2 > 8
+ORDER BY nation
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2022-05-31 status-update notebook — nested sub-SELECT aggregations
 # ---------------------------------------------------------------------------
@@ -1849,4 +1891,9 @@ SPECS: dict[str, QuerySpec] = {
         sparql_status_instances, _STATUS_INSTANCES_SQL,
         "verbatim status-update instances histogram — sub-SELECT over "
         "variable predicate with Blazegraph BIND pre-binding"),
+    "sparql_agg_arithmetic": QuerySpec(
+        sparql_agg_arithmetic, _AGG_ARITHMETIC_SQL,
+        "arithmetic over aggregates (SUM/COUNT avg-ratio in projection "
+        "and HAVING) with a BIND-derived numeric — round-6 expression-"
+        "grammar extension"),
 }

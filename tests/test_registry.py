@@ -22,12 +22,12 @@ def test_every_spec_has_an_oracle():
 
 
 def test_registry_does_not_shrink():
-    """192 queries registered in round 6 (187 end of round 5 +
+    """193 queries registered in round 6 (187 end of round 5 +
     sparql_time_items, sparql_group_concat_gnd, dedup_overlap_spans,
-    dedup_excise_spans, decon_overlap_spans)."""
+    dedup_excise_spans, decon_overlap_spans, sparql_agg_arithmetic)."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
-    assert len(all_specs()) >= 192
+    assert len(all_specs()) >= 193
 
 
 def test_rotation_orders_by_staleness():
