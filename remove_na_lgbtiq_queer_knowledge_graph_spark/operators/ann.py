@@ -431,44 +431,6 @@ def _nearest_index_udf(C, decimals: int | None = None):
     return pandas_udf(assign, "long")
 
 
-def _nearest_cell_udf(cent_rows: list, decimals: int | None = None):
-    """Vectorized nearest-centroid assignment against a driver-held
-    centroid matrix: one Arrow batch pass computes every (row, centroid)
-    cosine and returns the argmax cell id directly — no crossJoin row
-    blow-up, no row_number window shuffle.
-
-    Per centroid the dot/norm accumulate sequentially over dimensions
-    (``acc_d = acc_{d-1} + x_d*y_d``), the same index-order fold as
-    :func:`_pair_cosine_np` and DuckDB's ``list_dot_product``, so the
-    scores that feed the argmax are bit-identical to the oracle's.
-    Ties break to the lowest cent_id (rows sorted; ``argmax`` takes the
-    first maximum) — same as the ``ORDER BY sim DESC, cent_id`` the
-    window formulation used.  ``decimals`` rounds the scores
-    half-away-from-zero BEFORE the argmax, for callers whose oracle
-    orders by a rounded cosine (rounding coarsens the order, so it can
-    flip which centroid wins a near-tie — the argmax must see exactly
-    what the oracle's ORDER BY sees).
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    rows = sorted(cent_rows, key=lambda r: r[0])
-    ids = np.array([r[0] for r in rows], dtype="int64")
-    C = np.array([r[1] for r in rows], dtype="float64")  # k × dim
-
-    def assign(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        A = np.stack(v.to_numpy()).astype("float64")
-        sims = _seq_cosine(A, C)
-        if decimals is not None:
-            sims = _round_half_away(sims, decimals)
-        return pd.Series(ids[np.argmax(sims, axis=1)])
-
-    return pandas_udf(assign, "long")
-
-
 def _fit_rows(
     rows: list, n_centroids: int, iters: int, decimals: int,
 ) -> list:
@@ -484,7 +446,9 @@ def _fit_rows(
 
     rows = sorted(rows, key=lambda r: r[0])
     X = np.array([r[1] for r in rows], dtype="float64")
-    xid = np.array([r[0] for r in rows], dtype="int64")
+    # ids stay in their NATIVE type (plain list, no int64 coercion) —
+    # string-keyed corpora fit the same way; only ordering is required
+    xid = [r[0] for r in rows]
     # init = the n_centroids LOWEST ids present in the sample — NOT
     # `id < n_centroids`, which under a sampled fit (sample_mod > 1)
     # keeps only the sampled ids below k and silently shrinks the
@@ -499,9 +463,9 @@ def _fit_rows(
             if len(m):
                 keep.append(ids[j])
                 new_c.append(_round_half_away(m.mean(axis=0), decimals))
-        ids = np.array(keep, dtype="int64")
+        ids = keep
         C = np.array(new_c)
-    return [(int(i), [float(x) for x in v]) for i, v in zip(ids, C)]
+    return [(i, [float(x) for x in v]) for i, v in zip(ids, C)]
 
 
 def kmeans_centroids(
@@ -530,7 +494,7 @@ def kmeans_centroids(
     size), iterates entirely driver-side in numpy with zero Spark jobs
     per iteration, and only the final cell ASSIGNMENT touches the full
     corpus — one shuffle-free pass with the k·dim centroid matrix in
-    the UDF closure (:func:`_nearest_cell_udf`).  The corpus is never
+    the UDF closure (:func:`_nearest_index_udf`).  The corpus is never
     collected, never crossJoined, never windowed.  A cell that loses
     all members drops out (standard Lloyd's degeneracy) — k shrinks
     rather than producing NaN centroids.
@@ -558,17 +522,25 @@ def kmeans_centroids(
     else:
         sample = vectors if sample_mod <= 1 else \
             vectors.filter(F.col(id_col) % sample_mod == 0)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    numeric_id = id_type not in ("string", "binary")
     rows = [
-        (int(r["i"]), [float(x) for x in r["v"]])
+        ((int(r["i"]) if numeric_id else r["i"]),
+         [float(x) for x in r["v"]])
         for r in sample.select(
-            F.col(id_col).cast("long").alias("i"),
+            (F.col(id_col).cast("long") if numeric_id else F.col(id_col))
+            .alias("i"),
             _dvec(vec_col).alias("v"),
         ).collect()
     ]
     cent_rows = _fit_rows(rows, n_centroids, iters, decimals)
+    # centroid ids keep the corpus id's kind: long for numeric ids,
+    # the native string otherwise (a string-keyed corpus used to crash
+    # here on int(None) after the silent cast-to-long)
     return spark.createDataFrame(
         [(cid, v) for cid, v in cent_rows],
-        "cent_id long, cent_v array<double>",
+        f"cent_id {'long' if numeric_id else 'string'}, "
+        "cent_v array<double>",
     )
 
 
@@ -585,21 +557,34 @@ def kmeans_cells(
     :func:`kmeans_centroids`.  The member count is the one full-corpus
     pass: a single shuffle-free assignment against the closure-held
     centroid matrix, then a map-side-combinable count per cell."""
+    import numpy as np
+
     cents = kmeans_centroids(vectors, n_centroids, iters, id_col, vec_col,
                              sample_mod=sample_mod)
-    cent_rows = [(int(r["cent_id"]), [float(x) for x in r["cent_v"]])
-                 for r in cents.collect()]
+    cent_rows = sorted(
+        ((r["cent_id"], [float(x) for x in r["cent_v"]])
+         for r in cents.collect()),
+        key=lambda r: r[0])
+    Cm = np.array([r[1] for r in cent_rows], dtype="float64")
+    id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
     corpus = vectors.select(
         F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
+    # index-based argmax + array-literal mapback keeps centroid ids in
+    # their native type (same pattern as ivf_topk)
     members = (
-        corpus.withColumn("cent_id", _nearest_cell_udf(cent_rows)(F.col("cv")))
+        corpus.withColumn("__ci", _nearest_index_udf(Cm)(F.col("cv")))
+        .select(F.element_at(id_arr, (F.col("__ci") + 1).cast("int"))
+                 .alias("cent_id"))
         .groupBy("cent_id")
         .agg(F.count("*").alias("n_members"))
     )
+    numeric_cell = dict(cents.dtypes)["cent_id"] not in ("string", "binary")
+    cell = (F.col("cent_id").cast("bigint") if numeric_cell
+            else F.col("cent_id"))
     return (
         cents.select("cent_id", F.posexplode("cent_v").alias("dim", "coord"))
         .join(members, "cent_id", "left")
-        .select(F.col("cent_id").cast("bigint").alias("cell"),
+        .select(cell.alias("cell"),
                 F.col("dim").cast("bigint").alias("dim"),
                 F.col("coord"),
                 F.coalesce(F.col("n_members"), F.lit(0))

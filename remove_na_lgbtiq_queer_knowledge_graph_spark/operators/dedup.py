@@ -23,6 +23,14 @@ def norm_tokens(col: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
 
 
+def ws_tokens(col: Column) -> Column:
+    """Case-PRESERVING whitespace tokens.  Lowercasing commutes with
+    whitespace splitting, so positions align 1:1 with
+    :func:`norm_tokens` — detection can match case-insensitively while
+    reconstruction keeps the original text."""
+    return F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: md5 groupBy; groups with >1 member are duplicates."""
     return (
@@ -79,12 +87,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     return out.distinct() if distinct else out
 
 
-def minhash_signature(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
-    """MinHash signature columns h0..h{k-1}: min over shingles of
-    md5(seed|shingle).  md5-based so the signature is identical in any
-    engine; min over hex strings = min over the uniform hash order."""
+def minhash_signature(
+    sh: DataFrame, num_hashes: int = 12, feature_col: str = "shingle",
+) -> DataFrame:
+    """MinHash signature columns h0..h{k-1}: min over features of
+    md5(seed|feature).  md5-based so the signature is identical in any
+    engine; min over hex strings = min over the uniform hash order.
+    ``feature_col`` names the set-element column (word shingles here;
+    ``similarity.minhash_signature_grams`` passes char grams)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col(feature_col))))
+         .alias(f"h{s}")
         for s in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -128,8 +141,11 @@ def minhash_band_pairs(
     )
 
 
-def simhash(sh: DataFrame, bits: int = 16) -> DataFrame:
-    """SimHash signature as a bit string.
+def simhash(sh: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash signature as a bit string.  Default 64 bits matches
+    :func:`simhash_pairs`' default (a narrower signature fed to a wider
+    pairs call would silently degrade banding — see the width guard
+    there); 16 keeps oracle SQL small at test SF.
 
     Bit b of a shingle = whether md5(b|shingle) starts with a hex digit
     in 0-7 (an unbiased hash-derived coin, no hex→int conversion needed —
@@ -177,6 +193,16 @@ def simhash_pairs(
         raise ValueError("bits must split into max_dist+1 equal bands")
     width = bits // nb
     sig = materialize(sig)  # band explode + two hamming-refine sides
+    # width guard: signatures narrower than `bits` make the trailing
+    # bands empty strings — every doc collides on (band, "") and the
+    # "never a cross join" candidate join silently becomes all-pairs.
+    # One tiny agg over the already-materialized frame catches it.
+    wid = sig.agg(F.min(F.length("simhash")).alias("lo"),
+                  F.max(F.length("simhash")).alias("hi")).first()
+    if wid["lo"] is not None and (wid["lo"] != bits or wid["hi"] != bits):
+        raise ValueError(
+            f"simhash signatures are {wid['lo']}..{wid['hi']} chars but "
+            f"bits={bits}; pass the width the signatures were built with")
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -480,8 +506,11 @@ def excise_overlap_spans(
 
     Returns (id, text, n_cut_tokens) for EVERY input document
     (untouched docs carry n_cut_tokens = 0 and their normalized text).
-    Text is rebuilt from the kept tokens, whitespace-normalized —
-    callers comparing against the input must compare token streams.
+    Text is rebuilt from the kept tokens, whitespace-normalized but
+    CASE-PRESERVING: detection matches on lowercased k-grams (like the
+    rest of the dedup stack), but token positions are identical either
+    way, so reconstruction reads the original-case token at each kept
+    position — excision must not destroy the corpus's casing.
 
     Plan: spans aggregate to one interval array per losing doc (rows ∝
     docs that lose a span), joined back to the corpus on doc id — left
@@ -501,7 +530,7 @@ def excise_overlap_spans(
     )
     toks = df.select(
         F.col(id_col).alias("id"),
-        norm_tokens(F.col(text_col)).alias("__t"),
+        ws_tokens(F.col(text_col)).alias("__t"),
     )
     pos_structs = F.expr(
         "transform(__t, (x, i) -> struct(x as tok, i as pos))")

@@ -91,6 +91,14 @@ def connected_components(
     # computes the sum, one job per round instead of checkpoint +
     # join-based changed-count (2× fewer jobs; iteration overhead, not
     # data volume, dominates small-diameter graphs).
+    #
+    # The Σcomp test only exists for NUMERIC node ids — F.sum over a
+    # string comp column yields NULL, and None == None would end the
+    # loop after one round, silently splitting every component wider
+    # than one propagate+jump step.  Non-numeric ids use a per-round
+    # changed-label count instead (one extra node-keyed join, still a
+    # single action per round).
+    numeric_ids = dict(labels.dtypes)["comp"] not in ("string", "binary")
     prev_total = None
     for _ in range(max_iter):
         nbr = sym.join(
@@ -117,11 +125,28 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        total = new.agg(F.sum("comp")).collect()[0][0]
+        if numeric_ids:
+            # decimal(38,0) keeps the sum exact where Σ(long ids) could
+            # overflow (ANSI would raise) and double would round away a
+            # single-label change
+            total = new.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            converged = total == prev_total
+            prev_total = total
+        else:
+            changed = (
+                new.join(
+                    labels.select("node", F.col("comp").alias("__prev")),
+                    "node",
+                )
+                .filter(F.col("comp") != F.col("__prev"))
+                .count()
+            )
+            converged = changed == 0
         labels = new
-        if total == prev_total:
+        if converged:
             break
-        prev_total = total
     return labels
 
 

@@ -87,9 +87,12 @@ def quickstatements_long(
         long = long.unionByName(p)
     long = long.filter(F.col("value").isNotNull())
     items = wide.select("item").distinct()
-    batches = dense_ids(
-        items, ["item"], out="__rn", materialize_parted=eager,
-    ).withColumn(
+    # dense_ids ALWAYS materializes its internal range-partitioned
+    # frame: that is its two-pass correctness requirement (divergent
+    # range-boundary sampling between passes gaps/overlaps ids), and a
+    # caller persisting the *input* does not stabilize the *internal*
+    # shuffle — `eager` governs only the wide-frame checkpoint above.
+    batches = dense_ids(items, ["item"], out="__rn").withColumn(
         "batch", ((F.col("__rn") - 1) / batch_size).cast("long")
     ).drop("__rn")
     return long.join(batches, "item")

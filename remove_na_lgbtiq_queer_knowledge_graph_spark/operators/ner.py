@@ -54,6 +54,14 @@ def gazetteer_match(
     """
     spark = df.sparkSession
     k = gram_len or min(len(term) for term in terms)
+    too_short = [term for term in terms if len(term) < k]
+    if too_short:
+        # a term shorter than the gram length has no k-gram of its own:
+        # its truncated key can never equal a doc's k-char gram, so
+        # every occurrence would be silently missed
+        raise ValueError(
+            f"gram_len={k} exceeds the shortest term length; terms that "
+            f"could never match: {too_short[:5]}")
     gaz = F.broadcast(
         spark.createDataFrame(
             [(term, lbl, term[:k]) for term, lbl in terms.items()],

@@ -284,13 +284,18 @@ def salted_join(
         # memoize it per plan (semanticHash) like table statistics — a
         # bench/pipeline that re-executes the same join pays the
         # sampling job once per session, not per execution.
+        # applicationId (not id(session)): a stable string that cannot
+        # be reused by a later session the way a garbage-collected
+        # object's id() can
         memo_key = (
-            id(fact.sparkSession),
+            fact.sparkSession.sparkContext.applicationId,
             fact._jdf.queryExecution().analyzed().semanticHash(),
             key, hot_share, sample_rows,
         )
         hot = _HOT_KEY_MEMO.get(memo_key)
         if hot is None:
+            if len(_HOT_KEY_MEMO) >= 256:  # bound driver-side growth
+                _HOT_KEY_MEMO.pop(next(iter(_HOT_KEY_MEMO)))
             pdf = (
                 fact.select(key)
                 .sample(fraction=0.01, seed=42)
@@ -463,23 +468,40 @@ def grouped_running_sum(
         .sortWithinPartitions(*group, *order)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # materialize between the passes — same CORRECTNESS requirement as
+    # dense_ids: the partial-sum collect and the mapInPandas pass would
+    # otherwise each re-execute the range shuffle, whose boundary
+    # sampling is seeded per RDD id; divergent boundaries make the
+    # driver offsets describe the wrong partition slices
+    from ..spec import materialize
+
+    parted = materialize(parted)
     parts = (
         parted.groupBy("__pid", *group)
         .agg(F.sum(value_col).alias("__psum"))
         .collect()
     )
     offsets: dict[tuple, float] = {}
+    seen_prior: dict[tuple, bool] = {}
     acc: dict[tuple, float] = {}
     for r in sorted(parts, key=lambda r: r["__pid"]):
         gkey = tuple(r[g] for g in group)
         offsets[(r["__pid"], gkey)] = acc.get(gkey, 0)
-        acc[gkey] = acc.get(gkey, 0) + r["__psum"]
+        seen_prior[(r["__pid"], gkey)] = gkey in acc
+        # __psum is NULL only for a slice whose values are ALL NULL —
+        # it contributes nothing and does not mark the group as seen
+        # (SQL's running sum stays NULL until the first non-null value)
+        if r["__psum"] is not None:
+            acc[gkey] = acc.get(gkey, 0) + r["__psum"]
 
     out_schema = T.StructType(df.schema.fields + [T.StructField(out, out_type)])
     gcols = list(group)
 
     def add_running(batches):
+        import pandas as pd
+
         run: dict[tuple, float] = {}
+        seen: dict[tuple, bool] = {}
         pid = None
         for pdf in batches:
             if len(pdf) == 0:
@@ -491,8 +513,16 @@ def grouped_running_sum(
                                pdf[value_col]):
                 if gkey not in run:
                     run[gkey] = offsets.get((pid, gkey), 0)
-                run[gkey] += v
-                vals.append(run[gkey])
+                    seen[gkey] = seen_prior.get((pid, gkey), False)
+                # NULL values arrive as NaN through Arrow; the window
+                # fallback's F.sum skips them — one NaN must not poison
+                # every later running value of the group.  Parity with
+                # the fallback also means NULL (not 0) until a group's
+                # first non-null value: sum-of-nothing is NULL in SQL.
+                if pd.notna(v):
+                    run[gkey] += v
+                    seen[gkey] = True
+                vals.append(run[gkey] if seen[gkey] else None)
             pdf = pdf.drop(columns="__pid")
             pdf[out] = vals
             yield pdf

@@ -326,41 +326,20 @@ def candidate_pairs_minhash(
 
 def minhash_signature_grams(gset: DataFrame, num_hashes: int) -> DataFrame:
     """k md5-minhash signature columns over a distinct (id, gram) set —
-    the char-gram counterpart of dedup.minhash_signature."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("gram")))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    return gset.groupBy("id").agg(*aggs)
+    the char-gram instantiation of :func:`dedup.minhash_signature`
+    (one implementation; a banding fix reaches both stacks)."""
+    from .dedup import minhash_signature
+
+    return minhash_signature(gset, num_hashes, feature_col="gram")
 
 
 def band_candidates(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
     """(id_1, id_2) candidates whose signatures collide in ≥1 band —
-    one exploded array projection, equi-join on (band, bucket)."""
-    from ..spec import materialize
+    delegates to :func:`dedup.minhash_band_pairs` (identical plan:
+    one exploded array projection, equi-join on (band, bucket))."""
+    from .dedup import minhash_band_pairs
 
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(*[
-                F.col(f"h{b * band_size + i}") for i in range(band_size)
-            ]).alias("bucket"),
-        )
-        for b in range(num_hashes // band_size)
-    ])
-    bands = materialize(
-        sig.select("id", F.explode(band_structs).alias("bb")).select(
-            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-    )
-    a = bands.select(F.col("id").alias("id_1"), "band", "bucket")
-    b2 = bands.select(F.col("id").alias("id_2"), "band", "bucket")
-    return (
-        a.join(b2, ["band", "bucket"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
-        .distinct()
-    )
+    return minhash_band_pairs(sig, num_hashes, band_size)
 
 
 def string_distance_join(

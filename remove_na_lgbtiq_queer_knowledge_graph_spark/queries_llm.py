@@ -44,6 +44,9 @@ from .spec import QuerySpec, t
 # Shared oracle fragments -----------------------------------------------------
 
 _TOKS = ("string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')")
+# case-preserving twin of _TOKS (same positions — lower() commutes with
+# whitespace splitting); used where text is REBUILT, not just matched
+_TOKS_CASED = ("string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')")
 _SHINGLE_CTE = f"""
 toks AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
 sh AS (
@@ -308,10 +311,13 @@ def dedup_excise_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXCISE_SPANS_SQL = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+WITH toks AS (SELECT doc_id, {_TOKS_CASED} AS w FROM documents),
 kg AS (
+  -- detection matches on LOWERED grams; rebuild keeps original case
   SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
-         md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS h
+         md5(array_to_string(
+           list_transform(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)],
+                          x -> lower(x)), ' ')) AS h
   FROM toks, unnest(range(1, len(w) - 6)) u(i)
 ),
 anchors AS (

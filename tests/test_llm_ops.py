@@ -905,6 +905,29 @@ def test_excise_overlap_spans_keep_first(spark):
     assert got[4].n_cut_tokens == 0
 
 
+def test_excise_preserves_case_matches_case_insensitively(spark):
+    """Excision must not lowercase the corpus (round-6 review finding):
+    detection matches case-INsensitively (like the rest of the dedup
+    stack) but the rebuilt text keeps original casing — including in
+    documents that lose no span at all."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        excise_overlap_spans,
+    )
+
+    shared = "One Two Three Four Five Six Seven Eight Nine Ten"
+    docs = spark.createDataFrame(
+        [(1, f"Aa Bb {shared} Cc"),
+         (2, f"Xx {shared.upper()} Yy"),  # case-variant copy still matches
+         (3, "Untouched Doc With Mixed CASE kept Exactly")],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r for r in excise_overlap_spans(
+        docs, "doc_id", "text", k=4).collect()}
+    assert got[1].text == f"Aa Bb {shared} Cc" and got[1].n_cut_tokens == 0
+    assert got[2].text == "Xx Yy" and got[2].n_cut_tokens == 10
+    assert got[3].text == "Untouched Doc With Mixed CASE kept Exactly"
+
+
 def test_overlap_spans_cross_corpus_mode(spark):
     """other= runs train-vs-eval: no id-order filter (an eval doc with
     a HIGHER id still matches), ids stay on their own sides, and
