@@ -19,8 +19,17 @@ from pyspark.sql import functions as F
 
 # German-specific first (ä→ae per de-ASCII), then generic Latin-ASCII.
 _DE_MAP = [("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("Ä", "Ae"), ("Ö", "Oe"), ("Ü", "Ue"), ("ß", "ss")]
-_SRC = "àáâãåāçèéêëēìíîïīñòóôõøōùúûūýÿÀÁÂÃÅĀÇÈÉÊËĒÌÍÎÏĪÑÒÓÔÕØŌÙÚÛŪÝ"
-_DST = "aaaaaaceeeeeiiiiinooooooouuuuyyAAAAAACEEEEEIIIIINOOOOOOOUUUUY"
+# Built from explicit (accented, ascii) pairs — two parallel string
+# literals once drifted one char apart mid-table and silently mapped
+# ù→o, ý→u, and every uppercase accent to the wrong letter.
+_LATIN_MAP = [
+    ("àáâãåā", "a"), ("ç", "c"), ("èéêëē", "e"), ("ìíîïī", "i"),
+    ("ñ", "n"), ("òóôõøō", "o"), ("ùúûū", "u"), ("ýÿ", "y"),
+]
+_LATIN_MAP += [(srcs.upper(), dst.upper()) for srcs, dst in _LATIN_MAP]
+_SRC = "".join(srcs for srcs, _ in _LATIN_MAP)
+_DST = "".join(dst * len(srcs) for srcs, dst in _LATIN_MAP)
+assert len(_SRC) == len(_DST)
 
 
 def transliterate(col: Column) -> Column:
@@ -86,8 +95,15 @@ def strip_markers(col: Column, markers: list[str]) -> Column:
     """
     if not markers:
         return col
-    alternation = "|".join(markers)
-    out = F.regexp_replace(col, rf"(?i)\b({alternation})\b", "")
+    import re
+
+    # escape each marker (the reference blocklist has dotted forms like
+    # "e.v." — unescaped, '.' matches anything and '(' would be a regex
+    # error) and bound with lookarounds rather than \b: for a marker
+    # ending in '.', \b would demand a word char AFTER the dot.  For
+    # plain-word markers the lookarounds are exactly \b.
+    alternation = "|".join(re.escape(m) for m in markers)
+    out = F.regexp_replace(col, rf"(?i)(?<!\w)({alternation})(?!\w)", "")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 

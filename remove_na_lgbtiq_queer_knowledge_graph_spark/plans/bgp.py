@@ -84,7 +84,15 @@ class BGPQuery:
             self._df = df
         else:
             on = _join_vars(self._df, df)
-            self._df = self._df.join(df, on, how) if on else self._df.crossJoin(df)
+            if on:
+                self._df = self._df.join(df, on, how)
+            elif how == "inner":
+                self._df = self._df.crossJoin(df)
+            else:
+                # disjoint-vars OPTIONAL: crossJoin would discard the
+                # left-join semantics (an empty optional group must
+                # keep every left row with the new vars unbound)
+                self._df = self._df.join(df, F.lit(True), how)
         return self
 
     def _group(self, patterns: tuple[tuple[str, str, str], ...]) -> DataFrame:
@@ -109,7 +117,10 @@ class BGPQuery:
         assert self._df is not None
         sub = self._group(patterns)
         on = _join_vars(self._df, sub)
-        self._df = self._df.join(sub, on, "left_anti")
+        # no shared vars: NOT EXISTS is all-or-nothing — any inner match
+        # removes every row (an empty on-list crashes DataFrame.join)
+        self._df = (self._df.join(sub, on, "left_anti") if on
+                    else self._df.join(sub, F.lit(True), "left_anti"))
         return self
 
     def union(self, other: "BGPQuery") -> "BGPQuery":
@@ -144,6 +155,8 @@ class BGPQuery:
 
 def path_seq(triples: DataFrame, preds: list[str]) -> DataFrame:
     """G9 sequence path ``p1/p2/...`` → chained joins; returns (src, dst)."""
+    if not preds:
+        raise ValueError("path_seq requires at least one predicate")
     df = None
     for i, p in enumerate(preds):
         step = triples.filter(F.col("predicate") == p).select(
@@ -192,8 +205,13 @@ def transitive_closure(
             nodes = set(adj)
             nodes.update(d for ds in adj.values() for d in ds)
             out.update((x, x) for x in nodes)
-        return edges.sparkSession.createDataFrame(
-            sorted(out), "src string, dst string")
+        # preserve the input column TYPES — the distributed branch does,
+        # and a hardcoded string schema would make behavior depend on
+        # whether the edge count crossed the driver-BFS gate
+        schema = closure.schema
+        if out:
+            return edges.sparkSession.createDataFrame(sorted(out), schema)
+        return edges.sparkSession.createDataFrame([], schema)
     for _ in range(max_iter):
         hop = (
             closure.alias("a")

@@ -832,7 +832,14 @@ class _Compiler:
             return df
         on = self._shared(env, df)
         if not on:
-            return env.crossJoin(df)
+            if how == "inner":
+                return env.crossJoin(df)
+            # disjoint-vars OPTIONAL must keep every env row when the
+            # group is empty; disjoint NOT EXISTS is all-or-nothing.
+            # (SPARQL's MINUS with disjoint domains removes nothing —
+            # this engine maps MINUS to NOT EXISTS throughout, a
+            # documented approximation.)  crossJoin discarded `how`.
+            return env.join(df, F.lit(True), how)
         langs = [c for c in on if c.startswith("__lang__")]
         if not langs:
             return env.join(df, on, how)

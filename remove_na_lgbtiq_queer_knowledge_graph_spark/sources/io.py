@@ -157,23 +157,33 @@ def compact_parquet(
     store the same two-phase write-then-swap applies via the committer.
     Returns the new file count.
 
-    The swap is rename-based so the table path stays continuously
-    resolvable: original → ``__old``, compacted tmp → path, delete
-    ``__old``.  A crash mid-swap leaves either the original or the
-    compacted copy at the path — never a window where the path is gone
-    (the delete-then-move ordering had exactly that gap).
+    The swap is rename-based: original → ``__old``, compacted tmp →
+    path, delete ``__old``.  An in-process failure rolls back; a HARD
+    kill (SIGKILL, power loss) between the two renames can still leave
+    the path briefly absent — the recovery preamble below restores the
+    ``__old`` copy on the next call, so no data is ever lost and the
+    gap heals on re-entry.  (True atomic swap needs a catalog/manifest
+    layer — Iceberg/Delta commit protocol — not plain directories.)
     """
     import math
+    import os as _os
     import shutil
 
-    df = spark.read.parquet(path)
-    total = sum(
-        f.stat().st_size
-        for f in __import__("pathlib").Path(path).rglob("*.parquet")
-    )
-    n = max(1, math.ceil(total / target_file_bytes))
     base = path.rstrip("/")
     tmp, old = base + "__compacting", base + "__old"
+    # recovery from a previously killed swap: restore the original if
+    # the path vanished mid-rename, then clear stale intermediates
+    if not _os.path.exists(base) and _os.path.exists(old):
+        shutil.move(old, base)
+    for stale in (tmp, old):
+        if _os.path.exists(stale):
+            shutil.rmtree(stale)
+    df = spark.read.parquet(base)
+    total = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(base).rglob("*.parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n).write.mode("overwrite").parquet(tmp)
     shutil.move(base, old)
     try:

@@ -130,11 +130,36 @@ def run_append_to_files(stream_df: DataFrame, name: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(os.path.join(d, "data"))
+    data = os.path.join(d, "data")
+    try:
+        return spark.read.parquet(data)
+    except Exception:  # noqa: BLE001 — empty-sink read, narrowed below
+        # a run whose events span less than width+delay finalizes ZERO
+        # windows: the file sink commits only _spark_metadata and the
+        # directory read can't infer a schema — an empty result, not
+        # an error (the stream frame knows the schema)
+        if any(f.endswith(".parquet") for _, _, fs in os.walk(data)
+               for f in fs):
+            raise
+        return spark.createDataFrame([], stream_df.schema)
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 day") -> DataFrame:
-    """Tumbling-window counts/sums per event_type with watermark."""
+    """Tumbling-window counts/sums per event_type with watermark.
+
+    ``width`` must be a whole number of days: the output key is the
+    window's DATE (``wday``) — sub-day windows would collapse several
+    distinct windows onto one date and double-count downstream.  Use
+    :func:`sliding_counts` (epoch-keyed) for sub-day widths.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*days?\s*", width)
+    if not m:
+        raise ValueError(
+            f"tumbling_counts keys output by date; width={width!r} must "
+            "be a whole number of days (sub-day windows would share a "
+            "wday key)")
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", width).alias("w"), "event_type")

@@ -83,3 +83,40 @@ def test_isbn_validate_known_isbns(spark):
     assert got["978-0-306-40615-7"] == ("isbn13", True, "9780306406157")
     assert got["978-0-306-40615-8"] == ("invalid", False, None)
     assert got["garbage"] == ("invalid", False, None)
+
+
+def test_transliterate_full_table_alignment(spark):
+    """Every accented char maps to ITS OWN base letter — the two
+    parallel string literals once drifted one position apart mid-table
+    and silently mapped ù→o, ý→u, and all uppercase accents wrong
+    (round-6 review finding)."""
+    cases = [
+        ("ùúûū", "uuuu"), ("ýÿ", "yy"), ("òóôõøō", "oooooo"),
+        ("ÀÁÂÃÅĀ", "AAAAAA"), ("Ç", "C"), ("ÈÉÊËĒ", "EEEEE"),
+        ("ÌÍÎÏĪ", "IIIII"), ("Ñ", "N"), ("ÒÓÔÕØŌ", "OOOOOO"),
+        ("ÙÚÛŪ", "UUUU"), ("Ý", "Y"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+    got = {r.s: r.t for r in df.select(
+        "s", transliterate(F.col("s")).alias("t")).collect()}
+    for src, want in cases:
+        assert got[src] == want, (src, got[src], want)
+
+
+def test_strip_markers_escapes_regex_metacharacters(spark):
+    """Markers are literal strings: dotted forms ('e.v.') must not
+    match arbitrary chars, '(' must not break the pattern, and a
+    marker ending in '.' still strips before a space/end (lookaround
+    boundaries, not \\b)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.strings import (
+        strip_markers,
+    )
+
+    df = spark.createDataFrame(
+        [("verein e.v. münchen",),   # dotted marker, mid-string
+         ("exvy stays",),            # would be eaten if '.' were a wildcard
+         ("club (reg) name",)],      # parenthesized marker
+        ["s"])
+    out = [r.o for r in df.select(strip_markers(
+        F.col("s"), ["e.v.", "(reg)"]).alias("o")).collect()]
+    assert out == ["verein münchen", "exvy stays", "club name"]

@@ -197,3 +197,56 @@ def test_triangle_counts_hand_graph(spark):
     assert all(got[n] == 3 + 3 for n in (1, 2, 3, 4))  # 3 in K4 + 3 via hub
     assert got[5] == 1 and got[6] == 1
     assert sum(got.values()) % 3 == 0  # each triangle counted thrice
+
+
+def test_optional_with_disjoint_vars_keeps_left_rows(spark):
+    """OPTIONAL sharing no variables must keep every left row (with the
+    optional vars unbound when the group is empty) — the crossJoin
+    shortcut silently dropped all rows (round-6 review finding)."""
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "p", "d")],
+        ["subject", "predicate", "object"])
+    got = (BGPQuery(tri)
+           .where(("?x", "p", "?y"))
+           .optional(("?z", "missing", "?w"))
+           .select("x", "y", "z", "w").collect())
+    assert {(r.x, r.y, r.z, r.w) for r in got} == {
+        ("a", "b", None, None), ("c", "d", None, None)}
+    # non-empty disjoint optional: every combination, left rows kept
+    got2 = (BGPQuery(tri)
+            .where(("?x", "p", "?y"))
+            .optional(("?z", "p", "?w"))
+            .select("x", "z", distinct=True).collect())
+    assert len(got2) == 4
+
+
+def test_not_exists_with_disjoint_vars_is_all_or_nothing(spark):
+    """FILTER NOT EXISTS with no shared vars: any inner match removes
+    every row; an empty inner group keeps every row (used to raise
+    IndexError from an empty join-on list)."""
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "d")],
+        ["subject", "predicate", "object"])
+    kept = (BGPQuery(tri).where(("?x", "p", "?y"))
+            .not_exists(("?z", "nosuch", "?w"))
+            .select("x").collect())
+    assert [r.x for r in kept] == ["a"]
+    removed = (BGPQuery(tri).where(("?x", "p", "?y"))
+               .not_exists(("?z", "q", "?w"))
+               .select("x").collect())
+    assert removed == []
+
+
+def test_transitive_closure_preserves_numeric_id_types(spark):
+    """The driver-BFS fast path must emit the INPUT column types, like
+    the distributed branch (it hardcoded strings and crashed on bigint
+    edges under the 10k gate)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.bgp import (
+        transitive_closure,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = transitive_closure(e)
+    assert dict(out.dtypes) == {"src": "bigint", "dst": "bigint"}
+    assert {(r.src, r.dst) for r in out.collect()} == {
+        (1, 2), (2, 3), (1, 3)}
