@@ -93,7 +93,8 @@ def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFra
                             F.lit(pred).alias("predicate"),
                             F.col("__obj").alias("object"),
                             lang_c.alias("lang"), dtype_c.alias("dtype"))
-                    .filter(F.col("object").isNotNull())
+                    .filter(F.col("object").isNotNull()
+                            & F.col("subject").isNotNull())
                 )
                 continue
             if isinstance(obj, Template):
@@ -114,8 +115,15 @@ def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFra
             .select(F.explode(F.array(*structs)).alias("t"))
             .select("t.subject", "t.predicate", "t.object", "t.lang",
                     "t.dtype")
-            .filter(F.col("object").isNotNull())
+            # a null SUBJECT (null key column in a template) produces
+            # no triple either — same R2RML rule as null objects
+            .filter(F.col("object").isNotNull()
+                    & F.col("subject").isNotNull())
         )
+    if not parts:
+        raise ValueError(
+            "materialize() got no predicate-object pairs: maps is empty "
+            "or every map's po list is empty")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

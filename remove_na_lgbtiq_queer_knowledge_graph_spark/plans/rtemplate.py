@@ -23,11 +23,19 @@ from __future__ import annotations
 
 def _find_paste0(src: str, func_name: str) -> str:
     """Return the argument text of the ``paste0(...)`` call inside
-    ``func_name <- function(...)``, parens balanced, quote-aware."""
-    at = src.find(func_name)
-    if at < 0:
-        raise ValueError(f"{func_name!r} not found in R source")
-    start = src.find("paste0(", at)
+    ``func_name <- function(...)``, parens balanced, quote- and
+    escape-aware.  Anchors on the ASSIGNMENT (``name <- function``),
+    not the first substring occurrence — a comment mentioning the name
+    or a longer name sharing the prefix must not redirect extraction
+    to a different function's body."""
+    import re
+
+    m = re.search(rf"(?<![\w.]){re.escape(func_name)}\s*<-\s*function\b",
+                  src)
+    if not m:
+        raise ValueError(
+            f"{func_name!r} <- function not found in R source")
+    start = src.find("paste0(", m.end())
     if start < 0:
         raise ValueError(f"no paste0( call after {func_name!r}")
     i = start + len("paste0(")
@@ -37,7 +45,13 @@ def _find_paste0(src: str, func_name: str) -> str:
     while i < len(src):
         ch = src[i]
         if quote:
-            if ch == quote:
+            if ch == "\\" and i + 1 < len(src):
+                # R escape inside a string — keep both chars, never
+                # let \' or \" end the quote tracking
+                out.append(ch)
+                i += 1
+                ch = src[i]
+            elif ch == quote:
                 quote = None
         elif ch in "'\"":
             quote = ch
@@ -68,12 +82,21 @@ def load_r_query_template(path: str, func_name: str) -> str:
         if ch in "'\"":
             j = i + 1
             while j < n and args[j] != ch:
+                if args[j] == "\\":  # escaped char never closes the string
+                    j += 1
                 j += 1
             if j >= n:
                 raise ValueError("unterminated string in paste0 args")
-            # R string chunk → literal template text ({ } escaped so the
-            # chunk survives str.format untouched)
-            parts.append(args[i + 1:j].replace("{", "{{").replace("}", "}}"))
+            chunk = args[i + 1:j]
+            # decode R escapes the way R's parser would — a chunk with
+            # \n must contribute a NEWLINE to the query text, and \'/\"
+            # the bare quote, not two literal characters
+            chunk = (chunk.replace("\\\\", "\x00")
+                     .replace("\\n", "\n").replace("\\t", "\t")
+                     .replace("\\'", "'").replace('\\"', '"')
+                     .replace("\x00", "\\"))
+            # { } escaped so the chunk survives str.format untouched
+            parts.append(chunk.replace("{", "{{").replace("}", "}}"))
             i = j + 1
             continue
         # bare identifier → placeholder

@@ -61,7 +61,13 @@ def _subject_template(s: str, prefixes: dict[str, str]) -> Template:
 
 def _object_term(o: str, prefixes: dict[str, str]):
     m = _TEMPLATE_RE.match(o)
-    if m and m.group(1) in prefixes:
+    if m:
+        if m.group(1) not in prefixes:
+            # the $(col) syntax is unambiguous intent — emitting the
+            # template TEXT as a per-row constant (the old fallthrough)
+            # silently poisons every object; mirror the subject path
+            raise ValueError(f"undeclared prefix {m.group(1)!r} in "
+                             f"object template {o!r}")
         return Template(prefixes[m.group(1)], m.group(2))
     m = _COLUMN_RE.match(o)
     if m:
@@ -97,17 +103,18 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
     sources = doc.get("sources", {}) or {}
     mappings = doc.get("mappings", {}) or {}
 
-    # pass 1: subject template + source per mapping (for references)
-    heads: dict[str, tuple[str, Template]] = {}
+    # pass 1: subject template + source list per mapping (for
+    # references).  A list of sources means the mapping's triples are
+    # emitted from EVERY source, not silently just the first.
+    heads: dict[str, tuple[list[str], Template]] = {}
     for name, m in mappings.items():
         src = m["sources"]
-        if isinstance(src, list):
-            src = src[0]
-        heads[name] = (src, _subject_template(m["s"], prefixes))
+        srcs = list(src) if isinstance(src, list) else [src]
+        heads[name] = (srcs, _subject_template(m["s"], prefixes))
 
     out = YarrrmlDoc(prefixes, sources)
     for name, m in mappings.items():
-        src, subj = heads[name]
+        srcs, subj = heads[name]
         po: list[tuple] = []
         for entry in m.get("po", []):
             if isinstance(entry, dict):
@@ -116,7 +123,25 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                 if isinstance(objs, dict):
                     objs = [objs]
                 for obj in objs:
-                    if not (isinstance(obj, dict) and "mapping" in obj):
+                    if isinstance(obj, dict) and "mapping" not in obj:
+                        # YARRRML's expanded object form:
+                        # {value: $(col), language: en} / {value: ...,
+                        # datatype: xsd:date}.  str(obj) used to emit
+                        # the Python dict REPR as a literal constant.
+                        if "value" not in obj:
+                            raise ValueError(
+                                f"unsupported object form {obj!r} in "
+                                f"{name}.{pred} (need 'value' or "
+                                "'mapping')")
+                        dt = obj.get("datatype")
+                        po.append((
+                            pred,
+                            _object_term(str(obj["value"]), prefixes),
+                            obj.get("language"),
+                            _predicate(str(dt), prefixes) if dt else None,
+                        ))
+                        continue
+                    if not isinstance(obj, dict):
                         po.append((pred, _object_term(str(obj), prefixes)))
                         continue
                     parent = obj["mapping"]
@@ -138,9 +163,13 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                         raise ValueError(
                             f"equal condition of {name}.{pred} needs "
                             "str1/str2 parameters")
-                    p_src, p_subj = heads[parent]
+                    p_srcs, p_subj = heads[parent]
+                    if len(p_srcs) > 1:
+                        raise NotImplementedError(
+                            f"referenced mapping {parent!r} has multiple "
+                            "sources; a join target must be one table")
                     po.append((pred, RefObjectMap(
-                        parent_table=p_src, parent_subject=p_subj,
+                        parent_table=p_srcs[0], parent_subject=p_subj,
                         child_key=child_key, parent_key=parent_key)))
                 continue
             pred = _predicate(str(entry[0]), prefixes)
@@ -153,5 +182,6 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                     dtype = _predicate(tag, prefixes)
             po.append((pred, _object_term(str(entry[1]), prefixes), lang,
                        dtype))
-        out.maps.append(TriplesMap(src, subj, po))
+        for src in srcs:
+            out.maps.append(TriplesMap(src, subj, po))
     return out

@@ -276,7 +276,9 @@ def kg_memo(key: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
         ))
     except OSError:
         mtimes = ()
-    k = (id(spark), sf_dir, key, mtimes)
+    # applicationId, not id(spark): id() can be reused after a stopped
+    # session is collected (same rule as spec._TABLE_MEMO)
+    k = (spark.sparkContext.applicationId, sf_dir, key, mtimes)
     if k not in _KG_MEMO:
         # Materialize the fixture as a PARQUET table, not a
         # localCheckpoint: checkpoint blocks deserialize the ENTIRE

@@ -74,6 +74,14 @@ def all_specs() -> dict[str, QuerySpec]:
     base: dict[str, QuerySpec] = {}
     for mod_name in _MODULES:
         mod = __import__(f"{__package__}.{mod_name}", fromlist=["SPECS"])
+        dup = base.keys() & mod.SPECS.keys()
+        if dup:
+            # dict.update would silently shadow the earlier spec: the
+            # driver's green rows would keep the name alive while the
+            # shadowed query is never verified again — the exact
+            # silent-shrink failure the mandatory-import rule exists for
+            raise ValueError(
+                f"duplicate query name(s) {sorted(dup)} in {mod_name}")
         base.update(mod.SPECS)
 
     # Least-recently-verified first: never-verified queries lead (base

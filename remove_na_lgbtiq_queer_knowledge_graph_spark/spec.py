@@ -70,7 +70,7 @@ def scratch_dir(prefix: str) -> str:
 # costs a schema-inference py4j round trip (~0.3-0.6 s) every call; a
 # bench/oracle run issues hundreds of t() calls over the same ten
 # paths.  DataFrames are immutable plans — reusing one is free.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,7 +96,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = None
-    key = (id(spark), sf_dir, name, mtime)
+    # applicationId, not id(spark): a stopped session's id() can be
+    # reused by a later allocation and would serve a frame bound to a
+    # dead SparkContext; the string id is stable and unique per app
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
+    if len(_TABLE_MEMO) >= 512:  # bound growth across sessions/mtimes
+        _TABLE_MEMO.pop(next(iter(_TABLE_MEMO)))
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
@@ -135,9 +140,14 @@ def events_in_range(
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
+        # parse bounds with to_timestamp (accepts date-only and ISO-T
+        # forms, same as the other two branches) before converting to
+        # epoch ns — bare unix_timestamp(str) demands the one fixed
+        # 'yyyy-MM-dd HH:mm:ss' pattern and silently NULLed other
+        # shapes, turning the range filter into zero rows
         ns = F.lit(1_000_000_000).cast("long")
-        lo = F.unix_timestamp(F.lit(start)).cast("long") * ns
-        hi = F.unix_timestamp(F.lit(end)).cast("long") * ns
+        lo = F.unix_timestamp(F.to_timestamp(F.lit(start))).cast("long") * ns
+        hi = F.unix_timestamp(F.to_timestamp(F.lit(end))).cast("long") * ns
         df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )

@@ -163,3 +163,43 @@ def test_overlap_spans_is_anchor_equi_join(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_rtemplate_handles_r_escapes(tmp_path):
+    """R escape sequences in paste0 strings: \\' must not end the
+    string, \\n must contribute a real newline (round-6 review
+    finding — both previously corrupted the extracted template)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.rtemplate import (
+        load_r_query_template,
+        render,
+    )
+
+    src = r"""
+# see query_x below (comment must not anchor extraction)
+query_x_v2 <- function(a) paste0('WRONG ', a)
+query_x <- function(item) paste0('SELECT * WHERE {\n  ?s ?p ', item,
+                                 ' .\n  FILTER(?l = \'x\')\n}')
+"""
+    p = tmp_path / "queries.R"
+    p.write_text(src)
+    tpl = load_r_query_template(str(p), "query_x")
+    got = render(tpl, item="<urn:i>")
+    assert got == ('SELECT * WHERE {\n  ?s ?p <urn:i> .\n'
+                   "  FILTER(?l = 'x')\n}")
+
+
+def test_registry_rejects_duplicate_names(monkeypatch):
+    """A query name colliding across modules must fail loudly, not
+    silently shadow the earlier spec out of the verified surface."""
+    import pytest
+
+    import remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm2 as m2
+    import remove_na_lgbtiq_queer_knowledge_graph_spark.queries_relational as m1
+    from remove_na_lgbtiq_queer_knowledge_graph_spark import registry
+
+    assert registry.all_specs()  # sanity: registry loads clean
+    taken = next(iter(m1.SPECS))  # a name owned by an EARLIER module
+    spec = m2.SPECS[next(iter(m2.SPECS))]
+    monkeypatch.setitem(m2.SPECS, taken, spec)
+    with pytest.raises(ValueError, match="duplicate query name"):
+        registry.all_specs()

@@ -70,3 +70,96 @@ mappings:
         ("http://ex.org/label", "eins", "de"),
         ("http://ex.org/kind", "http://ex.org/Thing", None),
     }
+
+
+def test_multi_source_mapping_emits_from_every_source():
+    """sources: [a, b] must produce the mapping's triples from BOTH
+    sources — src[0]-only silently dropped half the graph."""
+    doc = load_yarrrml("""
+prefixes:
+  ex: "http://ex.org/"
+sources:
+  a: {table: a}
+  b: {table: b}
+mappings:
+  M:
+    sources: [a, b]
+    s: ex:$(id)
+    po:
+      - [ex:name, $(name)]
+""")
+    assert sorted(m.source for m in doc.maps) == ["a", "b"]
+    assert doc.maps[0].po == doc.maps[1].po
+
+
+def test_expanded_object_form_value_language():
+    """{value: $(col), language: en} is YARRRML's expanded object form;
+    it used to be stringified into a Python-dict-repr literal."""
+    doc = load_yarrrml("""
+prefixes:
+  ex: "http://ex.org/"
+sources:
+  t: {table: t}
+mappings:
+  M:
+    sources: t
+    s: ex:$(id)
+    po:
+      - p: ex:name
+        o:
+          value: $(title)
+          language: en
+""")
+    (po,) = doc.maps[0].po
+    assert po[0] == "http://ex.org/name"
+    assert po[1] == "title"          # column reference, not a repr string
+    assert po[2] == "en" and po[3] is None
+
+
+def test_undeclared_prefix_in_object_template_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        load_yarrrml("""
+prefixes:
+  ex: "http://ex.org/"
+sources:
+  t: {table: t}
+mappings:
+  M:
+    sources: t
+    s: ex:$(id)
+    po:
+      - [ex:nation, x:$(nk)]
+""")
+
+
+def test_null_key_columns_emit_no_triples(spark):
+    """R2RML: a NULL column in the SUBJECT template produces no triple
+    (the object-only filter let (NULL, type, X) rows through)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.r2rml import (
+        materialize,
+    )
+
+    doc = load_yarrrml("""
+prefixes:
+  ex: "http://ex.org/"
+sources:
+  t: {table: t}
+mappings:
+  M:
+    sources: t
+    s: ex:$(id)
+    po:
+      - [a, ex:Thing]
+      - [ex:name, $(name)]
+""")
+    t = spark.createDataFrame(
+        [("1", "x"), (None, "y"), ("3", None)], "id string, name string")
+    rows = {(r.subject, r.predicate, r.object)
+            for r in materialize({"t": t}, doc.maps).collect()}
+    assert rows == {
+        ("http://ex.org/1", RDF_TYPE, "http://ex.org/Thing"),
+        ("http://ex.org/1", "http://ex.org/name", "x"),
+        ("http://ex.org/3", RDF_TYPE, "http://ex.org/Thing"),
+    }
