@@ -953,3 +953,34 @@ def test_overlap_spans_cross_corpus_mode(spark):
     }
     # within-corpus pair (10, 11) must NOT appear in cross mode
     assert not any(a == 10 and b == 11 for (a, b, *_) in got)
+
+
+def test_grouped_running_sum_null_values_match_window(spark):
+    """NULL values: both regimes must agree with SQL window semantics —
+    nulls contribute nothing (no NaN poisoning of later rows) and the
+    running value stays NULL until a group's first non-null (round-6
+    review finding; includes an all-null leading partition slice)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        grouped_running_sum)
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(30):
+            # group a: nulls sprinkled mid-stream; group b: leading
+            # nulls across what will be several range partitions
+            v = None if (g == "a" and i % 5 == 2) or (g == "b" and i < 12) \
+                else float(i + 1)
+            rows.append((g, i, v))
+    df = spark.createDataFrame(rows, "g string, i long, v double") \
+        .repartition(7)
+    got = {(r.g, r.i): r.run for r in grouped_running_sum(
+        df, ["g"], ["i"], "v", out="run", num_partitions=6,
+        max_meta_rows=None).collect()}
+    w = Window.partitionBy("g").orderBy("i") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    want = {(r.g, r.i): r.run for r in df.withColumn(
+        "run", F.sum("v").over(w)).collect()}
+    assert got == want
+    assert want[("b", 0)] is None and got[("b", 0)] is None  # leading nulls
