@@ -15,6 +15,7 @@ from .operators.relational import dense_ids
 from .operators.similarity import (
     candidate_pairs,
     candidate_pairs_minhash,
+    meta_ensemble,
     string_distance_join,
 )
 from .functions.strings import strip_markers
@@ -132,12 +133,11 @@ def er_meta_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(names.select(F.col("p_partkey").alias("id_2"),
                            F.col("p_name").alias("name_2")), "id_2")
     )
-    lev = F.levenshtein("name_1", "name_2")
-    lev_term = F.when(lev == 0, F.lit(2.0)).otherwise(F.lit(2.0) / lev)
+    # scoring delegates to the golden-tested operator (one copy of the
+    # lev==0 guard and rounding rule); the cutoffs stay here
     return (
-        both.withColumn("lev", lev.cast("long"))
+        meta_ensemble(both)
         .filter(F.col("lev") < 3)
-        .withColumn("meta_sim", F.round(F.col("cosine") + F.col("jaccard") + lev_term, 6))
         .filter(F.col("meta_sim") >= 1)
         .select("id_1", "id_2", "cosine", "jaccard", "lev", "meta_sim")
     )
@@ -351,46 +351,6 @@ def er_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_K, _LSH_R = 12, 3
-_LSH_MINS = ",\n       ".join(
-    f"min(md5('{s}|' || gram)) AS h{s}" for s in range(_LSH_K)
-)
-_LSH_BANDS = "\n  UNION ALL ".join(
-    f"SELECT id, {b} AS band, h{_LSH_R*b} || h{_LSH_R*b+1} || h{_LSH_R*b+2} AS bucket FROM sig"
-    for b in range(_LSH_K // _LSH_R)
-)
-_LSH_SQL = f"""
-WITH nms AS (
-  SELECT p_partkey AS id,
-         regexp_replace(lower(p_name), '[^a-z]', '', 'g') AS s
-  FROM part
-),
-gset AS MATERIALIZED (
-  SELECT DISTINCT id, substring(s, CAST(i AS INTEGER), 2) AS gram
-  FROM nms, unnest(range(1, length(s))) AS t(i)
-  WHERE length(s) >= 2
-),
-sig AS MATERIALIZED (SELECT id, {_LSH_MINS} FROM gset GROUP BY id),
-bands AS MATERIALIZED ({_LSH_BANDS}),
-cand AS (
-  SELECT DISTINCT a.id AS id_1, b.id AS id_2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-),
-cards AS (SELECT id, count(*) AS card FROM gset GROUP BY id),
-inter AS (
-  SELECT c.id_1, c.id_2, count(*) AS i
-  FROM cand c
-  JOIN gset g1 ON c.id_1 = g1.id
-  JOIN gset g2 ON c.id_2 = g2.id AND g1.gram = g2.gram
-  GROUP BY 1, 2
-)
-SELECT id_1, id_2, round(i / (c1.card + c2.card - i), 6) AS value
-FROM inter JOIN cards c1 ON id_1 = c1.id JOIN cards c2 ON id_2 = c2.id
-WHERE round(i / (c1.card + c2.card - i), 6) >= 0.5
-"""
-
-
 def er_lsh_pairs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 bench-scale LSH: same md5-minhash banding pipeline at
     jaccard ≥ 0.8 with bands tuned for the high threshold (2 bands of
@@ -444,6 +404,9 @@ WHERE round(i / (c1.card + c2.card - i), 6) >= {min_sim}
 """
 
 
+# one SQL generator serves both LSH oracles — a hand-maintained static
+# twin of the k=12/r=3 text would silently drift on any banding fix
+_LSH_SQL = _lsh_sql(12, 3, 0.5)
 _LSH_SPARSE_SQL = _lsh_sql(12, 6, 0.8)
 
 

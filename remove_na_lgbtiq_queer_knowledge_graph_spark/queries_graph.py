@@ -203,11 +203,11 @@ def graph_bind_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIND_SQL = f"""
 WITH {_TRIPLES_CTE}
 SELECT t1.subject AS e, t2.object AS ename,
-       CAST(regexp_extract(t1.subject, '([0-9]+)$', 1) AS BIGINT) AS eid
+       TRY_CAST(regexp_extract(t1.subject, '([0-9]+)$', 1) AS BIGINT) AS eid
 FROM triples t1
 JOIN triples t2 ON t1.subject = t2.subject AND t2.predicate = 'name'
 WHERE t1.predicate = 'type' AND t1.object = 'Customer'
-  AND CAST(regexp_extract(t1.subject, '([0-9]+)$', 1) AS BIGINT) % 100 = 0
+  AND TRY_CAST(regexp_extract(t1.subject, '([0-9]+)$', 1) AS BIGINT) % 100 = 0
 """
 
 

@@ -388,7 +388,11 @@ def ner_model_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NER_MODEL_SQL = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  -- regex split on ANY whitespace run, matching the model stub's
+  -- Python str.split(); a single-space split would diverge on the
+  -- first document with a newline/tab/double space
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
 )
 SELECT doc_id, tok AS entity,
        CASE tok WHEN 'spark' THEN 'TOOL' WHEN 'customer' THEN 'ROLE'
@@ -571,15 +575,15 @@ def qa_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     acctbal) would collide as ER candidates."""
     c = t(spark, sf_dir, "customer")
     return (
-        c.groupBy("c_nationkey", "c_mktsegment")
+        c.groupBy("c_nationkey", "c_mktsegment", "c_acctbal")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
     )
 
 
 _QA_UNIQUE_SQL = """
-SELECT c_nationkey, c_mktsegment, count(*) AS n
-FROM customer GROUP BY 1, 2 HAVING count(*) > 1
+SELECT c_nationkey, c_mktsegment, c_acctbal, count(*) AS n
+FROM customer GROUP BY 1, 2, 3 HAVING count(*) > 1
 """
 
 
@@ -662,7 +666,11 @@ def qa_mapping_totality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QA_TOTALITY_SQL = """
 SELECT o_orderpriority, 'NEEDS MAPPING' AS mapped, count(*) AS n
 FROM orders
+-- NOT IN alone evaluates to NULL for a NULL priority and silently
+-- drops the row the Spark side (correctly) maps to the sentinel —
+-- the totality contract says unmapped values must SURFACE
 WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+   OR o_orderpriority IS NULL
 GROUP BY 1, 2
 """
 

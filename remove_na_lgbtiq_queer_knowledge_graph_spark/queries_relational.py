@@ -131,12 +131,13 @@ GROUP BY l_returnflag, l_linestatus
 def string_agg_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: glue_collapse per key (`books.R:55-57`) — ordered, so
     deterministic under any partitioning."""
+    from .operators.relational import string_agg
+
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.array_join(
-            F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))), ","
-        ).alias("lines")
-    )
+    return string_agg(
+        li.withColumn("__ln", F.col("l_linenumber").cast("string")),
+        ["l_orderkey"], "__ln", "lines", sep=",",
+    ).select("l_orderkey", "lines")
 
 
 _STRING_AGG_SQL = """
@@ -147,7 +148,10 @@ FROM lineitem GROUP BY l_orderkey
 
 
 def freq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: count(name, sort=T) %>% filter(n>1) (`chronik/02:126-129`)."""
+    """A2: count(name, sort=T) %>% filter(n>1) (`chronik/02:126-129`).
+    The threshold here is >10, not the reference's >1 — a deliberate
+    scale adjustment: on TPC-H brands (25 values over 10k+ parts) >1
+    keeps every group and the 'frequent' filter would test nothing."""
     part = t(spark, sf_dir, "part")
     return (
         part.groupBy("p_brand")
@@ -393,23 +397,39 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus
 
 def multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10/J11: multi-column and renamed-key joins
-    (`02-other-duplicates.R:63`)."""
+    (`02-other-duplicates.R:63`).  The supply-lines frame is keyed by
+    the COMPOSITE renamed key (pk, sk) so a genuine multi-column join
+    condition is exercised — two independent single-column joins would
+    leave the J10 family untested."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier")
+    ps = (
+        li.groupBy(F.col("l_partkey").alias("pk"),
+                   F.col("l_suppkey").alias("sk"))
+        .agg(F.count("*").alias("supply_lines"))
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(ps, (li.l_partkey == ps.pk) & (li.l_suppkey == ps.sk))
         .groupBy("p_brand", "s_nationkey")
-        .agg(F.count("*").alias("n"), _dec_sum(F.col("l_quantity"), "qty"))
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("l_quantity"), "qty"),
+             F.sum("supply_lines").cast("long").alias("supply_line_sum"))
     )
 
 
 _MULTIKEY_SQL = f"""
-SELECT p_brand, s_nationkey, count(*) AS n, {dsum('l_quantity', 'qty')}
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, count(*) AS supply_lines
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p_brand, s_nationkey, count(*) AS n, {dsum('l_quantity', 'qty')},
+       CAST(sum(supply_lines) AS BIGINT) AS supply_line_sum
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
+JOIN ps ON l_partkey = ps.pk AND l_suppkey = ps.sk
 GROUP BY p_brand, s_nationkey
 """
 
@@ -417,15 +437,12 @@ GROUP BY p_brand, s_nationkey
 def argmax_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J12/A4: best-match-per-group after a join — richest customer per
     nation (`book-authors-viaf.R:52-58` keep-max-score)."""
+    from .operators.relational import argmax_per_group
+
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
-    best = (
-        c.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+    best = argmax_per_group(
+        c, ["c_nationkey"], F.col("c_acctbal"), [F.col("c_custkey")]
     )
     return best.join(F.broadcast(n), best.c_nationkey == n.n_nationkey).select(
         "n_name", "c_custkey", "c_name", "c_acctbal"
@@ -524,13 +541,12 @@ FROM customer
 def keep_first_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: keep-first-per-group dedupe — first order per customer by
     date (`chronik/02:36-38`)."""
+    from .operators.relational import keep_first_per_group
+
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-    )
+    return keep_first_per_group(
+        o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
 
 
 _KEEPFIRST_SQL = """
@@ -546,17 +562,13 @@ def elect_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: ordered-first election — per nation, elect the max-custkey
     customer name as canonical (`chronik/02:250-254` id_new = first(id)
     after arrange(desc(id)))."""
+    from .operators.relational import elect_first_per_group
+
     c = t(spark, sf_dir, "customer")
-    w = (
-        Window.partitionBy("c_nationkey")
-        .orderBy(F.col("c_custkey").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return c.select(
-        "c_custkey",
-        "c_nationkey",
-        F.first("c_name").over(w).alias("canonical_name"),
-    )
+    return elect_first_per_group(
+        c, ["c_nationkey"], [F.col("c_custkey").desc()],
+        "c_name", "canonical_name",
+    ).select("c_custkey", "c_nationkey", "canonical_name")
 
 
 _ELECT_SQL = """
@@ -611,19 +623,15 @@ def fill_down_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`themengeschichtspfad.R:68`).  Partitioned by user so the window
     parallelizes (the global variant serializes — see
     operators.relational.fill_down)."""
+    from .operators.relational import fill_down_grouped
+
     e = t(spark, sf_dir, "events")
     nulled = e.withColumn(
         "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return nulled.select(
-        "event_id", "user_id",
-        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
-    )
+    return fill_down_grouped(
+        nulled, "v", ["user_id"], [F.col("event_id")]
+    ).select("event_id", "user_id", F.col("v").alias("filled_value"))
 
 
 _FILLDOWN_SQL = """
@@ -878,7 +886,7 @@ def regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REGEX_ID_SQL = """
-SELECT c_name, CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS extracted_id
+SELECT c_name, TRY_CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS extracted_id
 FROM customer
 """
 
