@@ -436,12 +436,17 @@ def _fit_rows(
 ) -> list:
     """Driver-side Lloyd's over an already-collected (id, vec) sample.
 
-    Bit-parity with the SQL oracle: cosine dot/norms accumulate
-    sequentially over dimensions (index-order fold, same as
-    ``list_dot_product``); assignment ties break to the lowest centroid
-    id (argmax-first over id-sorted centroids); per-(cell, dim) means
-    round half-away-from-zero to ``decimals`` (SQL ``round``; numpy's
-    ``round`` is half-even, so it is NOT used)."""
+    Oracle parity: cosine dot/norms accumulate sequentially over
+    dimensions (index-order fold, same as ``list_dot_product``);
+    assignment ties break to the lowest centroid id (argmax-first over
+    id-sorted centroids); per-(cell, dim) means accumulate as a
+    SEQUENTIAL sum over members in sorted-row order then divide (the
+    accumulate-then-divide shape of SQL ``avg`` — numpy's pairwise
+    ``mean`` is deliberately avoided) and round half-away-from-zero to
+    ``decimals`` (SQL ``round``; numpy's is half-even).  Residual
+    caveat: a mean within one ulp of a rounding boundary could still
+    differ if the engine's own accumulation order differs — the
+    6-decimal round absorbs everything observed in practice."""
     import numpy as np
 
     rows = sorted(rows, key=lambda r: r[0])
@@ -462,7 +467,12 @@ def _fit_rows(
             m = X[best == j]
             if len(m):
                 keep.append(ids[j])
-                new_c.append(_round_half_away(m.mean(axis=0), decimals))
+                # sequential member-order fold, then divide — not the
+                # pairwise np.mean
+                acc = np.zeros(m.shape[1])
+                for row in m:
+                    acc = acc + row
+                new_c.append(_round_half_away(acc / len(m), decimals))
         ids = keep
         C = np.array(new_c)
     return [(i, [float(x) for x in v]) for i, v in zip(ids, C)]

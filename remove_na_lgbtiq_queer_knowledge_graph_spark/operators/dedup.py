@@ -103,6 +103,30 @@ def minhash_signature(
     return sh.groupBy("id").agg(*aggs)
 
 
+def minhash_bands(
+    sig: DataFrame, num_hashes: int = 12, band_size: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Exploded ``(id, band, bucket)`` view of a signature frame — ONE
+    array projection, not a per-band union that would recompute the
+    signature aggregation once per band.  The single definition of the
+    banding scheme: the batch pair join and the incremental
+    new-vs-corpus join both read it, so a band-size or bucket-concat
+    change cannot silently desynchronize the dedup family."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"h{b * band_size + i}") for i in range(band_size)])
+            .alias("bucket"),
+        )
+        for b in range(num_hashes // band_size)
+    ])
+    return sig.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_band_pairs(
     sig: DataFrame, num_hashes: int = 12, band_size: int = 3
 ) -> DataFrame:
@@ -112,25 +136,12 @@ def minhash_band_pairs(
     collide w.p. ≥ 95%, jaccard 0.3 pairs w.p. ~10% — the standard
     near-dup operating point.
 
-    Bands are exploded from one array projection (not a per-band union,
-    which would recompute the signature aggregation once per band), and
-    the signature table is materialized once for the two self-join sides.
+    Bands come from :func:`minhash_bands` (one array projection); the
+    band table is materialized once for the two self-join sides.
     """
     from ..spec import materialize
 
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(*[F.col(f"h{b * band_size + i}") for i in range(band_size)])
-            .alias("bucket"),
-        )
-        for b in range(num_hashes // band_size)
-    ])
-    bands = materialize(
-        sig.select("id", F.explode(band_structs).alias("bb")).select(
-            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-    )
+    bands = materialize(minhash_bands(sig, num_hashes, band_size))
     a = bands.select(F.col("id").alias("id_1"), "band", "bucket")
     b2 = bands.select(F.col("id").alias("id_2"), "band", "bucket")
     return (

@@ -568,9 +568,9 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REPETITION_SQL = """
+_REPETITION_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  SELECT doc_id, {_TOKS} AS w
   FROM documents
 ),
 sh AS (
@@ -662,8 +662,6 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quality_features(keep=...)`` carries the language through, so the
     md5-dedup window is the only shuffle — no id re-join, no
     materialized intermediate."""
-    from .operators.dedup import exact_keep_first
-
     d = exact_keep_first(t(spark, sf_dir, "documents"), "doc_id", "text")
     return (
         quality_features(lang_id(d, "text"), "doc_id", "text",
@@ -859,13 +857,33 @@ def mm_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MM_AUDIO_SQL = """
-WITH samples AS (
-  SELECT doc_id, u.pos AS pos, u.v AS v FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(1, len(text) + 1),
-             i -> {'pos': i,
-                   'v': ascii(substring(text, CAST(i AS INTEGER), 1))})) AS u
-    FROM documents)
+-- samples are the UTF-8 BYTES of the payload (the stub decodes
+-- np.frombuffer over text.encode()); a character-based oracle would
+-- diverge on the first non-ASCII document, so each code point expands
+-- to its UTF-8 byte sequence
+WITH cps AS (
+  SELECT doc_id, ci, unicode(substring(text, CAST(ci AS INTEGER), 1)) AS cp
+  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS ci
+        FROM documents)
+),
+bl AS (
+  SELECT doc_id, ci,
+         CASE WHEN cp < 128 THEN [cp]
+              WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+              WHEN cp < 65536 THEN [224 + cp // 4096,
+                                    128 + (cp // 64) % 64, 128 + cp % 64]
+              ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+                    128 + (cp // 64) % 64, 128 + cp % 64]
+         END AS bs
+  FROM cps
+),
+samples AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ci, bo) AS pos,
+         v
+  FROM (SELECT doc_id, ci, unnest(bs) AS v,
+               unnest(range(1, len(bs) + 1)) AS bo
+        FROM bl)
 )
 SELECT doc_id, CAST((pos - 1) // 16 AS BIGINT) AS window_idx,
        count(*) AS n_samples,

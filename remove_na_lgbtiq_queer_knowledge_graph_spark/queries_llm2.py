@@ -277,14 +277,18 @@ def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = weighted.agg(
         F.sum("cnt").alias("total"),
-        F.sum(F.col("w") * F.col("cnt")).alias("sum_wc"),
+        F.sum("w").alias("sum_w"),
     )
+    # keep rate = min(1, total·w / (Σw · cnt_s)): the /cnt_s factor is
+    # what makes kept VOLUME ∝ w (an un-normalized rate keeps volume
+    # ∝ w·cnt — the raw counts would dominate the configured weights;
+    # mix_temperature_sample normalizes the same way)
     rates = weighted.crossJoin(F.broadcast(totals)).select(
         "source",
         F.least(
             F.lit(10000).cast("long"),
             F.floor(F.col("total") * F.col("w") * 10000
-                    / (F.col("sum_wc"))).cast("long"),
+                    / (F.col("sum_w") * F.col("cnt"))).cast("long"),
         ).alias("thresh"),
     )
     bucket = F.pmod(
@@ -305,10 +309,11 @@ WITH counts AS (
          CAST(1 + CAST(substring(source, 4) AS BIGINT) % 3 AS BIGINT) AS w
   FROM documents GROUP BY source
 ),
-totals AS (SELECT SUM(cnt) AS total, SUM(w * cnt) AS sum_wc FROM counts),
+totals AS (SELECT SUM(cnt) AS total, SUM(w) AS sum_w FROM counts),
 rates AS (
   SELECT source,
-         LEAST(10000, CAST(FLOOR(total * w * 10000 / sum_wc) AS BIGINT))
+         LEAST(10000,
+               CAST(FLOOR(total * w * 10000 / (sum_w * cnt)) AS BIGINT))
            AS thresh
   FROM counts, totals
 )
@@ -745,24 +750,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions, never new×corpus; the corpus side would be a
     pre-materialized signature table in production (signatures are
     per-row and additive, so snapshots append)."""
-    from .operators.dedup import minhash_signature, shingles
+    from .operators.dedup import minhash_bands, minhash_signature, shingles
 
     docs = t(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", 3)
     sig = minhash_signature(sh, 12)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(*[F.col(f"h{b * 3 + i}") for i in range(3)])
-            .alias("bucket"),
-        )
-        for b in range(4)
-    ])
-    bands = _cache(
-        sig.select("id", F.explode(band_structs).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
-    )
+    bands = _cache(minhash_bands(sig, 12, 3))
     new_b = bands.filter(F.col("id") % 5 == 0)
     corp_b = bands.filter(F.col("id") % 5 != 0)
     collided = (
@@ -777,22 +770,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINS12 = ",\n       ".join(
-    f"min(md5('{s}|' || s)) AS h{s}" for s in range(12))
-_BANDS12 = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, h{3*b} || h{3*b+1} || h{3*b+2} AS bucket FROM sig"
-    for b in range(4))
+# tokenizer/shingle/signature/band fragments are IMPORTED from
+# queries_llm (one copy of the scheme — a parameter change there must
+# reach this oracle too, same rule as the _SPAN_TOKS import below)
+from .queries_llm import _BANDS as _BANDS12  # noqa: E402
+from .queries_llm import _MINS as _MINS12  # noqa: E402
+from .queries_llm import _SHINGLE_CTE as _INCR_SHINGLE_CTE  # noqa: E402
+
 _INCR_DEDUP_SQL = f"""
-WITH toks AS (
-  SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS s
-  FROM toks, unnest(range(1, len(w) - 1)) t(i)
-),
+WITH {_INCR_SHINGLE_CTE},
 sig AS (SELECT doc_id, {_MINS12} FROM sh GROUP BY doc_id),
 bands AS ({_BANDS12}),
 collided AS (

@@ -72,8 +72,6 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized only when the watermark passes ``last event + gap``.  The
     oracle applies the same closure cut to batch-computed sessions:
     ``last_ts + gap ≤ max(ts) − delay``."""
-    from .streaming.windows import read_events_stream
-
     stream = (
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -254,8 +252,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join — purchases attributed
     to same-user clicks within 4 hours, REAL readStream on both
     sides, append-mode memory sink."""
-    from .streaming.windows import (
-        interval_join_clicks_purchases, read_events_stream, run_to_memory)
+    from .streaming.windows import interval_join_clicks_purchases
 
     clicks = read_events_stream(spark, sf_dir) \
         .filter(F.col("event_type") == "click")
@@ -283,12 +280,6 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch and re-resolves it if the files change, which is how
     dimension enrichment works in production (no state, unlike
     stream–stream joins).  Complete-mode memory sink."""
-    from .spec import t
-    from .streaming.windows import (
-        read_events_stream,
-        run_to_memory,
-    )
-
     stream = read_events_stream(spark, sf_dir)
     dim = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),

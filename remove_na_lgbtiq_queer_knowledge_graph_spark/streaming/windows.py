@@ -22,8 +22,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# (session, path) → inferred parquet schema: schema inference is a
-# driver-side file-footer job; the schema is immutable per testdata dir.
+# (app, path, mtime) → inferred parquet schema: schema inference is a
+# driver-side file-footer job.  Keyed like spec.t's table memo —
+# applicationId (id(spark) can be reused after GC) and file mtime (a
+# driver that regenerates testdata in-session may flip the physical ts
+# form, the documented round-3 failure class).
 _SCHEMA_MEMO: dict[tuple, object] = {}
 
 
@@ -35,7 +38,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast is value-identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    skey = (id(spark), path)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    skey = (spark.sparkContext.applicationId, path, mtime)
     schema = _SCHEMA_MEMO.get(skey)
     if schema is None:
         schema = spark.read.parquet(path).schema

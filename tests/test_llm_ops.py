@@ -984,3 +984,33 @@ def test_grouped_running_sum_null_values_match_window(spark):
         "run", F.sum("v").over(w)).collect()}
     assert got == want
     assert want[("b", 0)] is None and got[("b", 0)] is None  # leading nulls
+
+
+def test_audio_energy_oracle_matches_on_non_ascii(spark):
+    """The audio-energy oracle must expand code points to UTF-8 BYTES
+    like the stub's text.encode() — a character-based oracle diverges
+    on the first umlaut (round-6 review finding).  Compared directly
+    against DuckDB on docs containing 2-, 3- and 4-byte characters."""
+    import duckdb
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
+        audio_energy,
+        to_binary_payload,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm import (
+        _MM_AUDIO_SQL,
+    )
+
+    rows = [(1, "plain ascii text here"),
+            (2, "umlauts äöü in the middle"),
+            (3, "cjk 中文 and emoji \U0001f600 tail")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.window_idx, r.n_samples, r.rms)
+        for r in audio_energy(to_binary_payload(docs, "doc_id", "text"))
+        .collect())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.sql(_MM_AUDIO_SQL).fetchall())
+    assert got == want
