@@ -32,18 +32,22 @@ triples AS (
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The star-schema KG, materialized once per query.
+    """The star-schema KG, materialized once per SESSION (kg_memo), not
+    once per query call — ~13 graph/BGP specs read it, and an oracle
+    gate or bench round would otherwise re-run the identical R2RML
+    materialize a dozen-plus times.  A BGP query scans the triples
+    relation once per pattern; the parquet-backed memo store gives each
+    scan pushdown + codegen.  This mirrors the reference's
+    architecture: the triple store is built once, then queried
+    (`create-rdf.py` → `query.ipynb`)."""
+    from .queries_sparql import kg_memo
 
-    A BGP query scans the triples relation once per pattern; without
-    materialization each pattern would re-run the whole union-of-scans.
-    This mirrors the reference's architecture: the triple store is built
-    once, then queried (`create-rdf.py` → `query.ipynb`).
-    """
-    from .spec import materialize as _cache
+    def build() -> DataFrame:
+        tables = {name: t(spark, sf_dir, name)
+                  for name in ("customer", "supplier", "nation", "region")}
+        return materialize(tables, star_schema_maps())
 
-    tables = {name: t(spark, sf_dir, name)
-              for name in ("customer", "supplier", "nation", "region")}
-    return _cache(materialize(tables, star_schema_maps()))
+    return kg_memo("star_schema", spark, sf_dir, build)
 
 
 def graph_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from .plans.r2rml import Template, TriplesMap, materialize
 from .plans.sparql import RDFS_LABEL, SKOS_ALT_LABEL, compile_sparql
 from .spec import QuerySpec, t
-from .spec import materialize as _cache
 
 FG = "https://database.factgrid.de/entity/"
 FGT = "https://database.factgrid.de/prop/direct/"
@@ -256,17 +255,27 @@ def _static_triples(spark: SparkSession) -> DataFrame:
               "lang string, dtype string")
 
 
-_KG_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# key: (applicationId, sf_dir, fixture name, source mtimes)
+_KG_MEMO: dict[tuple, DataFrame] = {}
 
 
-def kg_memo(key: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+def kg_memo(key: str, spark: SparkSession, sf_dir: str, build,
+            store: bool = True) -> DataFrame:
     """Session-scoped memo for materialized KG fixtures: the triples a
     SPARQL query scans are identical for every query in a session, so
     re-running the R2RML materialize per query (the localCheckpoint is
     per-DataFrame) is pure waste — in the oracle gate and bench that is
     dozens of rebuilds.  Keyed by (session, sf_dir, source mtimes) —
     like spec.t's table memo, regenerated testdata invalidates the
-    checkpointed fixture instead of serving it stale."""
+    checkpointed fixture instead of serving it stale.
+
+    ``store=False`` memoizes the built frame WITHOUT writing it to a
+    parquet store — for derived fixtures that are unions of frames
+    already materialized themselves (base KG store ∪ checkpointed
+    additions): re-serializing the whole base KG into a third copy per
+    derived fixture is wasted write + storage, and the memo still
+    provides the stable object identity compile_sparql's
+    prepared-statement memo keys on."""
     import glob as _glob
 
     try:
@@ -280,6 +289,8 @@ def kg_memo(key: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     # session is collected (same rule as spec._TABLE_MEMO)
     k = (spark.sparkContext.applicationId, sf_dir, key, mtimes)
     if k not in _KG_MEMO:
+        if len(_KG_MEMO) >= 256:  # bound growth across sessions/mtimes
+            _KG_MEMO.pop(next(iter(_KG_MEMO)))
         # Materialize the fixture as a PARQUET table, not a
         # localCheckpoint: checkpoint blocks deserialize the ENTIRE
         # row set on every scan, and a BGP compiles to one scan per
@@ -290,12 +301,14 @@ def kg_memo(key: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
         # 2.5 s → 1.4 s on the flagship query).  This is also the
         # reference's own shape — its KG materializes to a file
         # (create-rdf.py) before any query runs.
-        from .spec import scratch_dir
-
         df = build()
-        d = os.path.join(scratch_dir(f"kg_{key}_"), "t")
-        df.write.mode("overwrite").parquet(d)
-        _KG_MEMO[k] = spark.read.parquet(d)
+        if store:
+            from .spec import scratch_dir
+
+            d = os.path.join(scratch_dir(f"kg_{key}_"), "t")
+            df.write.mode("overwrite").parquet(d)
+            df = spark.read.parquet(d)
+        _KG_MEMO[k] = df
     return _KG_MEMO[k]
 
 
@@ -308,7 +321,10 @@ def factgrid_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cached frame (measured 2.6x on companions_and_relations).  At
     # real triple volume the natural partitioning (or subject bucketing)
     # stands — partition count should track data size.
-    return kg_memo("factgrid", spark, sf_dir, lambda: _cache(
+    # no _cache around the build: kg_memo consumes it exactly once (the
+    # parquet write IS the materialization); a localCheckpoint first
+    # would be a redundant extra pass
+    return kg_memo("factgrid", spark, sf_dir, lambda: (
         materialize(_factgrid_tables(spark, sf_dir), factgrid_maps())
         .unionByName(_static_triples(spark)).coalesce(8)
     ))
@@ -319,22 +335,30 @@ def wikidata_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     pluggable DataFrame source, per BASELINE): every third customer has a
     Wikidata item carrying the FactGrid-ID property ``wdt:P8168``; every
     fourth carries a GND id ``wdt:P227``
-    (``get_gnd_from_fg_and_wd.rq:44-48``)."""
-    c = t(spark, sf_dir, "customer")
-    ck = F.col("c_custkey")
-    subj = F.concat(F.lit(WD + "Q"), (F.lit(900000) + ck).cast("string"))
-    fg_ids = c.filter(ck % 3 == 0).select(
-        subj.alias("subject"),
-        F.lit(WDT + "P8168").alias("predicate"),
-        F.concat(F.lit("Q"), (F.lit(500000) + ck).cast("string"))
-         .alias("object"),
-    )
-    gnds = c.filter(ck % 4 == 0).select(
-        subj.alias("subject"),
-        F.lit(WDT + "P227").alias("predicate"),
-        F.concat(F.lit("wd-gnd-"), ck.cast("string")).alias("object"),
-    )
-    return fg_ids.unionByName(gnds)
+    (``get_gnd_from_fg_and_wd.rq:44-48``).
+
+    kg_memo'd: compile_sparql's prepared-statement memo keys on the
+    service frame's identity, so a fresh DataFrame per call would
+    defeat it (full recompile per invocation) and leak memo entries —
+    the same rule every other mock endpoint follows."""
+    def build() -> DataFrame:
+        c = t(spark, sf_dir, "customer")
+        ck = F.col("c_custkey")
+        subj = F.concat(F.lit(WD + "Q"), (F.lit(900000) + ck).cast("string"))
+        fg_ids = c.filter(ck % 3 == 0).select(
+            subj.alias("subject"),
+            F.lit(WDT + "P8168").alias("predicate"),
+            F.concat(F.lit("Q"), (F.lit(500000) + ck).cast("string"))
+             .alias("object"),
+        )
+        gnds = c.filter(ck % 4 == 0).select(
+            subj.alias("subject"),
+            F.lit(WDT + "P227").alias("predicate"),
+            F.concat(F.lit("wd-gnd-"), ck.cast("string")).alias("object"),
+        )
+        return fg_ids.unionByName(gnds)
+
+    return kg_memo("wikidata_service", spark, sf_dir, build)
 
 
 # ---------------------------------------------------------------------------

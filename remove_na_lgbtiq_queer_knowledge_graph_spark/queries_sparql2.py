@@ -24,8 +24,10 @@ from .queries_sparql import (
     FG,
     FGT,
     RDFS_LABEL,
+    SCHEMA,
     WD,
     WDT,
+    WIKIBASE_DC,
     factgrid_kg,
     kg_memo,
     wikidata_service,
@@ -67,9 +69,12 @@ def _property_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extended_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kg_memo("extended", spark, sf_dir, lambda: _cache(
-        factgrid_kg(spark, sf_dir).unionByName(_property_items(spark, sf_dir))
-    ))
+    # base-KG store ∪ checkpointed additions; store=False avoids
+    # re-serializing the whole base KG into a third parquet copy
+    return kg_memo("extended", spark, sf_dir, lambda:
+                   factgrid_kg(spark, sf_dir)
+                   .unionByName(_cache(_property_items(spark, sf_dir))),
+                   store=False)
 
 
 # ---------------------------------------------------------------------------
@@ -201,8 +206,6 @@ def sparql_factgrid_ids_removena(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``skos:altLabel`` aliases in the best preference language — newly
     modeled), and an OPTIONAL ``wdt:P8168`` FactGrid-id lookup inside
     the federated Wikidata SERVICE."""
-    from .queries_sparql import wikidata_service
-
     return compile_sparql(
         _ref_rq("get_factgrid_ids_from_wikidata-removena.rq"),
         factgrid_kg(spark, sf_dir),
@@ -288,9 +291,6 @@ FROM nation
 # companions_and_relations.rq — the reference's flagship relations query
 # ---------------------------------------------------------------------------
 
-RDFS = "http://www.w3.org/2000/01/rdf-schema#"
-_SCHEMA = "http://schema.org/"
-_WIKIBASE_DC = "http://wikiba.se/ontology#directClaim"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 _DBO = "http://dbpedia.org/ontology/"
@@ -303,15 +303,6 @@ _DBHIRSCH = _DBR + "Magnus_Hirschfeld"
 
 _TRIPLE_SCHEMA = ("subject string, predicate string, object string, "
                   "lang string, dtype string")
-
-
-def _tr(s, p, o, lang=None):
-    """One 5-column triple row from Column/literal parts."""
-    as_col = lambda x: x if isinstance(x, Column) else F.lit(x)  # noqa: E731
-    return [as_col(s).alias("subject"), as_col(p).alias("predicate"),
-            as_col(o).alias("object"),
-            F.lit(lang).cast("string").alias("lang"),
-            F.lit(None).cast("string").alias("dtype")]
 
 
 def _triples_from(df: DataFrame, *rows) -> DataFrame:
@@ -374,25 +365,25 @@ def _companions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         wiki = "https://www.wikidata.org/wiki/Q923420"
         kg_static = spark.createDataFrame([
-            (wiki, _SCHEMA + "about", _COMP, None, None),
-            (wiki, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
+            (wiki, SCHEMA + "about", _COMP, None, None),
+            (wiki, SCHEMA + "isPartOf", "https://www.wikidata.org/",
              None, None),
-            (wiki, _SCHEMA + "name", "Q923420", None, None),
+            (wiki, SCHEMA + "name", "Q923420", None, None),
             (_COMP, RDFS_LABEL, "Companion Zero", "de", None),
             (_COMP, RDFS_LABEL, "Companion Zero", "en", None),
-            (FG + "P703", _WIKIBASE_DC, FGT + "P703", None, None),
+            (FG + "P703", WIKIBASE_DC, FGT + "P703", None, None),
             (FG + "P703", RDFS_LABEL, "companion of", "de", None),
             (FG + "P703", RDFS_LABEL, "companion of", "en", None),
-            (FG + "P91", _WIKIBASE_DC, FGT + "P91", None, None),
+            (FG + "P91", WIKIBASE_DC, FGT + "P91", None, None),
             (FG + "P91", RDFS_LABEL, "member of", "de", None),
             (FG + "P91", RDFS_LABEL, "member of", "en", None),
             # hirschfeld root's sitelink prelude
             ("https://www.wikidata.org/wiki/Q935786",
-             _SCHEMA + "about", _HIRSCH, None, None),
+             SCHEMA + "about", _HIRSCH, None, None),
             ("https://www.wikidata.org/wiki/Q935786",
-             _SCHEMA + "isPartOf", "https://www.wikidata.org/", None, None),
+             SCHEMA + "isPartOf", "https://www.wikidata.org/", None, None),
             ("https://www.wikidata.org/wiki/Q935786",
-             _SCHEMA + "name", "Q935786", None, None),
+             SCHEMA + "name", "Q935786", None, None),
             (_HIRSCH, RDFS_LABEL, "Hirschfeld", "en", None),
         ], _TRIPLE_SCHEMA)
 
@@ -488,7 +479,8 @@ def _companions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(tag(wd_part.unionByName(wd_static), "wd"))
             .unionByName(tag(db_part.unionByName(db_static), "db"))
         )
-        return _cache(bundle.coalesce(8))
+        # no _cache: kg_memo's parquet write IS the materialization
+        return bundle.coalesce(8)
 
     return kg_memo("companions_bundle", spark, sf_dir, build)
 
@@ -516,7 +508,8 @@ def _companions_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     every BGP scan reads two cached frames."""
     return kg_memo("companions", spark, sf_dir, lambda:
                    factgrid_kg(spark, sf_dir)
-                   .unionByName(_bundle_slice(spark, sf_dir, "kg")))
+                   .unionByName(_bundle_slice(spark, sf_dir, "kg")),
+                   store=False)
 
 
 def _wd_companions_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,7 +697,7 @@ def _year_events_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
         static = spark.createDataFrame(
             [(FG + "Q401", FGT + "P3", FG + "Q9", None, None)],
             _TRIPLE_SCHEMA)
-        return _cache(frame.unionByName(static).coalesce(8))
+        return frame.unionByName(static).coalesce(8)
 
     return kg_memo("year_events", spark, sf_dir, build)
 
@@ -888,7 +881,6 @@ SELECT '{FG}Q82794', 'geographical region',
 # ---------------------------------------------------------------------------
 
 _APPS = "/root/reference/apps/"
-_WIKIBASE_PTYPE = "http://wikiba.se/ontology#propertyType"
 
 
 def _app_query(app: str, func: str, **params: str) -> str:
@@ -1001,25 +993,24 @@ def _compare_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.lit(820000) + n).cast("string"))
         nat_sitelinks = _triples_from(
             nation,
-            (None, wiki, _SCHEMA + "about",
+            (None, wiki, SCHEMA + "about",
              F.concat(F.lit(FG + "Q"), (F.lit(225300) + n).cast("string"))),
-            (None, wiki, _SCHEMA + "isPartOf", "https://www.wikidata.org/"),
-            (None, wiki, _SCHEMA + "name",
+            (None, wiki, SCHEMA + "isPartOf", "https://www.wikidata.org/"),
+            (None, wiki, SCHEMA + "name",
              F.concat(F.lit("Q"), (F.lit(820000) + n).cast("string"))),
         )
         static = spark.createDataFrame([
-            (FG + "P83", _WIKIBASE_PTYPE,
+            (FG + "P83", WIKIBASE_PTYPE,
              "http://wikiba.se/ontology#WikibaseItem", None, None),
             (FG + "P83", FGT + "P343", "P2083", None, None),
-            (FG + "P76", _WIKIBASE_PTYPE,
+            (FG + "P76", WIKIBASE_PTYPE,
              "http://wikiba.se/ontology#ExternalId", None, None),
             (FG + "P76", FGT + "P343", "P227", None, None),
         ], _TRIPLE_SCHEMA)
-        return _cache(
-            factgrid_kg(spark, sf_dir).unionByName(nat_sitelinks)
-            .unionByName(static).coalesce(8))
+        return factgrid_kg(spark, sf_dir).unionByName(
+            _cache(nat_sitelinks.unionByName(static).coalesce(4)))
 
-    return kg_memo("compare", spark, sf_dir, build)
+    return kg_memo("compare", spark, sf_dir, build, store=False)
 
 
 def _wd_compare_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,14 +1095,13 @@ def _time_statement_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (None, vn2, _WB + "timePrecision", "7"),
         )
         static = spark.createDataFrame([
-            (FG + "P49", _WIKIBASE_PTYPE, _WB + "Time", None, None),
+            (FG + "P49", WIKIBASE_PTYPE, _WB + "Time", None, None),
             (FG + "P49", FGT + "P343", "P571", None, None),
         ], _TRIPLE_SCHEMA)
-        return _cache(
-            _compare_kg(spark, sf_dir).unionByName(reified)
-            .unionByName(static).coalesce(8))
+        return _compare_kg(spark, sf_dir).unionByName(
+            _cache(reified.unionByName(static).coalesce(4)))
 
-    return kg_memo("time_statements", spark, sf_dir, build)
+    return kg_memo("time_statements", spark, sf_dir, build, store=False)
 
 
 def _wd_time_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,9 +1214,9 @@ def _time_items_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation,
             (n % 2 == 1, item, FGT + "P131", FG + "Q400012"),
             (None, item, RDFS_LABEL, F.col("n_name"), "en"),
-            (None, wiki, _SCHEMA + "about", item),
-            (None, wiki, _SCHEMA + "isPartOf", "https://www.wikidata.org/"),
-            (None, wiki, _SCHEMA + "name",
+            (None, wiki, SCHEMA + "about", item),
+            (None, wiki, SCHEMA + "isPartOf", "https://www.wikidata.org/"),
+            (None, wiki, SCHEMA + "name",
              F.concat(F.lit("Q"), (F.lit(880000) + n).cast("string"))),
             (None, item, FGT + "P38", raw),
             (None, item, _FGP + "P38", stmt),
@@ -1239,10 +1229,10 @@ def _time_items_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (None, vn2, _WB + "timePrecision", "7"),
         )
         static = spark.createDataFrame([
-            (FG + "P38", _WIKIBASE_PTYPE, _WB + "Time", None, None),
+            (FG + "P38", WIKIBASE_PTYPE, _WB + "Time", None, None),
             (FG + "P38", FGT + "P343", "P571", None, None),
         ], _TRIPLE_SCHEMA)
-        return _cache(triples.unionByName(static).coalesce(4))
+        return triples.unionByName(static).coalesce(4)
 
     return kg_memo("time_items_kg", spark, sf_dir, build)
 
@@ -1444,26 +1434,26 @@ def _network02_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
         reg_qid = F.concat(F.lit("Q"), (F.lit(930000) + r).cast("string"))
         extra = _triples_from(
             nation,
-            (None, nat_link, _SCHEMA + "about", nat_item),
-            (None, nat_link, _SCHEMA + "isPartOf", "https://www.wikidata.org/"),
-            (None, nat_link, _SCHEMA + "name", nat_qid),
+            (None, nat_link, SCHEMA + "about", nat_item),
+            (None, nat_link, SCHEMA + "isPartOf", "https://www.wikidata.org/"),
+            (None, nat_link, SCHEMA + "name", nat_qid),
         ).unionByName(_triples_from(
             region,
             (None, reg_item, _FGP + "P2", reg_stmt),
             (None, reg_stmt, _FGPS + "P2", FG + "Q82794"),
-            (None, reg_link, _SCHEMA + "about", reg_item),
-            (None, reg_link, _SCHEMA + "isPartOf", "https://www.wikidata.org/"),
-            (None, reg_link, _SCHEMA + "name", reg_qid),
+            (None, reg_link, SCHEMA + "about", reg_item),
+            (None, reg_link, SCHEMA + "isPartOf", "https://www.wikidata.org/"),
+            (None, reg_link, SCHEMA + "name", reg_qid),
         ))
         stmt_c = "https://database.factgrid.de/statement/P2-country"
         link_c = "https://www.wikidata.org/wiki/Qcountry"
         static = spark.createDataFrame([
             (FG + "Q6256", _FGP + "P2", stmt_c, None, None),
             (stmt_c, _FGPS + "P2", FG + "Q12", None, None),
-            (link_c, _SCHEMA + "about", FG + "Q6256", None, None),
-            (link_c, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
+            (link_c, SCHEMA + "about", FG + "Q6256", None, None),
+            (link_c, SCHEMA + "isPartOf", "https://www.wikidata.org/",
              None, None),
-            (link_c, _SCHEMA + "name", "Q6256WD", None, None),
+            (link_c, SCHEMA + "name", "Q6256WD", None, None),
             (FG + "Q82794", FGT + "P3", FG + "Q11214", None, None),
         ], _TRIPLE_SCHEMA)
         # factgrid_kg is already checkpointed; materialize only the
@@ -1471,7 +1461,7 @@ def _network02_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return factgrid_kg(spark, sf_dir).unionByName(
             _cache(extra.unionByName(static).coalesce(4)))
 
-    return kg_memo("network02", spark, sf_dir, build)
+    return kg_memo("network02", spark, sf_dir, build, store=False)
 
 
 def _network02_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,10 +1565,10 @@ def _compare_rq_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.concat(F.lit(FG + "Q"), (F.lit(225300) + n).cast("string"))),
         )
         static = spark.createDataFrame([
-            (link, _SCHEMA + "about", root, None, None),
-            (link, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
+            (link, SCHEMA + "about", root, None, None),
+            (link, SCHEMA + "isPartOf", "https://www.wikidata.org/",
              None, None),
-            (link, _SCHEMA + "name", "Q7002234", None, None),
+            (link, SCHEMA + "name", "Q7002234", None, None),
             (root, RDFS_LABEL, "Root Compare", "de", None),
             (root, RDFS_LABEL, "Root Compare", "en", None),
             (FG + "P117", FGT + "P343", "P2083", None, None),
@@ -1586,7 +1576,7 @@ def _compare_rq_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _compare_kg(spark, sf_dir).unionByName(
             _cache(stmts.unionByName(static)))
 
-    return kg_memo("compare_rq", spark, sf_dir, build)
+    return kg_memo("compare_rq", spark, sf_dir, build, store=False)
 
 
 def _compare_rq_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,10 +1732,10 @@ def _network03_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         static = spark.createDataFrame([
-            (link, _SCHEMA + "about", root, None, None),
-            (link, _SCHEMA + "isPartOf", "https://www.wikidata.org/",
+            (link, SCHEMA + "about", root, None, None),
+            (link, SCHEMA + "isPartOf", "https://www.wikidata.org/",
              None, None),
-            (link, _SCHEMA + "name", "Q940001", None, None),
+            (link, SCHEMA + "name", "Q940001", None, None),
             (root, FGT + "P47", nbr, None, None),
             (nbr, FGT + "P2", FG + "Q7", None, None),
             (nbr, _FGP + "P2", stmt, None, None),
@@ -1753,7 +1743,7 @@ def _network03_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ], _TRIPLE_SCHEMA)
         return _network02_kg(spark, sf_dir).unionByName(_cache(static))
 
-    return kg_memo("network03", spark, sf_dir, build)
+    return kg_memo("network03", spark, sf_dir, build, store=False)
 
 
 def sparql_network_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
