@@ -69,12 +69,9 @@ def _property_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extended_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # base-KG store ∪ checkpointed additions; store=False avoids
-    # re-serializing the whole base KG into a third parquet copy
     return kg_memo("extended", spark, sf_dir, lambda:
                    factgrid_kg(spark, sf_dir)
-                   .unionByName(_cache(_property_items(spark, sf_dir))),
-                   store=False)
+                   .unionByName(_property_items(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -503,13 +500,14 @@ def _companions_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(fgt:P2/fgt:P3*)`` path), and OPTIONAL ``fgt:P189`` images on a
     subset of the related items (`companions_and_relations.rq:36-67`).
     Kept separate from ``factgrid_kg`` so existing oracles are
-    untouched.  Both halves are already materialized (factgrid_kg's own
-    checkpoint + the bundle), so the union needs no third checkpoint —
-    every BGP scan reads two cached frames."""
+    untouched.  The union is re-materialized into its own parquet store
+    (kg_memo): the flagship query scans this fixture 69 times per run,
+    and a measured store=False variant (scanning base store + slice
+    store per pattern) cost it 1.13 s → 1.55 s at sf0.1 — one extra
+    session-setup write buys the single-store scan every pattern."""
     return kg_memo("companions", spark, sf_dir, lambda:
                    factgrid_kg(spark, sf_dir)
-                   .unionByName(_bundle_slice(spark, sf_dir, "kg")),
-                   store=False)
+                   .unionByName(_bundle_slice(spark, sf_dir, "kg")))
 
 
 def _wd_companions_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,9 +1006,9 @@ def _compare_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (FG + "P76", FGT + "P343", "P227", None, None),
         ], _TRIPLE_SCHEMA)
         return factgrid_kg(spark, sf_dir).unionByName(
-            _cache(nat_sitelinks.unionByName(static).coalesce(4)))
+            nat_sitelinks.unionByName(static).coalesce(4))
 
-    return kg_memo("compare", spark, sf_dir, build, store=False)
+    return kg_memo("compare", spark, sf_dir, build)
 
 
 def _wd_compare_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,9 +1097,9 @@ def _time_statement_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (FG + "P49", FGT + "P343", "P571", None, None),
         ], _TRIPLE_SCHEMA)
         return _compare_kg(spark, sf_dir).unionByName(
-            _cache(reified.unionByName(static).coalesce(4)))
+            reified.unionByName(static).coalesce(4))
 
-    return kg_memo("time_statements", spark, sf_dir, build, store=False)
+    return kg_memo("time_statements", spark, sf_dir, build)
 
 
 def _wd_time_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,12 +1454,10 @@ def _network02_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (link_c, SCHEMA + "name", "Q6256WD", None, None),
             (FG + "Q82794", FGT + "P3", FG + "Q11214", None, None),
         ], _TRIPLE_SCHEMA)
-        # factgrid_kg is already checkpointed; materialize only the
-        # additions (companions-bundle pattern — no third checkpoint)
         return factgrid_kg(spark, sf_dir).unionByName(
-            _cache(extra.unionByName(static).coalesce(4)))
+            extra.unionByName(static).coalesce(4))
 
-    return kg_memo("network02", spark, sf_dir, build, store=False)
+    return kg_memo("network02", spark, sf_dir, build)
 
 
 def _network02_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1574,9 +1570,9 @@ def _compare_rq_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (FG + "P117", FGT + "P343", "P2083", None, None),
         ], _TRIPLE_SCHEMA)
         return _compare_kg(spark, sf_dir).unionByName(
-            _cache(stmts.unionByName(static)))
+            stmts.unionByName(static))
 
-    return kg_memo("compare_rq", spark, sf_dir, build, store=False)
+    return kg_memo("compare_rq", spark, sf_dir, build)
 
 
 def _compare_rq_service(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,9 +1737,9 @@ def _network03_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nbr, _FGP + "P2", stmt, None, None),
             (stmt, _FGPS + "P2", FG + "Q7", None, None),
         ], _TRIPLE_SCHEMA)
-        return _network02_kg(spark, sf_dir).unionByName(_cache(static))
+        return _network02_kg(spark, sf_dir).unionByName(static)
 
-    return kg_memo("network03", spark, sf_dir, build, store=False)
+    return kg_memo("network03", spark, sf_dir, build)
 
 
 def sparql_network_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
