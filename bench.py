@@ -126,17 +126,21 @@ def main() -> None:
     # over the same parquet (single-node engine as the reference would
     # run).  Ratio compares only the oracle-covered subset.
     duck_times: dict[str, float] = {}
+    baseline_error = None
     try:
         import duckdb
 
+        from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import (
+            TABLES,
+        )
+
         con = duckdb.connect()
-        for tbl in ("region", "nation", "customer", "supplier", "part",
-                    "orders", "lineitem", "events", "documents",
-                    "embeddings"):
+        for tbl in TABLES:
             con.sql(f"CREATE VIEW {tbl} AS "
                     f"SELECT * FROM '{sf_dir}/{tbl}.parquet'")
         for name in HEADLINE:
-            if specs[name].oracle is None or name in errors:
+            if name not in specs or specs[name].oracle is None \
+                    or name in errors:
                 continue
             best = None
             try:
@@ -148,8 +152,11 @@ def main() -> None:
                 duck_times[name] = round(best, 3)
             except Exception:
                 continue
-    except Exception:
-        duck_times = {}
+    except Exception as exc:  # noqa: BLE001 — reported, not swallowed
+        # keep any per-query timings collected before the failure and
+        # SAY the baseline broke — a silently-empty baseline reads as
+        # "not configured" (same rule as fixture_warmup_error)
+        baseline_error = f"{type(exc).__name__}: {exc}"[:300]
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -168,6 +175,8 @@ def main() -> None:
     }
     if warmup_error:
         out["fixture_warmup_error"] = warmup_error
+    if baseline_error:
+        out["duckdb_baseline_error"] = baseline_error
     if errors:
         out["errors"] = errors
     if duck_times:

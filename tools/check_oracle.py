@@ -36,6 +36,32 @@ def normalize(rows, cols):
     return out
 
 
+def _max_float_delta(ns: list[str], nd: list[str]) -> float | None:
+    """Max abs per-field float difference between the two normalized
+    row lists, paired positionally after the sort — distinguishes
+    1e-12 summation noise from a real value bug at a glance.  None
+    when the lists differ structurally (lengths, non-float fields)."""
+    if len(ns) != len(nd):
+        return None
+    worst = 0.0
+    saw_float = False
+    for a, b in zip(ns, nd):
+        if a == b:
+            continue
+        fa, fb = a.split("\x1f"), b.split("\x1f")
+        if len(fa) != len(fb):
+            return None
+        for x, y in zip(fa, fb):
+            if x == y:
+                continue
+            try:
+                worst = max(worst, abs(float(x) - float(y)))
+                saw_float = True
+            except ValueError:
+                pass
+    return worst if saw_float else None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -49,14 +75,21 @@ def main() -> int:
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
     from remove_na_lgbtiq_queer_knowledge_graph_spark.session import get_spark
 
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import TABLES
+
     spark = get_spark("oracle_check")
     con = duckdb.connect()
-    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
-                "lineitem", "events", "documents", "embeddings"):
+    for tbl in TABLES:
         con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{args.sf}/{tbl}.parquet'")
 
     specs = all_specs()
     names = args.names or list(specs)
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        # fail BEFORE spending minutes of Spark work that a mid-run
+        # KeyError would throw away (incl. the --json output)
+        print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        return 2
     n_pass = n_fail = n_rows_only = 0
     results: dict[str, dict] = {}
     for name in names:
@@ -103,9 +136,12 @@ def main() -> int:
             ns, nd = normalize(srows, scols), normalize(drows, dcols)
             hash_match = ns == nd
             if not hash_match:
-                diff_s = [r for r in ns if r not in set(nd)][:3]
-                diff_d = [r for r in nd if r not in set(ns)][:3]
-                problems.append(f"values differ; spark-only={diff_s} duckdb-only={diff_d}")
+                snd, sns = set(nd), set(ns)  # hoisted: O(n+m), not O(n*m)
+                diff_s = [r for r in ns if r not in snd][:3]
+                diff_d = [r for r in nd if r not in sns][:3]
+                problems.append(
+                    f"values differ; spark-only={diff_s} duckdb-only={diff_d}"
+                    f"; max_float_delta={_max_float_delta(ns, nd)}")
         results[name] = {
             "rows_match": rows_match, "schema_match": schema_match,
             "hash_match": hash_match, "spark_rows": len(srows),

@@ -40,6 +40,16 @@ def build_fixture(spark, sf_dir: str, out_dir: str, copies: int = 10):
     base = docs.withColumn("doc_id", F.col("doc_id") * n)
     base.unionByName(copies_df).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet")
+    # the CLI accepts ANY registry name; link the other sf tables in so
+    # a non-documents query doesn't crash the 10x leg after its
+    # baseline was already timed
+    import os
+
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            dst = f"{out_dir}/{f}"
+            if not os.path.exists(dst):
+                os.symlink(f"{sf_dir}/{f}", dst)
 
 
 def main():
@@ -80,7 +90,8 @@ def main():
             else:
                 fn = specs[name].fn
             row = {"name": name}
-            for label, d in (("sf0.1", args.sf), ("10x", scratch)):
+            base_label = __import__("os").path.basename(args.sf.rstrip("/"))
+            for label, d in ((base_label, args.sf), ("10x", scratch)):
                 best, rows = None, None
                 for _ in range(args.passes):
                     t0 = time.monotonic()
@@ -89,7 +100,7 @@ def main():
                     best = dt if best is None else min(best, dt)
                 row[label] = round(best, 2)
                 row[f"{label}_rows"] = rows
-            row["growth"] = round(row["10x"] / row["sf0.1"], 1)
+            row["growth"] = round(row["10x"] / row[base_label], 1)
             print(row, flush=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

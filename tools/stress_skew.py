@@ -53,11 +53,17 @@ def main():
             "l_orderkey", "l_extendedprice")
         orders = spark.read.parquet(f"{args.sf}/orders.parquet").select(
             F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+        if not (0 < args.share < 1):
+            raise SystemExit(f"--share must be in (0, 1), got {args.share}")
         hot = li.select(F.min("l_orderkey")).first()[0]
-        mod = int(round(1 / args.share))
+        # hash-range threshold, not int(round(1/share)): a modulus
+        # silently distorts the requested share (0.4 -> actual 0.5)
+        # and degenerates to remapping EVERY row at share >= 2/3
+        thresh = int(args.share * 10_000)
         skewed = li.withColumn(
             "l_orderkey",
-            F.when(F.xxhash64("l_orderkey", "l_extendedprice") % mod == 0,
+            F.when(F.pmod(F.xxhash64("l_orderkey", "l_extendedprice"),
+                          F.lit(10_000)) < thresh,
                    F.lit(hot)).otherwise(F.col("l_orderkey")))
         skewed.write.mode("overwrite").parquet(f"{scratch}/li")
         sk = spark.read.parquet(f"{scratch}/li")
