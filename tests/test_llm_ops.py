@@ -136,6 +136,9 @@ def test_bucketed_topk_subset_of_brute(spark):
     q = emb.filter(F.col("vec_id") == 0)
     brute = {(r.query_id, r.cand_id): r.cos_sim for r in brute_force_topk(emb, q, k=4).collect()}
     bucketed = bucketed_topk(emb, q, k=4, n_bits=2).collect()
+    # the same-bucket survivors MUST be present — an operator returning
+    # zero rows would pass every loop/all() below vacuously
+    assert {r.cand_id for r in bucketed} == {1, 2}
     for r in bucketed:
         assert brute[(r.query_id, r.cand_id)] == r.cos_sim  # same scores
     # vec 3 has opposite sign bucket → pruned by LSH
@@ -770,6 +773,13 @@ def test_ivf_topk_preserves_string_centroid_ids(spark):
     rows = out.collect()
     assert rows, "string-centroid path must produce candidates"
     assert all(isinstance(r.rk, int) for r in rows)
+    # the actual contract: candidates come from the right CELLS, which
+    # requires the string ids to survive assignment + probe mapback —
+    # queries 0 (x-axis) and 1 (y-axis) must each rank their own-cell
+    # corpus vectors first
+    got = {(r.query_id, r.rk): r.cand_id for r in rows}
+    assert got[(0, 1)] in (3, 6)   # other multiples of 3 = x-cell
+    assert got[(1, 1)] in (4, 7)   # 1 mod 3 = y-cell
 
 
 def test_brute_force_topk_collects_query_side_only(spark, monkeypatch):

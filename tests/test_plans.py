@@ -52,6 +52,11 @@ def test_flagship_broadcasts_dims_and_pushes_topk(spark, sf_dir):
 def test_ivf_probe_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, "ann_ivf_topk", sf_dir)
     assert "SortMergeJoin" not in plan
+    # SortMergeJoin absence alone would also pass on a nested-loop /
+    # cartesian plan — the O(corpus × queries) shape this lock exists
+    # to forbid
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_blocked_similarity_has_no_cross_join(spark, sf_dir):
@@ -117,9 +122,14 @@ def test_pack_sequences_window_is_partitioned(spark, sf_dir):
 
     df = all_specs()["pack_sequences"].fn(spark, sf_dir)
     simple = df._jdf.queryExecution().executedPlan().toString()
-    for line in simple.splitlines():
-        if "Window" in line and "windowspecdefinition" in line:
-            assert "shard" in line
+    window_lines = [line for line in simple.splitlines()
+                    if "Window" in line and "windowspecdefinition" in line]
+    # at least one window must be present and checked — an empty match
+    # list would pass vacuously while the windowless refactor this
+    # test exists to catch ships
+    assert window_lines
+    for line in window_lines:
+        assert "shard" in line
 
 
 def test_mix_domains_rates_are_broadcast(spark, sf_dir):
@@ -127,6 +137,17 @@ def test_mix_domains_rates_are_broadcast(spark, sf_dir):
     the corpus on source."""
     plan = _plan(spark, "mix_domains", sf_dir)
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the CORPUS joins the rate dimension hash-wise; the only nested
+    # loop allowed is the documented 1-row totals broadcast onto the
+    # per-source counts (dimension-side, never the corpus)
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    # formatted plans print each node twice (tree + detail) — count
+    # physical nodes via their detail headers "(n) BroadcastNested..."
+    bnlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj_nodes) <= 1, plan
 
 
 def test_sparql_aggregation_is_partial(spark, sf_dir):

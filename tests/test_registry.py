@@ -49,8 +49,11 @@ def test_rotation_orders_by_staleness():
     # it asserted transient artifact state, not a code invariant.)
     assert rounds == sorted(rounds)
     # Never-verified entries (round 0), when any exist, form a prefix.
+    # (default=len(rounds): all-unverified is a valid state — e.g.
+    # after a mass rename — not an opaque StopIteration)
     if 0 in rounds:
-        first_verified = next(i for i, r in enumerate(rounds) if r > 0)
+        first_verified = next(
+            (i for i, r in enumerate(rounds) if r > 0), len(rounds))
         assert all(r == 0 for r in rounds[:first_verified])
     # And a name absent from every artifact would sort before any
     # verified name — the staleness key treats unknown as round 0.
@@ -68,5 +71,8 @@ def test_driver_entry_surface():
     spec.loader.exec_module(mod)
     qs = mod.queries()
     os_ = mod.oracle_sql()
-    assert set(os_) <= set(qs)
+    # exact key agreement, not subset: every spec carries an oracle by
+    # contract, and `<=` would hold trivially if oracle_sql() regressed
+    # to {} — silently downgrading the whole gate to rows-only checks
+    assert set(os_) == set(qs)
     assert all(callable(fn) for fn in qs.values())

@@ -97,6 +97,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         li.withColumnRenamed("l_orderkey", "o_orderkey"),
         "lineitem_b", str(tmp_path / "lineitem_b"), "o_orderkey", 8,
     )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
@@ -106,7 +107,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         # and it actually computes
         assert joined.count() == li.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # restore what was actually set (session-scoped conf — a
+        # hardcoded constant here would leak into later tests if the
+        # factory value ever changes)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 

@@ -256,7 +256,7 @@ def test_r_template_missing_param_raises():
         render(t)
 
 
-def test_companions_union_distribution_plan(spark):
+def test_companions_union_distribution_plan(spark, sf_dir):
     """Plan lock for the per-branch UNION join distribution: the
     companions flagship must stay free of single-partition exchanges,
     and its only cartesians are the 1-row constant-BIND seeds Catalyst
@@ -264,7 +264,7 @@ def test_companions_union_distribution_plan(spark):
     from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_sparql2 import (
         sparql_companions)
 
-    plan = sparql_companions(spark, "/root/testdata/sf0.001")._jdf \
+    plan = sparql_companions(spark, sf_dir)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert plan.count("CartesianProduct") <= 3
@@ -380,7 +380,7 @@ def test_alt_label_service(spark):
     assert got["urn:b"] == ("Item B", None)
 
 
-def test_network03_empty_at_the_closure_not_the_prelude(spark):
+def test_network03_empty_at_the_closure_not_the_prelude(spark, sf_dir):
     """network-03-federated.rq returns nothing AS SHIPPED because its
     ``(fgps:P2/(wdt:P3*))`` closure targets a VALUES whitelist in the
     WIKIDATA namespace that FactGrid statement values never reach.
@@ -392,8 +392,7 @@ def test_network03_empty_at_the_closure_not_the_prelude(spark):
         _ref_rq,
     )
 
-    sf = "/root/testdata/sf0.001"
-    kg = _network03_kg(spark, sf)
+    kg = _network03_kg(spark, sf_dir)
     rq = _ref_rq("network-03-federated.rq")
     assert compile_sparql(rq, kg).count() == 0
     fg_values = rq.replace("VALUES ?entities { wd:Q7 wd:Q12 wd:Q11214}",
