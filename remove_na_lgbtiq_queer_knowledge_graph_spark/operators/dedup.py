@@ -262,8 +262,11 @@ def jaccard_pairs(
     in gram hotness: a 10×-duplicated corpus grew its wall time 9.4×
     (PLANS.md duplication-stress table) where prefix grew 2.6×, and on
     a crawl corpus with real duplication the direct shuffle is a
-    skewed-key bomb.  Prefix costs one extra df-ranking pass (+0.2 s at
-    sf0.1 where nothing is hot) and degrades gracefully: hot grams sort
+    skewed-key bomb.  Prefix costs one extra df-ranking pass — ~0.1 s
+    over the direct join at sf0.1 where nothing is hot (1.35 s vs
+    1.25 s same-session min-of-4, after the r7 plan work: df as a
+    COUNT window on the gram key, no checkpoint before the candidate
+    self-join) — and degrades gracefully: hot grams sort
     last in the df-order and drop out of every prefix automatically, so
     no routing heuristic is needed.  Auto-routing on a sampled max-df
     estimate (the ``salted_join`` gate pattern) was considered and
@@ -356,11 +359,16 @@ def jaccard_pairs_prefix(
 
     sh = materialize(sh)
     blk = [block_col] if block_col else []
-    dfreq = sh.groupBy(*blk, "shingle").agg(F.count("*").alias("__df"))
+    # document frequency as a COUNT window over the gram key, not a
+    # groupBy + join back: both shapes shuffle sh once on (block, gram),
+    # but the join additionally pays the dfreq aggregation exchange and
+    # the join itself — measured 0.92 s vs 0.59 s for this pass at
+    # sf0.1, and the window is strictly fewer exchanges at any scale.
+    wdf = Window.partitionBy(*blk, "shingle")
     w = Window.partitionBy("id").orderBy("__df", "shingle")
     wc = Window.partitionBy("id")
     prefix = (
-        sh.join(dfreq, blk + ["shingle"])
+        sh.withColumn("__df", F.count("*").over(wdf))
         .select(*blk, "id", "shingle",
                 F.row_number().over(w).alias("__rn"),
                 F.count("*").over(wc).alias("__card"))
@@ -374,6 +382,15 @@ def jaccard_pairs_prefix(
                 F.floor((1.0 - min_sim) * F.col("__card") + 1e-9) + 1)
         .select(*blk, "id", "shingle")
     )
+    # deliberately NOT materialized before the self-join: the two
+    # candidate sides canonicalize to the same exchanges, so Spark's
+    # ReusedExchange computes the df/rank windows once — a
+    # localCheckpoint here was A/B-measured STRICTLY worse (sf0.1
+    # 1.78 s vs 1.35 s; 10x-duplication corpus 10.7 s vs 5.2 s): it
+    # pays serialization plus per-scan block deserialization and saves
+    # nothing the shuffle reuse wasn't already saving.  (This differs
+    # from `sh`, whose consumers sit in SEPARATE queries/branches where
+    # no exchange reuse applies.)
     cand = (
         prefix.select(*blk, F.col("id").alias("id_1"), "shingle")
         .join(prefix.select(*blk, F.col("id").alias("id_2"), "shingle"),
@@ -426,7 +443,10 @@ def overlap_spans(
     true duplication/boilerplate, which is the pair mass the operator
     exists to surface.  ``max_df`` caps pathological boilerplate grams
     (a df-capped gram can only split a reported span, never invent
-    one).  The islands merge is a per-(pair, diagonal) window over
+    one — and a span ALL of whose anchors have df ≤ max_df returns
+    exactly, so recall of rare-anchor mass is 1.0; both pinned
+    quantitatively in ``tests/test_llm_ops.py::
+    test_overlap_spans_max_df_recall_bound``).  The islands merge is a per-(pair, diagonal) window over
     anchor counts — rows ∝ matching anchors, not corpus size.
 
     ``other``: cross-corpus mode — spans between ``df`` documents

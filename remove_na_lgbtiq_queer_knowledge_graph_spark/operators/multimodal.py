@@ -4,16 +4,20 @@ Images/audio/video are opaque ``binary`` columns with typed metadata
 structs.  The Spark-side machinery — schema, Arrow batch shape,
 ``mapInPandas`` signatures, partitioning — is real and tested.
 
-Codec status, honestly: COMPRESSED formats (jpeg/png/mp3/mp4) are
-STUBBED (their codec libs aren't in this container) behind
-``decode_stub``, a deterministic fake that derives pseudo metadata from
-the byte content so plumbing and oracles stay checkable; swapping in
-PIL/librosa/ffmpeg changes only the body of the pandas function, not
-the plan.  Self-describing formats are REAL: ``decode_wav_real``
-parses actual RIFF/WAVE PCM with the stdlib ``wave`` module and
-``decode_ppm_real`` parses actual binary netpbm (P6/P5) — both are
-exercised end-to-end by encode→decode round-trip registry queries with
-analytic oracles (``mm_wav_real_decode`` / ``mm_ppm_real_decode``).
+Codec status, honestly: jpeg/mp3/mp4 are STUBBED (their codec libs
+aren't in this container — PIL/librosa absence re-confirmed round 7)
+behind ``decode_stub``, a deterministic fake that derives pseudo
+metadata from the byte content so plumbing and oracles stay checkable;
+swapping in PIL/librosa/ffmpeg changes only the body of the pandas
+function, not the plan.  Three formats are REAL: ``decode_wav_real``
+parses actual RIFF/WAVE PCM with the stdlib ``wave`` module,
+``decode_ppm_real`` parses actual binary netpbm (P6/P5), and — round
+7 — ``decode_png_real`` parses actual PNG (chunk walk + CRCs + zlib
+inflate + all five scanline filters; DEFLATE is stdlib ``zlib``, so
+png never needed PIL).  All three are exercised end-to-end by
+encode→decode round-trip registry queries with analytic oracles
+(``mm_wav_real_decode`` / ``mm_ppm_real_decode`` /
+``mm_png_real_decode``).
 """
 
 from __future__ import annotations
@@ -75,9 +79,9 @@ def decode_metadata(payloads: DataFrame, decode_fn=decode_stub,
 def not_implemented_real_decode() -> None:
     """Marker for the real codec path (compressed formats only)."""
     raise NotImplementedError(
-        "jpeg/png/mp3 decode requires PIL/librosa; container ships neither — "
-        "see decode_wav_real / decode_ppm_real for the formats that need "
-        "only stdlib+numpy"
+        "jpeg/mp3 decode requires PIL/librosa; container ships neither — "
+        "see decode_wav_real / decode_ppm_real / decode_png_real for the "
+        "formats that need only stdlib+numpy"
     )
 
 
@@ -243,6 +247,165 @@ def decode_ppm_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["height"].append(height)
             out["maxval"].append(maxval)
             out["mean_px"].append(round(float(int(px.sum(dtype=np.int64))) / n_px, 6))
+        yield pd.DataFrame(out)
+
+
+PNG_META_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, bit_depth bigint, "
+    "color_type bigint, mean_px double"
+)
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_gradient(doc_id: int, width: int, height: int) -> bytes:
+    """REAL PNG bytes (round 7): 8-bit grayscale gradient
+    ``px[i,j] = (i + j + doc_id) % 256`` — spec-conformant signature,
+    IHDR/IDAT/IEND chunks with CRCs, zlib-compressed filtered
+    scanlines.  PNG needs nothing beyond stdlib ``zlib``, so unlike
+    jpeg/mp3 it moves off the stub list.  Scanline filters CYCLE
+    ``row % 5`` through None/Sub/Up/Average/Paeth so a decoder must
+    implement all five to reconstruct the gradient."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw_rows = [
+        bytes((i + j + doc_id) % 256 for j in range(width))
+        for i in range(height)
+    ]
+    stream = bytearray()
+    for i, row in enumerate(raw_rows):
+        ft = i % 5
+        prior = raw_rows[i - 1] if i else bytes(width)
+        stream.append(ft)
+        for j in range(width):
+            left = row[j - 1] if j else 0
+            up = prior[j]
+            upleft = prior[j - 1] if j else 0
+            if ft == 0:
+                f = row[j]
+            elif ft == 1:
+                f = row[j] - left
+            elif ft == 2:
+                f = row[j] - up
+            elif ft == 3:
+                f = row[j] - (left + up) // 2
+            else:
+                f = row[j] - _paeth(left, up, upleft)
+            stream.append(f & 0xFF)
+    return (sig + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_payload_builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id) → (doc_id, payload): real PNG bytes, width = 16+id%16,
+    height = 12+id%8 (the PPM grid)."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "payload": [
+                encode_png_gradient(int(d), 16 + int(d) % 16, 12 + int(d) % 8)
+                for d in ids
+            ],
+        })
+
+
+def decode_png_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL PNG decode, pure stdlib-``zlib`` + python: signature check,
+    chunk walk with CRC verification, IHDR parse, IDAT concat +
+    decompress, per-scanline UNFILTER of all five PNG filter types
+    (None/Sub/Up/Average/Paeth), exact integer pixel sum.  Supports
+    8-bit greyscale (color type 0) and RGB (2), non-interlaced — the
+    subset the lake's synthetic payloads and most ML thumbnails need;
+    anything else raises like a real decoder on an unsupported
+    variant.  Raises ``ValueError`` on bad signature, CRC mismatch, or
+    truncated raster."""
+    import struct
+    import zlib
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [], "bit_depth": [],
+            "color_type": [], "mean_px": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            if raw[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG signature")
+            pos, ihdr, idat = 8, None, bytearray()
+            while pos < len(raw):
+                (length,) = struct.unpack(">I", raw[pos:pos + 4])
+                tag = raw[pos + 4:pos + 8]
+                data = raw[pos + 8:pos + 8 + length]
+                (crc,) = struct.unpack(
+                    ">I", raw[pos + 8 + length:pos + 12 + length])
+                if crc != zlib.crc32(tag + data):
+                    raise ValueError(f"CRC mismatch in {tag!r}")
+                if tag == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif tag == b"IDAT":
+                    idat.extend(data)
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None:
+                raise ValueError("missing IHDR")
+            width, height, depth, ctype, _, _, interlace = ihdr
+            if depth != 8 or ctype not in (0, 2) or interlace:
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} "
+                    f"color_type={ctype} interlace={interlace}")
+            bpp = 1 if ctype == 0 else 3
+            stride = width * bpp
+            stream = zlib.decompress(bytes(idat))
+            if len(stream) != (stride + 1) * height:
+                raise ValueError("truncated PNG raster")
+            prior = bytearray(stride)
+            total = 0
+            for i in range(height):
+                ft = stream[i * (stride + 1)]
+                line = bytearray(
+                    stream[i * (stride + 1) + 1:(i + 1) * (stride + 1)])
+                if ft > 4:
+                    raise ValueError(f"bad filter type {ft}")
+                for x in range(stride):
+                    left = line[x - bpp] if x >= bpp else 0
+                    up = prior[x]
+                    upleft = prior[x - bpp] if x >= bpp else 0
+                    if ft == 1:
+                        line[x] = (line[x] + left) & 0xFF
+                    elif ft == 2:
+                        line[x] = (line[x] + up) & 0xFF
+                    elif ft == 3:
+                        line[x] = (line[x] + (left + up) // 2) & 0xFF
+                    elif ft == 4:
+                        line[x] = (line[x] + _paeth(left, up, upleft)) & 0xFF
+                total += sum(line)
+                prior = line
+            out["doc_id"].append(doc_id)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["bit_depth"].append(depth)
+            out["color_type"].append(ctype)
+            out["mean_px"].append(round(total / (width * height * bpp), 6))
         yield pd.DataFrame(out)
 
 

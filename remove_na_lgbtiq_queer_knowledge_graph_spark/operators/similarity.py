@@ -64,7 +64,15 @@ def candidate_pairs(
     Returns (id_1, id_2, value) with id_1 < id_2, value rounded to 6dp.
     ``metric``: 'cosine' over gram counts or 'jaccard' over gram sets.
     ``max_df`` drops grams occurring in more than that many docs (postings
-    cut; at 100 TB this is what bounds the self-join).
+    cut; at 100 TB this is what bounds the self-join).  The recall trade
+    is one-sided and measured: a pair whose qualifying similarity rests
+    on grams with df ≤ max_df is unaffected (planted near-dup recall
+    1.0 at max_df ∈ {5,10,20}); pairs qualifying only through hotter
+    grams may drop — which for ER is the boilerplate-suffix false-match
+    class.  Cutting can in principle RAISE a pair's jaccard (a hot gram
+    on one side only shrinks the union); when the hot grams are shared
+    corpus-wide it cannot.  Pinned in ``tests/test_llm_ops.py::
+    test_candidate_pairs_max_df_recall_bound``.
 
     Physical strategy: the quadratic gram join runs over the *distinct
     (block, name) strings*, not over row ids — entity-name columns are

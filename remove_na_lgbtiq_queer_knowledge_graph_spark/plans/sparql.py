@@ -69,7 +69,7 @@ _TOKEN_RE = re.compile(
         # trailing '.' is the triple terminator (SPARQL PN_LOCAL rule)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<num>\d+(?:\.\d+)?)
-      | (?P<op>&&|\|\||!=|<=|>=|[{}()\[\].;,/|*+=!<>-])
+      | (?P<op>&&|\|\||!=|<=|>=|[{}()\[\].;,/|*+=!<>^?-])
     """,
     re.X,
 )
@@ -109,6 +109,8 @@ class PathStep:
     pred: Term                # ("iri", ...) or ("var", ...)
     star: bool = False        # p*  (reflexive-transitive)
     plus: bool = False        # p+  (transitive)
+    opt: bool = False         # p?  (zero-or-one)
+    inv: bool = False         # ^p  (inverse)
 
 
 @dataclass(frozen=True)
@@ -299,26 +301,36 @@ class _Parser:
         return tuple(steps)
 
     def _path_primary(self) -> tuple[PathStep, ...]:
+        inv = bool(self.accept("op", "^"))  # PathEltOrInverse
         if self.accept("op", "("):
             inner = list(self.parse_path())
             self.expect("op", ")")
-            if self.peek() and self.peek().kind == "op" and self.peek().text in ("*", "+"):
+            if self.peek() and self.peek().kind == "op" and \
+                    self.peek().text in ("*", "+", "?"):
                 raise NotImplementedError(
                     "closure over a grouped path (p/q)* is not in the "
                     "reference subset"
                 )
+            if inv:
+                # ^(p/q) ≡ ^q/^p: reverse the sequence and flip each
+                # step's direction (inverse distributes over sequence)
+                inner = [PathStep(st.pred, star=st.star, plus=st.plus,
+                                  opt=st.opt, inv=not st.inv)
+                         for st in reversed(inner)]
             return tuple(inner)
         term = self.parse_term()
-        star = plus = False
+        star = plus = opt = False
         nxt = self.peek()
-        if nxt and nxt.kind == "op" and nxt.text in ("*", "+"):
-            # Only a closure when a term follows (object position) —
-            # `?s p* ?o` — never at expression level (parse_path is only
-            # called in predicate position, so always a closure here).
+        if nxt and nxt.kind == "op" and nxt.text in ("*", "+", "?"):
+            # Only a path modifier when in predicate position —
+            # parse_path is only called there, so always a modifier here
+            # (`?` cannot be a variable: the var token requires a name
+            # character after it, so a lone `?` lexes as an op).
             self.next()
             star = nxt.text == "*"
             plus = nxt.text == "+"
-        return (PathStep(term, star=star, plus=plus),)
+            opt = nxt.text == "?"
+        return (PathStep(term, star=star, plus=plus, opt=opt, inv=inv),)
 
     # -- expressions --------------------------------------------------------
 
@@ -698,8 +710,15 @@ class _Compiler:
     # -- single pattern scan -------------------------------------------------
 
     def _scan(self, triples: DataFrame, pat: TriplePat) -> DataFrame:
-        if len(pat.path) > 1 or pat.path[0].star or pat.path[0].plus:
+        st0 = pat.path[0]
+        if len(pat.path) > 1 or st0.star or st0.plus or st0.opt:
             return self._scan_path(triples, pat)
+        if st0.inv:
+            # `?a ^p ?b` ≡ `?b p ?a`: one swapped plain scan.  The
+            # original subject var binds the OBJECT column, so the
+            # lang-column attach below follows it correctly.
+            return self._scan(triples, TriplePat(
+                pat.o, (PathStep(st0.pred),), pat.s))
         has_lang = "lang" in triples.columns
         sel: dict[str, str] = {}
         pred = pat.path[0].pred
@@ -745,20 +764,26 @@ class _Compiler:
                     "variable predicate inside a property path is not "
                     "valid SPARQL (PathPrimary admits only IRIs); bind "
                     "the predicate in a plain triple pattern instead")
+            src_col, dst_col = ("object", "subject") if st.inv else \
+                ("subject", "object")  # ^p walks the edge backwards
             edges = triples.filter(F.col("predicate") == st.pred[1]).select(
-                F.col("subject").alias("src"), F.col("object").alias("dst")
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
             )
-            if st.star or st.plus:
-                plus = transitive_closure(edges)  # p+ pairs
+            if st.star or st.plus or st.opt:
+                # p? composes exactly like p* with the closure replaced
+                # by the single-step edges: zero-length identity ∪ one
+                # application (SPARQL 1.1 §18.4 ZeroOrOnePath)
+                plus = edges if st.opt else transitive_closure(edges)
+                has_zero = st.star or st.opt
                 if pairs is None:
-                    if st.star:
-                        # leading p*: the zero-length path relates every
-                        # TERM OF THE GRAPH to itself (SPARQL 1.1
-                        # §18.4 ZeroOrMorePath), so seed with the
-                        # identity over all subjects ∪ objects, then
-                        # add the p+ pairs.  One distinct over the two
-                        # term columns — at scale this is the price of
-                        # an unbounded-domain star, which is why
+                    if has_zero:
+                        # leading p* / p?: the zero-length path relates
+                        # every TERM OF THE GRAPH to itself (SPARQL 1.1
+                        # §18.4 ZeroOrMorePath / ZeroOrOnePath), so seed
+                        # with the identity over all subjects ∪ objects,
+                        # then add the step pairs.  One distinct over the
+                        # two term columns — at scale this is the price
+                        # of an unbounded-domain star, which is why
                         # constant-anchored stars (the common shape)
                         # never take this branch.
                         terms = (
@@ -777,7 +802,7 @@ class _Compiler:
                         .select(F.col("a.src").alias("src"),
                                 F.col("b.dst").alias("dst"))
                     )
-                    pairs = pairs.unionByName(ext).distinct() if st.star \
+                    pairs = pairs.unionByName(ext).distinct() if has_zero \
                         else ext
             else:
                 if pairs is None:

@@ -957,6 +957,43 @@ GROUP BY d.doc_id, d.w, d.h
 """
 
 
+def mm_png_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec end-to-end (round 7): spec-conformant PNG bytes
+    per doc (8-bit grayscale gradient px[i,j]=(i+j+doc_id)%256, chunk
+    CRCs, zlib DEFLATE, scanline filters cycling through all five PNG
+    filter types), decoded back by the pure-stdlib parser
+    (`operators/multimodal.py::decode_png_real`).  Same analytic
+    oracle shape as the netpbm twin — the compressed-format claim the
+    jpeg/mp3 stubs could not make."""
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        mm_ops.png_payload_builder, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        mm_ops.decode_png_real, schema=mm_ops.PNG_META_SCHEMA
+    )
+
+
+# Same grid bounds as the PPM oracle; grayscale → single channel, so
+# the decoder's sum/count is Σ/(w·h) with both integers exact.
+_MM_PNG_SQL = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(0 AS BIGINT) AS color_type,
+       round(CAST(SUM((i.i + j.j + d.doc_id) % 256) AS DOUBLE)
+             / (d.w * d.h), 6) AS mean_px
+FROM dims d
+JOIN range(0, 20) i(i) ON i.i < d.h
+JOIN range(0, 32) j(j) ON j.j < d.w
+GROUP BY d.doc_id, d.w, d.h
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact_groups": QuerySpec(dedup_exact_groups_q, _EXACT_SQL),
     "dedup_exact_keep_first": QuerySpec(dedup_exact_keep_first_q, _KEEPFIRST_SQL),
@@ -1004,4 +1041,8 @@ SPECS: dict[str, QuerySpec] = {
         mm_ppm_real_decode_q, _MM_PPM_SQL,
         "REAL binary-netpbm codec — encode→decode round trip against "
         "an analytic oracle"),
+    "mm_png_real_decode": QuerySpec(
+        mm_png_real_decode_q, _MM_PNG_SQL,
+        "REAL PNG codec (stdlib zlib; CRCs + all five scanline "
+        "filters) — encode→decode round trip, analytic oracle"),
 }

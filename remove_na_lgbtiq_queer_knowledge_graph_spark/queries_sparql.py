@@ -668,6 +668,33 @@ FROM customer
 """
 
 
+def sparql_inverse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 extension (round 7): inverse (`^p`) and zero-or-one (`p?`)
+    property paths — the two SPARQL 1.1 path forms every Wikidata
+    tutorial uses that the reference's own queries happen not to.
+    ``?nation ^fgt:P83 ?member`` walks citizenship backwards (members
+    per nation item); ``?member fgt:P2? fg:Q7`` keeps rows whose member
+    is a human item (one P2 step) or fg:Q7 itself (zero-length) — only
+    customers carry P2→Q7, so the oracle is the customer table."""
+    return compile_sparql(_INVERSE_RQ, factgrid_kg(spark, sf_dir))
+
+
+_INVERSE_RQ = """\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+SELECT ?nation ?member WHERE {
+  ?nation ^fgt:P83 ?member .
+  ?member fgt:P2? fg:Q7 .
+}
+"""
+
+_INVERSE_SQL = f"""
+SELECT '{FG}Q' || CAST(225300 + c_nationkey AS VARCHAR) AS nation,
+       '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS member
+FROM customer
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "sparql_network_root": QuerySpec(
         sparql_network_root, _NETWORK_00_SQL,
@@ -685,6 +712,9 @@ SPECS: dict[str, QuerySpec] = {
     "sparql_path_instances": QuerySpec(
         sparql_path_instances, _PATH_SQL,
         "(p1/p2*) property path from SPARQL text"),
+    "sparql_inverse_path": QuerySpec(
+        sparql_inverse_path, _INVERSE_SQL,
+        "inverse (^p) and zero-or-one (p?) property paths"),
     "sparql_lokale": QuerySpec(
         sparql_lokale, _LOKALE_SQL,
         "verbatim lokale-from-factgrid.rq (5-way UNION + OPTIONAL chain)"),

@@ -1024,3 +1024,180 @@ def test_audio_energy_oracle_matches_on_non_ascii(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     want = sorted(tuple(r) for r in con.sql(_MM_AUDIO_SQL).fetchall())
     assert got == want
+
+
+def _boiler_span_corpus(spark):
+    """30 near-dup pairs: docs (2p, 2p+1) share a unique 24-token body
+    run; EVERY doc also opens with the same 16-token boilerplate block
+    (df = 60 for its anchors), separated from the body by 6 doc-unique
+    tokens so the two shared runs stay distinct islands."""
+    boiler = " ".join(f"boiler{i}" for i in range(16))
+    rows = []
+    for p in range(30):
+        body = " ".join(f"body{p}w{j}" for j in range(24))
+        for side in (0, 1):
+            did = 2 * p + side
+            uniq = " ".join(f"u{did}x{j}" for j in range(6))
+            rows.append((did, f"{boiler} {uniq} {body}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_overlap_spans_max_df_recall_bound(spark):
+    """Quantitative pin of the `max_df` docstring claim ("a capped gram
+    can only split a reported span, never invent one") — VERDICT r6
+    task 3.  On the planted corpus:
+
+    1. CONTAINMENT: every span returned WITH the cut lies inside a span
+       returned without it (same pair, same diagonal) — the cut never
+       invents or extends.
+    2. RARE-MASS RECALL = 1.0: spans all of whose k-gram anchors have
+       df <= max_df (the 30 planted 24-token body runs, anchor df = 2)
+       come back EXACTLY — same start positions, full 24-token length.
+    3. The trade is only ever the hot mass: the dropped spans are
+       precisely the boilerplate-block spans (anchor df = 60 > max_df),
+       here 1770 of 1800 truth spans = C(60,2) boilerplate pairs.
+    """
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        overlap_spans,
+    )
+
+    docs = _boiler_span_corpus(spark)
+    truth = overlap_spans(docs, "doc_id", "text", k=8, min_len=12).collect()
+    cut = overlap_spans(docs, "doc_id", "text", k=8, min_len=12,
+                        max_df=2).collect()
+
+    # 3. the full-space result: 1770 boilerplate spans + 30 body spans
+    assert len(truth) == 1800
+    assert sum(r.length for r in truth) == 1770 * 16 + 30 * 24
+
+    # 1. containment
+    tspans = {}
+    for r in truth:
+        tspans.setdefault((r.id_1, r.id_2, r.start_1 - r.start_2), []).append(
+            (r.start_1, r.start_1 + r.length))
+    for r in cut:
+        key = (r.id_1, r.id_2, r.start_1 - r.start_2)
+        assert any(s <= r.start_1 and r.start_1 + r.length <= e
+                   for s, e in tspans.get(key, [])), f"invented span {r}"
+
+    # 2. rare-anchor spans return exactly: recall of rare mass = 1.0
+    body_start = 16 + 6  # boiler block + unique separator
+    want = {(2 * p, 2 * p + 1, body_start, body_start, 24)
+            for p in range(30)}
+    got = {(r.id_1, r.id_2, r.start_1, r.start_2, r.length) for r in cut}
+    assert got == want
+
+
+def test_candidate_pairs_max_df_recall_bound(spark):
+    """Quantitative pin of the `max_df` postings-cut recall trade in
+    `operators/similarity.candidate_pairs` (VERDICT r6 task 3).
+
+    Fixture: 40 random 12-char distinct base names, every name carrying
+    the same boilerplate suffix (hot char-2-grams, df ~ 55); 15 planted
+    near-dup pairs (one mid-base typo, rare-gram jaccard ~ 0.7).
+
+    Measured bounds pinned here:
+    - RECALL of rare-gram near-dups = 1.0: every planted pair survives
+      the cut at max_df = 20, 10 and 5 — a pair whose qualifying
+      similarity rests on grams with df <= max_df is unaffected.
+    - NO INVENTED PAIRS on this fixture: cut results are a subset of
+      the full-space truth (a hot gram present in only one side of a
+      pair can in general raise jaccard by shrinking the union; with
+      boilerplate shared by every doc this cannot happen, and the test
+      shape documents exactly when the precision direction is safe).
+    - The dropped truth pairs are all boilerplate-driven (qualify at
+      min_sim = 0.5 only through suffix mass) — the pairs an ER
+      pipeline wants dropped; with the cut the result is exactly the
+      15 planted pairs.
+    """
+    import random
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.similarity import (
+        candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    suffix = "eingetragener verein berlin"
+    names, planted, seen, nid = [], [], set(), 0
+    for i in range(40):
+        while True:
+            base = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                           for _ in range(12))
+            if base not in seen:
+                seen.add(base)
+                break
+        names.append((nid, f"{base} {suffix}"))
+        a = nid
+        nid += 1
+        if i < 15:
+            typo = base[:6] + rng.choice("abcdefghijklmnopqrstuvwxyz") + base[7:]
+            names.append((nid, f"{typo} {suffix}"))
+            planted.append((a, nid))
+            nid += 1
+    ndf = spark.createDataFrame(names, ["eid", "name"])
+
+    def pairs(max_df):
+        got = candidate_pairs(ndf, "eid", "name", n=2, min_sim=0.5,
+                              metric="jaccard", max_df=max_df)
+        return {(r.id_1, r.id_2) for r in got.collect()}
+
+    truth = pairs(None)
+    assert set(planted) <= truth
+    for m in (20, 10, 5):
+        cut = pairs(m)
+        assert set(planted) <= cut, f"planted pair lost at max_df={m}"
+        assert cut <= truth, f"invented pair at max_df={m}"
+        assert cut == set(planted)
+
+
+def test_png_real_codec_round_trip_and_corrupt(spark):
+    """Round-7 REAL PNG codec: spec-conformant bytes (signature, CRCs,
+    zlib IDAT, filters cycling through all five types) decode back to
+    the exact analytic gradient through the Spark seam; corruption and
+    unsupported variants fail loudly like a real decoder."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
+        decode_png_real,
+        encode_png_gradient,
+        png_payload_builder,
+    )
+
+    raw = encode_png_gradient(7, 6, 10)  # 10 rows → every filter twice
+    assert raw.startswith(b"\x89PNG\r\n\x1a\n")
+    assert b"IHDR" in raw and b"IDAT" in raw and raw.endswith(
+        b"IEND" + raw[-4:])
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    payloads = ids.mapInPandas(
+        png_payload_builder, schema="doc_id bigint, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in payloads.mapInPandas(
+            decode_png_real,
+            schema="doc_id bigint, width bigint, height bigint, "
+                   "bit_depth bigint, color_type bigint, mean_px double",
+        ).collect()
+    }
+    for d in range(20):
+        w, h = 16 + d % 16, 12 + d % 8
+        r = out[d]
+        assert (r["width"], r["height"], r["bit_depth"],
+                r["color_type"]) == (w, h, 8, 0)
+        exact = sum((i + j + d) % 256 for i in range(h) for j in range(w))
+        assert r["mean_px"] == round(exact / (w * h), 6)
+
+    def corrupt():
+        b = bytearray(raw)
+        b[30] ^= 0xFF  # inside IHDR data → CRC must catch it
+        yield pd.DataFrame({"doc_id": [1], "payload": [bytes(b)]})
+
+    with _pytest.raises(ValueError, match="CRC"):
+        list(decode_png_real(corrupt()))
+
+    def not_png():
+        yield pd.DataFrame({"doc_id": [1], "payload": [b"JFIF whatever"]})
+
+    with _pytest.raises(ValueError, match="signature"):
+        list(decode_png_real(not_png()))

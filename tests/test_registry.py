@@ -22,12 +22,11 @@ def test_every_spec_has_an_oracle():
 
 
 def test_registry_does_not_shrink():
-    """193 queries registered in round 6 (187 end of round 5 +
-    sparql_time_items, sparql_group_concat_gnd, dedup_overlap_spans,
-    dedup_excise_spans, decon_overlap_spans, sparql_agg_arithmetic)."""
+    """195 queries registered in round 7 (193 end of round 6 +
+    sparql_inverse_path, mm_png_real_decode)."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
-    assert len(all_specs()) >= 193
+    assert len(all_specs()) >= 195
 
 
 def test_rotation_orders_by_staleness():
@@ -58,6 +57,19 @@ def test_rotation_orders_by_staleness():
     # And a name absent from every artifact would sort before any
     # verified name — the staleness key treats unknown as round 0.
     assert last.get("__never_verified_synthetic__", 0) == 0 < max(rounds)
+
+
+def test_docs_cite_only_real_registry_names():
+    """Drift guard (VERDICT r6): COVERAGE.md / PLANS.md claims are big
+    enough to rot silently when a query is renamed or dropped.  Every
+    backticked registry-shaped name in those docs must resolve to a
+    registry key (names only — existence, not prose)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_docs import find_drift
+
+    assert find_drift() == {}
 
 
 def test_driver_entry_surface():

@@ -662,3 +662,53 @@ def test_group_by_label_service_var(spark):
     """, _num_triples(spark))
     assert sorted(tuple(r) for r in df.collect()) == [
         ("Alpha", 1), ("Beta", 1), ("Gamma", 1)]
+
+
+def test_inverse_path_single_step(triples):
+    # `x ^p y` ≡ `y p x`: who knows ex:b
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ex:b ^ex:knows ?s . }""", triples)
+    assert _vals(df, "s") == [("http://ex.org/a",)]
+
+
+def test_inverse_path_in_sequence(triples):
+    # two backwards steps from d: c then b
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:d ^ex:knows/^ex:knows ?o . }""", triples)
+    assert _vals(df, "o") == [("http://ex.org/b",)]
+
+
+def test_inverse_of_grouped_sequence(triples):
+    # ^(p/q) ≡ ^q/^p — reversal + per-step inversion
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:d ^(ex:knows/ex:knows) ?o . }""", triples)
+    assert _vals(df, "o") == [("http://ex.org/b",)]
+
+
+def test_inverse_path_closure(triples):
+    # ^p+ = transitive closure over reversed edges
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:d ^ex:knows+ ?o . }""", triples)
+    assert _vals(df, "o") == [("http://ex.org/a",), ("http://ex.org/b",),
+                              ("http://ex.org/c",)]
+
+
+def test_zero_or_one_path_leading(triples):
+    # p? from a constant: the zero-length binding (a itself) plus one step
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a ex:knows? ?o . }""", triples)
+    assert _vals(df, "o") == [("http://ex.org/a",), ("http://ex.org/b",)]
+
+
+def test_zero_or_one_path_in_sequence(triples):
+    # knows/knows?: exactly-one (b) plus one-more (c)
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a ex:knows/ex:knows? ?o . }""", triples)
+    assert _vals(df, "o") == [("http://ex.org/b",), ("http://ex.org/c",)]
+
+
+def test_inverse_zero_or_one_combined(triples):
+    # ^p? from b: b itself (zero) plus its knower a (one inverse step)
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:b ^ex:knows? ?o . }""", triples)
+    assert _vals(df, "o") == [("http://ex.org/a",), ("http://ex.org/b",)]

@@ -52,10 +52,58 @@ def build_fixture(spark, sf_dir: str, out_dir: str, copies: int = 10):
                 os.symlink(f"{sf_dir}/{f}", dst)
 
 
+def span_sweep(spark, sf_dir: str, copies_list, k_list, passes: int):
+    """Span-op scale ladder (VERDICT r6 task 4): sweep anchor width k
+    and duplication factor for overlap_spans / excise_spans so the
+    linear-in-output claim has a grid of points, not one.  min_len is
+    k+4 at every k (mirroring the registered k=8/min_len=12 operating
+    point).  copies=1 is the plain sf dir; each leg's OUTPUT rows print
+    next to wall time — output is the honest denominator when the
+    result set itself explodes.
+    """
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        excise_overlap_spans,
+        overlap_spans,
+    )
+
+    for copies in copies_list:
+        scratch = None
+        if copies == 1:
+            d = sf_dir
+        else:
+            scratch = tempfile.mkdtemp(prefix=f"stress_span{copies}_")
+            build_fixture(spark, sf_dir, scratch, copies=copies)
+            d = scratch
+        try:
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            n_docs = docs.count()
+            for k in k_list:
+                for op_name, op in (("overlap", overlap_spans),
+                                    ("excise", excise_overlap_spans)):
+                    best, rows = None, None
+                    for _ in range(passes):
+                        t0 = time.monotonic()
+                        rows = op(docs, "doc_id", "text",
+                                  k=k, min_len=k + 4).count()
+                        dt = time.monotonic() - t0
+                        best = dt if best is None else min(best, dt)
+                    print({"op": op_name, "copies": copies, "k": k,
+                           "docs": n_docs, "sec": round(best, 2),
+                           "rows": rows}, flush=True)
+        finally:
+            if scratch:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--span-sweep", action="store_true",
+                    help="run the overlap/excise k x duplication grid "
+                         "instead of named queries")
+    ap.add_argument("--copies", default="1,10,100")
+    ap.add_argument("--k", default="8,12,16")
     ap.add_argument("names", nargs="*",
                     default=["dedup_jaccard_pairs", "dedup_jaccard_direct"])
     args = ap.parse_args()
@@ -71,6 +119,12 @@ def main():
     from remove_na_lgbtiq_queer_knowledge_graph_spark.session import get_spark
 
     spark = get_spark()
+    if args.span_sweep:
+        span_sweep(spark, args.sf,
+                   [int(c) for c in args.copies.split(",")],
+                   [int(k) for k in args.k.split(",")],
+                   args.passes)
+        return
     scratch = tempfile.mkdtemp(prefix="stress_")
     try:
         build_fixture(spark, args.sf, scratch)
