@@ -352,8 +352,15 @@ def decode_png_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 raise ValueError("not a PNG signature")
             pos, ihdr, idat = 8, None, bytearray()
             while pos < len(raw):
+                if pos + 8 > len(raw):
+                    raise ValueError("truncated chunk header")
                 (length,) = struct.unpack(">I", raw[pos:pos + 4])
                 tag = raw[pos + 4:pos + 8]
+                if pos + 12 + length > len(raw):
+                    # a payload cut mid-chunk must surface as the
+                    # documented ValueError, not struct.error from an
+                    # undersized unpack slice (round-7 ADVICE)
+                    raise ValueError(f"truncated chunk {tag!r}")
                 data = raw[pos + 8:pos + 8 + length]
                 (crc,) = struct.unpack(
                     ">I", raw[pos + 8 + length:pos + 12 + length])

@@ -777,33 +777,74 @@ class _Compiler:
                 has_zero = st.star or st.opt
                 if pairs is None:
                     if has_zero:
-                        # leading p* / p?: the zero-length path relates
-                        # every TERM OF THE GRAPH to itself (SPARQL 1.1
-                        # §18.4 ZeroOrMorePath / ZeroOrOnePath), so seed
-                        # with the identity over all subjects ∪ objects,
-                        # then add the step pairs.  One distinct over the
-                        # two term columns — at scale this is the price
-                        # of an unbounded-domain star, which is why
-                        # constant-anchored stars (the common shape)
-                        # never take this branch.
-                        terms = (
-                            triples.select(F.col("subject").alias("src"))
-                            .union(triples.select(F.col("object")))
-                            .distinct()
-                        )
-                        zero = terms.select("src", F.col("src").alias("dst"))
+                        # leading p* / p?: the zero-length path (SPARQL
+                        # 1.1 §18.4 ZeroOrMorePath / ZeroOrOnePath).
+                        if pat.s[0] != "var":
+                            # Constant-anchored: §18.4's ALP evaluation
+                            # starts from the anchor TERM itself, graph
+                            # membership notwithstanding — `fg:Qx p* ?y`
+                            # yields (Qx, Qx) even when Qx never occurs
+                            # in the graph.  Seeding just the anchor's
+                            # self-pair is both the correctness fix and
+                            # the scale plan: every whole-graph identity
+                            # row with src ≠ anchor would die at the
+                            # final src filter anyway, so the unbounded
+                            # term scan is skipped entirely.
+                            zero = triples.sparkSession.range(1).select(
+                                F.lit(pat.s[1]).alias("src"),
+                                F.lit(pat.s[1]).alias("dst"))
+                        else:
+                            # Var subject: zero-length relates every
+                            # term of the graph to itself — identity
+                            # over all subjects ∪ objects.  One distinct
+                            # over the two term columns; at scale this
+                            # is the price of an unbounded-domain star.
+                            terms = (
+                                triples.select(
+                                    F.col("subject").alias("src"))
+                                .union(triples.select(F.col("object")))
+                                .distinct()
+                            )
+                            zero = terms.select(
+                                "src", F.col("src").alias("dst"))
+                            if pat.o[0] != "var" and len(pat.path) == 1:
+                                # `?x p? <c>` / `?x p* <c>`: the
+                                # zero-length solution ?x = c exists
+                                # even when c is absent from the graph
+                                zero = zero.unionByName(
+                                    triples.sparkSession.range(1).select(
+                                        F.lit(pat.o[1]).alias("src"),
+                                        F.lit(pat.o[1]).alias("dst")))
                         pairs = zero.unionByName(plus).distinct()
                     else:
                         pairs = plus
                 else:
-                    ext = (
+                    # Non-leading ?/*/+ step: build the step's pair
+                    # relation as a SET (§18.4 path evaluation yields
+                    # distinct term pairs) and join the accumulated
+                    # prefix against it — prefix multiplicities ride
+                    # through the join untouched, preserving the bag
+                    # semantics of any plain steps before this one.
+                    # (A whole-accumulated-set distinct here would
+                    # collapse duplicate solutions a plain `p/p` prefix
+                    # legitimately produces.)
+                    step = plus.distinct() if st.opt else plus
+                    if has_zero:
+                        # zero-length at this position relates each
+                        # incoming dst to itself; union it into the
+                        # step relation BEFORE the join so a closure
+                        # cycle (m,m) and the zero-length (m,m) count
+                        # once, not twice
+                        ids = pairs.select(
+                            F.col("dst").alias("src"),
+                            F.col("dst").alias("dst")).distinct()
+                        step = ids.unionByName(step).distinct()
+                    pairs = (
                         pairs.alias("a")
-                        .join(plus.alias("b"), F.col("a.dst") == F.col("b.src"))
+                        .join(step.alias("b"), F.col("a.dst") == F.col("b.src"))
                         .select(F.col("a.src").alias("src"),
                                 F.col("b.dst").alias("dst"))
                     )
-                    pairs = pairs.unionByName(ext).distinct() if has_zero \
-                        else ext
             else:
                 if pairs is None:
                     pairs = edges

@@ -1201,3 +1201,13 @@ def test_png_real_codec_round_trip_and_corrupt(spark):
 
     with _pytest.raises(ValueError, match="signature"):
         list(decode_png_real(not_png()))
+
+    # truncation anywhere in the chunk walk must surface as the
+    # documented ValueError, never struct.error (round-7 ADVICE):
+    # mid-chunk-header, mid-data, and mid-CRC cuts all checked
+    for cut in (10, 20, len(raw) - 2):
+        def truncated(n=cut):
+            yield pd.DataFrame({"doc_id": [1], "payload": [raw[:n]]})
+
+        with _pytest.raises(ValueError, match="truncated chunk"):
+            list(decode_png_real(truncated()))

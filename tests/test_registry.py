@@ -64,9 +64,10 @@ def test_docs_cite_only_real_registry_names():
     enough to rot silently when a query is renamed or dropped.  Every
     backticked registry-shaped name in those docs must resolve to a
     registry key (names only — existence, not prose)."""
+    import pathlib
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
     from tools.check_docs import find_drift
 
     assert find_drift() == {}
@@ -76,9 +77,12 @@ def test_driver_entry_surface():
     """The driver contract: queries() and oracle_sql() agree on keys and
     every callable is importable."""
     import importlib.util
+    import pathlib
 
     spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py")
+        "__spark_entry__",
+        str(pathlib.Path(__file__).resolve().parents[1]
+            / "__spark_entry__.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     qs = mod.queries()

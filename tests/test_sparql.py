@@ -712,3 +712,56 @@ def test_inverse_zero_or_one_combined(triples):
     df = compile_sparql(_PFX + """
 SELECT ?o WHERE { ex:b ^ex:knows? ?o . }""", triples)
     assert _vals(df, "o") == [("http://ex.org/a",), ("http://ex.org/b",)]
+
+
+def test_zero_length_path_from_constant_absent_from_graph(triples):
+    """SPARQL 1.1 §18.4: ALP evaluation of a zero-admitting path starts
+    from the constant anchor itself, whether or not it occurs in the
+    graph — `ex:ghost p? ?o` yields the zero-length solution
+    ?o = ex:ghost (round-7 ADVICE: the graph-term identity seed missed
+    absent anchors and returned empty)."""
+    for path in ("ex:knows?", "ex:knows*"):
+        df = compile_sparql(_PFX + f"""
+SELECT ?o WHERE {{ ex:ghost {path} ?o . }}""", triples)
+        assert _vals(df, "o") == [("http://ex.org/ghost",)], path
+
+
+def test_zero_length_path_to_constant_absent_from_graph(triples):
+    # object-side anchor: `?s p? ex:ghost` has the zero solution
+    # ?s = ex:ghost even though ghost never occurs in the graph
+    for path in ("ex:knows?", "ex:knows*"):
+        df = compile_sparql(_PFX + f"""
+SELECT ?s WHERE {{ ?s {path} ex:ghost . }}""", triples)
+        assert _vals(df, "s") == [("http://ex.org/ghost",)], path
+
+
+def test_zero_admitting_step_preserves_prefix_bag_semantics(spark):
+    """Round-7 ADVICE: a ?/* step after plain sequence steps used to
+    distinct() the whole accumulated pair set, collapsing duplicate
+    solutions the plain prefix legitimately produces under SPARQL bag
+    semantics.  Two distinct p/p routes a→b must each survive the q?
+    suffix: bag = {b×2 (zero), c×2 (one step)}."""
+    rows = [
+        ("ex:a", "http://ex.org/p", "ex:m1", None, None),
+        ("ex:a", "http://ex.org/p", "ex:m2", None, None),
+        ("ex:m1", "http://ex.org/p", "ex:b", None, None),
+        ("ex:m2", "http://ex.org/p", "ex:b", None, None),
+        ("ex:b", "http://ex.org/q", "ex:c", None, None),
+    ]
+    rows = [(s.replace("ex:", "http://ex.org/"), p,
+             o.replace("ex:", "http://ex.org/"), lg, dt)
+            for s, p, o, lg, dt in rows]
+    t = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "lang string, dtype string")
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a ex:p/ex:p/ex:q? ?o . }""", t)
+    assert _vals(df, "o") == [
+        ("http://ex.org/b",), ("http://ex.org/b",),
+        ("http://ex.org/c",), ("http://ex.org/c",)]
+    # and the closure variant keeps the step relation itself a set:
+    # q+ from b reaches only c, twice (once per prefix route)
+    df2 = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a ex:p/ex:p/ex:q+ ?o . }""", t)
+    assert _vals(df2, "o") == [
+        ("http://ex.org/c",), ("http://ex.org/c",)]

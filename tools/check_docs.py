@@ -19,11 +19,13 @@ Also wired into the test suite (tests/test_registry.py).
 from __future__ import annotations
 
 import re
+import pathlib
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
+sys.path.insert(0, REPO)
 
-DOCS = ["/root/repo/COVERAGE.md", "/root/repo/PLANS.md"]
+DOCS = [REPO + "/COVERAGE.md", REPO + "/PLANS.md"]
 
 # backticked identifiers that share a registry prefix but are not (and
 # should not be) registry entries: operator/function names, bench

@@ -13,11 +13,12 @@ from __future__ import annotations
 
 import argparse
 import math
+import pathlib
 import sys
 import time
 import traceback
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def normalize(rows, cols):

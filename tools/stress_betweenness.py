@@ -25,11 +25,12 @@ from __future__ import annotations
 import argparse
 import hashlib
 import random
+import pathlib
 import sys
 import time
 from collections import deque
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def ba_graph(n: int, m: int, seed: int = 11) -> list[tuple[int, int]]:

@@ -17,11 +17,12 @@ from __future__ import annotations
 
 import argparse
 import shutil
+import pathlib
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def build_fixture(spark, sf_dir: str, out_dir: str, copies: int = 10):
