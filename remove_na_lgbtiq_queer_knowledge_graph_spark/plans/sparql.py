@@ -13,8 +13,12 @@ a triples DataFrame ``(subject, predicate, object, lang, dtype)``:
   FILTER (incl. ``LANG()``, ``REGEX()``, comparisons, ``&&``/``||``);
   FILTER NOT EXISTS / MINUS → left_anti; VALUES → semi join / isin;
   BIND(expr AS ?v) → withColumn;
-- property paths ``p1/p2`` (chained joins) and ``p*``/``p+``
-  (iterative fixpoint via :func:`plans.bgp.transitive_closure`), e.g.
+- property paths: sequence ``p1/p2`` (chained joins), closure
+  ``p*``/``p+`` (iterative fixpoint via
+  :func:`plans.bgp.transitive_closure`) incl. over grouped paths
+  ``(p/q)*``, zero-or-one ``p?``, inverse ``^p``, alternation ``p|q``
+  (bag union of branch relations), and negated property sets
+  ``!p`` / ``!(p1|^p2)`` (NOT-IN predicate scans) — e.g.
   ``(fgt:P2/fgt:P3*)`` from ``persons_factgrid_wikidata.rq:28``;
 - ``SERVICE wikibase:label {...}`` → in-engine label join implementing
   the Wikibase label service (per-row language preference, QID-localname
@@ -40,7 +44,7 @@ term equality in joins includes the tag (RDF terms ``"x"@de`` and
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -106,11 +110,26 @@ Term = tuple
 
 @dataclass(frozen=True)
 class PathStep:
-    pred: Term                # ("iri", ...) or ("var", ...)
+    """One element of a path sequence (SPARQL 1.1 §18.2 PathElt).
+
+    Exactly one of three shapes:
+    - plain link: ``pred`` set (("iri", ...) or — in predicate position
+      of a plain triple pattern — ("var", ...));
+    - alternation / grouped path: ``alts`` set — a tuple of branch
+      sequences (``p|q`` has two one-step branches; a modified group
+      ``(p/q)*`` is a single-branch alternation carrying the modifier);
+    - negated property set: ``neg`` set — ``(iri, inverted)`` members of
+      ``!(p1|^p2|...)``.
+    ``inv`` swaps src/dst of the step's whole pair relation, so the
+    inverse of ANY step is the same step with ``inv`` toggled.
+    """
+    pred: Term | None = None  # plain link; None for alts/neg steps
     star: bool = False        # p*  (reflexive-transitive)
     plus: bool = False        # p+  (transitive)
     opt: bool = False         # p?  (zero-or-one)
     inv: bool = False         # ^p  (inverse)
+    alts: tuple[tuple["PathStep", ...], ...] = ()  # alternation branches
+    neg: tuple[tuple[str, bool], ...] = ()         # NPS (iri, inverted)
 
 
 @dataclass(frozen=True)
@@ -295,41 +314,87 @@ class _Parser:
     # -- paths --------------------------------------------------------------
 
     def parse_path(self) -> tuple[PathStep, ...]:
+        # PathAlternative ::= PathSequence ('|' PathSequence)*  (§18.2);
+        # a lone sequence stays a flat tuple (the common shape, and what
+        # the compiler's chained-join fast path consumes); 2+ branches
+        # become ONE alternation step whose relation is the bag union of
+        # its branch relations.
+        branches = [self._path_sequence()]
+        while self.accept("op", "|"):
+            branches.append(self._path_sequence())
+        if len(branches) == 1:
+            return branches[0]
+        return (PathStep(alts=tuple(branches)),)
+
+    def _path_sequence(self) -> tuple[PathStep, ...]:
         steps = list(self._path_primary())
         while self.accept("op", "/"):
             steps.extend(self._path_primary())
         return tuple(steps)
 
-    def _path_primary(self) -> tuple[PathStep, ...]:
-        inv = bool(self.accept("op", "^"))  # PathEltOrInverse
-        if self.accept("op", "("):
-            inner = list(self.parse_path())
-            self.expect("op", ")")
-            if self.peek() and self.peek().kind == "op" and \
-                    self.peek().text in ("*", "+", "?"):
-                raise NotImplementedError(
-                    "closure over a grouped path (p/q)* is not in the "
-                    "reference subset"
-                )
-            if inv:
-                # ^(p/q) ≡ ^q/^p: reverse the sequence and flip each
-                # step's direction (inverse distributes over sequence)
-                inner = [PathStep(st.pred, star=st.star, plus=st.plus,
-                                  opt=st.opt, inv=not st.inv)
-                         for st in reversed(inner)]
-            return tuple(inner)
-        term = self.parse_term()
-        star = plus = opt = False
+    def _path_mod(self) -> tuple[bool, bool, bool]:
+        """Optional trailing * / + / ? (PathMod).  Only a path modifier
+        when in predicate position — parse_path is only called there
+        (`?` cannot be a variable: the var token requires a name
+        character after it, so a lone `?` lexes as an op)."""
         nxt = self.peek()
         if nxt and nxt.kind == "op" and nxt.text in ("*", "+", "?"):
-            # Only a path modifier when in predicate position —
-            # parse_path is only called there, so always a modifier here
-            # (`?` cannot be a variable: the var token requires a name
-            # character after it, so a lone `?` lexes as an op).
             self.next()
-            star = nxt.text == "*"
-            plus = nxt.text == "+"
-            opt = nxt.text == "?"
+            return nxt.text == "*", nxt.text == "+", nxt.text == "?"
+        return False, False, False
+
+    def _nps_member(self) -> tuple[str, bool]:
+        """PathOneInPropertySet ::= iri | 'a' | '^' (iri | 'a')."""
+        m_inv = bool(self.accept("op", "^"))
+        term = self.parse_term()
+        if term[0] != "iri":
+            raise SyntaxError(
+                "negated property set admits only IRIs (§18.2 "
+                "PathOneInPropertySet)")
+        return (term[1], m_inv)
+
+    def _path_primary(self) -> tuple[PathStep, ...]:
+        inv = bool(self.accept("op", "^"))  # PathEltOrInverse
+        if self.accept("op", "!"):
+            # negated property set: !iri or !(iri1|^iri2|...)
+            members = []
+            if self.accept("op", "("):
+                members.append(self._nps_member())
+                while self.accept("op", "|"):
+                    members.append(self._nps_member())
+                self.expect("op", ")")
+            else:
+                members.append(self._nps_member())
+            star, plus, opt = self._path_mod()
+            return (PathStep(neg=tuple(members), star=star, plus=plus,
+                             opt=opt, inv=inv),)
+        if self.accept("op", "("):
+            inner = self.parse_path()
+            self.expect("op", ")")
+            star, plus, opt = self._path_mod()
+            if star or plus or opt:
+                # closure/optional over a grouped path — (p/q)*, (p|q)+:
+                # wrap the group as an alternation step so the compiler
+                # builds its one-application relation, then closes it.
+                # A bare alternation's branches are flattened so the
+                # step doesn't nest a modifier-free alt inside an alt.
+                if len(inner) == 1 and inner[0].alts and not (
+                        inner[0].star or inner[0].plus or inner[0].opt
+                        or inner[0].inv):
+                    branches = inner[0].alts
+                else:
+                    branches = (inner,)
+                return (PathStep(alts=branches, star=star, plus=plus,
+                                 opt=opt, inv=inv),)
+            if inv:
+                # ^(p/q) ≡ ^q/^p: reverse the sequence and flip each
+                # step (inverse distributes over sequence; a step's
+                # inverse is itself with inv toggled, whatever its kind)
+                inner = tuple(replace(st, inv=not st.inv)
+                              for st in reversed(inner))
+            return tuple(inner)
+        term = self.parse_term()
+        star, plus, opt = self._path_mod()
         return (PathStep(term, star=star, plus=plus, opt=opt, inv=inv),)
 
     # -- expressions --------------------------------------------------------
@@ -711,7 +776,8 @@ class _Compiler:
 
     def _scan(self, triples: DataFrame, pat: TriplePat) -> DataFrame:
         st0 = pat.path[0]
-        if len(pat.path) > 1 or st0.star or st0.plus or st0.opt:
+        if len(pat.path) > 1 or st0.star or st0.plus or st0.opt \
+                or st0.alts or st0.neg:
             return self._scan_path(triples, pat)
         if st0.inv:
             # `?a ^p ?b` ≡ `?b p ?a`: one swapped plain scan.  The
@@ -752,10 +818,40 @@ class _Compiler:
             cols.append(F.col("lang").alias(_lang_col(pat.o[1])))
         return df.select(*cols)
 
-    def _scan_path(self, triples: DataFrame, pat: TriplePat) -> DataFrame:
-        """G9: sequence / closure path → (src, dst) pair plan."""
-        pairs: DataFrame | None = None
-        for st in pat.path:
+    def _step_edges(self, triples: DataFrame, st: PathStep) -> DataFrame:
+        """ONE application of a path step as a (src, dst) pair relation
+        (before any closure): a plain predicate-filtered scan, the bag
+        union of alternation branch relations (§18.4 ``alt`` — both
+        solutions survive when two branches match the same pair), or the
+        forward / reverse remainder scans of a negated property set
+        (§18.4: ``!(p1|..|^q1|..)`` ≡ ``alt(NPS{p..}, inv(NPS{q..}))``,
+        each part present only when its member set is non-empty — so
+        ``!(^q)`` matches NO forward edge).  NPS compiles to a NOT-IN
+        predicate on the predicate column — still one pushed-down scan
+        of the triples source, no join."""
+        if st.alts:
+            rel: DataFrame | None = None
+            for branch in st.alts:
+                bp = self._seq_pairs(triples, branch)
+                rel = bp if rel is None else rel.unionByName(bp)
+        elif st.neg:
+            fwd = [iri for iri, m_inv in st.neg if not m_inv]
+            rev = [iri for iri, m_inv in st.neg if m_inv]
+            parts: list[DataFrame] = []
+            if fwd:
+                parts.append(
+                    triples.filter(~F.col("predicate").isin(fwd)).select(
+                        F.col("subject").alias("src"),
+                        F.col("object").alias("dst")))
+            if rev:
+                parts.append(
+                    triples.filter(~F.col("predicate").isin(rev)).select(
+                        F.col("object").alias("src"),
+                        F.col("subject").alias("dst")))
+            rel = parts[0]
+            for extra in parts[1:]:
+                rel = rel.unionByName(extra)
+        else:
             if st.pred[0] != "iri":
                 # not a subset gap: the SPARQL 1.1 grammar (§18.2,
                 # PathPrimary) only admits IRIs inside property paths —
@@ -766,95 +862,38 @@ class _Compiler:
                     "the predicate in a plain triple pattern instead")
             src_col, dst_col = ("object", "subject") if st.inv else \
                 ("subject", "object")  # ^p walks the edge backwards
-            edges = triples.filter(F.col("predicate") == st.pred[1]).select(
-                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-            )
-            if st.star or st.plus or st.opt:
-                # p? composes exactly like p* with the closure replaced
-                # by the single-step edges: zero-length identity ∪ one
-                # application (SPARQL 1.1 §18.4 ZeroOrOnePath)
-                plus = edges if st.opt else transitive_closure(edges)
-                has_zero = st.star or st.opt
-                if pairs is None:
-                    if has_zero:
-                        # leading p* / p?: the zero-length path (SPARQL
-                        # 1.1 §18.4 ZeroOrMorePath / ZeroOrOnePath).
-                        if pat.s[0] != "var":
-                            # Constant-anchored: §18.4's ALP evaluation
-                            # starts from the anchor TERM itself, graph
-                            # membership notwithstanding — `fg:Qx p* ?y`
-                            # yields (Qx, Qx) even when Qx never occurs
-                            # in the graph.  Seeding just the anchor's
-                            # self-pair is both the correctness fix and
-                            # the scale plan: every whole-graph identity
-                            # row with src ≠ anchor would die at the
-                            # final src filter anyway, so the unbounded
-                            # term scan is skipped entirely.
-                            zero = triples.sparkSession.range(1).select(
-                                F.lit(pat.s[1]).alias("src"),
-                                F.lit(pat.s[1]).alias("dst"))
-                        else:
-                            # Var subject: zero-length relates every
-                            # term of the graph to itself — identity
-                            # over all subjects ∪ objects.  One distinct
-                            # over the two term columns; at scale this
-                            # is the price of an unbounded-domain star.
-                            terms = (
-                                triples.select(
-                                    F.col("subject").alias("src"))
-                                .union(triples.select(F.col("object")))
-                                .distinct()
-                            )
-                            zero = terms.select(
-                                "src", F.col("src").alias("dst"))
-                            if pat.o[0] != "var" and len(pat.path) == 1:
-                                # `?x p? <c>` / `?x p* <c>`: the
-                                # zero-length solution ?x = c exists
-                                # even when c is absent from the graph
-                                zero = zero.unionByName(
-                                    triples.sparkSession.range(1).select(
-                                        F.lit(pat.o[1]).alias("src"),
-                                        F.lit(pat.o[1]).alias("dst")))
-                        pairs = zero.unionByName(plus).distinct()
-                    else:
-                        pairs = plus
-                else:
-                    # Non-leading ?/*/+ step: build the step's pair
-                    # relation as a SET (§18.4 path evaluation yields
-                    # distinct term pairs) and join the accumulated
-                    # prefix against it — prefix multiplicities ride
-                    # through the join untouched, preserving the bag
-                    # semantics of any plain steps before this one.
-                    # (A whole-accumulated-set distinct here would
-                    # collapse duplicate solutions a plain `p/p` prefix
-                    # legitimately produces.)
-                    step = plus.distinct() if st.opt else plus
-                    if has_zero:
-                        # zero-length at this position relates each
-                        # incoming dst to itself; union it into the
-                        # step relation BEFORE the join so a closure
-                        # cycle (m,m) and the zero-length (m,m) count
-                        # once, not twice
-                        ids = pairs.select(
-                            F.col("dst").alias("src"),
-                            F.col("dst").alias("dst")).distinct()
-                        step = ids.unionByName(step).distinct()
-                    pairs = (
-                        pairs.alias("a")
-                        .join(step.alias("b"), F.col("a.dst") == F.col("b.src"))
-                        .select(F.col("a.src").alias("src"),
-                                F.col("b.dst").alias("dst"))
-                    )
-            else:
-                if pairs is None:
-                    pairs = edges
-                else:
-                    pairs = (
-                        pairs.alias("a")
-                        .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
-                        .select(F.col("a.src").alias("src"),
-                                F.col("b.dst").alias("dst"))
-                    )
+            return triples.filter(F.col("predicate") == st.pred[1]).select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        if st.inv:
+            # inverse of a composite step: swap the whole relation —
+            # a zero-cost projection Catalyst collapses into the scan
+            rel = rel.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))
+        return rel
+
+    def _seq_pairs(self, triples: DataFrame,
+                   steps: tuple[PathStep, ...]) -> DataFrame:
+        """Pair relation of a NESTED branch sequence (inside an
+        alternation or a modified group).  The outer triple's
+        constant-anchor seeds don't apply here — a zero-admitting step
+        in a nested position uses the graph-term identity (the spec's
+        term-domain zero path); the absent-constant corner is only
+        reachable for the OUTER leading step, which `_scan_path` seeds
+        from the anchor itself."""
+        pairs: DataFrame | None = None
+        for st in steps:
+            pairs = self._fold_step(triples, pairs, st, None, None, False)
+        return pairs
+
+    def _scan_path(self, triples: DataFrame, pat: TriplePat) -> DataFrame:
+        """G9: sequence / closure / alternation / NPS path →
+        (src, dst) pair plan."""
+        pairs: DataFrame | None = None
+        for i, st in enumerate(pat.path):
+            pairs = self._fold_step(
+                triples, pairs, st,
+                pat.s if i == 0 else None,
+                pat.o, len(pat.path) == 1)
         df = pairs
         out: list[Column] = []
         for term, col in ((pat.s, "src"), (pat.o, "dst")):
@@ -863,6 +902,104 @@ class _Compiler:
             else:
                 df = df.filter(F.col(col) == term[1])
         return df.select(*out) if out else df.select()
+
+    def _fold_step(self, triples: DataFrame, pairs: DataFrame | None,
+                   st: PathStep, s_term: Term | None, o_term: Term | None,
+                   o_seedable: bool) -> DataFrame:
+        """Fold one path step into the accumulated pair relation.
+        ``s_term`` is the enclosing triple's subject term when this is
+        the OUTER leading step (None otherwise); ``o_seedable`` marks a
+        single-step outer path whose object constant can seed the
+        zero-length solution."""
+        edges = self._step_edges(triples, st)
+        if st.star or st.plus or st.opt:
+            # p? composes exactly like p* with the closure replaced
+            # by the single-step edges: zero-length identity ∪ one
+            # application (SPARQL 1.1 §18.4 ZeroOrOnePath)
+            plus = edges if st.opt else transitive_closure(edges)
+            has_zero = st.star or st.opt
+            if pairs is None:
+                if has_zero:
+                    # leading p* / p?: the zero-length path (SPARQL
+                    # 1.1 §18.4 ZeroOrMorePath / ZeroOrOnePath).
+                    if s_term is not None and s_term[0] != "var":
+                        # Constant-anchored: §18.4's ALP evaluation
+                        # starts from the anchor TERM itself, graph
+                        # membership notwithstanding — `fg:Qx p* ?y`
+                        # yields (Qx, Qx) even when Qx never occurs
+                        # in the graph.  Seeding just the anchor's
+                        # self-pair is both the correctness fix and
+                        # the scale plan: every whole-graph identity
+                        # row with src ≠ anchor would die at the
+                        # final src filter anyway, so the unbounded
+                        # term scan is skipped entirely.
+                        zero = triples.sparkSession.range(1).select(
+                            F.lit(s_term[1]).alias("src"),
+                            F.lit(s_term[1]).alias("dst"))
+                    else:
+                        # Var subject (or nested position): zero-length
+                        # relates every term of the graph to itself —
+                        # identity over all subjects ∪ objects.  One
+                        # distinct over the two term columns; at scale
+                        # this is the price of an unbounded-domain star.
+                        terms = (
+                            triples.select(
+                                F.col("subject").alias("src"))
+                            .union(triples.select(F.col("object")))
+                            .distinct()
+                        )
+                        zero = terms.select(
+                            "src", F.col("src").alias("dst"))
+                        if o_seedable and o_term is not None \
+                                and o_term[0] != "var":
+                            # `?x p? <c>` / `?x p* <c>`: the
+                            # zero-length solution ?x = c exists
+                            # even when c is absent from the graph
+                            zero = zero.unionByName(
+                                triples.sparkSession.range(1).select(
+                                    F.lit(o_term[1]).alias("src"),
+                                    F.lit(o_term[1]).alias("dst")))
+                    pairs = zero.unionByName(plus).distinct()
+                else:
+                    pairs = plus
+            else:
+                # Non-leading ?/*/+ step: build the step's pair
+                # relation as a SET (§18.4 path evaluation yields
+                # distinct term pairs) and join the accumulated
+                # prefix against it — prefix multiplicities ride
+                # through the join untouched, preserving the bag
+                # semantics of any plain steps before this one.
+                # (A whole-accumulated-set distinct here would
+                # collapse duplicate solutions a plain `p/p` prefix
+                # legitimately produces.)
+                step = plus.distinct() if st.opt else plus
+                if has_zero:
+                    # zero-length at this position relates each
+                    # incoming dst to itself; union it into the
+                    # step relation BEFORE the join so a closure
+                    # cycle (m,m) and the zero-length (m,m) count
+                    # once, not twice
+                    ids = pairs.select(
+                        F.col("dst").alias("src"),
+                        F.col("dst").alias("dst")).distinct()
+                    step = ids.unionByName(step).distinct()
+                pairs = (
+                    pairs.alias("a")
+                    .join(step.alias("b"), F.col("a.dst") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"),
+                            F.col("b.dst").alias("dst"))
+                )
+        else:
+            if pairs is None:
+                pairs = edges
+            else:
+                pairs = (
+                    pairs.alias("a")
+                    .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"),
+                            F.col("b.dst").alias("dst"))
+                )
+        return pairs
 
     # -- joins ---------------------------------------------------------------
 
@@ -1116,12 +1253,14 @@ class _Compiler:
             # two disconnected selective patterns would cross join.
             def bound(p: TriplePat) -> int:
                 n = sum(1 for t in (p.s, p.o) if t[0] != "var")
-                n += sum(1 for st in p.path if st.pred[0] != "var")
+                n += sum(1 for st in p.path
+                         if st.pred is None or st.pred[0] != "var")
                 return -n
 
             def pat_vars(p: TriplePat) -> set[str]:
                 vs = {t[1] for t in (p.s, p.o) if t[0] == "var"}
-                vs |= {st.pred[1] for st in p.path if st.pred[0] == "var"}
+                vs |= {st.pred[1] for st in p.path
+                       if st.pred is not None and st.pred[0] == "var"}
                 return vs
 
             remaining = sorted(run, key=bound)

@@ -695,6 +695,113 @@ FROM customer
 """
 
 
+def sparql_alt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 extension (round 8): property-path alternation ``p1|p2``
+    (SPARQL 1.1 §18.4 ``alt`` — bag union of the branch relations).
+    ``?item fgt:P83|fgt:P131 ?target`` finds every residence OR
+    project-membership edge: customers carry both (two rows each),
+    regions carry only the P131 membership."""
+    return compile_sparql(_ALT_RQ, factgrid_kg(spark, sf_dir))
+
+
+_ALT_RQ = """\
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+SELECT ?item ?target WHERE {
+  ?item fgt:P83|fgt:P131 ?target .
+}
+"""
+
+_ALT_SQL = f"""
+SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS item,
+       '{FG}Q' || CAST(225300 + c_nationkey AS VARCHAR) AS target
+FROM customer
+UNION ALL
+SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR), '{FG}Q400012'
+FROM customer
+UNION ALL
+SELECT '{FG}Q' || CAST(300000 + r_regionkey AS VARCHAR), '{FG}Q400012'
+FROM region
+"""
+
+
+def sparql_negated_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 extension (round 8): negated property sets
+    ``!(p1|p2|^p3)`` (SPARQL 1.1 §18.4 NPS — a NOT-IN predicate scan,
+    forward and reverse parts).  On nation items the non-label,
+    non-type remainder is exactly the ``fgt:P47`` located-in edge; the
+    ``^fgt:P83`` member exercises the reverse part (nations have no
+    non-P83 incoming edges, so it adds nothing — by construction)."""
+    return compile_sparql(_NPS_RQ, factgrid_kg(spark, sf_dir))
+
+
+_NPS_RQ = """\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?nation ?region WHERE {
+  ?nation fgt:P2 fg:Q6256 .
+  ?nation !(rdfs:label|fgt:P2|^fgt:P83) ?region .
+}
+"""
+
+_NPS_SQL = f"""
+SELECT '{FG}Q' || CAST(225300 + n_nationkey AS VARCHAR) AS nation,
+       '{FG}Q' || CAST(300000 + n_regionkey AS VARCHAR) AS region
+FROM nation
+"""
+
+
+def sparql_group_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 extension (round 8): closure over a GROUPED path —
+    ``(fgt:P2/fgt:P3)+`` builds the instance-of∘subclass-of relation
+    once, then closes it (transitive_closure over the composed pair
+    relation).  Only customers reach fg:Q2 (agent): P2→Q7, Q7 P3→Q2;
+    venues' group lands on Q12, and Q2 itself has no outgoing P2, so
+    a second application finds nothing."""
+    return compile_sparql(_GROUP_CLOSURE_RQ, factgrid_kg(spark, sf_dir))
+
+
+_GROUP_CLOSURE_RQ = """\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+SELECT ?item WHERE {
+  ?item (fgt:P2/fgt:P3)+ fg:Q2 .
+}
+"""
+
+_GROUP_CLOSURE_SQL = f"""
+SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS item
+FROM customer
+"""
+
+
+def sparql_alt_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 extension (round 8): closure over an ALTERNATION —
+    ``(fgt:P47|fgt:P131)+``: customers and regions reach the project
+    item in one step (P131), nations in two (P47 to their region, then
+    its P131) — the mixed-predicate reachability a single-predicate
+    closure cannot express."""
+    return compile_sparql(_ALT_CLOSURE_RQ, factgrid_kg(spark, sf_dir))
+
+
+_ALT_CLOSURE_RQ = """\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+SELECT ?start WHERE {
+  ?start (fgt:P47|fgt:P131)+ fg:Q400012 .
+}
+"""
+
+_ALT_CLOSURE_SQL = f"""
+SELECT '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS start
+FROM customer
+UNION ALL
+SELECT '{FG}Q' || CAST(225300 + n_nationkey AS VARCHAR) FROM nation
+UNION ALL
+SELECT '{FG}Q' || CAST(300000 + r_regionkey AS VARCHAR) FROM region
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "sparql_network_root": QuerySpec(
         sparql_network_root, _NETWORK_00_SQL,
@@ -715,6 +822,18 @@ SPECS: dict[str, QuerySpec] = {
     "sparql_inverse_path": QuerySpec(
         sparql_inverse_path, _INVERSE_SQL,
         "inverse (^p) and zero-or-one (p?) property paths"),
+    "sparql_alt_path": QuerySpec(
+        sparql_alt_path, _ALT_SQL,
+        "property-path alternation p1|p2 (bag union)"),
+    "sparql_negated_path": QuerySpec(
+        sparql_negated_path, _NPS_SQL,
+        "negated property set !(p1|p2|^p3) as NOT-IN predicate scans"),
+    "sparql_group_closure": QuerySpec(
+        sparql_group_closure, _GROUP_CLOSURE_SQL,
+        "closure over a grouped path (p/q)+"),
+    "sparql_alt_closure": QuerySpec(
+        sparql_alt_closure, _ALT_CLOSURE_SQL,
+        "closure over an alternation (p|q)+"),
     "sparql_lokale": QuerySpec(
         sparql_lokale, _LOKALE_SQL,
         "verbatim lokale-from-factgrid.rq (5-way UNION + OPTIONAL chain)"),

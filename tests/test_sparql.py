@@ -765,3 +765,108 @@ SELECT ?o WHERE { ex:a ex:p/ex:p/ex:q? ?o . }""", t)
 SELECT ?o WHERE { ex:a ex:p/ex:p/ex:q+ ?o . }""", t)
     assert _vals(df2, "o") == [
         ("http://ex.org/c",), ("http://ex.org/c",)]
+
+
+# -- round 8: alternation, negated property sets, grouped closure ----------
+
+
+def test_alternation_basic(triples):
+    # p|q: bag union of branch relations
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a ex:knows|a ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("http://ex.org/Person",), ("http://ex.org/b",)]
+
+
+def test_alternation_bag_semantics(triples):
+    # both branches matching the same pair yield BOTH solutions
+    # (§18.4 alt is a bag union, not a set union)
+    df = compile_sparql(_PFX + """
+SELECT ?s ?o WHERE { ?s ex:knows|ex:knows ?o . }""", triples)
+    assert len(df.collect()) == 6  # 3 knows edges × 2 branches
+
+
+def test_alternation_of_sequences(triples):
+    # '/' binds tighter than '|': ex:knows/ex:knows | a
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a ex:knows/ex:knows|a ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("http://ex.org/Person",), ("http://ex.org/c",)]
+
+
+def test_negated_property_set_single(triples):
+    # !p: every edge whose predicate is NOT p
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a !ex:knows ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("Alice",), ("Alix",), ("http://ex.org/Person",)]
+
+
+def test_negated_property_set_list(triples):
+    # !(p|a): list form, incl. the 'a' keyword
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a !(ex:knows|a) ?o . }""", triples)
+    assert _vals(df, "o") == [("Alice",), ("Alix",)]
+
+
+def test_negated_property_set_inverse_only(triples):
+    # !(^p): ONLY reverse edges (pred ≠ p) — no forward part at all
+    # (§18.4: the forward NPS part exists only when there are forward
+    # members), so ex:Person's own forward edges (none) don't matter
+    # and its incoming rdf:type edges walk backwards
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:Person !(^ex:knows) ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("http://ex.org/a",), ("http://ex.org/b",)]
+
+
+def test_negated_property_set_mixed(triples):
+    # !(p|^q): forward remainder ∪ reversed remainder
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:b !(ex:knows|^a) ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("Bob",), ("http://ex.org/Person",), ("http://ex.org/a",)]
+
+
+def test_group_closure_star(triples):
+    # (p/q)* — closure over a grouped sequence, constant-anchored:
+    # zero-length gives the anchor itself, one application a→c,
+    # a second application finds nothing (knows² from c is empty)
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a (ex:knows/ex:knows)* ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("http://ex.org/a",), ("http://ex.org/c",)]
+
+
+def test_group_closure_plus(triples):
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a (ex:knows/ex:knows)+ ?o . }""", triples)
+    assert _vals(df, "o") == [("http://ex.org/c",)]
+
+
+def test_alternation_closure(triples):
+    # (p|a)+ — closure over an alternation's union relation
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a (ex:knows|a)+ ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("http://ex.org/Person",), ("http://ex.org/Robot",),
+        ("http://ex.org/b",), ("http://ex.org/c",), ("http://ex.org/d",)]
+
+
+def test_inverse_group_with_optional(triples):
+    # ^(p/p)? — inverse of a grouped sequence under zero-or-one:
+    # zero gives c itself, one inverse application gives a (a knows² c)
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:c ^(ex:knows/ex:knows)? ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("http://ex.org/a",), ("http://ex.org/c",)]
+
+
+def test_negated_property_set_closure(triples):
+    # (!a)* — closure over an NPS relation (knows edges + label edges),
+    # constant-anchored so zero-length is just ex:a
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a !a* ?o . }""", triples)
+    assert _vals(df, "o") == [
+        ("Alice",), ("Alix",), ("Bob",), ("http://ex.org/a",),
+        ("http://ex.org/b",), ("http://ex.org/c",), ("http://ex.org/d",)]
