@@ -1224,8 +1224,13 @@ class _Compiler:
         if distinct:
             if name == "SUM":
                 return F.sum_distinct(col)
-            if name not in ("MIN", "MAX"):  # DISTINCT is a no-op on min/max
-                raise NotImplementedError(f"{name}(DISTINCT ...)")
+            if name == "AVG":
+                # Spark has no avg_distinct builtin; §18.5.1.5 defines
+                # Avg(M) = Sum(M)/Count(M) over the distinct multiset —
+                # both partial-aggregable, same one-shuffle plan
+                return (F.sum_distinct(col)
+                        / F.count_distinct(col)).cast("double")
+            # DISTINCT is a no-op on min/max
         return {"SUM": F.sum, "MIN": F.min, "MAX": F.max,
                 "AVG": F.avg}[name](col)
 

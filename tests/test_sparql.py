@@ -870,3 +870,35 @@ SELECT ?o WHERE { ex:a !a* ?o . }""", triples)
     assert _vals(df, "o") == [
         ("Alice",), ("Alix",), ("Bob",), ("http://ex.org/a",),
         ("http://ex.org/b",), ("http://ex.org/c",), ("http://ex.org/d",)]
+
+
+def test_avg_distinct_differential_vs_duckdb(spark):
+    """Round 8: AVG(DISTINCT) — §18.5.1.5 Sum/Count over the distinct
+    multiset (Spark has no avg_distinct builtin), checked against
+    DuckDB's native avg(DISTINCT) on the same rows."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260815)
+    rows = [(f"s{i}", rng.choice(["a", "b"]), str(rng.choice([1, 2, 2, 5, 10])))
+            for i in range(40)]
+    t = spark.createDataFrame(
+        [(s, "http://ex.org/cat", c, None, None) for s, c, _ in rows]
+        + [(s, "http://ex.org/val", v, None, None) for s, _, v in rows],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    df = compile_sparql(_PFX + """
+    SELECT ?cat (AVG(DISTINCT ?v) AS ?m) (AVG(?v) AS ?m_all)
+    WHERE { ?s ex:cat ?cat . ?s ex:val ?v . }
+    GROUP BY ?cat
+    """, t)
+    got = sorted((r.cat, round(r.m, 9), round(r.m_all, 9))
+                 for r in df.collect())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE r(s VARCHAR, cat VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rows)
+    want = sorted((c, round(m, 9), round(ma, 9)) for c, m, ma in con.sql(
+        "SELECT cat, avg(DISTINCT v), avg(v) FROM r GROUP BY cat"
+    ).fetchall())
+    assert got == want
