@@ -431,8 +431,27 @@ def _nearest_index_udf(C, decimals: int | None = None):
     return pandas_udf(assign, "long")
 
 
+def _seq_sqdist(A, B):
+    """|A|×|B| squared-L2 matrix assembled from the SAME three
+    sequential index-order folds a DuckDB mirror computes —
+    ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` with each dot accumulating
+    ``acc_d = acc_{d-1} + x_d·y_d`` — NOT ``Σ(x_d−y_d)²``, whose
+    different operation order could drift in the last ulp."""
+    import numpy as np
+
+    dots = np.zeros((len(A), len(B)))
+    na = np.zeros(len(A))
+    nb = np.zeros(len(B))
+    for d in range(A.shape[1]):
+        dots = dots + A[:, d:d + 1] * B[:, d]
+        na = na + A[:, d] * A[:, d]
+        nb = nb + B[:, d] * B[:, d]
+    return na[:, None] - 2.0 * dots + nb[None, :]
+
+
 def _fit_rows(
     rows: list, n_centroids: int, iters: int, decimals: int,
+    metric: str = "cosine",
 ) -> list:
     """Driver-side Lloyd's over an already-collected (id, vec) sample.
 
@@ -461,7 +480,11 @@ def _fit_rows(
     ids = xid[:n_centroids]
     C = X[:n_centroids]
     for _ in range(iters):
-        best = np.argmax(_seq_cosine(X, C), axis=1)
+        # cosine: argmax similarity; l2 (the PQ sub-quantizer metric):
+        # argmin squared distance — both tie-break to the lowest
+        # centroid id (first index over id-sorted centroids)
+        best = (np.argmax(_seq_cosine(X, C), axis=1) if metric == "cosine"
+                else np.argmin(_seq_sqdist(X, C), axis=1))
         keep, new_c = [], []
         for j in range(len(C)):
             m = X[best == j]
@@ -600,3 +623,192 @@ def kmeans_cells(
                 F.coalesce(F.col("n_members"), F.lit(0))
                  .cast("bigint").alias("n_members"))
     )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    n_sub: int = 2,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    sample_mod: int | None = None,
+    max_sample_rows: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    d-dim space into ``n_sub`` contiguous subspaces and fit an
+    independent ``k_sub``-cell L2 Lloyd's quantizer per subspace —
+    compressing each vector to ``n_sub`` small codes (d floats →
+    n_sub bytes at k_sub ≤ 256).
+
+    Same determinism contract as :func:`kmeans_centroids` (init = the
+    lowest-id sample subvectors, ties to the lowest centroid id,
+    centroid components rounded to ``decimals``), so the whole fit is
+    oracle-checkable; same bounded-sample scale design (the fit
+    collects a hash-capped sample once and iterates driver-side in
+    numpy — the corpus is never collected and the fit never shuffles).
+    Returns ``(sub, cent_id, cent_v)`` — one small frame holding all
+    ``n_sub`` codebooks.
+    """
+    spark = vectors.sparkSession
+    if sample_mod is None:
+        n = vectors.count()
+        mod = -(-n // max_sample_rows)
+        sample = vectors if mod <= 1 else \
+            vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+    else:
+        sample = vectors if sample_mod <= 1 else \
+            vectors.filter(F.col(id_col) % sample_mod == 0)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    numeric_id = id_type not in ("string", "binary")
+    rows = [
+        ((int(r["i"]) if numeric_id else r["i"]),
+         [float(x) for x in r["v"]])
+        for r in sample.select(
+            (F.col(id_col).cast("long") if numeric_id else F.col(id_col))
+            .alias("i"),
+            _dvec(vec_col).alias("v"),
+        ).collect()
+    ]
+    if not rows:
+        raise ValueError("pq_codebooks: empty fit sample")
+    dim = len(rows[0][1])
+    if dim % n_sub:
+        raise ValueError(
+            f"pq_codebooks: dim {dim} not divisible by n_sub {n_sub}")
+    ds = dim // n_sub
+    out = []
+    for m in range(n_sub):
+        sub_rows = [(i, v[m * ds:(m + 1) * ds]) for i, v in rows]
+        for cid, cv in _fit_rows(sub_rows, k_sub, iters, decimals,
+                                 metric="l2"):
+            out.append((m, cid, cv))
+    return spark.createDataFrame(
+        out,
+        f"sub int, cent_id {'long' if numeric_id else 'string'}, "
+        "cent_v array<double>",
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_sub: int = 2,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """PQ-compressed top-k by asymmetric distance computation (ADC):
+    approx dot(q, x) = Σ_m dot(q_m, codebook_m[code_m(x)]) — the
+    decomposition is exact given the encoding, only the residual
+    x_m − centroid is lost.
+
+    Spark shape (the 100 TB design):
+
+    - ENCODE: one shuffle-free corpus pass — the n_sub codebook
+      matrices ride in an Arrow-batched UDF closure, each vector maps
+      to ``codes: array<int>`` (sub-centroid INDEX per subspace,
+      argmin of the 6-decimal-rounded squared distance, ties to the
+      lowest centroid id).  The full-width embedding column is dropped
+      immediately after — everything downstream moves codes only.
+    - LUT: one query pass builds each query's n_sub×k_sub table of
+      subspace partial dots (one row per query, nested array).
+    - ADC: broadcast the query LUTs over the encoded corpus and gather
+      with ``zip_with(codes, lut, (c, row) → row[c])`` folded by
+      ``aggregate`` in subspace order — whole-stage-codegen JVM
+      expressions, no Python, no shuffle, no per-pair vector
+      materialization; per pair the cost is n_sub array lookups + adds
+      instead of a d-dim fold.  The only shuffle in the operator is
+      the final top-k window keyed by query.
+
+    Parity: partials accumulate in subspace order (index-ordered
+    ``aggregate`` fold = left-associated SQL ``p0 + p1 + ...``) and
+    only the final sum rounds to 6 decimals; ordering ties break on
+    candidate id.  Self-matches are excluded like the exact scorer.
+    Returns ``(query_id, cand_id, approx_dot, rk)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        vectors, n_sub=n_sub, k_sub=k_sub, iters=iters, id_col=id_col,
+        vec_col=vec_col, sample_mod=sample_mod)
+    # codebooks are small by contract (n_sub × k_sub × ds doubles) —
+    # collect once, sort each subspace by centroid id so matrix index
+    # order == the (dist ASC, cent_id ASC) tie-break order
+    by_sub: dict[int, list] = {}
+    for r in cb.collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (r["cent_id"], [float(x) for x in r["cent_v"]]))
+    subs = sorted(by_sub)
+    Cs = [np.array([v for _, v in sorted(by_sub[m], key=lambda t: t[0])],
+                   dtype="float64") for m in subs]
+    ds = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        codes = [
+            np.argmin(_round_half_away(
+                _seq_sqdist(A[:, m * ds:(m + 1) * ds], Cs[m])), axis=1)
+            for m in range(len(Cs))
+        ]
+        M = np.stack(codes, axis=1).astype("int32")
+        return pd.Series(list(M))
+
+    @pandas_udf("array<array<double>>")
+    def lut(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        # partial dots stay UNROUNDED — only the final ADC sum rounds
+        tables = []
+        for i in range(len(A)):
+            tables.append([
+                _seq_dot_vec(A[i, m * ds:(m + 1) * ds], Cs[m])
+                for m in range(len(Cs))
+            ])
+        return pd.Series(tables)
+
+    enc = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        encode(_dvec(vec_col)).alias("codes"))
+    qlut = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut(_dvec(vec_col)).alias("lut"))
+    approx = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("lut"),
+                lambda c, row: F.element_at(row, (c + F.lit(1)).cast("int"))),
+            F.lit(0.0), lambda acc, x: acc + x),
+        6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("cand_id"))
+    return (
+        enc.join(F.broadcast(qlut),
+                 F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", approx.alias("approx_dot"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _seq_dot_vec(q, C):
+    """Sequential index-order dots of one vector against the rows of a
+    matrix — the LUT kernel (same fold discipline as _seq_cosine)."""
+    import numpy as np
+
+    acc = np.zeros(len(C))
+    for d in range(len(q)):
+        acc = acc + q[d] * C[:, d]
+    return [float(x) for x in acc]

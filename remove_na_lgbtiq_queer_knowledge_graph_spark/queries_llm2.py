@@ -492,6 +492,111 @@ FROM (
 _KMEANS_SQL = _kmeans_oracle_sql(8, 2, sample_mod=2)
 
 
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (Jégou et al. 2011, ADC variant):
+    2 subspaces × 8-cell L2 sub-codebooks fitted on the half-sample,
+    corpus compressed to 2 codes per vector, approximate dot via the
+    per-query lookup table — the memory-bound end of the recall/cost
+    curve (brute > IVF > PQ), where the corpus never moves full-width
+    vectors after the one encode pass."""
+    from .operators.ann import pq_topk
+
+    v = t(spark, sf_dir, "embeddings")
+    queries = v.filter(F.col("vec_id") % 50 == 0)
+    return pq_topk(v, queries, k=3, n_sub=2, k_sub=8, iters=2,
+                   sample_mod=2)
+
+
+def _pq_oracle_sql(n_sub: int, k_sub: int, iters: int, dim: int,
+                   k: int, decimals: int = 6, sample_mod: int = 2,
+                   query_mod: int = 50) -> str:
+    """Mirror of the PQ pipeline as chained CTEs: per subspace an
+    unrolled L2 Lloyd's fit over the id-sample's sub-slices (argmin of
+    the ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` expansion — the same three
+    sequential folds the numpy kernel combines, unrounded during fit
+    like the k-means oracle), then a full-corpus encode ordering by the
+    ROUNDED distance, then ADC as a left-associated sum of per-subspace
+    ``list_dot_product`` partials, rounded once at the end."""
+    ds = dim // n_sub
+
+    def d2(x, c):
+        return (f"(list_dot_product({x}, {x}) "
+                f"- 2 * list_dot_product({x}, {c}) "
+                f"+ list_dot_product({c}, {c}))")
+
+    out = [f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), vf AS (
+  SELECT * FROM v WHERE vec_id % {sample_mod} = 0
+)"""]
+    for m in range(n_sub):
+        lo, hi = m * ds + 1, (m + 1) * ds
+        out.append(f""", s{m} AS (
+  SELECT vec_id, list_slice(cv, {lo}, {hi}) AS sv FROM vf
+), s{m}c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cent_id, sv AS cent_v
+  FROM s{m} ORDER BY vec_id LIMIT {k_sub}
+)""")
+        prev = f"s{m}c0"
+        for i in range(1, iters + 1):
+            out.append(f""", s{m}a{i} AS (
+  SELECT vec_id, cent_id, sv FROM (
+    SELECT x.vec_id, c.cent_id, x.sv,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY {d2('x.sv', 'c.cent_v')}, c.cent_id) AS rn
+    FROM s{m} x CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), s{m}c{i} AS (
+  SELECT cent_id, list(coord ORDER BY dim) AS cent_v FROM (
+    SELECT cent_id, u.pos AS dim, round(avg(u.val), {decimals}) AS coord
+    FROM (
+      SELECT cent_id,
+             unnest(list_transform(sv, (x, j) -> {{'pos': j, 'val': x}})) AS u
+      FROM s{m}a{i}
+    ) GROUP BY cent_id, u.pos
+  ) GROUP BY cent_id
+)""")
+            prev = f"s{m}c{i}"
+        out.append(f""", e{m} AS (
+  SELECT vec_id, cent_v FROM (
+    SELECT x.vec_id, c.cent_v,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY round({d2('x.sv', 'c.cent_v')}, {decimals}),
+                      c.cent_id) AS rn
+    FROM (SELECT vec_id, list_slice(cv, {lo}, {hi}) AS sv FROM v) x
+    CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+    qslices = ", ".join(
+        f"list_slice(cv, {m * ds + 1}, {(m + 1) * ds}) AS qs{m}"
+        for m in range(n_sub))
+    adc = " + ".join(
+        f"list_dot_product(q.qs{m}, e{m}.cent_v)" for m in range(n_sub))
+    ejoins = "\n  ".join(
+        f"JOIN e{m} ON e{m}.vec_id = c.vec_id" for m in range(n_sub))
+    out.append(f""", q AS (
+  SELECT vec_id, {qslices} FROM v WHERE vec_id % {query_mod} = 0
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({adc}, {decimals}) AS approx_dot
+  FROM q JOIN v c ON c.vec_id <> q.vec_id
+  {ejoins}
+)
+SELECT query_id, cand_id, approx_dot, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY approx_dot DESC, cand_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {k}""")
+    return "".join(out)
+
+
+_PQ_SQL = _pq_oracle_sql(2, 8, 2, 64, 3)
+
+
 
 def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted corpus selection: per source, rank documents by lexical
@@ -880,6 +985,10 @@ SPECS: dict[str, QuerySpec] = {
         dedup_remove_boilerplate, _BOILERPLATE_SQL,
         "frequent-n-gram boilerplate removal (positional anti-join, "
         "ordered reassembly)"),
+    "ann_pq_topk": QuerySpec(
+        ann_pq_topk_q, _PQ_SQL,
+        "product-quantization ANN top-3: per-subspace L2 codebooks, "
+        "ADC via code-indexed lookup tables"),
     "ann_kmeans_cells": QuerySpec(
         ann_kmeans_cells_q, _KMEANS_SQL,
         "distributed deterministic Lloyd's k-means fit (unrolled-CTE "

@@ -1211,3 +1211,69 @@ def test_png_real_codec_round_trip_and_corrupt(spark):
 
         with _pytest.raises(ValueError, match="truncated chunk"):
             list(decode_png_real(truncated()))
+
+
+def test_pq_adc_exact_when_codebook_is_lossless(spark):
+    """ADC correctness kernel: when every corpus vector IS its own
+    sub-centroid (corpus == fit sample == k_sub vectors, iters=0 keeps
+    the init codebook), encoding is lossless and the PQ approximate
+    dot must equal the exact dot for every pair."""
+    import numpy as np
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(8, 6).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    out = ann_ops.pq_topk(emb, emb, k=7, n_sub=3, k_sub=8, iters=0,
+                          sample_mod=1)
+    got = {(r.query_id, r.cand_id): r.approx_dot for r in out.collect()}
+    assert len(got) == 8 * 7
+    Xd = np.array([[np.float64(np.float32(v)) for v in row] for row in X])
+    for (q, c), ad in got.items():
+        exact = 0.0
+        for d in range(6):
+            exact += Xd[q, d] * Xd[c, d]
+        assert abs(ad - round(exact, 6)) < 1e-9, (q, c, ad, exact)
+
+
+def test_pq_cluster_precision_on_clustered_data(spark):
+    """On well-separated clusters every PQ top-3 candidate must come
+    from the QUERY'S cluster — the quantization error (within-cluster
+    spread) is small next to the between-cluster margin, so the coarse
+    codes rank any same-cluster member above every foreign one.
+    (Recall@3 against the exact top-3 is the WRONG metric here: all
+    members of a tight cluster encode to the same codes, so ADC ties
+    them — PQ's resolution is the cell, not the member.)"""
+    import numpy as np
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 8
+    rows = []
+    for i in range(160):
+        v = centers[i % 4] + rng.randn(16) * 0.2
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id % 40 = 0")
+    pq = ann_ops.pq_topk(emb, queries, k=3, n_sub=4, k_sub=8,
+                         iters=2, sample_mod=1).collect()
+    assert len(pq) == 4 * 3
+    for r in pq:
+        assert r.cand_id % 4 == r.query_id % 4, (r.query_id, r.cand_id)
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, sf_dir):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = ann_ops.pq_codebooks(emb, n_sub=2, k_sub=8, iters=2,
+                             sample_mod=2).collect()
+    b = ann_ops.pq_codebooks(emb.repartition(7), n_sub=2, k_sub=8,
+                             iters=2, sample_mod=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r.sub for r in a} == {0, 1}
+    assert all(len(r.cent_v) == 32 for r in a)
+    assert len(a) <= 16
