@@ -1188,6 +1188,53 @@ class _Compiler:
                 fn = {"ABS": F.abs, "CEIL": F.ceil, "FLOOR": F.floor,
                       "ROUND": F.round}[name]
                 return fn(self._expr(args[0], env).cast("double"))
+            if name == "LANGMATCHES":
+                # RFC 4647 basic filtering (§17.4.3.2): "*" matches any
+                # non-empty tag; otherwise case-insensitive equality or
+                # a prefix ending at a '-' subtag boundary.  The range
+                # is a literal in every query shape the spec's own
+                # examples use — fail loud on anything else.
+                if args[1][0] != "term" or args[1][1][0] != "lit":
+                    raise NotImplementedError(
+                        "LANGMATCHES requires a literal language range")
+                tag = self._expr(args[0], env)
+                rng = args[1][1][1].lower()
+                if rng == "*":
+                    return tag.isNotNull() & (tag != "")
+                low = F.lower(tag)
+                return (low == rng) | low.startswith(rng + "-")
+            if name == "ENCODE_FOR_URI":
+                # §17.4.3.18: percent-encode everything outside RFC 3986
+                # unreserved [A-Za-z0-9._~-].  Spark's url_encode is the
+                # form-urlencoded variant; three deterministic rewrites
+                # close the gap: space ('+' there, %20 here), '*' (kept
+                # there, %2A here), '~' (%7E there, unreserved here).
+                enc = F.url_encode(self._expr(args[0], env).cast("string"))
+                enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+                enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+                return F.replace(enc, F.lit("%7E"), F.lit("~"))
+            if name == "MD5":
+                return F.md5(F.encode(
+                    self._expr(args[0], env).cast("string"), "UTF-8"))
+            if name in ("SHA1", "SHA256", "SHA384", "SHA512"):
+                b = F.encode(
+                    self._expr(args[0], env).cast("string"), "UTF-8")
+                if name == "SHA1":
+                    return F.sha1(b)
+                return F.sha2(b, int(name[3:]))
+            if name in ("HOURS", "MINUTES", "SECONDS"):
+                # xsd:dateTime accessors over the stored lexical form,
+                # same convention as YEAR/MONTH/DAY above.  SECONDS is
+                # xsd:decimal in the spec (fractional seconds ride
+                # through); HOURS/MINUTES are integers.
+                ts = F.to_timestamp(self._expr(args[0], env).cast("string"))
+                if name == "SECONDS":
+                    # integer second + sub-second micros (pmod keeps
+                    # pre-epoch timestamps correct)
+                    return F.second(ts) + \
+                        F.pmod(F.unix_micros(ts), F.lit(1_000_000)) \
+                        / 1_000_000.0
+                return {"HOURS": F.hour, "MINUTES": F.minute}[name](ts)
             raise NotImplementedError(f"SPARQL function {name}")
         raise NotImplementedError(f"expression node {kind}")
 

@@ -695,6 +695,32 @@ FROM customer
 """
 
 
+def sparql_langmatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 extension (round 8): ``LANGMATCHES(LANG(?l), range)`` — RFC
+    4647 basic filtering over the hidden lang companion column (the
+    portable form of the ``LANG(?l) = "de"`` equality every Wikidata
+    query writes), here keeping the German venue labels."""
+    return compile_sparql(_LANGMATCHES_RQ, factgrid_kg(spark, sf_dir))
+
+
+_LANGMATCHES_RQ = """\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?venue ?label WHERE {
+  ?venue fgt:P2 fg:Q40454 .
+  ?venue rdfs:label ?label .
+  FILTER(LANGMATCHES(LANG(?label), "de"))
+}
+"""
+
+_LANGMATCHES_SQL = f"""
+SELECT '{FG}Q' || CAST(600000 + s_suppkey AS VARCHAR) AS venue,
+       s_name AS label
+FROM supplier
+"""
+
+
 def sparql_alt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9 extension (round 8): property-path alternation ``p1|p2``
     (SPARQL 1.1 §18.4 ``alt`` — bag union of the branch relations).
@@ -822,6 +848,9 @@ SPECS: dict[str, QuerySpec] = {
     "sparql_inverse_path": QuerySpec(
         sparql_inverse_path, _INVERSE_SQL,
         "inverse (^p) and zero-or-one (p?) property paths"),
+    "sparql_langmatches": QuerySpec(
+        sparql_langmatches, _LANGMATCHES_SQL,
+        "LANGMATCHES(LANG(?l), range) RFC 4647 basic filtering"),
     "sparql_alt_path": QuerySpec(
         sparql_alt_path, _ALT_SQL,
         "property-path alternation p1|p2 (bag union)"),

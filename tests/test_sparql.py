@@ -902,3 +902,59 @@ def test_avg_distinct_differential_vs_duckdb(spark):
         "SELECT cat, avg(DISTINCT v), avg(v) FROM r GROUP BY cat"
     ).fetchall())
     assert got == want
+
+
+def test_langmatches(triples):
+    df = compile_sparql(_PFX + """
+SELECT ?l WHERE { ?s rdfs:label ?l . FILTER(LANGMATCHES(LANG(?l), "en")) }
+""", triples)
+    assert _vals(df, "l") == [("Alice",), ("Bob",)]
+    df = compile_sparql(_PFX + """
+SELECT ?l WHERE { ?s rdfs:label ?l . FILTER(LANGMATCHES(LANG(?l), "*")) }
+""", triples)
+    assert _vals(df, "l") == [("Alice",), ("Alix",), ("Bob",)]
+
+
+def test_langmatches_subtag_prefix(spark):
+    # RFC 4647 basic filtering: "en" matches "en-GB" at the subtag
+    # boundary but never "enx"
+    t = spark.createDataFrame(
+        [("s1", "http://ex.org/p", "colour", "en-GB", None),
+         ("s2", "http://ex.org/p", "color", "en", None),
+         ("s3", "http://ex.org/p", "kleur", "enx", None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    df = compile_sparql(_PFX + """
+SELECT ?l WHERE { ?s ex:p ?l . FILTER(LANGMATCHES(LANG(?l), "en")) }
+""", t)
+    assert _vals(df, "l") == [("color",), ("colour",)]
+
+
+def test_encode_for_uri_and_hashes(triples):
+    df = compile_sparql(_PFX + """
+SELECT ?e ?m ?h1 ?h2 WHERE {
+  ?s a ex:Robot .
+  BIND(ENCODE_FOR_URI("a b*~/ü") AS ?e)
+  BIND(MD5("abc") AS ?m)
+  BIND(SHA1("abc") AS ?h1)
+  BIND(SHA256("abc") AS ?h2)
+}""", triples)
+    r = df.collect()[0]
+    assert r.e == "a%20b%2A~%2F%C3%BC"
+    assert r.m == "900150983cd24fb0d6963f7d28e17f72"
+    assert r.h1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert r.h2 == ("ba7816bf8f01cfea414140de5dae2223"
+                    "b00361a396177a9cb410ff61f20015ad")
+
+
+def test_time_accessors(triples):
+    df = compile_sparql(_PFX + """
+SELECT ?h ?mi ?sec WHERE {
+  ?s a ex:Robot .
+  BIND(HOURS("2011-01-10T14:45:13.815") AS ?h)
+  BIND(MINUTES("2011-01-10T14:45:13.815") AS ?mi)
+  BIND(SECONDS("2011-01-10T14:45:13.815") AS ?sec)
+}""", triples)
+    r = df.collect()[0]
+    assert (r.h, r.mi) == (14, 45)
+    assert abs(r.sec - 13.815) < 1e-9
