@@ -812,3 +812,139 @@ def _seq_dot_vec(q, C):
     for d in range(len(q)):
         acc = acc + q[d] * C[:, d]
     return [float(x) for x in acc]
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 2,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC production shape, non-residual
+    variant): a coarse quantizer restricts each query to its
+    ``n_probe`` nearest cells, and PQ-ADC scores ONLY those cells'
+    members in the compressed domain.
+
+    Composition of the two operators' plans, which is the point:
+
+    - coarse side = :func:`ivf_topk`'s machinery (default lowest-id
+      centroids, cosine cell assignment, per-query probe list);
+    - compressed side = :func:`pq_topk`'s machinery (per-subspace L2
+      codebooks on the bounded sample, one-pass encode, per-query
+      LUTs);
+    - the join that was a Broadcast NESTED-LOOP in pure PQ becomes a
+      broadcast HASH join ON CELL: probes × LUTs (both query-sized)
+      broadcast, the encoded corpus equi-joins on its cell id — each
+      corpus row meets only the queries that probed its cell,
+      ~n_probe/n_centroids of them, and ADC still costs n_sub lookups
+      per surviving pair.  No corpus-sized shuffle anywhere; the final
+      top-k window is the only exchange.
+
+    Returns ``(query_id, cand_id, approx_dot, rk)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # ---- coarse quantizer (ivf_topk's default + assignment) -------------
+    cents = centroids if centroids is not None else \
+        vectors.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v"))
+    cent_rows = sorted(
+        ((r["cent_id"], [float(x) for x in r["cent_v"]])
+         for r in cents.collect()),
+        key=lambda r: r[0])
+    Cm = np.array([r[1] for r in cent_rows], dtype="float64")
+    id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
+
+    # ---- PQ codebooks ----------------------------------------------------
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        vectors, n_sub=n_sub, k_sub=k_sub, iters=iters, id_col=id_col,
+        vec_col=vec_col, sample_mod=sample_mod)
+    by_sub: dict[int, list] = {}
+    for r in cb.collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (r["cent_id"], [float(x) for x in r["cent_v"]]))
+    Cs = [np.array([v for _, v in sorted(by_sub[m], key=lambda t: t[0])],
+                   dtype="float64") for m in sorted(by_sub)]
+    ds = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        codes = [
+            np.argmin(_round_half_away(
+                _seq_sqdist(A[:, m * ds:(m + 1) * ds], Cs[m])), axis=1)
+            for m in range(len(Cs))
+        ]
+        return pd.Series(list(np.stack(codes, axis=1).astype("int32")))
+
+    @pandas_udf("array<array<double>>")
+    def lut(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        return pd.Series([
+            [_seq_dot_vec(A[i, m * ds:(m + 1) * ds], Cs[m])
+             for m in range(len(Cs))]
+            for i in range(len(A))
+        ])
+
+    @pandas_udf("array<long>")
+    def probe_indices(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        sims = _round_half_away(_seq_cosine(A, Cm))
+        idx = np.arange(Cm.shape[0])
+        return pd.Series([
+            np.lexsort((idx, -sims[i]))[:n_probe].tolist()
+            for i in range(len(A))
+        ])
+
+    # one corpus pass computes BOTH the coarse cell and the PQ codes
+    enc = (
+        vectors.select(F.col(id_col).alias("cand_id"),
+                       _dvec(vec_col).alias("cv"))
+        .withColumn("__ci", _nearest_index_udf(Cm, decimals=6)(F.col("cv")))
+        .select("cand_id",
+                F.element_at(id_arr, (F.col("__ci") + 1).cast("int"))
+                 .alias("cell"),
+                encode(F.col("cv")).alias("codes"))
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(vec_col).alias("qv"))
+        .withColumn("lut", lut(F.col("qv")))
+        .withColumn("__pi", F.explode(probe_indices(F.col("qv"))))
+        .select("query_id", "lut",
+                F.element_at(id_arr, (F.col("__pi") + 1).cast("int"))
+                 .alias("cell"))
+    )
+    approx = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("lut"),
+                lambda c, row: F.element_at(row, (c + F.lit(1)).cast("int"))),
+            F.lit(0.0), lambda acc, x: acc + x),
+        6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("cand_id"))
+    return (
+        enc.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", approx.alias("approx_dot"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

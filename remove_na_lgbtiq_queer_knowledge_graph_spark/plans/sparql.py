@@ -420,6 +420,27 @@ class _Parser:
         if nxt and nxt.kind == "op" and nxt.text in ("=", "!=", "<", ">", "<=", ">="):
             op = self.next().text
             return ("cmp", op, e, self._expr_add())
+        if nxt and nxt.kind == "word":
+            # §17.4.1.9-10: `expr IN (e1, e2, ...)` / `expr NOT IN (...)`
+            # — the NOT branch only claims the token when IN follows, so
+            # other keyword operators stay parseable here
+            up = nxt.text.upper()
+            neg = up == "NOT" and self.peek(1) is not None \
+                and self.peek(1).kind == "word" \
+                and self.peek(1).text.upper() == "IN"
+            if up == "IN" or neg:
+                self.next()
+                if neg:
+                    self.next()
+                self.expect("op", "(")
+                items = []
+                if not (self.peek().kind == "op"
+                        and self.peek().text == ")"):
+                    items.append(self.parse_expr())
+                    while self.accept("op", ","):
+                        items.append(self.parse_expr())
+                self.expect("op", ")")
+                return ("inlist", neg, e, tuple(items))
         return e
 
     def _expr_add(self) -> tuple:
@@ -1089,6 +1110,16 @@ class _Compiler:
             op, a, b = node[1], self._expr(node[2], env), self._expr(node[3], env)
             return {"=": a == b, "!=": a != b, "<": a < b, ">": a > b,
                     "<=": a <= b, ">=": a >= b}[op]
+        if kind == "inlist":
+            # §17.4.1.9-10: IN = any-equal over the list (empty list →
+            # false), NOT IN its negation — SQL three-valued semantics
+            # ride through isin (NULL test value → NULL → row dropped)
+            neg, items = node[1], node[3]
+            if not items:
+                return F.lit(bool(neg))
+            e = self._expr(node[2], env)
+            mem = e.isin(*[self._expr(i, env) for i in items])
+            return ~mem if neg else mem
         if kind == "arith":
             # arithmetic evaluates in double: RDF objects are lexical
             # forms (strings), and ANSI mode (Spark 4 default) rejects

@@ -507,30 +507,23 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sample_mod=2)
 
 
-def _pq_oracle_sql(n_sub: int, k_sub: int, iters: int, dim: int,
-                   k: int, decimals: int = 6, sample_mod: int = 2,
-                   query_mod: int = 50) -> str:
-    """Mirror of the PQ pipeline as chained CTEs: per subspace an
-    unrolled L2 Lloyd's fit over the id-sample's sub-slices (argmin of
-    the ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` expansion — the same three
-    sequential folds the numpy kernel combines, unrounded during fit
-    like the k-means oracle), then a full-corpus encode ordering by the
-    ROUNDED distance, then ADC as a left-associated sum of per-subspace
-    ``list_dot_product`` partials, rounded once at the end."""
-    ds = dim // n_sub
+def _pq_fit_ctes(n_sub: int, k_sub: int, iters: int, ds: int,
+                 decimals: int = 6) -> str:
+    """The per-subspace fit + encode CTE fragment shared by the PQ and
+    IVF-PQ oracles (assumes ``v`` (vec_id, cv) and ``vf`` (the fit
+    sample) are already defined): unrolled L2 Lloyd's over the
+    sample's sub-slices (argmin of the ``dot(x,x) − 2·dot(x,c) +
+    dot(c,c)`` expansion — the same three sequential folds the numpy
+    kernel combines, unrounded during fit like the k-means oracle),
+    then a full-corpus encode per subspace (``e{m}``) ordering by the
+    ROUNDED distance."""
 
     def d2(x, c):
         return (f"(list_dot_product({x}, {x}) "
                 f"- 2 * list_dot_product({x}, {c}) "
                 f"+ list_dot_product({c}, {c}))")
 
-    out = [f"""
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings
-), vf AS (
-  SELECT * FROM v WHERE vec_id % {sample_mod} = 0
-)"""]
+    out = []
     for m in range(n_sub):
         lo, hi = m * ds + 1, (m + 1) * ds
         out.append(f""", s{m} AS (
@@ -571,6 +564,24 @@ WITH v AS (
     CROSS JOIN {prev} c
   ) WHERE rn = 1
 )""")
+    return "".join(out)
+
+
+def _pq_oracle_sql(n_sub: int, k_sub: int, iters: int, dim: int,
+                   k: int, decimals: int = 6, sample_mod: int = 2,
+                   query_mod: int = 50) -> str:
+    """Mirror of the PQ pipeline as chained CTEs: the shared fit/encode
+    fragment, then ADC as a left-associated sum of per-subspace
+    ``list_dot_product`` partials, rounded once at the end."""
+    ds = dim // n_sub
+    out = [f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), vf AS (
+  SELECT * FROM v WHERE vec_id % {sample_mod} = 0
+)"""]
+    out.append(_pq_fit_ctes(n_sub, k_sub, iters, ds, decimals))
     qslices = ", ".join(
         f"list_slice(cv, {m * ds + 1}, {(m + 1) * ds}) AS qs{m}"
         for m in range(n_sub))
@@ -595,6 +606,91 @@ SELECT query_id, cand_id, approx_dot, rk FROM (
 
 
 _PQ_SQL = _pq_oracle_sql(2, 8, 2, 64, 3)
+
+
+def ann_ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3 (FAISS IVFADC shape, non-residual): 16-cell coarse
+    quantizer with 4-probe candidate restriction, PQ-ADC scoring in
+    the compressed domain — the nested-loop broadcast of pure PQ
+    becomes a broadcast HASH join on cell id."""
+    from .operators.ann import ivf_pq_topk
+
+    v = t(spark, sf_dir, "embeddings")
+    queries = v.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_topk(v, queries, k=3, n_centroids=16, n_probe=4,
+                       n_sub=2, k_sub=8, iters=2, sample_mod=2)
+
+
+def _ivf_pq_oracle_sql(n_centroids: int, n_probe: int, n_sub: int,
+                       k_sub: int, iters: int, dim: int, k: int,
+                       decimals: int = 6, sample_mod: int = 2,
+                       query_mod: int = 50) -> str:
+    """IVF-PQ mirror: the IVF coarse-assignment/probe CTEs (rounded
+    cosine, ties to the lowest centroid id — same as the ann_ivf_topk
+    oracle) composed with the shared PQ fit/encode fragment; scoring
+    joins probes to cell members and sums the per-subspace partials
+    left-associated."""
+    ds = dim // n_sub
+
+    def rcos(x, nx, c, nc):
+        return f"round(list_dot_product({x}, {c}) / ({nx} * {nc}), {decimals})"
+
+    out = [f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), vf AS (
+  SELECT * FROM v WHERE vec_id % {sample_mod} = 0
+), nrm AS (
+  SELECT vec_id, sqrt(list_dot_product(cv, cv)) AS nv FROM v
+), cents AS (
+  SELECT vec_id AS cent_id, cv AS cve, nv AS cnv
+  FROM v JOIN nrm USING (vec_id) WHERE vec_id < {n_centroids}
+), assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT c.vec_id, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             {rcos('c.cv', 'n1.nv', 'ct.cve', 'ct.cnv')} DESC,
+             ct.cent_id) AS rn
+    FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM (
+    SELECT c.vec_id, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             {rcos('c.cv', 'n1.nv', 'ct.cve', 'ct.cnv')} DESC,
+             ct.cent_id) AS rn
+    FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
+    WHERE c.vec_id % {query_mod} = 0
+  ) WHERE rn <= {n_probe}
+)"""]
+    out.append(_pq_fit_ctes(n_sub, k_sub, iters, ds, decimals))
+    qslices = ", ".join(
+        f"list_slice(cv, {m * ds + 1}, {(m + 1) * ds}) AS qs{m}"
+        for m in range(n_sub))
+    adc = " + ".join(
+        f"list_dot_product(q.qs{m}, e{m}.cent_v)" for m in range(n_sub))
+    ejoins = "\n  ".join(
+        f"JOIN e{m} ON e{m}.vec_id = a.vec_id" for m in range(n_sub))
+    out.append(f""", q AS (
+  SELECT vec_id, {qslices} FROM v WHERE vec_id % {query_mod} = 0
+), scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         round({adc}, {decimals}) AS approx_dot
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN q ON q.vec_id = p.query_id
+  {ejoins}
+)
+SELECT query_id, cand_id, approx_dot, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY approx_dot DESC, cand_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {k}""")
+    return "".join(out)
+
+
+_IVF_PQ_SQL = _ivf_pq_oracle_sql(16, 4, 2, 8, 2, 64, 3)
 
 
 
@@ -985,6 +1081,10 @@ SPECS: dict[str, QuerySpec] = {
         dedup_remove_boilerplate, _BOILERPLATE_SQL,
         "frequent-n-gram boilerplate removal (positional anti-join, "
         "ordered reassembly)"),
+    "ann_ivf_pq_topk": QuerySpec(
+        ann_ivf_pq_topk_q, _IVF_PQ_SQL,
+        "IVF-PQ (IVFADC): coarse-cell candidate restriction + "
+        "compressed-domain ADC scoring"),
     "ann_pq_topk": QuerySpec(
         ann_pq_topk_q, _PQ_SQL,
         "product-quantization ANN top-3: per-subspace L2 codebooks, "

@@ -1277,3 +1277,48 @@ def test_pq_codebooks_deterministic_and_shaped(spark, sf_dir):
     assert {r.sub for r in a} == {0, 1}
     assert all(len(r.cent_v) == 32 for r in a)
     assert len(a) <= 16
+
+
+def test_ivf_pq_equals_pq_when_probing_all_cells(spark):
+    """With n_probe == n_centroids the coarse quantizer restricts
+    nothing, so IVF-PQ must reproduce pure PQ-ADC exactly — the
+    candidate cut is the ONLY thing the IVF side adds."""
+    import numpy as np
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(60, 8).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id % 20 = 0")
+    pq = sorted(map(tuple, ann_ops.pq_topk(
+        emb, queries, k=4, n_sub=2, k_sub=4, iters=1,
+        sample_mod=1).collect()))
+    ivfpq = sorted(map(tuple, ann_ops.ivf_pq_topk(
+        emb, queries, k=4, n_centroids=6, n_probe=6, n_sub=2, k_sub=4,
+        iters=1, sample_mod=1).collect()))
+    assert pq == ivfpq
+
+
+def test_ivf_pq_cluster_precision(spark):
+    """Same separated-cluster property as pure PQ, through the coarse
+    restriction: every top-3 candidate comes from the query's cluster
+    (the probed cells contain it, and ADC ranks it on top)."""
+    import numpy as np
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+
+    rng = np.random.RandomState(17)
+    centers = rng.randn(4, 16) * 8
+    rows = []
+    for i in range(160):
+        v = centers[i % 4] + rng.randn(16) * 0.2
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id % 40 = 0")
+    out = ann_ops.ivf_pq_topk(emb, queries, k=3, n_centroids=8,
+                              n_probe=3, n_sub=4, k_sub=8, iters=2,
+                              sample_mod=1).collect()
+    assert len(out) == 4 * 3
+    for r in out:
+        assert r.cand_id % 4 == r.query_id % 4, (r.query_id, r.cand_id)

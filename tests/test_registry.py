@@ -22,11 +22,13 @@ def test_every_spec_has_an_oracle():
 
 
 def test_registry_does_not_shrink():
-    """195 queries registered in round 7 (193 end of round 6 +
-    sparql_inverse_path, mm_png_real_decode)."""
+    """202 queries registered in round 8 (195 end of round 7 + the
+    path-algebra entries sparql_alt_path/sparql_negated_path/
+    sparql_group_closure/sparql_alt_closure, sparql_langmatches,
+    ann_pq_topk, ann_ivf_pq_topk)."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
-    assert len(all_specs()) >= 195
+    assert len(all_specs()) >= 202
 
 
 def test_rotation_orders_by_staleness():

@@ -958,3 +958,18 @@ SELECT ?h ?mi ?sec WHERE {
     r = df.collect()[0]
     assert (r.h, r.mi) == (14, 45)
     assert abs(r.sec - 13.815) < 1e-9
+
+
+def test_in_and_not_in(triples):
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ?t . FILTER(?t IN (ex:Robot, ex:Alien)) }""",
+                        triples)
+    assert _vals(df, "s") == [("http://ex.org/c",)]
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ?t . FILTER(?t NOT IN (ex:Robot)) }""", triples)
+    assert _vals(df, "s") == [("http://ex.org/a",), ("http://ex.org/b",)]
+    # numeric list elements and expressions: STRLEN("abc") IN (2, 3)
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ex:Robot . FILTER(STRLEN("abc") IN (2, 3)) }""",
+                        triples)
+    assert _vals(df, "s") == [("http://ex.org/c",)]
