@@ -751,12 +751,20 @@ def pq_topk(
     Cs = [np.array([v for _, v in sorted(by_sub[m], key=lambda t: t[0])],
                    dtype="float64") for m in subs]
     ds = Cs[0].shape[1]
+    want_dim = ds * len(Cs)
 
     @pandas_udf("array<int>")
     def encode(v):
         if len(v) == 0:
             return pd.Series([], dtype="object")
         A = np.stack(v.to_numpy()).astype("float64")
+        if A.shape[1] != want_dim:
+            # a codebook narrower than the vectors would otherwise
+            # silently quantize a PREFIX and drop the tail dims from
+            # every score
+            raise ValueError(
+                f"pq: vectors are {A.shape[1]}-dim but the codebooks "
+                f"cover {want_dim} ({len(Cs)} × {ds})")
         codes = [
             np.argmin(_round_half_away(
                 _seq_sqdist(A[:, m * ds:(m + 1) * ds], Cs[m])), axis=1)
@@ -770,6 +778,10 @@ def pq_topk(
         if len(v) == 0:
             return pd.Series([], dtype="object")
         A = np.stack(v.to_numpy()).astype("float64")
+        if A.shape[1] != want_dim:
+            raise ValueError(
+                f"pq: query vectors are {A.shape[1]}-dim but the "
+                f"codebooks cover {want_dim} ({len(Cs)} × {ds})")
         # partial dots stay UNROUNDED — only the final ADC sum rounds
         tables = []
         for i in range(len(A)):
@@ -877,12 +889,21 @@ def ivf_pq_topk(
     Cs = [np.array([v for _, v in sorted(by_sub[m], key=lambda t: t[0])],
                    dtype="float64") for m in sorted(by_sub)]
     ds = Cs[0].shape[1]
+    want_dim = ds * len(Cs)
+
+    def _check_dim(A):
+        if A.shape[1] != want_dim:
+            # same silent-prefix hazard as pq_topk's guard
+            raise ValueError(
+                f"ivf_pq: vectors are {A.shape[1]}-dim but the "
+                f"codebooks cover {want_dim} ({len(Cs)} × {ds})")
 
     @pandas_udf("array<int>")
     def encode(v):
         if len(v) == 0:
             return pd.Series([], dtype="object")
         A = np.stack(v.to_numpy()).astype("float64")
+        _check_dim(A)
         codes = [
             np.argmin(_round_half_away(
                 _seq_sqdist(A[:, m * ds:(m + 1) * ds], Cs[m])), axis=1)
@@ -895,6 +916,7 @@ def ivf_pq_topk(
         if len(v) == 0:
             return pd.Series([], dtype="object")
         A = np.stack(v.to_numpy()).astype("float64")
+        _check_dim(A)
         return pd.Series([
             [_seq_dot_vec(A[i, m * ds:(m + 1) * ds], Cs[m])
              for m in range(len(Cs))]

@@ -1322,3 +1322,25 @@ def test_ivf_pq_cluster_precision(spark):
     assert len(out) == 4 * 3
     for r in out:
         assert r.cand_id % 4 == r.query_id % 4, (r.query_id, r.cand_id)
+
+
+def test_pq_rejects_codebook_vector_width_mismatch(spark):
+    """An explicitly-passed codebook narrower than the vectors must
+    fail loud, not silently quantize a prefix of every vector."""
+    import numpy as np
+    import pytest as _pytest
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import ann as ann_ops
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(10, 8).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    narrow = emb.withColumn(
+        "embedding", F.slice("embedding", 1, 4).cast("array<float>"))
+    cb = ann_ops.pq_codebooks(narrow, n_sub=2, k_sub=4, iters=1,
+                              sample_mod=1)
+    # surfaces as a captured PythonException from the Arrow worker;
+    # match on the message, not the wrapper type
+    with _pytest.raises(Exception, match="8-dim but the codebooks"):
+        ann_ops.pq_topk(emb, emb.limit(1), k=2, codebooks=cb).collect()

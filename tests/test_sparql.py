@@ -973,3 +973,12 @@ SELECT ?s WHERE { ?s a ?t . FILTER(?t NOT IN (ex:Robot)) }""", triples)
 SELECT ?s WHERE { ?s a ex:Robot . FILTER(STRLEN("abc") IN (2, 3)) }""",
                         triples)
     assert _vals(df, "s") == [("http://ex.org/c",)]
+
+
+def test_in_with_variable_element(triples):
+    # list elements are full expressions — a variable element compiles
+    # to a column operand of the IN predicate
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ?t . ?s ex:knows ?o . FILTER(?o IN (?t, ex:b)) }
+""", triples)
+    assert _vals(df, "s") == [("http://ex.org/a",)]
