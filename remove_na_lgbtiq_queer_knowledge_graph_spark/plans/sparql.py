@@ -214,6 +214,8 @@ class Query:
     label_langs: list[str] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: list[tuple] = field(default_factory=list)  # constraint exprs
+    form: str = "select"          # "select" | "ask" | "construct"
+    template: tuple = ()          # CONSTRUCT template TriplePats
 
 
 # ---------------------------------------------------------------------------
@@ -644,7 +646,35 @@ class _Parser:
                               else pname.split(":")[0]] = iri[1:-1]
                 continue
             break
-        q = self._parse_select_query()
+        t = self.peek()
+        if t and t.kind == "word" and t.text.upper() == "ASK":
+            # ASK [WHERE] { ... } — boolean query form (§16.3)
+            self.next()
+            self.accept("word", "WHERE")
+            q = Query(select=[], distinct=False, where=self.parse_group(),
+                      form="ask")
+        elif t and t.kind == "word" and t.text.upper() == "CONSTRUCT":
+            # CONSTRUCT { template } WHERE { ... } [LIMIT n] (§16.2).
+            # The template group reuses parse_group but admits ONLY
+            # plain triple patterns — paths/filters there are syntax
+            # errors on any engine.
+            self.next()
+            tmpl_group = self.parse_group()
+            tmpl = []
+            for item in tmpl_group.items:
+                if not isinstance(item, TriplePat) or len(item.path) != 1 \
+                        or item.path[0] != PathStep(item.path[0].pred):
+                    raise SyntaxError(
+                        "CONSTRUCT template admits only plain triple "
+                        f"patterns, got {item}")
+                tmpl.append(item)
+            self.expect("word", "WHERE")
+            q = Query(select=[], distinct=False, where=self.parse_group(),
+                      form="construct", template=tuple(tmpl))
+            if self.accept("word", "LIMIT"):
+                q.limit = int(self.expect("num").text)
+        else:
+            q = self._parse_select_query()
         if self.peek() is not None:
             raise SyntaxError(f"unexpected trailing token {self.peek()}")
         return q
@@ -1643,12 +1673,78 @@ def compile_sparql(
     env = c._compile_group(q.where)
     if env is None:
         raise ValueError("query has no bindings")
-    out = _project_query(c, env, q)
+    if q.form == "ask":
+        # §16.3: one boolean row.  Lazy — limit(1) stops the scan at
+        # the first solution, the agg over the (possibly empty) frame
+        # yields exactly one row either way.
+        out = (env.select(F.lit(1).alias("__x")).limit(1)
+               .agg((F.count("__x") > 0).alias("ask")))
+    elif q.form == "construct":
+        out = _construct_triples(env, q)
+    else:
+        out = _project_query(c, env, q)
     _COMPILE_MEMO[memo_key] = (triples, services, out)
     return out
 
 
 _COMPILE_MEMO: dict[tuple, tuple] = {}
+
+
+def _construct_triples(env: DataFrame, q: Query) -> DataFrame:
+    """§16.2 CONSTRUCT: instantiate the template against each solution
+    and union the results into one (subject, predicate, object, lang)
+    graph frame.  Solutions with an unbound template variable drop that
+    template triple (the spec's partial-instantiation rule — the
+    isNotNull filter); the output is a GRAPH, i.e. a distinct triple
+    set.  One Union over per-template projections of the same solution
+    frame — Spark shares the scan; the distinct is the only shuffle."""
+    if q.limit is not None:
+        env = env.limit(q.limit)
+
+    def term_col(term: Term, kind: str):
+        if term[0] == "var":
+            if term[1].startswith("__bnode"):
+                raise NotImplementedError(
+                    "blank nodes in a CONSTRUCT template (fresh bnode "
+                    "per solution) are not supported — use a BIND(IRI("
+                    "CONCAT(...))) skolem IRI instead")
+            if term[1] not in env.columns:
+                return None  # never bound: whole template triple drops
+            return F.col(term[1])
+        # iri or literal constant
+        return F.lit(term[1])
+
+    parts = []
+    for pat in q.template:
+        s = term_col(pat.s, "s")
+        p = term_col(pat.path[0].pred, "p")
+        o = term_col(pat.o, "o")
+        if s is None or p is None or o is None:
+            continue
+        lang = None
+        if pat.o[0] == "lit" and pat.o[2]:
+            lang = pat.o[2]
+        elif pat.o[0] == "var" and _lang_col(pat.o[1]) in env.columns:
+            lang = F.col(_lang_col(pat.o[1]))
+        part = env.select(
+            s.cast("string").alias("subject"),
+            p.cast("string").alias("predicate"),
+            o.cast("string").alias("object"),
+            (F.lit(lang) if lang is None or isinstance(lang, str)
+             else lang).cast("string").alias("lang"),
+        ).filter(F.col("subject").isNotNull()
+                 & F.col("predicate").isNotNull()
+                 & F.col("object").isNotNull())
+        parts.append(part)
+    if not parts:
+        spark = env.sparkSession
+        return spark.createDataFrame(
+            [], "subject string, predicate string, object string, "
+                "lang string")
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.distinct()
 
 
 def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:

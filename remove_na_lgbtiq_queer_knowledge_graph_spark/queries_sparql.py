@@ -721,6 +721,41 @@ FROM supplier
 """
 
 
+def sparql_ask_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§16.3 ASK query form (round 8): one boolean row, lazily planned
+    — limit(1) stops the scan at the first solution."""
+    return compile_sparql("""\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+ASK { ?x fgt:P2 fg:Q7 . }
+""", factgrid_kg(spark, sf_dir))
+
+
+_ASK_SQL = "SELECT (count(*) > 0) AS ask FROM customer"
+
+
+def sparql_construct_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§16.2 CONSTRUCT query form (round 8): instantiate a template
+    graph from the solution sequence — here inverting residence into a
+    hasResident edge set, the graph-to-graph rewrite shape the
+    reference's R2RML materializer produces relationally."""
+    return compile_sparql("""\
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+PREFIX ex: <http://example.org/>
+CONSTRUCT { ?nation ex:hasResident ?member . }
+WHERE { ?member fgt:P83 ?nation . }
+""", factgrid_kg(spark, sf_dir))
+
+
+_CONSTRUCT_SQL = f"""
+SELECT '{FG}Q' || CAST(225300 + c_nationkey AS VARCHAR) AS subject,
+       'http://example.org/hasResident' AS predicate,
+       '{FG}Q' || CAST(500000 + c_custkey AS VARCHAR) AS object,
+       CAST(NULL AS VARCHAR) AS lang
+FROM customer
+"""
+
+
 def sparql_alt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9 extension (round 8): property-path alternation ``p1|p2``
     (SPARQL 1.1 §18.4 ``alt`` — bag union of the branch relations).
@@ -848,6 +883,12 @@ SPECS: dict[str, QuerySpec] = {
     "sparql_inverse_path": QuerySpec(
         sparql_inverse_path, _INVERSE_SQL,
         "inverse (^p) and zero-or-one (p?) property paths"),
+    "sparql_ask_members": QuerySpec(
+        sparql_ask_members, _ASK_SQL,
+        "ASK query form (§16.3) — lazy one-row boolean"),
+    "sparql_construct_members": QuerySpec(
+        sparql_construct_members, _CONSTRUCT_SQL,
+        "CONSTRUCT query form (§16.2) — template graph instantiation"),
     "sparql_langmatches": QuerySpec(
         sparql_langmatches, _LANGMATCHES_SQL,
         "LANGMATCHES(LANG(?l), range) RFC 4647 basic filtering"),

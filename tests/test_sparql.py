@@ -982,3 +982,64 @@ def test_in_with_variable_element(triples):
 SELECT ?s WHERE { ?s a ?t . ?s ex:knows ?o . FILTER(?o IN (?t, ex:b)) }
 """, triples)
     assert _vals(df, "s") == [("http://ex.org/a",)]
+
+
+# -- round 8: ASK / CONSTRUCT query forms -----------------------------------
+
+
+def test_ask_true_and_false(triples):
+    df = compile_sparql(_PFX + """
+ASK { ?s a ex:Robot . }""", triples)
+    assert [tuple(r) for r in df.collect()] == [(True,)]
+    df = compile_sparql(_PFX + """
+ASK WHERE { ?s a ex:Starship . }""", triples)
+    assert [tuple(r) for r in df.collect()] == [(False,)]
+
+
+def test_construct_basic(triples):
+    # rewrite knows-edges under a new predicate, tag each subject
+    df = compile_sparql(_PFX + """
+CONSTRUCT { ?b ex:knownBy ?a . ?a a ex:Subject . }
+WHERE { ?a ex:knows ?b . }""", triples)
+    got = sorted(tuple(r) for r in df.collect())
+    E = "http://ex.org/"
+    want = sorted(
+        [(E + y, E + "knownBy", E + x, None)
+         for x, y in (("a", "b"), ("b", "c"), ("c", "d"))]
+        + [(E + x, RDF_TYPE, E + "Subject", None)
+           for x in ("a", "b", "c")])
+    assert got == want
+
+
+def test_construct_is_a_set_and_drops_unbound(triples):
+    # same constant triple from every solution → ONE output triple;
+    # a template triple using a never-bound var drops entirely
+    df = compile_sparql(_PFX + """
+CONSTRUCT { ex:g ex:hasEdge ex:yes . ?a ex:also ?nope . }
+WHERE { ?a ex:knows ?b . }""", triples)
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        ("http://ex.org/g", "http://ex.org/hasEdge", "http://ex.org/yes",
+         None)]
+
+
+def test_construct_keeps_literal_lang(triples):
+    # an object var bound from a lang-tagged literal carries its tag
+    # into the output graph's lang column
+    df = compile_sparql(_PFX + """
+CONSTRUCT { ?s ex:name ?l . }
+WHERE { ?s rdfs:label ?l . FILTER(LANGMATCHES(LANG(?l), "de")) }""",
+                        triples)
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        ("http://ex.org/a", "http://ex.org/name", "Alix", "de")]
+
+
+def test_construct_limit_and_template_validation(triples):
+    df = compile_sparql(_PFX + """
+CONSTRUCT { ?a ex:e ?b . } WHERE { ?a ex:knows ?b . } LIMIT 1""",
+                        triples)
+    assert df.count() == 1
+    with pytest.raises(SyntaxError, match="plain triple"):
+        compile_sparql(_PFX + """
+CONSTRUCT { ?a ex:p/ex:q ?b . } WHERE { ?a ex:knows ?b . }""", triples)
