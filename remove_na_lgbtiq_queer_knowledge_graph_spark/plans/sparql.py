@@ -1680,6 +1680,18 @@ def compile_sparql(
         out = (env.select(F.lit(1).alias("__x")).limit(1)
                .agg((F.count("__x") > 0).alias("ask")))
     elif q.form == "construct":
+        # label-service vars used in the template attach exactly as
+        # SELECT projections do — without this a ?xLabel template term
+        # would silently drop its triple instead of joining the label
+        for pat in q.template:
+            for term in (pat.s, pat.path[0].pred, pat.o):
+                if term[0] != "var" or term[1] in env.columns:
+                    continue
+                v = term[1]
+                if v.endswith("AltLabel") and v[:-8] in env.columns:
+                    env = c._attach_alt_label(env, v[:-8], v)
+                elif v.endswith("Label") and v[:-5] in env.columns:
+                    env = c._attach_label(env, v[:-5], v)
         out = _construct_triples(env, q)
     else:
         out = _project_query(c, env, q)

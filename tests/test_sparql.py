@@ -1043,3 +1043,19 @@ CONSTRUCT { ?a ex:e ?b . } WHERE { ?a ex:knows ?b . } LIMIT 1""",
     with pytest.raises(SyntaxError, match="plain triple"):
         compile_sparql(_PFX + """
 CONSTRUCT { ?a ex:p/ex:q ?b . } WHERE { ?a ex:knows ?b . }""", triples)
+
+
+def test_construct_attaches_label_service_var(spark):
+    t = spark.createDataFrame(
+        [("http://ex.org/i1", "http://ex.org/cat", "g", None, None),
+         ("http://ex.org/i1",
+          "http://www.w3.org/2000/01/rdf-schema#label", "Alpha", "en", None)],
+        "subject string, predicate string, object string, "
+        "lang string, dtype string")
+    df = compile_sparql(_PFX + """
+CONSTRUCT { ?m ex:display ?mLabel . }
+WHERE { ?m ex:cat ?cat .
+        SERVICE <http://wikiba.se/ontology#label> { } }""", t)
+    got = [tuple(r) for r in df.collect()]
+    assert got == [("http://ex.org/i1", "http://ex.org/display",
+                    "Alpha", None)]
