@@ -647,7 +647,36 @@ class _Parser:
                 continue
             break
         t = self.peek()
-        if t and t.kind == "word" and t.text.upper() == "ASK":
+        if t and t.kind == "word" and t.text.upper() == "DESCRIBE":
+            # DESCRIBE term|?var... [WHERE { ... }] (§16.4).  The spec
+            # leaves the result SHAPE implementation-defined; this
+            # engine returns the subject-expansion (the common Concise
+            # Bounded Description approximation without bnode chasing —
+            # the triples frame has no bnodes): every triple whose
+            # subject is a described resource.
+            self.next()
+            described: list[Term] = []
+            while True:
+                nt = self.peek()
+                if nt and nt.kind == "var":
+                    described.append(("var", self.next().text[1:]))
+                elif nt and nt.kind in ("iri", "pname"):
+                    described.append(self.parse_term())
+                else:
+                    break
+            if not described:
+                raise SyntaxError("DESCRIBE needs at least one term")
+            where = GroupPat()
+            if self.peek() is not None:
+                self.accept("word", "WHERE")
+                where = self.parse_group()
+            if any(d[0] == "var" for d in described) and not where.items:
+                raise SyntaxError(
+                    "DESCRIBE with a variable requires a WHERE pattern "
+                    "binding it")
+            q = Query(select=[], distinct=False, where=where,
+                      form="describe", template=tuple(described))
+        elif t and t.kind == "word" and t.text.upper() == "ASK":
             # ASK [WHERE] { ... } — boolean query form (§16.3)
             self.next()
             self.accept("word", "WHERE")
@@ -930,7 +959,12 @@ class _Compiler:
         in a nested position uses the graph-term identity (the spec's
         term-domain zero path); the absent-constant corner is only
         reachable for the OUTER leading step, which `_scan_path` seeds
-        from the anchor itself."""
+        from the anchor itself.  Known boundary: a constant anchor
+        ABSENT from the graph on a modifier-free alternation whose
+        branch admits zero (``ghost (p?|q?) ?o``) misses the
+        zero-length solution — deciding it needs a runtime graph-
+        membership test (for anchors present in the graph the identity
+        seed is already exact, including per-branch multiplicity)."""
         pairs: DataFrame | None = None
         for st in steps:
             pairs = self._fold_step(triples, pairs, st, None, None, False)
@@ -1670,6 +1704,11 @@ def compile_sparql(
         return hit[-1]
     q = parse(text, prefixes)
     c = _Compiler(triples, services, auto_language)
+    if q.form == "describe":
+        env = c._compile_group(q.where) if q.where.items else None
+        out = _describe_triples(env, q, triples)
+        _COMPILE_MEMO[memo_key] = (triples, services, out)
+        return out
     env = c._compile_group(q.where)
     if env is None:
         raise ValueError("query has no bindings")
@@ -1700,6 +1739,38 @@ def compile_sparql(
 
 
 _COMPILE_MEMO: dict[tuple, tuple] = {}
+
+
+def _describe_triples(env: DataFrame | None, q: Query,
+                      triples: DataFrame) -> DataFrame:
+    """§16.4 DESCRIBE: the subject-expansion of the described resource
+    set — constants become one pushed-down IN filter on the scan;
+    variables become a left-semi join against the distinct bindings
+    (broadcastable: a DESCRIBE's subject set is query-shaped, not
+    corpus-shaped).  Output keeps the full triples schema."""
+    consts = [t[1] for t in q.template if t[0] == "iri"]
+    var_names = [t[1] for t in q.template if t[0] == "var"]
+    out: DataFrame | None = None
+    if consts:
+        out = triples.filter(F.col("subject").isin(consts))
+    if var_names:
+        if env is None:
+            raise ValueError("DESCRIBE variable with no bindings")
+        missing = [v for v in var_names if v not in env.columns]
+        if missing:
+            raise NotImplementedError(
+                f"DESCRIBE variable(s) {missing} are unbound in the "
+                "WHERE pattern")
+        subj = None
+        for v in var_names:
+            part = env.select(F.col(v).alias("subject"))
+            subj = part if subj is None else subj.unionByName(part)
+        semi = triples.join(F.broadcast(subj.distinct()),
+                            "subject", "left_semi")
+        out = semi if out is None else out.unionByName(semi)
+    # the description is a GRAPH — distinct even when one resource is
+    # described through both a constant and a variable
+    return out.distinct()
 
 
 def _construct_triples(env: DataFrame, q: Query) -> DataFrame:

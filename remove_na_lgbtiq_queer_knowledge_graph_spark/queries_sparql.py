@@ -756,6 +756,38 @@ FROM customer
 """
 
 
+def sparql_describe_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§16.4 DESCRIBE query form (round 8): subject-expansion of every
+    nation item bound by the WHERE pattern — a left-semi join of the
+    triples scan against the broadcast described-resource set."""
+    return compile_sparql("""\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+DESCRIBE ?nation WHERE { ?nation fgt:P2 fg:Q6256 . }
+""", factgrid_kg(spark, sf_dir))
+
+
+_DESCRIBE_SQL = f"""
+WITH n AS (
+  SELECT '{FG}Q' || CAST(225300 + n_nationkey AS VARCHAR) AS s,
+         '{FG}Q' || CAST(300000 + n_regionkey AS VARCHAR) AS reg,
+         n_name
+  FROM nation
+)
+SELECT s AS subject, '{FGT}P47' AS predicate, reg AS object,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
+FROM n
+UNION ALL
+SELECT s, '{FGT}P2', '{FG}Q6256', NULL, NULL FROM n
+UNION ALL
+SELECT s, 'http://www.w3.org/2000/01/rdf-schema#label', n_name, 'de', NULL
+FROM n
+UNION ALL
+SELECT s, 'http://www.w3.org/2000/01/rdf-schema#label', n_name, 'en', NULL
+FROM n
+"""
+
+
 def sparql_alt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9 extension (round 8): property-path alternation ``p1|p2``
     (SPARQL 1.1 §18.4 ``alt`` — bag union of the branch relations).
@@ -883,6 +915,9 @@ SPECS: dict[str, QuerySpec] = {
     "sparql_inverse_path": QuerySpec(
         sparql_inverse_path, _INVERSE_SQL,
         "inverse (^p) and zero-or-one (p?) property paths"),
+    "sparql_describe_nations": QuerySpec(
+        sparql_describe_nations, _DESCRIBE_SQL,
+        "DESCRIBE query form (§16.4) — subject-expansion via semi join"),
     "sparql_ask_members": QuerySpec(
         sparql_ask_members, _ASK_SQL,
         "ASK query form (§16.3) — lazy one-row boolean"),

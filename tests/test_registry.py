@@ -22,14 +22,14 @@ def test_every_spec_has_an_oracle():
 
 
 def test_registry_does_not_shrink():
-    """204 queries registered in round 8 (195 end of round 7 + the
+    """205 queries registered in round 8 (195 end of round 7 + the
     path-algebra entries sparql_alt_path/sparql_negated_path/
     sparql_group_closure/sparql_alt_closure, sparql_langmatches,
-    sparql_ask_members, sparql_construct_members, ann_pq_topk,
-    ann_ivf_pq_topk)."""
+    sparql_ask_members, sparql_construct_members,
+    sparql_describe_nations, ann_pq_topk, ann_ivf_pq_topk)."""
     from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
 
-    assert len(all_specs()) >= 204
+    assert len(all_specs()) >= 205
 
 
 def test_rotation_orders_by_staleness():

@@ -1059,3 +1059,22 @@ WHERE { ?m ex:cat ?cat .
     got = [tuple(r) for r in df.collect()]
     assert got == [("http://ex.org/i1", "http://ex.org/display",
                     "Alpha", None)]
+
+
+def test_describe_constant_and_var(triples):
+    # constant: all of ex:a's triples (type + 2 labels + knows)
+    df = compile_sparql(_PFX + """
+DESCRIBE ex:a""", triples)
+    assert df.count() == 4
+    assert {r.subject for r in df.collect()} == {"http://ex.org/a"}
+    # variable: describe every Person → a's 4 triples + b's 3
+    df = compile_sparql(_PFX + """
+DESCRIBE ?s WHERE { ?s a ex:Person . }""", triples)
+    assert df.count() == 7
+    # mixed + overlap stays a set: ex:a via both routes counted once
+    df = compile_sparql(_PFX + """
+DESCRIBE ex:a ?s WHERE { ?s a ex:Person . }""", triples)
+    assert df.count() == 7
+    # unbound describe var fails loud
+    with pytest.raises(SyntaxError, match="WHERE pattern"):
+        compile_sparql(_PFX + "DESCRIBE ?nope", triples)

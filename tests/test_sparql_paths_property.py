@@ -184,3 +184,32 @@ def test_path_algebra_matches_reference_evaluator(spark):
             f"missing {want - got}\nextra {got - want}")
         checked += 1
     assert checked == 24
+
+
+def test_anchored_paths_match_reference_evaluator(spark):
+    """Same sweep with a CONSTANT subject anchor drawn from the graph's
+    terms: `<c> PATH ?o` must equal the reference relation filtered to
+    src == c (for graph-member anchors the zero-length identity is part
+    of the full relation, so filtering is the spec semantics; the
+    absent-anchor corners have dedicated unit tests)."""
+    rng = random.Random(20260816)
+    for case in range(12):
+        graph = gen_graph(rng)
+        ast = gen_ast(rng, depth=2)
+        path = render(ast)
+        terms = sorted(_terms(graph))
+        anchor = rng.choice(terms)
+        want = Counter({
+            (EX + a, EX + b): n
+            for (a, b), n in ref_eval(ast, graph).items() if a == anchor})
+        t = spark.createDataFrame(
+            [(EX + s, EX + p, EX + o, None, None) for s, p, o in graph],
+            "subject string, predicate string, object string, "
+            "lang string, dtype string")
+        df = compile_sparql(
+            f"PREFIX ex: <{EX}>\n"
+            f"SELECT ?o WHERE {{ ex:{anchor} {path} ?o . }}", t)
+        got = Counter((EX + anchor, r["o"]) for r in df.collect())
+        assert got == want, (
+            f"case {case}: anchor {anchor} path {path}\ngraph {graph}\n"
+            f"missing {want - got}\nextra {got - want}")
