@@ -148,6 +148,10 @@ def main() -> int:
             "hash_match": hash_match, "spark_rows": len(srows),
             "oracle_rows": len(drows),
             "err": "; ".join(problems) or None,
+            # wall seconds for BOTH sides of this query — lets a later
+            # round spot a pathological oracle (a 10-minute DuckDB CTE
+            # at sf0.1 once looked like a hang) without re-running
+            "sec": round(time.time() - t0, 2),
         }
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
