@@ -211,6 +211,7 @@ class Query:
     where: GroupPat
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    offset: int | None = None
     label_langs: list[str] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: list[tuple] = field(default_factory=list)  # constraint exprs
@@ -739,6 +740,7 @@ class _Parser:
         group_by: list[str] = []
         having: list[tuple] = []
         limit = None
+        offset = None
         while self.peek() is not None:
             t = self.peek()
             if t.kind == "word" and t.text.upper() == "GROUP":
@@ -787,9 +789,13 @@ class _Parser:
                 self.next()
                 limit = int(self.expect("num").text)
                 continue
+            if t.kind == "word" and t.text.upper() == "OFFSET":
+                self.next()
+                offset = int(self.expect("num").text)
+                continue
             break
         return Query(select, distinct, where, order_by, limit,
-                     group_by=group_by, having=having)
+                     offset=offset, group_by=group_by, having=having)
 
     _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG",
                   "GROUP_CONCAT", "SAMPLE")
@@ -1975,6 +1981,10 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
                 for v, d in q.order_by if v in out.columns]
         if keys:
             out = out.orderBy(*keys)
+    if q.offset is not None:
+        # §15.4: OFFSET skips from the (ordered) solution sequence
+        # BEFORE LIMIT takes — DataFrame.offset composes the same way
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

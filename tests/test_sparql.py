@@ -1078,3 +1078,14 @@ DESCRIBE ex:a ?s WHERE { ?s a ex:Person . }""", triples)
     # unbound describe var fails loud
     with pytest.raises(SyntaxError, match="WHERE pattern"):
         compile_sparql(_PFX + "DESCRIBE ?nope", triples)
+
+
+def test_offset_and_limit(triples):
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:knows ?o . } ORDER BY ?s OFFSET 1 LIMIT 1""",
+                        triples)
+    assert _vals(df, "s") == [("http://ex.org/b",)]
+    # OFFSET past the end → empty, OFFSET alone (no LIMIT) works
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:knows ?o . } ORDER BY ?s OFFSET 2""", triples)
+    assert _vals(df, "s") == [("http://ex.org/c",)]
