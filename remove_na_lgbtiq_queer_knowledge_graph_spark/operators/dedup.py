@@ -681,3 +681,86 @@ def remove_frequent_ngrams(
              .cast("bigint").alias("n_words_after"),
         )
     )
+
+
+def semantic_keep(
+    vectors: DataFrame,
+    min_sim: float = 0.3,
+    n_centroids: int = 8,
+    iters: int = 2,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and removing
+    near-duplicates WITHIN each cluster — the cluster assignment is the
+    blocking key, so the pair join is |cell|²·k instead of n².
+
+    Keep rule (greedy, same convention as the LSH dedup paths here): a
+    vector is dropped when a LOWER-id vector in its cell has cosine
+    ≥ ``min_sim`` to it; the witness reported is the smallest such id.
+    This is the neighbor-graph keep-first rule, not a transitive
+    closure — a chain a~b~c with a≁c keeps a AND c (each dropped row
+    has a direct witness; pair it with connected components when
+    ball-collapse semantics are wanted).
+
+    Scale: the k-means fit trains on a bounded sample and iterates
+    driver-side (see :func:`..ann.kmeans_centroids`); the full corpus
+    is assigned in ONE shuffle-free pass against the closure-held
+    centroid matrix; the self-join shuffles on the cell id — at 100 TB
+    raise ``n_centroids`` so cells stay bounded (SemDeDup's own
+    production setting: tens of thousands of clusters).  Cosines round
+    to 6 dp before thresholding (cross-engine float discipline).
+
+    Output: one row per vector — (vec_id, cell, kept, witness,
+    witness_cos) — so the oracle checks the full decision, not just
+    the survivor count.
+    """
+    import numpy as np
+
+    from .ann import _dvec, _nearest_index_udf, cosine, kmeans_centroids
+
+    cents = kmeans_centroids(
+        vectors, n_centroids, iters, id_col, vec_col, sample_mod=sample_mod)
+    cent_rows = sorted(
+        ((r["cent_id"], [float(x) for x in r["cent_v"]])
+         for r in cents.collect()),
+        key=lambda r: r[0])
+    Cm = np.array([r[1] for r in cent_rows], dtype="float64")
+    id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
+    assigned = (
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       _dvec(vec_col).alias("cv"))
+        .withColumn("__ci", _nearest_index_udf(Cm)(F.col("cv")))
+        .withColumn("cell", F.element_at(
+            id_arr, (F.col("__ci") + 1).cast("int")).cast("bigint"))
+        .drop("__ci")
+    )
+    a = assigned.select(F.col("vec_id").alias("id_a"), "cell",
+                        F.col("cv").alias("va"))
+    b = assigned.select(F.col("vec_id").alias("id_b"), "cell",
+                        F.col("cv").alias("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", "id_a", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= min_sim)
+    )
+    wit = (pairs.groupBy("id_b").agg(F.min("id_a").alias("witness"))
+           .alias("w"))
+    witc = (
+        wit.join(pairs.alias("p"),
+                 (F.col("w.id_b") == F.col("p.id_b"))
+                 & (F.col("p.id_a") == F.col("w.witness")))
+        .select(F.col("w.id_b").alias("id_b"), F.col("w.witness")
+                .alias("witness"), F.col("p.cos").alias("witness_cos"))
+    )
+    return (
+        assigned.join(witc, assigned["vec_id"] == witc["id_b"], "left")
+        .select(
+            "vec_id", "cell",
+            F.col("witness").isNull().alias("kept"),
+            "witness", "witness_cos",
+        )
+    )

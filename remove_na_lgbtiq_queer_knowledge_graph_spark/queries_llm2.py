@@ -422,13 +422,13 @@ def ann_kmeans_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cells(v, n_centroids=8, iters=2, sample_mod=2)
 
 
-def _kmeans_oracle_sql(k: int, iters: int, decimals: int = 6,
-                       sample_mod: int = 1) -> str:
-    """Unrolled Lloyd's iterations as chained CTEs (the PageRank-oracle
-    idiom): assignment = argmin over the centroid cross join with the
-    same (cos desc, cent_id) tie-break, re-average rounded to the same
-    decimals.  The fit CTEs range over the ``sample_mod`` id-sample
-    (``vf``); the final full-corpus assignment ranges over ``v``."""
+def _kmeans_fit_ctes(k: int, iters: int, decimals: int = 6,
+                     sample_mod: int = 1) -> str:
+    """The k-means fit + full-corpus assignment as a reusable CTE
+    prefix (``WITH v, vf, c0 … cN, af``) — ``af`` is the per-vector
+    cell assignment every k-means-derived oracle composes on
+    (:data:`_KMEANS_SQL` appends member counts; queries_llm3's
+    SemDeDup oracle appends the in-cell pair join)."""
     samp = f" WHERE vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
     out = [f"""
 WITH v AS (
@@ -475,7 +475,19 @@ WITH v AS (
                       c.cent_id) AS rn
     FROM v CROSS JOIN {prev} c
   ) WHERE rn = 1
-), members AS (
+)""")
+    return "".join(out)
+
+
+def _kmeans_oracle_sql(k: int, iters: int, decimals: int = 6,
+                       sample_mod: int = 1) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (the PageRank-oracle
+    idiom): assignment = argmin over the centroid cross join with the
+    same (cos desc, cent_id) tie-break, re-average rounded to the same
+    decimals.  The fit CTEs range over the ``sample_mod`` id-sample
+    (``vf``); the final full-corpus assignment ranges over ``v``."""
+    prev = f"c{iters}"
+    return _kmeans_fit_ctes(k, iters, decimals, sample_mod) + f""", members AS (
   SELECT cent_id, count(*) AS n_members FROM af GROUP BY cent_id
 )
 SELECT c.cent_id AS cell, CAST(u.pos - 1 AS BIGINT) AS dim,
@@ -485,8 +497,7 @@ FROM (
   SELECT cent_id, unnest(list_transform(cent_v,
          (x, j) -> {{'pos': j, 'val': x}})) AS u
   FROM {prev}
-) c LEFT JOIN members m ON c.cent_id = m.cent_id""")
-    return "".join(out)
+) c LEFT JOIN members m ON c.cent_id = m.cent_id"""
 
 
 _KMEANS_SQL = _kmeans_oracle_sql(8, 2, sample_mod=2)

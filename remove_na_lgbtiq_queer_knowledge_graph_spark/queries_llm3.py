@@ -1,0 +1,504 @@
+"""Round-8 LLM-pipeline training queries: distributed BPE tokenizer
+training, relational logistic-regression training, and SemDeDup
+semantic deduplication — the "train the data tools ON the cluster"
+tier above the dedup/decontamination stack in queries_llm/llm2.
+
+Every query's DuckDB oracle unrolls the same fixed iteration count as
+chained CTEs (the Lloyd's/PageRank-oracle idiom), so the full training
+TRAJECTORY is hash-checked cross-engine, not just the final artifact.
+
+Scale notes (the 100 TB contract per op):
+
+- BPE: corpus scanned once into the word-frequency table; every merge
+  iteration aggregates over the VOCABULARY, never the corpus; the only
+  driver traffic is the argmax row per merge (the rule itself).
+- Logistic regression: each gradient step is one map-side-combinable
+  aggregate; d+2 numbers cross the wire per step (Chu et al. 2007).
+- SemDeDup: bounded-sample k-means fit, one shuffle-free full-corpus
+  assignment, pair join blocked by cell id (raise n_centroids with
+  corpus size; Abbas et al. 2023 run tens of thousands of clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_llm2 import _WORDS_DUCK, _WORDS_SPARK, _kmeans_fit_ctes
+from .spec import QuerySpec, t
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016), N fixed merges
+# ---------------------------------------------------------------------------
+
+_BPE_N = 8
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency table — the ONE corpus-sized scan in the
+    BPE path; everything after runs at vocabulary scale."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# Session-scoped memo: bpe_train_merges and bpe_vocab_tokens share one
+# fit; the sweep/bench run both back to back.  Keyed like spec.t()'s
+# table memo (applicationId) so a regenerated session refits.
+_BPE_MEMO: dict[tuple, tuple] = {}
+
+
+def _bpe_fit_memo(spark: SparkSession, sf_dir: str):
+    from .operators.bpe import bpe_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir, _BPE_N)
+    if key not in _BPE_MEMO:
+        if len(_BPE_MEMO) >= 16:
+            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+        _BPE_MEMO[key] = bpe_fit(_word_counts(spark, sf_dir), _BPE_N)
+    return _BPE_MEMO[key]
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merge rules over the documents corpus; one row per
+    learned rule — (step, lsym, rsym, merged, pair count) — so the
+    oracle checks the whole merge TRAJECTORY (a divergence at merge 3
+    shifts every later row)."""
+    _, merges = _bpe_fit_memo(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "step long, lsym string, rsym string, merged string, n long",
+    )
+
+
+def bpe_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table under the trained BPE merges —
+    encode-by-vocabulary: applying the merges to the word table and
+    re-weighting by word count is exactly encoding every document
+    (same tokens, same multiplicities), without touching the corpus
+    a second time."""
+    final, _ = _bpe_fit_memo(spark, sf_dir)
+    return (
+        final.select(F.explode(F.split("s", " ")).alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+
+
+def _bpe_ctes(n: int) -> str:
+    parts = [f"""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest({_WORDS_DUCK}) AS word FROM documents
+  ) GROUP BY word
+), w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS s, cnt
+  FROM words
+)"""]
+    for i in range(1, n + 1):
+        parts.append(f""", p{i} AS MATERIALIZED (
+  SELECT l[j] AS lsym, l[j + 1] AS rsym, sum(cnt) AS c
+  FROM (SELECT string_split(s, ' ') AS l, cnt FROM w{i - 1}) t,
+       unnest(range(1, len(l))) AS u(j)
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT lsym, rsym, c FROM p{i} ORDER BY c DESC, lsym, rsym LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT trim(replace(replace(
+           ' ' || replace(s, ' ', '  ') || ' ',
+           (SELECT ' ' || lsym || '  ' || rsym || ' ' FROM b{i}),
+           (SELECT ' ' || lsym || rsym || ' ' FROM b{i})),
+         '  ', ' ')) AS s, cnt
+  FROM w{i - 1}
+)""")
+    return "".join(parts)
+
+
+_BPE_MERGES_SQL = _bpe_ctes(_BPE_N) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS BIGINT) AS step, lsym, rsym, "
+    f"lsym || rsym AS merged, CAST(c AS BIGINT) AS n FROM b{i}"
+    for i in range(1, _BPE_N + 1)
+)
+
+_BPE_VOCAB_SQL = _bpe_ctes(_BPE_N) + f"""
+SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split(s, ' ')) AS token, cnt FROM w{_BPE_N}
+) GROUP BY token"""
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier (full-batch GD, 5 steps)
+# ---------------------------------------------------------------------------
+
+_LR_STEPS = 5
+
+
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, x1, x2): label = lang=='en'; features are exactly
+    computable on both engines — words/100 (exact rational) and the
+    type-token ratio (identical IEEE division, rounded to 6 dp)."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.expr(_WORDS_SPARK)
+    return (
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            w.alias("w"),
+        )
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id", "y",
+            (F.size("w").cast("double") / F.lit(100.0)).alias("x1"),
+            F.round(
+                F.size(F.array_distinct("w")).cast("double")
+                / F.size("w").cast("double"), 6,
+            ).alias("x2"),
+        )
+    )
+
+
+# train-once memo shared by lr_quality_train and lr_quality_score
+# (same keying discipline as the BPE memo)
+_LR_MEMO: dict[tuple, list] = {}
+
+
+def _lr_train_memo(spark: SparkSession, sf_dir: str):
+    from .operators.linear import logreg_train_rounds
+
+    key = (spark.sparkContext.applicationId, sf_dir, _LR_STEPS)
+    if key not in _LR_MEMO:
+        if len(_LR_MEMO) >= 16:
+            _LR_MEMO.pop(next(iter(_LR_MEMO)))
+        feats = _lr_features(spark, sf_dir).persist()
+        _LR_MEMO[key] = logreg_train_rounds(
+            feats, ["x1", "x2"], "y", steps=_LR_STEPS)
+        feats.unpersist()
+    return _LR_MEMO[key]
+
+
+def lr_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression language classifier (is the doc
+    English?) on two exactly-computable text features — words/100 and
+    the type-token ratio — via 5 full-batch gradient steps, each ONE
+    map-side-combinable aggregate (see operators/linear.py for the
+    cross-engine float discipline).  Output: the training curve —
+    (step, weights used, decision-rule hits) per step."""
+    rows, _ = _lr_train_memo(spark, sf_dir)
+    return spark.createDataFrame(
+        [(s, wts[0], wts[1], wts[2], ok) for s, wts, ok in rows],
+        "step long, w0 double, w1 double, w2 double, n_correct long",
+    )
+
+
+def lr_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference half of the train→filter loop: apply the FINAL
+    trained weights (after all T updates — the oracle's s{T} CTE) to
+    every document: one embarrassingly-parallel codegen pass, the
+    shape that scores a 100 TB corpus (the model is three literals in
+    the plan; nothing but the scan moves)."""
+    _, w_final = _lr_train_memo(spark, sf_dir)
+    feats = _lr_features(spark, sf_dir)
+    z = F.lit(w_final[0]) \
+        + F.lit(w_final[1]) * F.col("x1") \
+        + F.lit(w_final[2]) * F.col("x2")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
+    return feats.select(
+        "doc_id",
+        F.round(p, 6).alias("score"),
+        (p >= F.lit(0.5)).alias("pred"),
+        F.col("y").cast("long").alias("y"),
+    )
+
+
+def _lr_ctes(steps: int) -> str:
+    """The GD training chain as a reusable CTE prefix: ``f`` (features,
+    with doc_id so a scoring tail can join back), ``s0..s{steps}``
+    (weights), ``e{i}``/``g{i}`` (per-step sigmoid + gradient sums)."""
+    parts = [f"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id, y, CAST(len(w) AS DOUBLE) / 100.0 AS x1,
+         round(CAST(len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE), 6) AS x2
+  FROM (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           {_WORDS_DUCK} AS w
+    FROM documents
+  ) WHERE len(w) > 0
+), s0 AS MATERIALIZED (
+  SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+         CAST(0.0 AS DOUBLE) AS w2
+)"""]
+    for i in range(steps):
+        # z builds left-associatively — ((w0 + w1·x1) + w2·x2) — the
+        # exact tree the Spark side constructs, so the double math is
+        # bit-identical up to exp()'s last ulp (which the 12-dp round
+        # absorbs before anything sums)
+        z = (f"(SELECT w0 FROM s{i}) + (SELECT w1 FROM s{i}) * x1 "
+             f"+ (SELECT w2 FROM s{i}) * x2")
+        parts.append(f""", e{i} AS MATERIALIZED (
+  SELECT y, x1, x2,
+         round(1.0 / (1.0 + exp(-({z}))), 12) AS p
+  FROM f
+), g{i} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(round(p - y, 14) AS DECIMAL(28,14))) AS DOUBLE)
+           AS g0,
+         CAST(SUM(CAST(round((p - y) * x1, 14) AS DECIMAL(28,14)))
+              AS DOUBLE) AS g1,
+         CAST(SUM(CAST(round((p - y) * x2, 14) AS DECIMAL(28,14)))
+              AS DOUBLE) AS g2,
+         count(*) AS n,
+         SUM(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS ok
+  FROM e{i}
+), s{i + 1} AS MATERIALIZED (
+  SELECT round((SELECT w0 FROM s{i})
+               - (SELECT g0 FROM g{i}) / (SELECT n FROM g{i}), 12) AS w0,
+         round((SELECT w1 FROM s{i})
+               - (SELECT g1 FROM g{i}) / (SELECT n FROM g{i}), 12) AS w1,
+         round((SELECT w2 FROM s{i})
+               - (SELECT g2 FROM g{i}) / (SELECT n FROM g{i}), 12) AS w2
+)""")
+    return "".join(parts)
+
+
+_LR_SQL = _lr_ctes(_LR_STEPS) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS BIGINT) AS step, "
+    f"round((SELECT w0 FROM s{i}), 6) AS w0, "
+    f"round((SELECT w1 FROM s{i}), 6) AS w1, "
+    f"round((SELECT w2 FROM s{i}), 6) AS w2, "
+    f"CAST((SELECT ok FROM g{i}) AS BIGINT) AS n_correct"
+    for i in range(_LR_STEPS)
+)
+
+# Scoring tail: the FINAL weights (s{steps}) applied to every doc — the
+# inference half of the train→filter loop.  score rounds the 12-dp
+# sigmoid to 6 dp with the same two-step sequence the Spark side runs.
+_LR_SCORE_SQL = _lr_ctes(_LR_STEPS) + f""", ps AS (
+  SELECT doc_id, y,
+         round(1.0 / (1.0 + exp(-((SELECT w0 FROM s{_LR_STEPS})
+               + (SELECT w1 FROM s{_LR_STEPS}) * x1
+               + (SELECT w2 FROM s{_LR_STEPS}) * x2))), 12) AS p
+  FROM f
+)
+SELECT doc_id, round(p, 6) AS score, (p >= 0.5) AS pred,
+       CAST(y AS BIGINT) AS y
+FROM ps"""
+
+
+# ---------------------------------------------------------------------------
+# Count-based bigram LM: train + per-doc scoring (perplexity filter)
+# ---------------------------------------------------------------------------
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model with add-one smoothing,
+    trained on the corpus and used to score every document's average
+    negative log-likelihood — the classic KenLM-style perplexity
+    quality filter, fully relational:
+
+    - TRAIN: doc-adjacent word pairs → ONE (w1, w2) count aggregate
+      (map-side combinable); the conditional denominator is the
+      marginal Σ_w2 c(w1,w2); V (vocabulary size) is one scalar.
+    - SCORE: each doc's bigrams equi-join the count tables on their
+      own keys — shuffle ∝ corpus bigram stream, never |docs|×|vocab|.
+
+    Float discipline: p = (c12+1)/(c1+V) is an exact rational whose
+    double division is IEEE-identical cross-engine; ln rounds to 9 dp
+    before the per-doc DECIMAL(28,14) sum; the mean NLL rounds to 6."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")).filter(F.size("w") >= 2)
+    js = F.sequence(F.lit(1), F.size("w") - 1)
+    bg = (
+        toks.select("doc_id", F.explode(js).alias("j"), "w")
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("j")).alias("w1"),
+            F.element_at("w", F.col("j") + F.lit(1)).alias("w2"),
+        )
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    # V: one scalar — the vocabulary size of the training stream
+    vocab_n = (
+        docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .agg(F.countDistinct("word")).collect()[0][0]
+    )
+    logp = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(vocab_n))),
+        9,
+    )
+    return (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .select("doc_id", logp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("lp").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+_LM_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
+  ) WHERE len(w) >= 2
+), bg AS MATERIALIZED (
+  SELECT doc_id, w[j] AS w1, w[j + 1] AS w2
+  FROM toks, unnest(range(1, len(w))) AS u(j)
+), c12 AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS MATERIALIZED (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), vn AS (
+  SELECT count(DISTINCT word) AS v FROM (
+    SELECT unnest({_WORDS_DUCK}) AS word FROM documents
+  )
+)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-CAST(SUM(CAST(round(ln((c12 + 1.0)
+                    / (c1 + (SELECT v FROM vn))), 9)
+             AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS avg_nll
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf = in-doc term count, idf =
+    ln(N/df) over the corpus — two map-side-combinable aggregates and
+    one per-doc window (partitioned by doc_id, never global).  The df
+    table is vocabulary-sized and joins back on the term — at 100 TB
+    the shuffle carries the (doc, term, tf) stream, already collapsed
+    from the raw token stream by the first aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+    scored = tf.join(df_t, "word").select(
+        "doc_id", "word", "tf",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("word")))
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest({_WORDS_DUCK}) AS word FROM documents
+  ) GROUP BY 1, 2
+), dft AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, word, tf, score, rk FROM (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * round(ln((SELECT n FROM nd) / dft.df), 9), 6)
+           AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * round(ln((SELECT n FROM nd) / dft.df),
+                          9), 6) DESC, tf.word) AS BIGINT) AS rk
+  FROM tf JOIN dft USING (word)
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup blocked by learned k-means cells
+# ---------------------------------------------------------------------------
+
+
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus: k-means cells (8 cells,
+    2 Lloyd's iterations, half-sample fit — the exact ann_kmeans_cells
+    quantizer) block the cosine pair join; a vector is dropped when a
+    lower-id cell-mate has cosine ≥ 0.3 (the dedup_embedding_pairs
+    threshold).  One row per vector with the full decision + witness."""
+    from .operators.dedup import semantic_keep
+
+    return semantic_keep(
+        t(spark, sf_dir, "embeddings"),
+        min_sim=0.3, n_centroids=8, iters=2, sample_mod=2,
+    )
+
+
+_SEMDEDUP_SQL = _kmeans_fit_ctes(8, 2, sample_mod=2) + """, pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(va.cv, vb.cv)
+               / (sqrt(list_dot_product(va.cv, va.cv))
+                  * sqrt(list_dot_product(vb.cv, vb.cv))), 6) AS cos
+  FROM af a JOIN af b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+), prt AS (
+  SELECT * FROM pr WHERE cos >= 0.3
+), wit AS (
+  SELECT id_b, min(id_a) AS witness FROM prt GROUP BY id_b
+), witc AS (
+  SELECT w.id_b, w.witness, p.cos FROM wit w
+  JOIN prt p ON p.id_b = w.id_b AND p.id_a = w.witness
+)
+SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cell,
+       (wc.id_b IS NULL) AS kept, wc.witness, wc.cos AS witness_cos
+FROM af a LEFT JOIN witc wc ON a.vec_id = wc.id_b"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "bpe_train_merges": QuerySpec(
+        bpe_train_merges, _BPE_MERGES_SQL,
+        "distributed BPE tokenizer training: 8 merge rules learned "
+        "over the corpus word-frequency table, trajectory oracle-"
+        "checked via unrolled CTEs"),
+    "bpe_vocab_tokens": QuerySpec(
+        bpe_vocab_tokens, _BPE_VOCAB_SQL,
+        "corpus token-frequency vocabulary under the trained BPE "
+        "merges (encode-by-vocabulary)"),
+    "lr_quality_train": QuerySpec(
+        lr_quality_train, _LR_SQL,
+        "logistic-regression training as relational aggregation: "
+        "5 full-batch GD steps, one map-side-combinable aggregate "
+        "each; training curve oracle-checked per step"),
+    "lr_quality_score": QuerySpec(
+        lr_quality_score, _LR_SCORE_SQL,
+        "inference with the trained LR model: per-doc sigmoid score + "
+        "decision, one codegen pass with the model as plan literals"),
+    "lm_bigram_score": QuerySpec(
+        lm_bigram_score, _LM_SQL,
+        "count-based bigram LM (add-one smoothing) trained on the "
+        "corpus; per-doc mean negative log-likelihood — the "
+        "perplexity quality filter"),
+    "text_tfidf_terms": QuerySpec(
+        text_tfidf_terms, _TFIDF_SQL,
+        "top-3 TF-IDF terms per document (corpus df join + per-doc "
+        "window)"),
+    "dedup_semantic_keep": QuerySpec(
+        dedup_semantic_keep, _SEMDEDUP_SQL,
+        "SemDeDup: k-means-cell-blocked embedding-cosine dedup with "
+        "per-vector keep decision and witness"),
+}

@@ -38,6 +38,9 @@ _MODULES = (
     # never-verified ordering
     "queries_sparql2",
     "queries_llm2",
+    # round-8 continuation: training-tier LLM ops (BPE, logreg,
+    # SemDeDup) — appended last per the rotation ordering contract
+    "queries_llm3",
 )
 
 

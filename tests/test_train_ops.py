@@ -1,0 +1,186 @@
+"""Unit tests for the training-tier ops (queries_llm3): BPE merge
+training vs an independent pure-Python reference, the logistic-GD
+trainer's determinism and learning, and SemDeDup's keep-rule
+invariants vs a brute-force check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- independent reference BPE (dict-of-tuples, no string tricks) ---------
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Textbook BPE (Sennrich et al. 2016): symbol tuples, greedy
+    left-to-right merge, ties on (count desc, pair asc).  Shares no
+    code or representation with operators/bpe.py."""
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[syms[i], syms[i + 1]] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((step, l, r, l + r, c))
+        new_vocab: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return vocab, merges
+
+
+WORDS = {
+    "lower": 8, "low": 7, "newest": 6, "widest": 3,
+    "new": 5, "aaa": 4, "abab": 4, "banana": 2,
+}
+
+
+def test_bpe_fit_matches_reference(spark):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.bpe import bpe_fit
+
+    words = spark.createDataFrame(
+        list(WORDS.items()), "word string, cnt long")
+    final, merges = bpe_fit(words, 6)
+    _, ref_merges = _ref_bpe(WORDS, 6)
+    assert merges == ref_merges
+    # final symbol table must equal the reference vocabulary
+    got = {
+        tuple(r["s"].split(" ")): r["cnt"] for r in final.collect()
+    }
+    ref_vocab, _ = _ref_bpe(WORDS, 6)
+    assert got == ref_vocab
+
+
+def test_bpe_apply_merge_overlap_and_boundaries(spark):
+    """The delimiter-doubling replace must be exactly greedy
+    left-to-right: shared-separator runs merge like textbook BPE and
+    symbol substrings never false-match."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.bpe import apply_merge
+
+    ab_cases = [
+        ("a b a b", "ab ab"),      # consecutive matches share a space
+        ("xa b", "xa b"),          # 'a b' inside symbol 'xa' must not match
+        ("a b c", "ab c"),
+        ("c a b", "c ab"),
+        ("a b", "ab"),
+    ]
+    aa_cases = [
+        ("a a a", "aa a"),         # greedy non-overlapping on a run
+        ("a a a a", "aa aa"),
+        ("a a", "aa"),
+    ]
+    for lsym, rsym, cases in [("a", "b", ab_cases), ("a", "a", aa_cases)]:
+        df = spark.createDataFrame(
+            [(s, 1) for s, _ in cases], "s string, cnt long")
+        got = [r["s"] for r in apply_merge(df, lsym, rsym).collect()]
+        assert got == [want for _, want in cases], (lsym, rsym)
+
+
+def test_bpe_fit_exhaustion_raises(spark):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.bpe import bpe_fit
+
+    words = spark.createDataFrame([("ab", 1)], "word string, cnt long")
+    # "a b </w>" admits exactly 2 merges before it is one symbol
+    with pytest.raises(ValueError, match="vocabulary exhausted"):
+        bpe_fit(words, 5)
+
+
+def test_round_half_away_matches_duckdb():
+    import random
+
+    import duckdb
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.linear import (
+        round_half_away,
+    )
+
+    rng = random.Random(11)
+    vals = [rng.uniform(-3, 3) for _ in range(5000)] + [0.5e-12, -0.5e-12]
+    con = duckdb.connect()
+    got = [
+        r[0] for r in con.execute(
+            "SELECT round(x, 12) FROM (SELECT unnest(?) AS x)", [vals]
+        ).fetchall()
+    ]
+    assert got == [round_half_away(v, 12) for v in vals]
+
+
+def test_logreg_learns_and_is_partition_invariant(spark):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.linear import (
+        logreg_train_rounds,
+    )
+
+    # separable-ish: y = 1 when x1 > 0.5 (plus a distractor feature)
+    rows = [
+        (1 if i % 7 > 3 else 0, (i % 7) / 7.0, ((i * 13) % 10) / 10.0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    out1, w1 = logreg_train_rounds(df.repartition(1), ["x1", "x2"], steps=4)
+    out32, w32 = logreg_train_rounds(
+        df.repartition(32), ["x1", "x2"], steps=4)
+    # decimal-sum discipline: bit-identical across partitionings
+    assert out1 == out32 and w1 == w32
+    # GD on a separable feature must beat the all-zero model
+    assert out1[-1][2] > out1[0][2]
+
+
+def test_semantic_keep_invariants(spark):
+    """Brute-force check of the keep rule on the sf0.001 embeddings:
+    dropped ⇔ a lower-id cell-mate with rounded cosine ≥ τ exists, and
+    the witness is the smallest such id."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
+        _round_half_away,
+        _seq_cosine,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        semantic_keep,
+    )
+
+    import numpy as np
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_keep(vecs, min_sim=0.3, n_centroids=8, iters=2,
+                        sample_mod=2)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    raw = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in vecs.collect()
+    }
+    assert set(rows) == set(raw)
+    by_cell: dict[int, list[int]] = {}
+    for vid, r in rows.items():
+        by_cell.setdefault(r["cell"], []).append(vid)
+    for cell, ids in by_cell.items():
+        ids.sort()
+        A = np.array([raw[i] for i in ids], dtype="float64")
+        cos = _round_half_away(_seq_cosine(A, A), 6)
+        for bi, vid in enumerate(ids):
+            wits = [
+                ids[ai] for ai in range(bi) if cos[ai, bi] >= 0.3
+            ]
+            r = rows[vid]
+            if wits:
+                assert not r["kept"] and r["witness"] == min(wits)
+                ai = ids.index(r["witness"])
+                assert r["witness_cos"] == pytest.approx(
+                    cos[ai, bi], abs=1e-12)
+            else:
+                assert r["kept"] and r["witness"] is None
