@@ -373,6 +373,122 @@ GROUP BY bg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-bigram generative-model ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log-likelihood
+    ratio between a TARGET hashed-bigram unigram model (here: the
+    English subset, the quality-domain proxy) and the RAW-corpus
+    model, both add-one smoothed over B=4096 md5 buckets.
+
+    The 100 TB shape is the whole point: both "models" are fixed-size
+    B-bucket count tables (two map-side-combinable aggregates), the
+    per-bucket log-ratio table BROADCASTS to the scoring join, and the
+    corpus is never shuffled except the per-doc combinable aggregate —
+    a document's score never needs another document.
+
+    Float discipline: bucket probabilities are exact rationals whose
+    double math is IEEE-identical; ln rounds to 9 dp per bucket (once,
+    in the broadcast table); per-doc sums ride DECIMAL(28,14); the
+    mean rounds to 6."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.col("lang"), F.expr(_WORDS_SPARK).alias("w")
+    ).filter(F.size("w") >= 2)
+    js = F.sequence(F.lit(1), F.size("w") - 1)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    " ",
+                    F.element_at("w", F.col("j")),
+                    F.element_at("w", F.col("j") + F.lit(1)),
+                )), 1, 6),
+            16, 10,
+        ).cast("long"),
+        F.lit(_DSIR_B),
+    )
+    g = (
+        toks.select("doc_id", "lang", F.explode(js).alias("j"), "w")
+        .select("doc_id", "lang", bucket.alias("b"))
+    )
+    raw = g.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        g.filter(F.col("lang") == "en")
+        .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    totals = g.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    ).collect()[0]
+    rd = float(int(totals["nr"]) + _DSIR_B)
+    td = float(int(totals["nt"]) + _DSIR_B)
+    lr = F.round(
+        F.log(((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / F.lit(td))
+              / ((F.col("cr") + F.lit(1.0)) / F.lit(rd))),
+        9,
+    )
+    stats = raw.join(tgt, "b", "left").select("b", lr.alias("lr"))
+    return (
+        g.join(F.broadcast(stats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logratio"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "avg_logratio",
+            (F.col("avg_logratio") > 0).alias("selected"),
+        )
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang, {_WORDS_DUCK} AS w FROM documents
+  ) WHERE len(w) >= 2
+), g AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(w[j] || ' ' || w[j + 1]), 1, 6)
+              AS BIGINT) % {_DSIR_B} AS b
+  FROM toks, unnest(range(1, len(w))) AS u(j)
+), raw AS MATERIALIZED (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM g GROUP BY 1
+), tgt AS MATERIALIZED (
+  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM g
+  WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) + {_DSIR_B} AS DOUBLE) AS rd,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + {_DSIR_B}
+              AS DOUBLE) AS td
+  FROM g
+), stats AS MATERIALIZED (
+  SELECT raw.b,
+         round(ln(((coalesce(tgt.ct, 0) + 1.0) / (SELECT td FROM tot))
+                  / ((raw.cr + 1.0) / (SELECT rd FROM tot))), 9) AS lr
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(lr AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6)
+         AS avg_logratio,
+       (round(CAST(SUM(CAST(lr AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6)
+        > 0) AS selected
+FROM g JOIN stats USING (b)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------
 
@@ -497,6 +613,10 @@ SPECS: dict[str, QuerySpec] = {
         text_tfidf_terms, _TFIDF_SQL,
         "top-3 TF-IDF terms per document (corpus df join + per-doc "
         "window)"),
+    "dsir_importance_weights": QuerySpec(
+        dsir_importance_weights, _DSIR_SQL,
+        "DSIR importance weights: hashed-bigram target/raw "
+        "log-likelihood ratio per doc, broadcast-sized bucket models"),
     "dedup_semantic_keep": QuerySpec(
         dedup_semantic_keep, _SEMDEDUP_SQL,
         "SemDeDup: k-means-cell-blocked embedding-cosine dedup with "
