@@ -719,6 +719,7 @@ def semantic_keep(
     """
     import numpy as np
 
+    from ..spec import materialize
     from .ann import _dvec, _nearest_index_udf, cosine, kmeans_centroids
 
     cents = kmeans_centroids(
@@ -729,7 +730,9 @@ def semantic_keep(
         key=lambda r: r[0])
     Cm = np.array([r[1] for r in cent_rows], dtype="float64")
     id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
-    assigned = (
+    # assigned feeds both pair-join sides AND the final left join —
+    # materialize so the corpus is scanned + UDF-assigned once, not 3×
+    assigned = materialize(
         vectors.select(F.col(id_col).alias("vec_id"),
                        _dvec(vec_col).alias("cv"))
         .withColumn("__ci", _nearest_index_udf(Cm)(F.col("cv")))
@@ -741,7 +744,8 @@ def semantic_keep(
                         F.col("cv").alias("va"))
     b = assigned.select(F.col("vec_id").alias("id_b"), "cell",
                         F.col("cv").alias("vb"))
-    pairs = (
+    # pairs feeds the witness argmin AND its cosine lookup join
+    pairs = materialize(
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_b", "id_a", cosine(F.col("va"), F.col("vb")).alias("cos"))

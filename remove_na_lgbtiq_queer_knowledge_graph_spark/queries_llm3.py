@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from .queries_llm2 import _WORDS_DUCK, _WORDS_SPARK, _kmeans_fit_ctes
 from .spec import QuerySpec, t
+from .spec import materialize as _cache
 
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (Sennrich et al. 2016), N fixed merges
@@ -311,7 +312,10 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.expr(_WORDS_SPARK).alias("w")).filter(F.size("w") >= 2)
     js = F.sequence(F.lit(1), F.size("w") - 1)
-    bg = (
+    # bg feeds the count model AND the scoring join; c12 feeds its
+    # marginal AND the join — materialize both so the corpus token
+    # stream is derived once (at scale: persist/checkpoint, same call)
+    bg = _cache(
         toks.select("doc_id", F.explode(js).alias("j"), "w")
         .select(
             "doc_id",
@@ -319,8 +323,8 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("w", F.col("j") + F.lit(1)).alias("w2"),
         )
     )
-    c12 = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12"))
+    c12 = _cache(bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")))
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     # V: one scalar — the vocabulary size of the training stream
     vocab_n = (
@@ -413,7 +417,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
         F.lit(_DSIR_B),
     )
-    g = (
+    # g (the bucketed bigram stream) feeds both models, the totals,
+    # and the scoring aggregate — derive it from the corpus ONCE
+    g = _cache(
         toks.select("doc_id", "lang", F.explode(js).alias("j"), "w")
         .select("doc_id", "lang", bucket.alias("b"))
     )
@@ -502,7 +508,7 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw token stream by the first aggregate."""
     docs = t(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tf = (
+    tf = _cache(
         docs.select("doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
