@@ -577,6 +577,37 @@ def kmeans_centroids(
     )
 
 
+def assign_cells(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full-corpus cell assignment against a fitted (cent_id, cent_v)
+    frame: ONE shuffle-free pass with the k×dim centroid matrix in the
+    UDF closure — the shared kernel behind :func:`kmeans_cells`,
+    SemDeDup's blocking, and hashed-TF document clustering.  Returns
+    (vec_id, cv, cell) with the cell id in its native type; ties break
+    to the lowest cent_id (rows sorted before the matrix is built),
+    matching the oracle's (cos DESC, cent_id) row_number."""
+    import numpy as np
+
+    cent_rows = sorted(
+        ((r["cent_id"], [float(x) for x in r["cent_v"]])
+         for r in cents.collect()),
+        key=lambda r: r[0])
+    Cm = np.array([r[1] for r in cent_rows], dtype="float64")
+    id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       _dvec(vec_col).alias("cv"))
+        .withColumn("__ci", _nearest_index_udf(Cm)(F.col("cv")))
+        .withColumn("cell", F.element_at(
+            id_arr, (F.col("__ci") + 1).cast("int")))
+        .drop("__ci")
+    )
+
+
 def kmeans_cells(
     vectors: DataFrame,
     n_centroids: int = 16,

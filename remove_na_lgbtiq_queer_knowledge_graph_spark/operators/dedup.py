@@ -717,28 +717,16 @@ def semantic_keep(
     witness_cos) — so the oracle checks the full decision, not just
     the survivor count.
     """
-    import numpy as np
-
     from ..spec import materialize
-    from .ann import _dvec, _nearest_index_udf, cosine, kmeans_centroids
+    from .ann import assign_cells, cosine, kmeans_centroids
 
     cents = kmeans_centroids(
         vectors, n_centroids, iters, id_col, vec_col, sample_mod=sample_mod)
-    cent_rows = sorted(
-        ((r["cent_id"], [float(x) for x in r["cent_v"]])
-         for r in cents.collect()),
-        key=lambda r: r[0])
-    Cm = np.array([r[1] for r in cent_rows], dtype="float64")
-    id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
     # assigned feeds both pair-join sides AND the final left join —
     # materialize so the corpus is scanned + UDF-assigned once, not 3×
     assigned = materialize(
-        vectors.select(F.col(id_col).alias("vec_id"),
-                       _dvec(vec_col).alias("cv"))
-        .withColumn("__ci", _nearest_index_udf(Cm)(F.col("cv")))
-        .withColumn("cell", F.element_at(
-            id_arr, (F.col("__ci") + 1).cast("int")).cast("bigint"))
-        .drop("__ci")
+        assign_cells(vectors, cents, id_col, vec_col)
+        .withColumn("cell", F.col("cell").cast("bigint"))
     )
     a = assigned.select(F.col("vec_id").alias("id_a"), "cell",
                         F.col("cv").alias("va"))

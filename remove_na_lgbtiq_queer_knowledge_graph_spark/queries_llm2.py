@@ -423,17 +423,24 @@ def ann_kmeans_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_fit_ctes(k: int, iters: int, decimals: int = 6,
-                     sample_mod: int = 1) -> str:
+                     sample_mod: int = 1, v_sql: str | None = None) -> str:
     """The k-means fit + full-corpus assignment as a reusable CTE
     prefix (``WITH v, vf, c0 … cN, af``) — ``af`` is the per-vector
     cell assignment every k-means-derived oracle composes on
     (:data:`_KMEANS_SQL` appends member counts; queries_llm3's
-    SemDeDup oracle appends the in-cell pair join)."""
+    SemDeDup oracle appends the in-cell pair join, its doc-clustering
+    oracle swaps ``v_sql`` for a hashed-TF vector source).
+
+    ``v_sql``: body of the ``v`` CTE — any SELECT producing
+    (vec_id BIGINT-orderable, cv DOUBLE[]); defaults to the embeddings
+    table."""
     samp = f" WHERE vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
+    if v_sql is None:
+        v_sql = ("SELECT vec_id, list_transform(embedding, "
+                 "x -> CAST(x AS DOUBLE)) AS cv\n  FROM embeddings")
     out = [f"""
 WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings
+  {v_sql}
 ), vf AS (
   SELECT * FROM v{samp}
 ), c0 AS (

@@ -552,6 +552,91 @@ SELECT doc_id, word, tf, score, rk FROM (
 
 
 # ---------------------------------------------------------------------------
+# Document clustering: hashed-TF vectors + k-means (HashingTF→KMeans)
+# ---------------------------------------------------------------------------
+
+_DOC_TF_D = 16
+
+
+def _doc_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer: each document becomes a dense
+    D-dim term-frequency vector over md5 word buckets — the Spark-ML
+    HashingTF re-expressed with engine-portable hashing so the whole
+    pipeline stays oracle-checkable.  The dense vector assembles from
+    a (doc × bucket) spine left-joined to the bucket counts; the spine
+    is |docs|·D rows — D is a constant, so this is a linear pass."""
+    docs = t(spark, sf_dir, "documents")
+    b = F.pmod(
+        F.conv(F.substring(F.md5("word"), 1, 6), 16, 10).cast("long"),
+        F.lit(_DOC_TF_D),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .select("doc_id", b.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    grid = (
+        docs.filter(F.size(F.expr(_WORDS_SPARK)) > 0)
+        .select("doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(_DOC_TF_D - 1)))
+                 .alias("b"))
+    )
+    return (
+        grid.join(counts, ["doc_id", "b"], "left")
+        .select("doc_id", "b", F.coalesce("v", F.lit(0.0)).alias("v"))
+        .groupBy("doc_id")
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("b", "v"))),
+            lambda s: s["v"],
+        ).alias("tfv"))
+    )
+
+
+def doc_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text clustering, end to end: hashed-TF vectorizer (above) →
+    the deterministic Lloyd's quantizer (half-sample fit, 4 cells,
+    2 iterations) → one shuffle-free full-corpus assignment.  The
+    Spark-ML `HashingTF + KMeans` pipeline shape with every stage
+    oracle-checkable.  Output: (doc_id, cell)."""
+    from .operators.ann import assign_cells, kmeans_centroids
+
+    vecs = _cache(_doc_tf_vectors(spark, sf_dir))
+    cents = kmeans_centroids(
+        vecs, n_centroids=4, iters=2, id_col="doc_id", vec_col="tfv",
+        sample_mod=2)
+    return (
+        assign_cells(vecs, cents, id_col="doc_id", vec_col="tfv")
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("cell").cast("bigint").alias("cell"))
+    )
+
+
+_DOC_TF_V_SQL = f"""SELECT doc_id AS vec_id, list(v ORDER BY b) AS cv
+  FROM (
+    SELECT g.doc_id, g.b, CAST(coalesce(c.v, 0) AS DOUBLE) AS v
+    FROM (
+      SELECT d.doc_id, r.b
+      FROM (SELECT doc_id FROM documents
+            WHERE len({_WORDS_DUCK}) > 0) d,
+           (SELECT unnest(range(0, {_DOC_TF_D})) AS b) r
+    ) g
+    LEFT JOIN (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(word), 1, 6) AS BIGINT)
+               % {_DOC_TF_D} AS b,
+             count(*) AS v
+      FROM (SELECT doc_id, unnest({_WORDS_DUCK}) AS word FROM documents)
+      GROUP BY 1, 2
+    ) c ON c.doc_id = g.doc_id AND c.b = g.b
+  ) GROUP BY doc_id"""
+
+_DOC_CLUSTER_SQL = _kmeans_fit_ctes(
+    4, 2, sample_mod=2, v_sql=_DOC_TF_V_SQL) + """
+SELECT vec_id AS doc_id, CAST(cent_id AS BIGINT) AS cell FROM af"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup — semantic dedup blocked by learned k-means cells
 # ---------------------------------------------------------------------------
 
@@ -623,6 +708,10 @@ SPECS: dict[str, QuerySpec] = {
         dsir_importance_weights, _DSIR_SQL,
         "DSIR importance weights: hashed-bigram target/raw "
         "log-likelihood ratio per doc, broadcast-sized bucket models"),
+    "doc_cluster_assign": QuerySpec(
+        doc_cluster_assign, _DOC_CLUSTER_SQL,
+        "text clustering: hashed-TF vectorizer + deterministic "
+        "k-means, one shuffle-free full-corpus assignment"),
     "dedup_semantic_keep": QuerySpec(
         dedup_semantic_keep, _SEMDEDUP_SQL,
         "SemDeDup: k-means-cell-blocked embedding-cosine dedup with "
