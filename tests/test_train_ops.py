@@ -184,3 +184,40 @@ def test_semantic_keep_invariants(spark):
                     cos[ai, bi], abs=1e-12)
             else:
                 assert r["kept"] and r["witness"] is None
+
+
+def test_bpe_fit_matches_reference_property(spark):
+    """Property form of the reference-equivalence test: random tiny-
+    alphabet vocabularies maximize tie-breaks, overlapping runs
+    ("aaa"), and shared-separator merges ("abab") — the cases where a
+    wrong replace strategy diverges from textbook BPE.  Spark examples
+    are expensive, so the example count stays small; the fixed-seed
+    derandomized run is deterministic in CI."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.bpe import bpe_fit
+
+    words_strategy = st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=9),
+        min_size=2, max_size=8,
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(words_strategy)
+    def check(word_counts):
+        n_merges = 4
+        ref_vocab, ref_merges = _ref_bpe(word_counts, n_merges)
+        df = spark.createDataFrame(
+            list(word_counts.items()), "word string, cnt long")
+        if len(ref_merges) < n_merges:
+            with pytest.raises(ValueError, match="vocabulary exhausted"):
+                bpe_fit(df, n_merges)
+            return
+        final, merges = bpe_fit(df, n_merges)
+        assert merges == ref_merges
+        got = {tuple(r["s"].split(" ")): r["cnt"] for r in final.collect()}
+        assert got == ref_vocab
+
+    check()
