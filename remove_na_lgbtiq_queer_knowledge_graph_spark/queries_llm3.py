@@ -48,14 +48,25 @@ def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Session-scoped memo: bpe_train_merges and bpe_vocab_tokens share one
 # fit; the sweep/bench run both back to back.  Keyed like spec.t()'s
-# table memo (applicationId) so a regenerated session refits.
+# table memo (applicationId + source mtime) so a regenerated session —
+# or regenerated testdata — refits instead of serving a stale model.
 _BPE_MEMO: dict[tuple, tuple] = {}
+
+
+def _src_mtime(sf_dir: str) -> float | None:
+    import os
+
+    try:
+        return os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        return None
 
 
 def _bpe_fit_memo(spark: SparkSession, sf_dir: str):
     from .operators.bpe import bpe_fit
 
-    key = (spark.sparkContext.applicationId, sf_dir, _BPE_N)
+    key = (spark.sparkContext.applicationId, sf_dir, _src_mtime(sf_dir),
+           _BPE_N)
     if key not in _BPE_MEMO:
         if len(_BPE_MEMO) >= 16:
             _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
@@ -163,13 +174,14 @@ def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # train-once memo shared by lr_quality_train and lr_quality_score
 # (same keying discipline as the BPE memo)
-_LR_MEMO: dict[tuple, list] = {}
+_LR_MEMO: dict[tuple, tuple] = {}
 
 
 def _lr_train_memo(spark: SparkSession, sf_dir: str):
     from .operators.linear import logreg_train_rounds
 
-    key = (spark.sparkContext.applicationId, sf_dir, _LR_STEPS)
+    key = (spark.sparkContext.applicationId, sf_dir, _src_mtime(sf_dir),
+           _LR_STEPS)
     if key not in _LR_MEMO:
         if len(_LR_MEMO) >= 16:
             _LR_MEMO.pop(next(iter(_LR_MEMO)))
