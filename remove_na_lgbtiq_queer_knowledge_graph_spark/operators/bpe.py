@@ -40,12 +40,15 @@ END_OF_WORD = "</w>"
 
 
 def word_symbol_table(words: DataFrame) -> DataFrame:
-    """(word, cnt) → (s, cnt) where ``s`` is the space-separated
+    """(word, cnt) → (word, s, cnt) where ``s`` is the space-separated
     character sequence plus the end-of-word marker (``"join"`` →
     ``"j o i n </w>"``).  ``regexp_replace`` with a capture leaves a
     trailing space after the last character, which the marker concat
-    absorbs — the same expression shape the DuckDB oracle uses."""
+    absorbs — the same expression shape the DuckDB oracle uses.  The
+    original ``word`` rides along so the trained table doubles as the
+    word→tokenization map for document encoding."""
     return words.select(
+        "word",
         F.concat(
             F.regexp_replace(F.col("word"), "(.)", "$1 "),
             F.lit(END_OF_WORD),
@@ -87,6 +90,7 @@ def apply_merge(symbols: DataFrame, lsym: str, rsym: str) -> DataFrame:
         pad, F.lit(f" {lsym}  {rsym} "), F.lit(f" {lsym}{rsym} ")
     )
     return symbols.select(
+        "word",
         F.trim(F.replace(merged, F.lit("  "), F.lit(" "))).alias("s"),
         "cnt",
     )
@@ -96,8 +100,9 @@ def bpe_fit(
     words: DataFrame, n_merges: int
 ) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
     """Train ``n_merges`` BPE merge rules over a (word, cnt) frequency
-    table.  Returns (final symbol table, merge rules) where each rule
-    is (step, lsym, rsym, merged, pair_count).
+    table.  Returns (final symbol table — (word, s, cnt), the
+    word→tokenization map — and the merge rules), each rule being
+    (step, lsym, rsym, merged, pair_count).
 
     The word table is persisted once; each iteration's pair count
     re-evaluates the (cheap, codegen) replace chain on top of it rather

@@ -107,7 +107,8 @@ WITH words AS MATERIALIZED (
     SELECT unnest({_WORDS_DUCK}) AS word FROM documents
   ) GROUP BY word
 ), w0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS s, cnt
+  SELECT word, regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS s,
+         cnt
   FROM words
 )"""]
     for i in range(1, n + 1):
@@ -119,7 +120,7 @@ WITH words AS MATERIALIZED (
 ), b{i} AS MATERIALIZED (
   SELECT lsym, rsym, c FROM p{i} ORDER BY c DESC, lsym, rsym LIMIT 1
 ), w{i} AS MATERIALIZED (
-  SELECT trim(replace(replace(
+  SELECT word, trim(replace(replace(
            ' ' || replace(s, ' ', '  ') || ' ',
            (SELECT ' ' || lsym || '  ' || rsym || ' ' FROM b{i}),
            (SELECT ' ' || lsym || rsym || ' ' FROM b{i})),
@@ -139,6 +140,36 @@ _BPE_VOCAB_SQL = _bpe_ctes(_BPE_N) + f"""
 SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
   SELECT unnest(string_split(s, ' ')) AS token, cnt FROM w{_BPE_N}
 ) GROUP BY token"""
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document under the trained tokenizer: the final
+    symbol table IS the word→tokenization map, so encoding is the
+    corpus word stream joined to a BROADCAST vocabulary frame — no
+    per-document merge replay, no UDF.  Output: per-doc word and
+    BPE-token counts (the trained-tokenizer token budget, vs
+    text_token_counts' untrained heuristics)."""
+    final, _ = _bpe_fit_memo(spark, sf_dir)
+    tokmap = final.select(
+        "word", F.size(F.split("s", " ")).cast("long").alias("n_tok"))
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .join(F.broadcast(tokmap), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_BPE_ENCODE_SQL = _bpe_ctes(_BPE_N) + f"""
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(w{_BPE_N}.s, ' '))) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest({_WORDS_DUCK}) AS word FROM documents) d
+JOIN w{_BPE_N} USING (word)
+GROUP BY d.doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -698,6 +729,10 @@ SPECS: dict[str, QuerySpec] = {
         bpe_vocab_tokens, _BPE_VOCAB_SQL,
         "corpus token-frequency vocabulary under the trained BPE "
         "merges (encode-by-vocabulary)"),
+    "bpe_encode_docs": QuerySpec(
+        bpe_encode_docs, _BPE_ENCODE_SQL,
+        "per-document token counts under the trained BPE tokenizer "
+        "(broadcast word→tokenization map join)"),
     "lr_quality_train": QuerySpec(
         lr_quality_train, _LR_SQL,
         "logistic-regression training as relational aggregation: "

@@ -88,7 +88,8 @@ def test_bpe_apply_merge_overlap_and_boundaries(spark):
     ]
     for lsym, rsym, cases in [("a", "b", ab_cases), ("a", "a", aa_cases)]:
         df = spark.createDataFrame(
-            [(s, 1) for s, _ in cases], "s string, cnt long")
+            [(f"w{i}", s, 1) for i, (s, _) in enumerate(cases)],
+            "word string, s string, cnt long")
         got = [r["s"] for r in apply_merge(df, lsym, rsym).collect()]
         assert got == [want for _, want in cases], (lsym, rsym)
 
