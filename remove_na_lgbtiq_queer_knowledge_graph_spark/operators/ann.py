@@ -619,26 +619,13 @@ def kmeans_cells(
     """Fitted centroids exploded to scalar rows (cell, dim, coord) plus
     the final member count per cell — the oracle-comparable view of
     :func:`kmeans_centroids`.  The member count is the one full-corpus
-    pass: a single shuffle-free assignment against the closure-held
-    centroid matrix, then a map-side-combinable count per cell."""
-    import numpy as np
-
+    pass: :func:`assign_cells` (the shared shuffle-free assignment
+    kernel), then a map-side-combinable count per cell."""
     cents = kmeans_centroids(vectors, n_centroids, iters, id_col, vec_col,
                              sample_mod=sample_mod)
-    cent_rows = sorted(
-        ((r["cent_id"], [float(x) for x in r["cent_v"]])
-         for r in cents.collect()),
-        key=lambda r: r[0])
-    Cm = np.array([r[1] for r in cent_rows], dtype="float64")
-    id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
-    corpus = vectors.select(
-        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("cv"))
-    # index-based argmax + array-literal mapback keeps centroid ids in
-    # their native type (same pattern as ivf_topk)
     members = (
-        corpus.withColumn("__ci", _nearest_index_udf(Cm)(F.col("cv")))
-        .select(F.element_at(id_arr, (F.col("__ci") + 1).cast("int"))
-                 .alias("cent_id"))
+        assign_cells(vectors, cents, id_col, vec_col)
+        .select(F.col("cell").alias("cent_id"))
         .groupBy("cent_id")
         .agg(F.count("*").alias("n_members"))
     )

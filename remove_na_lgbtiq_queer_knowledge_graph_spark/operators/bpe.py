@@ -57,23 +57,37 @@ def word_symbol_table(words: DataFrame) -> DataFrame:
     )
 
 
-def _adjacent_pairs(symbols: DataFrame) -> DataFrame:
-    """Adjacent symbol pairs per word string, frequency-weighted.
-    1-based positions so ``element_at`` addresses directly; a
-    fully-merged single-symbol word yields NULL positions and explode
-    drops it (DuckDB's ``range(1, 1)`` is empty the same way) — the
-    unguarded ``sequence(1, size-1)`` would DESCEND for size=1 and
-    fabricate pairs."""
-    arr = symbols.select(F.split(F.col("s"), " ").alias("a"), "cnt")
-    js = F.when(F.size("a") >= 2, F.sequence(F.lit(1), F.size("a") - 1))
+def adjacent_elements(
+    df: DataFrame, arr_col: str, left_name: str, right_name: str,
+    carry: list[str],
+) -> DataFrame:
+    """Adjacent-element pairs of an array column, one row per position,
+    with ``carry`` columns riding along — the shared idiom behind BPE
+    pair counting, bigram-LM training, and DSIR bucketing (one Spark
+    copy, one DuckDB mirror shape: ``range(1, len(arr))``).
+
+    1-based positions so ``element_at`` addresses directly; a 1-element
+    array yields NULL positions and explode drops it (DuckDB's
+    ``range(1, 1)`` is empty the same way) — the unguarded
+    ``sequence(1, size-1)`` would DESCEND for size=1 and fabricate
+    pairs."""
+    js = F.when(F.size(arr_col) >= 2,
+                F.sequence(F.lit(1), F.size(arr_col) - 1))
     return (
-        arr.select(F.explode(js).alias("j"), "a", "cnt")
+        df.select(*carry, F.explode(js).alias("__j"),
+                  F.col(arr_col).alias("__a"))
         .select(
-            F.element_at("a", F.col("j")).alias("lsym"),
-            F.element_at("a", F.col("j") + F.lit(1)).alias("rsym"),
-            "cnt",
+            *carry,
+            F.element_at("__a", F.col("__j")).alias(left_name),
+            F.element_at("__a", F.col("__j") + F.lit(1)).alias(right_name),
         )
     )
+
+
+def _adjacent_pairs(symbols: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs per word string, frequency-weighted."""
+    arr = symbols.select(F.split(F.col("s"), " ").alias("a"), "cnt")
+    return adjacent_elements(arr, "a", "lsym", "rsym", ["cnt"])
 
 
 def apply_merge(symbols: DataFrame, lsym: str, rsym: str) -> DataFrame:
@@ -104,7 +118,7 @@ def bpe_fit(
     word→tokenization map — and the merge rules), each rule being
     (step, lsym, rsym, merged, pair_count).
 
-    The word table is persisted once; each iteration's pair count
+    The word table materializes once; each iteration's pair count
     re-evaluates the (cheap, codegen) replace chain on top of it rather
     than materializing N intermediate tables — at vocabulary scale the
     string rewrites are noise next to the aggregate exchange.
@@ -113,12 +127,17 @@ def bpe_fit(
     pairs before ``n_merges`` (every word fully merged) — the oracle
     unrolls a fixed iteration count and MUST NOT silently diverge from
     a short loop."""
+    from ..spec import materialize
+
     merges: list[tuple[int, str, str, str, int]] = []
-    # persist the BASE symbol table; each iteration re-evaluates its
-    # (cheap, codegen) replace chain on top of the cached scan — N
-    # shallow Projects that Catalyst collapses into one
-    # WholeStageCodegen span, cheaper than N materializations
-    cur = word_symbol_table(words).persist()
+    # materialize (localCheckpoint) the BASE symbol table: computed
+    # once, each iteration re-evaluates its (cheap, codegen) replace
+    # chain on top of it — N shallow Projects in one WholeStageCodegen
+    # span.  localCheckpoint over persist: the blocks are freed by the
+    # ContextCleaner when the frame is garbage collected (e.g. on memo
+    # eviction), where an unpaired persist would leak cache entries
+    # for the life of the session.
+    cur = materialize(word_symbol_table(words))
     for step in range(1, n_merges + 1):
         best = (
             _adjacent_pairs(cur)

@@ -46,11 +46,12 @@ def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Session-scoped memo: bpe_train_merges and bpe_vocab_tokens share one
-# fit; the sweep/bench run both back to back.  Keyed like spec.t()'s
-# table memo (applicationId + source mtime) so a regenerated session —
-# or regenerated testdata — refits instead of serving a stale model.
-_BPE_MEMO: dict[tuple, tuple] = {}
+# Session-scoped fit memos: the train and apply queries of one model
+# share one fit; the sweep/bench run them back to back.  Keyed like
+# spec.t()'s table memo (applicationId + source mtime) so a regenerated
+# session — or regenerated testdata — refits instead of serving a
+# stale model.  One mechanism for every trained artifact here.
+_FIT_MEMOS: dict[tuple, object] = {}
 
 
 def _src_mtime(sf_dir: str) -> float | None:
@@ -62,16 +63,25 @@ def _src_mtime(sf_dir: str) -> float | None:
         return None
 
 
+def _fit_memo(spark: SparkSession, sf_dir: str, tag: object, fit):
+    """Memoize ``fit()`` under (applicationId, sf_dir, source mtime,
+    tag).  Bounded; eviction drops the Python reference, which frees
+    any localCheckpoint blocks via the ContextCleaner."""
+    key = (spark.sparkContext.applicationId, sf_dir, _src_mtime(sf_dir),
+           tag)
+    if key not in _FIT_MEMOS:
+        if len(_FIT_MEMOS) >= 16:
+            _FIT_MEMOS.pop(next(iter(_FIT_MEMOS)))
+        _FIT_MEMOS[key] = fit()
+    return _FIT_MEMOS[key]
+
+
 def _bpe_fit_memo(spark: SparkSession, sf_dir: str):
     from .operators.bpe import bpe_fit
 
-    key = (spark.sparkContext.applicationId, sf_dir, _src_mtime(sf_dir),
-           _BPE_N)
-    if key not in _BPE_MEMO:
-        if len(_BPE_MEMO) >= 16:
-            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
-        _BPE_MEMO[key] = bpe_fit(_word_counts(spark, sf_dir), _BPE_N)
-    return _BPE_MEMO[key]
+    return _fit_memo(
+        spark, sf_dir, ("bpe", _BPE_N),
+        lambda: bpe_fit(_word_counts(spark, sf_dir), _BPE_N))
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,24 +213,17 @@ def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# train-once memo shared by lr_quality_train and lr_quality_score
-# (same keying discipline as the BPE memo)
-_LR_MEMO: dict[tuple, tuple] = {}
-
-
 def _lr_train_memo(spark: SparkSession, sf_dir: str):
     from .operators.linear import logreg_train_rounds
 
-    key = (spark.sparkContext.applicationId, sf_dir, _src_mtime(sf_dir),
-           _LR_STEPS)
-    if key not in _LR_MEMO:
-        if len(_LR_MEMO) >= 16:
-            _LR_MEMO.pop(next(iter(_LR_MEMO)))
+    def fit():
         feats = _lr_features(spark, sf_dir).persist()
-        _LR_MEMO[key] = logreg_train_rounds(
-            feats, ["x1", "x2"], "y", steps=_LR_STEPS)
+        out = logreg_train_rounds(feats, ["x1", "x2"], "y",
+                                  steps=_LR_STEPS)
         feats.unpersist()
-    return _LR_MEMO[key]
+        return out
+
+    return _fit_memo(spark, sf_dir, ("logreg", _LR_STEPS), fit)
 
 
 def lr_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,19 +446,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     double math is IEEE-identical; ln rounds to 9 dp per bucket (once,
     in the broadcast table); per-doc sums ride DECIMAL(28,14); the
     mean rounds to 6."""
+    from .operators.bpe import adjacent_elements
+
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.col("lang"), F.expr(_WORDS_SPARK).alias("w")
     ).filter(F.size("w") >= 2)
-    js = F.sequence(F.lit(1), F.size("w") - 1)
     bucket = F.pmod(
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(
-                    " ",
-                    F.element_at("w", F.col("j")),
-                    F.element_at("w", F.col("j") + F.lit(1)),
-                )), 1, 6),
+                F.md5(F.concat_ws(" ", F.col("w1"), F.col("w2"))), 1, 6),
             16, 10,
         ).cast("long"),
         F.lit(_DSIR_B),
@@ -463,7 +463,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # g (the bucketed bigram stream) feeds both models, the totals,
     # and the scoring aggregate — derive it from the corpus ONCE
     g = _cache(
-        toks.select("doc_id", "lang", F.explode(js).alias("j"), "w")
+        adjacent_elements(toks, "w", "w1", "w2", ["doc_id", "lang"])
         .select("doc_id", "lang", bucket.alias("b"))
     )
     raw = g.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))

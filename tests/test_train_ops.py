@@ -143,10 +143,12 @@ def test_logreg_learns_and_is_partition_invariant(spark):
     assert out1[-1][2] > out1[0][2]
 
 
-def test_semantic_keep_invariants(spark):
-    """Brute-force check of the keep rule on the sf0.001 embeddings:
+def test_semantic_keep_invariants(spark, sf_dir):
+    """Brute-force check of the keep rule on the test-SF embeddings:
     dropped ⇔ a lower-id cell-mate with rounded cosine ≥ τ exists, and
     the witness is the smallest such id."""
+    import os
+
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
         _round_half_away,
         _seq_cosine,
@@ -157,7 +159,7 @@ def test_semantic_keep_invariants(spark):
 
     import numpy as np
 
-    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     out = semantic_keep(vecs, min_sim=0.3, n_centroids=8, iters=2,
                         sample_mod=2)
     rows = {r["vec_id"]: r for r in out.collect()}

@@ -32,16 +32,17 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def build_words(spark, n_rows: int):
-    """Deterministic synthetic vocabulary: word i is the base-26
-    rendering of a multiplicative hash of i (3-12 letters), count is
-    zipf-ish (n_rows // (i+1) + 1) so early pairs dominate the way a
-    real corpus's do.  Pure codegen — no RNG, no Python loop."""
+    """Deterministic synthetic vocabulary: word i is 'w' + the base-26
+    rendering of a multiplicative hash of i (2-9 symbols, mixed-case
+    letters after the digit translation), count is zipf-ish
+    (1 + 1e6 // (i+1)) so early pairs dominate the way a real
+    corpus's do.  Pure codegen — no RNG, no Python loop."""
     from pyspark.sql import functions as F
 
     df = spark.range(n_rows).select(
         F.col("id"),
-        # multiplicative hash → 3-12 letter word, digits mapped a-z;
-        # abs guards the Long.MIN edge; pmod keeps lengths stable
+        # multiplicative hash rendered base-26 (digits 0-9A-P); abs
+        # guards the Long.MIN edge; pmod bounds the length
         F.concat(
             F.lit("w"),
             F.conv(
@@ -53,8 +54,8 @@ def build_words(spark, n_rows: int):
         (F.lit(1) + F.floor(F.lit(1000000) / (F.col("id") + 1)))
         .cast("long").alias("cnt"),
     )
-    # conv emits 0-9A-P; translate digits into letters so the symbol
-    # alphabet is letter-only like real text
+    # conv emits 0-9A-P; translate the digits to q-z so the symbol
+    # alphabet is letters (mixed-case) like real text
     from pyspark.sql.functions import translate
 
     return df.select(
@@ -94,9 +95,6 @@ def main() -> None:
         fp = " ".join(m[3] for m in merges[:3])
         print(f"{size:>9} | {best:>7.2f} | {best / args.merges:>7.2f} | {fp}")
         words.unpersist()
-        # bpe_fit persists its base symbol table per call (correct for
-        # the memoized query path); drop the 3 passes' copies here
-        spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
