@@ -1,0 +1,150 @@
+"""Differential fuzz for the training-tier queries (queries_llm3).
+
+The three-SF sweeps prove Spark↔DuckDB parity on three fixed corpora;
+the training ops' parity additionally rests on transcendental rounding
+discipline (exp in the LR sigmoid, ln in the LM/DSIR/TF-IDF scores)
+and on filter/edge agreement (wordless docs, 1-word docs, exhausted
+vocabularies).  This harness generates random synthetic `documents`
+corpora — small alphabets to force tie-breaks and hash-bucket
+collisions, deliberate numeric-only and single-word docs to exercise
+the len(w) filters — and runs each training query against its
+registered DuckDB oracle on every corpus, comparing with the exact
+check_oracle normalization (row count + columns + sorted values).
+
+BPE trials whose random vocabulary exhausts before 8 merges are
+SKIPPED for the bpe_* queries with a log line (the Spark side fails
+loud by contract; the unrolled oracle would compute garbage — that
+asymmetry is documented, not a bug).
+
+Usage: python tools/fuzz_train.py [--trials 8] [--seed 0]
+Exit code 0 = every comparison on every trial matched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+QUERIES = [
+    "bpe_train_merges", "bpe_vocab_tokens", "bpe_encode_docs",
+    "lr_quality_train", "lr_quality_score", "lm_bigram_score",
+    "dsir_importance_weights", "text_tfidf_terms", "doc_cluster_assign",
+]
+
+
+def gen_corpus(rng: random.Random):
+    """Random documents rows: (doc_id, text, lang, source, n_chars)."""
+    n_docs = rng.randint(50, 200)
+    alpha = "abcdefgh"[: rng.randint(2, 5)]
+    vocab = list({
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 5)))
+        for _ in range(rng.randint(8, 40))
+    })
+    langs = ["en", "de", "fr", "zh"]
+    rows = []
+    for i in range(n_docs):
+        kind = rng.random()
+        if kind < 0.03:
+            text = str(rng.randint(0, 10 ** 6))       # wordless after regex
+        elif kind < 0.08:
+            text = rng.choice(vocab)                  # single-word doc
+        else:
+            text = " ".join(
+                rng.choice(vocab)
+                for _ in range(rng.randint(15, 80)))  # BPE-viable length
+        rows.append((i, text, rng.choice(langs),
+                     f"src{rng.randint(0, 5)}", len(text)))
+    return rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from check_oracle import normalize  # same comparison basis
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.session import get_spark
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import scratch_dir
+
+    spark = get_spark("fuzz-train")
+    specs = all_specs()
+    failures = []
+    for trial in range(args.trials):
+        rng = random.Random(args.seed + trial)
+        rows = gen_corpus(rng)
+        d = scratch_dir(f"fuzztrain{trial}_")
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        # the training queries only read documents; link the rest so
+        # spec.t() can resolve any table it's asked for
+        for f in os.listdir("/root/testdata/sf0.001"):
+            dst = os.path.join(d, f)
+            if f.endswith(".parquet") and not os.path.exists(dst):
+                os.symlink(os.path.join("/root/testdata/sf0.001", f), dst)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet'")
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{d}/embeddings.parquet'")
+        for name in QUERIES:
+            spec = specs[name]
+            try:
+                sdf = spec.fn(spark, d)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
+            except ValueError as exc:
+                if name.startswith("bpe_") and "exhausted" in str(exc):
+                    print(f"trial {trial} {name}: SKIP ({exc})")
+                    continue
+                failures.append((trial, name, f"spark: {exc}"))
+                print(f"trial {trial} {name}: SPARK-FAIL {exc}")
+                continue
+            except Exception as exc:  # noqa: BLE001 — record, keep fuzzing
+                failures.append((trial, name, f"spark: {exc}"))
+                print(f"trial {trial} {name}: SPARK-FAIL {exc}")
+                continue
+            try:
+                res = con.sql(spec.oracle)
+                dcols = [x[0] for x in res.description]
+                drows = res.fetchall()
+            except Exception as exc:  # noqa: BLE001
+                failures.append((trial, name, f"duckdb: {exc}"))
+                print(f"trial {trial} {name}: DUCKDB-FAIL {exc}")
+                continue
+            ok = (len(srows) == len(drows)
+                  and sorted(scols) == sorted(dcols)
+                  and normalize(srows, scols) == normalize(drows, dcols))
+            if not ok:
+                ns, nd = normalize(srows, scols), normalize(drows, dcols)
+                only_s = [r for r in ns if r not in set(nd)][:2]
+                only_d = [r for r in nd if r not in set(ns)][:2]
+                failures.append((trial, name, f"mismatch {only_s} {only_d}"))
+                print(f"trial {trial} {name}: MISMATCH "
+                      f"spark={len(srows)} duck={len(drows)} "
+                      f"s-only={only_s} d-only={only_d}")
+            else:
+                print(f"trial {trial} {name}: ok ({len(srows)} rows)")
+        con.close()
+    print(f"\n{args.trials} trials, {len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
