@@ -691,6 +691,7 @@ def semantic_keep(
     sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_pairs: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings with k-means and removing
@@ -716,6 +717,16 @@ def semantic_keep(
     Output: one row per vector — (vec_id, cell, kept, witness,
     witness_cos) — so the oracle checks the full decision, not just
     the survivor count.
+
+    ``max_cell_pairs``: fail-loud guard against the measured
+    duplication pathology (tools/stress_semdedup.py, PLANS.md): the
+    in-cell pair join is quadratic in the duplicate-class size, and a
+    heavily duplicated corpus can turn one cell into a 10^12-pair
+    join.  When set, one cheap cell-count aggregate runs first and a
+    ``ValueError`` names the hot cells if Σ n·(n−1)/2 over cells
+    exceeds the bound — the counted-before-joined discipline; the fix
+    is an exact-dedup pre-pass, more centroids, or a higher τ.  None
+    (default) adds no extra job.
     """
     from ..spec import materialize
     from .ann import assign_cells, cosine, kmeans_centroids
@@ -728,6 +739,20 @@ def semantic_keep(
         assign_cells(vectors, cents, id_col, vec_col)
         .withColumn("cell", F.col("cell").cast("bigint"))
     )
+    if max_cell_pairs is not None:
+        sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+        total = sizes.agg(F.sum(
+            F.col("n") * (F.col("n") - 1) / 2).alias("p")).collect()[0]["p"]
+        if total and total > max_cell_pairs:
+            hot = [
+                (r["cell"], r["n"])
+                for r in sizes.orderBy(F.col("n").desc()).limit(3).collect()
+            ]
+            raise ValueError(
+                f"semantic_keep: {int(total)} in-cell pairs exceeds "
+                f"max_cell_pairs={max_cell_pairs}; hottest cells "
+                f"(cell, members)={hot} — run exact dedup first, raise "
+                f"n_centroids, or raise min_sim")
     a = assigned.select(F.col("vec_id").alias("id_a"), "cell",
                         F.col("cv").alias("va"))
     b = assigned.select(F.col("vec_id").alias("id_b"), "cell",

@@ -224,3 +224,21 @@ def test_bpe_fit_matches_reference_property(spark):
         assert got == ref_vocab
 
     check()
+
+
+def test_semantic_keep_pair_guard(spark, sf_dir):
+    """max_cell_pairs: under the bound → identical output; over →
+    ValueError naming the hot cells, before any pair join runs."""
+    import os
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        semantic_keep,
+    )
+
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ok = semantic_keep(vecs, min_sim=0.3, n_centroids=8, iters=2,
+                       sample_mod=2, max_cell_pairs=10 ** 9).collect()
+    assert len(ok) == vecs.count()
+    with pytest.raises(ValueError, match="max_cell_pairs"):
+        semantic_keep(vecs, min_sim=0.3, n_centroids=8, iters=2,
+                      sample_mod=2, max_cell_pairs=10)
