@@ -515,6 +515,11 @@ def kmeans_centroids(
     behind :func:`ivf_topk` (which accepts any small ``(cent_id,
     cent_v)`` frame).
 
+    PRECONDITION: vectors must be non-zero (cosine of the zero vector
+    is undefined; numpy propagates NaN where SQL yields NULL, and a
+    zero CENTROID would order differently in the two engines —
+    probed and documented rather than silently divergent).
+
     Deterministic by construction so the whole fit is oracle-checkable:
     init = the ``n_centroids`` lowest-id sample vectors; assignment
     tie-breaks on centroid id; each iteration's re-averaged centroid

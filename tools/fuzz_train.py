@@ -36,6 +36,11 @@ QUERIES = [
     "dsir_importance_weights", "text_tfidf_terms", "doc_cluster_assign",
 ]
 
+# embeddings-driven queries, fuzzed with adversarial vector tables
+# (exact duplicates to force assignment tie-breaks; all vectors
+# non-zero per the documented k-means precondition)
+EMB_QUERIES = ["dedup_semantic_keep", "ann_kmeans_cells"]
+
 
 def gen_corpus(rng: random.Random):
     """Random documents rows: (doc_id, text, lang, source, n_chars)."""
@@ -59,6 +64,26 @@ def gen_corpus(rng: random.Random):
                 for _ in range(rng.randint(15, 80)))  # BPE-viable length
         rows.append((i, text, rng.choice(langs),
                      f"src{rng.randint(0, 5)}", len(text)))
+    return rows
+
+
+def gen_embeddings(rng: random.Random):
+    """Random (vec_id, embedding float[], label) rows: low-dim vectors
+    with coarse coordinates (ties likely), ~20% exact duplicates of
+    earlier rows, no zero vectors (documented precondition — cosine of
+    the zero vector is undefined and the engines NaN/NULL-diverge)."""
+    n = rng.randint(40, 150)
+    dim = rng.choice([4, 8, 16])
+    rows = []
+    for i in range(n):
+        if rows and rng.random() < 0.2:
+            v = rows[rng.randrange(len(rows))][1]
+        else:
+            while True:
+                v = [float(rng.randint(-3, 3)) / 2 for _ in range(dim)]
+                if any(x != 0.0 for x in v):
+                    break
+        rows.append((i, v, rng.randint(0, 4)))
     return rows
 
 
@@ -98,12 +123,21 @@ def main() -> int:
             dst = os.path.join(d, f)
             if f.endswith(".parquet") and not os.path.exists(dst):
                 os.symlink(os.path.join("/root/testdata/sf0.001", f), dst)
+        erows = gen_embeddings(rng)
+        etbl = pa.table({
+            "vec_id": pa.array([r[0] for r in erows], pa.int64()),
+            "embedding": pa.array([r[1] for r in erows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in erows], pa.int32()),
+        })
+        os.unlink(os.path.join(d, "embeddings.parquet"))
+        pq.write_table(etbl, os.path.join(d, "embeddings.parquet"))
         con = duckdb.connect()
         con.sql(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{d}/documents.parquet'")
         con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
                 f"'{d}/embeddings.parquet'")
-        for name in QUERIES:
+        for name in QUERIES + EMB_QUERIES:
             spec = specs[name]
             try:
                 sdf = spec.fn(spark, d)
