@@ -60,13 +60,6 @@ BNLJ_WHITELIST = {
 # no-shared-var case is the deliberately-written disjoint pattern).
 BNLJ_PREFIX_WAIVERS = ("sparql_", "graph_")
 
-# queries whose build step is known to execute Spark jobs (trained
-# models, fixture stores) — listed so a reader knows the lint's
-# wall-clock goes there, not to plan analysis
-SLOW_BUILD_NOTE = (
-    "fixture/model-backed queries execute their build during plan "
-    "construction; the lint only inspects the FINAL plan")
-
 
 def main() -> int:
     ap = argparse.ArgumentParser()
