@@ -623,14 +623,22 @@ class _Parser:
             vars_.append(self.expect("var").text[1:])
         rows: list[tuple] = []
         self.expect("op", "{")
+
+        def cell() -> Term:
+            # §10.2.2: UNDEF marks an unbound cell — the row is
+            # compatible with ANY binding of that variable
+            if self.accept("word", "UNDEF"):
+                return ("undef", None)
+            return self.parse_term()
+
         while not self.accept("op", "}"):
             if len(vars_) == 1:
-                rows.append((self.parse_term(),))
+                rows.append((cell(),))
             else:
                 self.expect("op", "(")
                 row = []
                 while not self.accept("op", ")"):
-                    row.append(self.parse_term())
+                    row.append(cell())
                 rows.append(tuple(row))
         return ValuesPat(tuple(vars_), tuple(rows))
 
@@ -1520,14 +1528,49 @@ class _Compiler:
                 else:
                     env = env.withColumn(item.var, col)
             elif isinstance(item, ValuesPat):
-                rows = [tuple(t[1] for t in r) for r in item.rows]
-                if env is not None and len(item.vars) == 1 \
-                        and item.vars[0] in env.columns:
+                has_undef = any(t[0] == "undef" for r in item.rows
+                                for t in r)
+                rows = [tuple(None if t[0] == "undef" else t[1]
+                              for t in r) for r in item.rows]
+                shared = ([v for v in item.vars if v in env.columns]
+                          if env is not None else [])
+                if env is not None and not has_undef \
+                        and len(item.vars) == 1 and shared:
                     env = env.filter(
                         F.col(item.vars[0]).isin([r[0] for r in rows]))
-                else:
+                elif has_undef and shared:
+                    # §10.2.2 compatibility join: a row's UNDEF cell is
+                    # compatible with any binding (so is an env-side
+                    # unbound); the merged binding takes whichever side
+                    # is bound.  The VALUES frame is tiny by definition,
+                    # so the resulting nested-loop join broadcasts it.
                     lit = self.triples.sparkSession.createDataFrame(
-                        rows, list(item.vars))
+                        rows,
+                        ", ".join(f"`__val_{v}` string"
+                                  for v in item.vars))
+                    cond = None
+                    for v in shared:
+                        c = (F.col(f"__val_{v}").isNull()
+                             | F.col(v).isNull()
+                             | (F.col(f"__val_{v}") == F.col(v)))
+                        cond = c if cond is None else cond & c
+                    env = env.join(lit, cond)
+                    for v in item.vars:
+                        if v in env.columns:
+                            env = env.withColumn(
+                                v, F.coalesce(F.col(v),
+                                              F.col(f"__val_{v}")))
+                        else:
+                            env = env.withColumn(v, F.col(f"__val_{v}"))
+                    env = env.drop(*[f"__val_{v}" for v in item.vars])
+                else:
+                    # no overlap with prior bindings (or no env yet):
+                    # the inline table joins in as-is; UNDEF cells ride
+                    # through as nulls = unbound (explicit string
+                    # schema — an all-UNDEF column defeats inference)
+                    lit = self.triples.sparkSession.createDataFrame(
+                        rows,
+                        ", ".join(f"`{v}` string" for v in item.vars))
                     env = self._join(env, lit)
             elif isinstance(item, SubSelectPat):
                 senv = self._compile_group(item.query.where, triples)

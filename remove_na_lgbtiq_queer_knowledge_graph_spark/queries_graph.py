@@ -167,6 +167,38 @@ WHERE t1.predicate = 'inRegion'
 """
 
 
+def sparql_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES with UNDEF cells (§10.2.2) through the TEXT front-end:
+    an UNDEF cell is compatible with any binding, so the inline table
+    is a compatibility JOIN (bag semantics — a solution matched by two
+    rows appears twice), not an isin filter."""
+    from .plans.sparql import compile_sparql
+
+    q = """
+      SELECT ?n ?rname ?status WHERE {
+        ?n <inRegion> ?r . ?r <name> ?rname .
+        VALUES (?rname ?status)
+          { ("EUROPE" "east") ("ASIA" "far east") (UNDEF "anywhere") }
+      }"""
+    return compile_sparql(q, _triples(spark, sf_dir))
+
+
+_VALUES_UNDEF_SQL = f"""
+WITH {_TRIPLES_CTE},
+sol AS (
+  SELECT t1.subject AS n, t2.object AS rname
+  FROM triples t1
+  JOIN triples t2 ON t1.object = t2.subject AND t2.predicate = 'name'
+  WHERE t1.predicate = 'inRegion'
+),
+vals(v_rname, status) AS (
+  VALUES ('EUROPE', 'east'), ('ASIA', 'far east'), (NULL, 'anywhere')
+)
+SELECT sol.n, sol.rname, v.status
+FROM sol JOIN vals v ON v.v_rname IS NULL OR v.v_rname = sol.rname
+"""
+
+
 def graph_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5: FILTER NOT EXISTS — nations without suppliers
     (`get_factgrid_ids_from_wikidata.rq:18-21`)."""
@@ -673,6 +705,10 @@ SPECS: dict[str, QuerySpec] = {
     "graph_optional_segment": QuerySpec(graph_optional_segment, _OPTIONAL_SQL),
     "graph_union_patterns": QuerySpec(graph_union_patterns, _UNION_SQL),
     "graph_values_filter": QuerySpec(graph_values_filter, _VALUES_SQL),
+    "sparql_values_undef": QuerySpec(
+        sparql_values_undef, _VALUES_UNDEF_SQL,
+        "VALUES with UNDEF cells: §10.2.2 compatibility join with bag "
+        "multiplicity, via the text front-end"),
     "graph_not_exists": QuerySpec(graph_not_exists, _NOTEXISTS_SQL),
     "graph_bind_extract": QuerySpec(graph_bind_extract, _BIND_SQL),
     "graph_path_seq": QuerySpec(graph_path_seq, _PATHSEQ_SQL),

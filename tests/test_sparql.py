@@ -1089,3 +1089,40 @@ SELECT ?s WHERE { ?s ex:knows ?o . } ORDER BY ?s OFFSET 1 LIMIT 1""",
     df = compile_sparql(_PFX + """
 SELECT ?s WHERE { ?s ex:knows ?o . } ORDER BY ?s OFFSET 2""", triples)
     assert _vals(df, "s") == [("http://ex.org/c",)]
+
+
+def test_values_undef_compatibility_join(triples):
+    # §10.2.2: an UNDEF cell is compatible with ANY binding; duplicate
+    # compatibility contributes multiplicity (bag semantics)
+    df = compile_sparql(_PFX + """
+      SELECT ?s ?t ?status WHERE {
+        ?s a ?t .
+        VALUES (?t ?status) { (ex:Person "known") (UNDEF "any") }
+      }""", triples)
+    assert _vals(df, "s", "t", "status") == [
+        ("http://ex.org/a", "http://ex.org/Person", "any"),
+        ("http://ex.org/a", "http://ex.org/Person", "known"),
+        ("http://ex.org/b", "http://ex.org/Person", "any"),
+        ("http://ex.org/b", "http://ex.org/Person", "known"),
+        ("http://ex.org/c", "http://ex.org/Robot", "any"),
+    ]
+
+
+def test_values_undef_single_var_keeps_all(triples):
+    # a single-var VALUES containing UNDEF matches every solution once
+    # via the UNDEF row, plus once more where the bound row matches
+    df = compile_sparql(_PFX + """
+      SELECT ?s ?t WHERE { ?s a ?t . VALUES ?t { ex:Robot UNDEF } }
+      """, triples)
+    out = _vals(df, "s", "t")
+    assert out.count(("http://ex.org/c", "http://ex.org/Robot")) == 2
+    assert len(out) == 4
+
+
+def test_values_undef_standalone_stays_unbound(triples):
+    df = compile_sparql(_PFX + """
+      SELECT ?x ?y WHERE { VALUES (?x ?y) { ("p" UNDEF) (UNDEF "q") } }
+      """, triples)
+    got = sorted(((r["x"], r["y"]) for r in df.collect()),
+                 key=lambda t: (t[0] or "", t[1] or ""))
+    assert got == [(None, "q"), ("p", None)]
