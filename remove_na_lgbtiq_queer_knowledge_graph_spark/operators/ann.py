@@ -863,11 +863,30 @@ def ivf_pq_topk(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     sample_mod: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
-    """IVF-PQ (the FAISS IVFADC production shape, non-residual
-    variant): a coarse quantizer restricts each query to its
-    ``n_probe`` nearest cells, and PQ-ADC scores ONLY those cells'
-    members in the compressed domain.
+    """IVF-PQ (the FAISS IVFADC production shape): a coarse quantizer
+    restricts each query to its ``n_probe`` nearest cells, and PQ-ADC
+    scores ONLY those cells' members in the compressed domain.
+
+    ``residual=True`` is the actual IVFADC of Jégou et al. 2011 §IV:
+    the PQ codebooks are trained on (and codes encode) the RESIDUAL
+    ``x − centroid(cell(x))`` instead of the raw vector — the residual
+    distribution is the within-cell spread, far tighter than the whole
+    corpus, so the same n_sub × k_sub code budget buys materially more
+    resolution.  Scoring decomposes exactly:
+    ``dot(q, x) ≈ dot(q, c_cell) + Σ_m dot(q_m, codebook_m[code_m])``
+    — the first term is one per-(query, probed cell) scalar carried on
+    the broadcast probe frame (computed once per query against the
+    bounded centroid matrix), the second is the same cell-independent
+    LUT gather as the non-residual path, and the fold seeds the ADC
+    accumulation with the cell dot so the float addition order is the
+    left-associated ``(qc + p0) + p1 ...`` the oracle mirrors.  The
+    residual subtraction itself is JVM ``zip_with`` against the
+    centroid matrix as a plan literal — one extra projection on the
+    encode pass, no extra shuffle, same plan shape as non-residual.
+    An explicitly-passed ``codebooks`` frame must have been trained on
+    residuals when ``residual=True``.
 
     Composition of the two operators' plans, which is the point:
 
@@ -901,10 +920,39 @@ def ivf_pq_topk(
     Cm = np.array([r[1] for r in cent_rows], dtype="float64")
     id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
 
+    # the coarse assignment runs ONCE; `ev` is what the PQ side sees —
+    # the raw vector, or (residual=True) the JVM zip_with subtraction
+    # against the centroid matrix as a plan literal
+    base = (
+        vectors.select(F.col(id_col).alias("cand_id"),
+                       _dvec(vec_col).alias("cv"))
+        .withColumn("__ci", _nearest_index_udf(Cm, decimals=6)(F.col("cv")))
+    )
+    if residual:
+        cent_mat = F.array(*[
+            F.array(*[F.lit(float(x)) for x in vrow])
+            for _, vrow in cent_rows])
+        base = base.withColumn(
+            "ev",
+            F.zip_with(
+                "cv",
+                F.element_at(cent_mat, (F.col("__ci") + 1).cast("int")),
+                lambda a, b: a - b))
+    else:
+        base = base.withColumn("ev", F.col("cv"))
+
     # ---- PQ codebooks ----------------------------------------------------
-    cb = codebooks if codebooks is not None else pq_codebooks(
-        vectors, n_sub=n_sub, k_sub=k_sub, iters=iters, id_col=id_col,
-        vec_col=vec_col, sample_mod=sample_mod)
+    if codebooks is not None:
+        cb = codebooks
+    elif residual:
+        cb = pq_codebooks(
+            base.select("cand_id", "ev"), n_sub=n_sub, k_sub=k_sub,
+            iters=iters, id_col="cand_id", vec_col="ev",
+            sample_mod=sample_mod)
+    else:
+        cb = pq_codebooks(
+            vectors, n_sub=n_sub, k_sub=k_sub, iters=iters, id_col=id_col,
+            vec_col=vec_col, sample_mod=sample_mod)
     by_sub: dict[int, list] = {}
     for r in cb.collect():
         by_sub.setdefault(int(r["sub"]), []).append(
@@ -959,30 +1007,48 @@ def ivf_pq_topk(
         ])
 
     # one corpus pass computes BOTH the coarse cell and the PQ codes
-    enc = (
-        vectors.select(F.col(id_col).alias("cand_id"),
-                       _dvec(vec_col).alias("cv"))
-        .withColumn("__ci", _nearest_index_udf(Cm, decimals=6)(F.col("cv")))
-        .select("cand_id",
-                F.element_at(id_arr, (F.col("__ci") + 1).cast("int"))
-                 .alias("cell"),
-                encode(F.col("cv")).alias("codes"))
-    )
+    enc = base.select(
+        "cand_id",
+        F.element_at(id_arr, (F.col("__ci") + 1).cast("int")).alias("cell"),
+        encode(F.col("ev")).alias("codes"))
     probes = (
         queries.select(F.col(id_col).alias("query_id"),
                        _dvec(vec_col).alias("qv"))
         .withColumn("lut", lut(F.col("qv")))
-        .withColumn("__pi", F.explode(probe_indices(F.col("qv"))))
-        .select("query_id", "lut",
-                F.element_at(id_arr, (F.col("__pi") + 1).cast("int"))
-                 .alias("cell"))
     )
+    if residual:
+        # dot(q, centroid) per cell, computed once per query against
+        # the bounded centroid matrix; the probed cell's entry rides
+        # the broadcast probe frame as one scalar
+        @pandas_udf("array<double>")
+        def cell_dots(v):
+            if len(v) == 0:
+                return pd.Series([], dtype="object")
+            A = np.stack(v.to_numpy()).astype("float64")
+            return pd.Series(
+                [_seq_dot_vec(A[i], Cm) for i in range(len(A))])
+
+        probes = probes.withColumn("cds", cell_dots(F.col("qv")))
+    probes = probes.withColumn(
+        "__pi", F.explode(probe_indices(F.col("qv"))))
+    pcols = [
+        "query_id", "lut",
+        F.element_at(id_arr, (F.col("__pi") + 1).cast("int")).alias("cell"),
+    ]
+    if residual:
+        pcols.append(
+            F.element_at("cds", (F.col("__pi") + 1).cast("int"))
+            .alias("qc_dot"))
+    probes = probes.select(*pcols)
+    # residual seeds the fold with the cell dot so the float addition
+    # stays left-associated ((qc + p0) + p1 ...), matching the oracle
     approx = F.round(
         F.aggregate(
             F.zip_with(
                 F.col("codes"), F.col("lut"),
                 lambda c, row: F.element_at(row, (c + F.lit(1)).cast("int"))),
-            F.lit(0.0), lambda acc, x: acc + x),
+            F.col("qc_dot") if residual else F.lit(0.0),
+            lambda acc, x: acc + x),
         6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot").desc(), F.col("cand_id"))

@@ -692,6 +692,7 @@ def semantic_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_pairs: int | None = None,
+    exact_prepass: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings with k-means and removing
@@ -718,15 +719,29 @@ def semantic_keep(
     witness_cos) — so the oracle checks the full decision, not just
     the survivor count.
 
-    ``max_cell_pairs``: fail-loud guard against the measured
-    duplication pathology (tools/stress_semdedup.py, PLANS.md): the
-    in-cell pair join is quadratic in the duplicate-class size, and a
-    heavily duplicated corpus can turn one cell into a 10^12-pair
-    join.  When set, one cheap cell-count aggregate runs first and a
+    ``exact_prepass`` (default True, round-8 verdict item): identical
+    vectors collapse to their min-id class representative BEFORE the
+    quadratic in-cell pair join — exact/near-exact copies co-locate by
+    construction, and the measured pathology (tools/stress_semdedup.py:
+    10× duplication ⇒ 41.9× wall without the pre-pass) is quadratic in
+    the duplicate-class size.  The collapse is exact, not approximate:
+    a non-rep member of a class is always dropped with witness
+    ``coalesce(rep's witness, rep)`` — the rep is the smallest id in
+    the class, so the original rule's smallest qualifying witness for
+    any member is the rep's own witness when the rep is dropped, else
+    the rep itself; and the reps-only pair join loses no witnesses
+    because the smallest qualifying id for any rep is itself a rep
+    (a non-rep qualifier's class rep has the same vector and a smaller
+    id).  Classes whose self-cosine fails the threshold (zero vectors →
+    NULL cosine, or min_sim > 1) don't collapse and ride through as
+    individual rows, preserving the original keep-everything outcome.
+
+    ``max_cell_pairs``: fail-loud guard against residual in-cell
+    blow-up AFTER the exact collapse (distinct-vector mass in one
+    cell).  When set, one cheap cell-count aggregate runs first and a
     ``ValueError`` names the hot cells if Σ n·(n−1)/2 over cells
     exceeds the bound — the counted-before-joined discipline; the fix
-    is an exact-dedup pre-pass, more centroids, or a higher τ.  None
-    (default) adds no extra job.
+    is more centroids or a higher τ.  None (default) adds no extra job.
     """
     from ..spec import materialize
     from .ann import assign_cells, cosine, kmeans_centroids
@@ -739,8 +754,25 @@ def semantic_keep(
         assign_cells(vectors, cents, id_col, vec_col)
         .withColumn("cell", F.col("cell").cast("bigint"))
     )
+    member = None
+    if exact_prepass:
+        cls = (assigned.groupBy("cell", "cv")
+               .agg(F.min("vec_id").alias("rep_id")))
+        member = materialize(
+            assigned.join(cls, ["cell", "cv"])
+            .withColumn("self_cos", cosine(F.col("cv"), F.col("cv")))
+            .withColumn(
+                "collapsed",
+                (F.col("vec_id") != F.col("rep_id"))
+                & F.coalesce(F.col("self_cos") >= F.lit(min_sim),
+                             F.lit(False)))
+        )
+        reps = member.filter(~F.col("collapsed")) \
+            .select("vec_id", "cell", "cv")
+    else:
+        reps = assigned
     if max_cell_pairs is not None:
-        sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+        sizes = reps.groupBy("cell").agg(F.count("*").alias("n"))
         total = sizes.agg(F.sum(
             F.col("n") * (F.col("n") - 1) / 2).alias("p")).collect()[0]["p"]
         if total and total > max_cell_pairs:
@@ -751,12 +783,12 @@ def semantic_keep(
             raise ValueError(
                 f"semantic_keep: {int(total)} in-cell pairs exceeds "
                 f"max_cell_pairs={max_cell_pairs}; hottest cells "
-                f"(cell, members)={hot} — run exact dedup first, raise "
-                f"n_centroids, or raise min_sim")
-    a = assigned.select(F.col("vec_id").alias("id_a"), "cell",
-                        F.col("cv").alias("va"))
-    b = assigned.select(F.col("vec_id").alias("id_b"), "cell",
-                        F.col("cv").alias("vb"))
+                f"(cell, members)={hot} — raise n_centroids or raise "
+                f"min_sim")
+    a = reps.select(F.col("vec_id").alias("id_a"), "cell",
+                    F.col("cv").alias("va"))
+    b = reps.select(F.col("vec_id").alias("id_b"), "cell",
+                    F.col("cv").alias("vb"))
     # pairs feeds the witness argmin AND its cosine lookup join
     pairs = materialize(
         a.join(b, "cell")
@@ -773,11 +805,40 @@ def semantic_keep(
         .select(F.col("w.id_b").alias("id_b"), F.col("w.witness")
                 .alias("witness"), F.col("p.cos").alias("witness_cos"))
     )
+    if not exact_prepass:
+        return (
+            assigned.join(witc, assigned["vec_id"] == witc["id_b"], "left")
+            .select(
+                "vec_id", "cell",
+                F.col("witness").isNull().alias("kept"),
+                "witness", "witness_cos",
+            )
+        )
+    # re-attach every member to its verdict row: a collapsed member
+    # follows its class representative's verdict (witness = the rep's
+    # witness when the rep is itself dropped, else the rep; cos = the
+    # rep's witness cosine, else the class self-cosine), a non-collapsed
+    # row follows its own
+    rep_verdict = witc.select(
+        F.col("id_b").alias("v_key"),
+        F.col("witness").alias("v_witness"),
+        F.col("witness_cos").alias("v_cos"),
+    )
+    keyed = member.withColumn(
+        "v_key",
+        F.when(F.col("collapsed"), F.col("rep_id")).otherwise(
+            F.col("vec_id")))
     return (
-        assigned.join(witc, assigned["vec_id"] == witc["id_b"], "left")
+        keyed.join(rep_verdict, "v_key", "left")
         .select(
             "vec_id", "cell",
-            F.col("witness").isNull().alias("kept"),
-            "witness", "witness_cos",
+            F.when(F.col("collapsed"), F.lit(False))
+            .otherwise(F.col("v_witness").isNull()).alias("kept"),
+            F.when(F.col("collapsed"),
+                   F.coalesce(F.col("v_witness"), F.col("rep_id")))
+            .otherwise(F.col("v_witness")).alias("witness"),
+            F.when(F.col("collapsed"),
+                   F.coalesce(F.col("v_cos"), F.col("self_cos")))
+            .otherwise(F.col("v_cos")).alias("witness_cos"),
         )
     )

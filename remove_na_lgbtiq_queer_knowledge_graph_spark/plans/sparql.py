@@ -437,8 +437,11 @@ class _Parser:
                     self.next()
                 self.expect("op", "(")
                 items = []
-                if not (self.peek().kind == "op"
-                        and self.peek().text == ")"):
+                # EOF here must surface as the SyntaxError from expect()
+                # below, not an AttributeError on a None peek
+                head = self.peek()
+                if head is not None and not (head.kind == "op"
+                                             and head.text == ")"):
                     items.append(self.parse_expr())
                     while self.accept("op", ","):
                         items.append(self.parse_expr())
@@ -475,6 +478,8 @@ class _Parser:
 
     def _expr_primary(self) -> tuple:
         t = self.peek()
+        if t is None:
+            raise SyntaxError("unexpected end of input in expression")
         if t.kind == "op" and t.text == "(":
             self.next()
             e = self.parse_expr()
@@ -490,7 +495,9 @@ class _Parser:
                 # groupBy.agg and substitutes their result columns
                 return self._parse_agg_call(name)
             args = []
-            if not (self.peek().kind == "op" and self.peek().text == ")"):
+            head = self.peek()
+            if head is not None and not (head.kind == "op"
+                                         and head.text == ")"):
                 args.append(self.parse_expr())
                 while self.accept("op", ","):
                     args.append(self.parse_expr())
@@ -912,7 +919,9 @@ class _Compiler:
             cols.append(F.col("lang").alias(_lang_col(pat.o[1])))
         return df.select(*cols)
 
-    def _step_edges(self, triples: DataFrame, st: PathStep) -> DataFrame:
+    def _step_edges(self, triples: DataFrame, st: PathStep,
+                    s_term: Term | None = None,
+                    o_term: Term | None = None) -> DataFrame:
         """ONE application of a path step as a (src, dst) pair relation
         (before any closure): a plain predicate-filtered scan, the bag
         union of alternation branch relations (§18.4 ``alt`` — both
@@ -924,9 +933,16 @@ class _Compiler:
         predicate on the predicate column — still one pushed-down scan
         of the triples source, no join."""
         if st.alts:
+            # The enclosing triple's constant anchors thread into each
+            # branch so a branch-leading zero-admitting step (`a (p?|q)
+            # ?o` with `a` absent from the graph) can seed the §18.4
+            # anchor self-pair.  An inverted composite (`^(p?|q)`)
+            # swaps the roles: the outer subject anchors the nested
+            # relation's dst side and vice versa.
+            bs, bo = (o_term, s_term) if st.inv else (s_term, o_term)
             rel: DataFrame | None = None
             for branch in st.alts:
-                bp = self._seq_pairs(triples, branch)
+                bp = self._seq_pairs(triples, branch, bs, bo)
                 rel = bp if rel is None else rel.unionByName(bp)
         elif st.neg:
             fwd = [iri for iri, m_inv in st.neg if not m_inv]
@@ -966,22 +982,30 @@ class _Compiler:
         return rel
 
     def _seq_pairs(self, triples: DataFrame,
-                   steps: tuple[PathStep, ...]) -> DataFrame:
+                   steps: tuple[PathStep, ...],
+                   s_term: Term | None = None,
+                   o_term: Term | None = None) -> DataFrame:
         """Pair relation of a NESTED branch sequence (inside an
-        alternation or a modified group).  The outer triple's
-        constant-anchor seeds don't apply here — a zero-admitting step
-        in a nested position uses the graph-term identity (the spec's
-        term-domain zero path); the absent-constant corner is only
-        reachable for the OUTER leading step, which `_scan_path` seeds
-        from the anchor itself.  Known boundary: a constant anchor
-        ABSENT from the graph on a modifier-free alternation whose
-        branch admits zero (``ghost (p?|q?) ?o``) misses the
-        zero-length solution — deciding it needs a runtime graph-
-        membership test (for anchors present in the graph the identity
-        seed is already exact, including per-branch multiplicity)."""
+        alternation or a modified group).  The outer triple's constant
+        anchors thread into the LEADING step only: a branch-leading
+        zero-admitting step seeds the anchor self-pair (§18.4 starts
+        ALP from the anchor term, graph membership notwithstanding), so
+        ``ghost (p?|q?) ?o`` yields the zero-length solution even when
+        ``ghost`` never occurs in the graph.  Seeding the object anchor
+        at the leading step is safe for multi-step branches too: the
+        seed pair only survives the remaining steps when they all admit
+        zero from the anchor — exactly when the whole-branch zero-length
+        solution exists — and for anchors present in the graph the
+        distinct over the identity union dedups it.  Non-leading
+        zero-admitting steps need no seed: their zero relates each
+        incoming dst to itself, anchor rows included."""
         pairs: DataFrame | None = None
-        for st in steps:
-            pairs = self._fold_step(triples, pairs, st, None, None, False)
+        for i, st in enumerate(steps):
+            pairs = self._fold_step(
+                triples, pairs, st,
+                s_term if i == 0 else None,
+                o_term if i == 0 else None,
+                i == 0 and o_term is not None)
         return pairs
 
     def _scan_path(self, triples: DataFrame, pat: TriplePat) -> DataFrame:
@@ -989,10 +1013,16 @@ class _Compiler:
         (src, dst) pair plan."""
         pairs: DataFrame | None = None
         for i, st in enumerate(pat.path):
+            # the object anchor seeds the LEADING zero-admitting step
+            # even on multi-step paths (round 9): the seed pair only
+            # survives the remaining steps when they all admit zero
+            # from the anchor — exactly the whole-path zero-length
+            # case (`?x p?/q? <c>` with c absent from the graph) —
+            # and is dedup'd by the identity-union distinct otherwise
             pairs = self._fold_step(
                 triples, pairs, st,
                 pat.s if i == 0 else None,
-                pat.o, len(pat.path) == 1)
+                pat.o, i == 0)
         df = pairs
         out: list[Column] = []
         for term, col in ((pat.s, "src"), (pat.o, "dst")):
@@ -1010,7 +1040,7 @@ class _Compiler:
         the OUTER leading step (None otherwise); ``o_seedable`` marks a
         single-step outer path whose object constant can seed the
         zero-length solution."""
-        edges = self._step_edges(triples, st)
+        edges = self._step_edges(triples, st, s_term, o_term)
         if st.star or st.plus or st.opt:
             # p? composes exactly like p* with the closure replaced
             # by the single-step edges: zero-length identity ∪ one
@@ -1535,7 +1565,12 @@ class _Compiler:
                 shared = ([v for v in item.vars if v in env.columns]
                           if env is not None else [])
                 if env is not None and not has_undef \
-                        and len(item.vars) == 1 and shared:
+                        and len(item.vars) == 1 and shared \
+                        and len(set(rows)) == len(rows):
+                    # distinct-rows only: isin collapses multiplicity,
+                    # and §10.2.2 multiset join semantics say a VALUES
+                    # block listing a row twice duplicates matching
+                    # solutions — duplicate rows take the join path
                     env = env.filter(
                         F.col(item.vars[0]).isin([r[0] for r in rows]))
                 elif has_undef and shared:

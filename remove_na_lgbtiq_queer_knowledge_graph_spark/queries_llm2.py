@@ -526,10 +526,12 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_fit_ctes(n_sub: int, k_sub: int, iters: int, ds: int,
-                 decimals: int = 6) -> str:
+                 decimals: int = 6, fit_src: str = "vf",
+                 enc_src: str = "v") -> str:
     """The per-subspace fit + encode CTE fragment shared by the PQ and
-    IVF-PQ oracles (assumes ``v`` (vec_id, cv) and ``vf`` (the fit
-    sample) are already defined): unrolled L2 Lloyd's over the
+    IVF-PQ oracles (assumes ``enc_src`` (vec_id, cv) and ``fit_src``
+    (the fit sample) are already defined — the residual IVF-PQ oracle
+    points both at the residual table): unrolled L2 Lloyd's over the
     sample's sub-slices (argmin of the ``dot(x,x) − 2·dot(x,c) +
     dot(c,c)`` expansion — the same three sequential folds the numpy
     kernel combines, unrounded during fit like the k-means oracle),
@@ -545,7 +547,7 @@ def _pq_fit_ctes(n_sub: int, k_sub: int, iters: int, ds: int,
     for m in range(n_sub):
         lo, hi = m * ds + 1, (m + 1) * ds
         out.append(f""", s{m} AS (
-  SELECT vec_id, list_slice(cv, {lo}, {hi}) AS sv FROM vf
+  SELECT vec_id, list_slice(cv, {lo}, {hi}) AS sv FROM {fit_src}
 ), s{m}c0 AS (
   SELECT CAST(vec_id AS BIGINT) AS cent_id, sv AS cent_v
   FROM s{m} ORDER BY vec_id LIMIT {k_sub}
@@ -578,7 +580,8 @@ def _pq_fit_ctes(n_sub: int, k_sub: int, iters: int, ds: int,
              PARTITION BY x.vec_id
              ORDER BY round({d2('x.sv', 'c.cent_v')}, {decimals}),
                       c.cent_id) AS rn
-    FROM (SELECT vec_id, list_slice(cv, {lo}, {hi}) AS sv FROM v) x
+    FROM (SELECT vec_id, list_slice(cv, {lo}, {hi}) AS sv
+          FROM {enc_src}) x
     CROSS JOIN {prev} c
   ) WHERE rn = 1
 )""")
@@ -709,6 +712,108 @@ SELECT query_id, cand_id, approx_dot, rk FROM (
 
 
 _IVF_PQ_SQL = _ivf_pq_oracle_sql(16, 4, 2, 8, 2, 64, 3)
+
+
+def ann_ivf_pq_residual_topk_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-3 — the actual IVFADC of Jégou et al. 2011
+    §IV: PQ codebooks trained on (and codes encoding) the residual
+    ``x − centroid(cell(x))``, whose distribution is the within-cell
+    spread rather than the whole corpus — materially more resolution
+    at the same 2×8 code budget (measured recall point in
+    tests/test_llm_ops.py::test_ivf_pq_residual_beats_non_residual).
+    Scoring adds the per-(query, probed cell) centroid dot, carried as
+    one scalar on the broadcast probe frame."""
+    from .operators.ann import ivf_pq_topk
+
+    v = t(spark, sf_dir, "embeddings")
+    queries = v.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_topk(v, queries, k=3, n_centroids=16, n_probe=4,
+                       n_sub=2, k_sub=8, iters=2, sample_mod=2,
+                       residual=True)
+
+
+def _ivf_pq_residual_oracle_sql(n_centroids: int, n_probe: int,
+                                n_sub: int, k_sub: int, iters: int,
+                                dim: int, k: int, decimals: int = 6,
+                                sample_mod: int = 2,
+                                query_mod: int = 50) -> str:
+    """Residual IVFADC mirror: the coarse assign/probe CTEs, then the
+    residual table ``vres = x − centroid(cell(x))`` (index-lambda
+    subtraction — double arithmetic on both engines), the shared PQ
+    fit/encode fragment pointed at the residuals, and scoring as
+    ``round(dot(q, c_cell) + p0 + p1, 6)`` — left-associated like the
+    engine's qc-seeded fold."""
+    ds = dim // n_sub
+
+    def rcos(x, nx, c, nc):
+        return f"round(list_dot_product({x}, {c}) / ({nx} * {nc}), {decimals})"
+
+    out = [f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, sqrt(list_dot_product(cv, cv)) AS nv FROM v
+), cents AS (
+  SELECT vec_id AS cent_id, cv AS cve, nv AS cnv
+  FROM v JOIN nrm USING (vec_id) WHERE vec_id < {n_centroids}
+), assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT c.vec_id, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             {rcos('c.cv', 'n1.nv', 'ct.cve', 'ct.cnv')} DESC,
+             ct.cent_id) AS rn
+    FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM (
+    SELECT c.vec_id, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             {rcos('c.cv', 'n1.nv', 'ct.cve', 'ct.cnv')} DESC,
+             ct.cent_id) AS rn
+    FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
+    WHERE c.vec_id % {query_mod} = 0
+  ) WHERE rn <= {n_probe}
+), vres AS (
+  SELECT a.vec_id,
+         list_transform(vv.cv, (x, j) -> x - ct.cve[j]) AS cv
+  FROM assign a
+  JOIN v vv ON vv.vec_id = a.vec_id
+  JOIN cents ct ON ct.cent_id = a.cell
+), vfr AS (
+  SELECT * FROM vres WHERE vec_id % {sample_mod} = 0
+)"""]
+    out.append(_pq_fit_ctes(n_sub, k_sub, iters, ds, decimals,
+                            fit_src="vfr", enc_src="vres"))
+    qslices = ", ".join(
+        f"list_slice(cv, {m * ds + 1}, {(m + 1) * ds}) AS qs{m}"
+        for m in range(n_sub))
+    adc = " + ".join(
+        f"list_dot_product(q.qs{m}, e{m}.cent_v)" for m in range(n_sub))
+    ejoins = "\n  ".join(
+        f"JOIN e{m} ON e{m}.vec_id = a.vec_id" for m in range(n_sub))
+    out.append(f""", q AS (
+  SELECT vec_id, cv, {qslices} FROM v WHERE vec_id % {query_mod} = 0
+), scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         round(list_dot_product(q.cv, ct.cve) + {adc},
+               {decimals}) AS approx_dot
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN cents ct ON ct.cent_id = p.cell
+  JOIN q ON q.vec_id = p.query_id
+  {ejoins}
+)
+SELECT query_id, cand_id, approx_dot, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY approx_dot DESC, cand_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {k}""")
+    return "".join(out)
+
+
+_IVF_PQ_RES_SQL = _ivf_pq_residual_oracle_sql(16, 4, 2, 8, 2, 64, 3)
 
 
 
@@ -1103,6 +1208,10 @@ SPECS: dict[str, QuerySpec] = {
         ann_ivf_pq_topk_q, _IVF_PQ_SQL,
         "IVF-PQ (IVFADC): coarse-cell candidate restriction + "
         "compressed-domain ADC scoring"),
+    "ann_ivf_pq_residual_topk": QuerySpec(
+        ann_ivf_pq_residual_topk_q, _IVF_PQ_RES_SQL,
+        "residual IVFADC: PQ codebooks over x − centroid(cell), "
+        "scoring seeds the ADC fold with dot(q, centroid)"),
     "ann_pq_topk": QuerySpec(
         ann_pq_topk_q, _PQ_SQL,
         "product-quantization ANN top-3: per-subspace L2 codebooks, "

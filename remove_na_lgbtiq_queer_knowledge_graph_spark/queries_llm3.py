@@ -155,30 +155,39 @@ SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode every document under the trained tokenizer: the final
     symbol table IS the word→tokenization map, so encoding is the
-    corpus word stream joined to a BROADCAST vocabulary frame — no
-    per-document merge replay, no UDF.  Output: per-doc word and
-    BPE-token counts (the trained-tokenizer token budget, vs
-    text_token_counts' untrained heuristics)."""
+    corpus word stream LEFT-joined to a BROADCAST vocabulary frame — no
+    per-document merge replay, no UDF.  Words absent from the training
+    map (possible when the op is pointed at documents outside the
+    training corpus; never for this self-trained registry entry) fall
+    back to character-level encoding — len(word)+1 symbols, the merge-
+    free base segmentation — instead of being silently dropped from
+    both counts (round-8 ADVICE).  Output: per-doc word and BPE-token
+    counts (the trained-tokenizer token budget, vs text_token_counts'
+    untrained heuristics)."""
     final, _ = _bpe_fit_memo(spark, sf_dir)
     tokmap = final.select(
         "word", F.size(F.split("s", " ")).cast("long").alias("n_tok"))
     docs = t(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("word"))
-        .join(F.broadcast(tokmap), "word")
+        .join(F.broadcast(tokmap), "word", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(
+                F.col("n_tok"),
+                F.length("word").cast("long") + F.lit(1),
+            )).cast("long").alias("n_tokens"),
         )
     )
 
 
 _BPE_ENCODE_SQL = _bpe_ctes(_BPE_N) + f"""
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(len(string_split(w{_BPE_N}.s, ' '))) AS BIGINT) AS n_tokens
+       CAST(sum(COALESCE(len(string_split(w{_BPE_N}.s, ' ')),
+                         len(d.word) + 1)) AS BIGINT) AS n_tokens
 FROM (SELECT doc_id, unnest({_WORDS_DUCK}) AS word FROM documents) d
-JOIN w{_BPE_N} USING (word)
+LEFT JOIN w{_BPE_N} USING (word)
 GROUP BY d.doc_id"""
 
 

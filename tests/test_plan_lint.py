@@ -36,3 +36,25 @@ def test_no_unbounded_join_shapes(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_committed_lint_artifact_covers_current_registry():
+    """Round-8 verdict: a query registered after the end-of-round lint
+    run shipped without the committed safety net.  The full-registry
+    lint writes PLANS_LINT.json; this lock fails the suite the moment
+    the registry grows past the last committed lint run (same pattern
+    as test_every_spec_has_an_oracle)."""
+    import json
+    import pathlib
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+
+    art = pathlib.Path(__file__).resolve().parents[1] / "PLANS_LINT.json"
+    assert art.exists(), (
+        "PLANS_LINT.json missing — run `python tools/lint_plans.py` "
+        "over the full registry before closing the round")
+    data = json.loads(art.read_text())
+    assert data["n_plans"] == len(all_specs()), (
+        f"committed lint covered {data['n_plans']} plans but the "
+        f"registry now has {len(all_specs())} — re-run tools/lint_plans.py")
+    assert data["flagged"] == [] and data["errors"] == []

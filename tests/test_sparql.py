@@ -735,6 +735,62 @@ SELECT ?s WHERE {{ ?s {path} ex:ghost . }}""", triples)
         assert _vals(df, "s") == [("http://ex.org/ghost",)], path
 
 
+def test_absent_object_anchor_multi_step_zero_path(triples):
+    """Round 9: `?s p?/q? <c>` with c absent from the graph has the
+    whole-path zero-length solution ?s = c (every step admits zero
+    from the anchor); a multi-step path whose tail does NOT admit zero
+    gains nothing from the seed."""
+    g = "http://ex.org/ghost"
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:knows?/ex:knows? ex:ghost . }""", triples)
+    assert _vals(df, "s") == [(g,)]
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:knows?/ex:knows ex:ghost . }""", triples)
+    assert _vals(df, "s") == []
+    # present anchor: zero (d), one step (c — TWICE: zero/one and
+    # one/zero are distinct derivations, the sequence join multiplies
+    # multiplicities), two steps (b)
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:knows?/ex:knows? ex:d . }""", triples)
+    assert _vals(df, "s") == [("http://ex.org/b",), ("http://ex.org/c",),
+                              ("http://ex.org/c",), ("http://ex.org/d",)]
+
+
+def test_absent_anchor_zero_in_alternation_branch(triples):
+    """Round-8 ADVICE: a zero-admitting step NESTED in a modifier-free
+    alternation must still seed the absent constant anchor's self-pair
+    (§18.4 evaluates each branch from the anchor term, graph membership
+    notwithstanding) — `ex:ghost (ex:knows?|ex:likes) ?o` yields
+    ?o = ex:ghost."""
+    g = "http://ex.org/ghost"
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:ghost (ex:knows?|ex:likes) ?o . }""", triples)
+    assert _vals(df, "o") == [(g,)]
+    # both branches admit zero → bag union yields the solution twice
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:ghost (ex:knows?|ex:likes?) ?o . }""", triples)
+    assert _vals(df, "o") == [(g,), (g,)]
+    # multi-step branch whose every step admits zero
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:ghost (ex:knows?/ex:knows?|ex:likes) ?o . }""",
+                        triples)
+    assert _vals(df, "o") == [(g,)]
+    # inverted composite: the subject anchor rides the nested dst side
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:ghost ^(ex:knows?|ex:likes) ?o . }""", triples)
+    assert _vals(df, "o") == [(g,)]
+    # object-side anchor through an alternation branch
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s (ex:knows?|ex:likes) ex:ghost . }""", triples)
+    assert _vals(df, "s") == [(g,)]
+    # present anchors keep exact per-branch multiplicity:
+    # knows?|knows? from a yields {a (zero), b (one step)} per branch
+    df = compile_sparql(_PFX + """
+SELECT ?o WHERE { ex:a (ex:knows?|ex:knows?) ?o . }""", triples)
+    assert _vals(df, "o") == sorted(
+        [("http://ex.org/a",)] * 2 + [("http://ex.org/b",)] * 2)
+
+
 def test_zero_admitting_step_preserves_prefix_bag_semantics(spark):
     """Round-7 ADVICE: a ?/* step after plain sequence steps used to
     distinct() the whole accumulated pair set, collapsing duplicate
@@ -1117,6 +1173,32 @@ def test_values_undef_single_var_keeps_all(triples):
     out = _vals(df, "s", "t")
     assert out.count(("http://ex.org/c", "http://ex.org/Robot")) == 2
     assert len(out) == 4
+
+
+def test_values_duplicate_row_keeps_bag_multiplicity(triples):
+    """Round-8 ADVICE: a VALUES block listing the same row twice must
+    duplicate matching solutions (§10.2.2 multiset join) — the single-
+    var isin fast path only applies to distinct-row blocks."""
+    df = compile_sparql(_PFX + """
+      SELECT ?s ?t WHERE { ?s a ?t . VALUES ?t { ex:Robot ex:Robot } }
+      """, triples)
+    assert _vals(df, "s", "t") == [
+        ("http://ex.org/c", "http://ex.org/Robot")] * 2
+    # distinct rows still take the isin path: one solution per match
+    df = compile_sparql(_PFX + """
+      SELECT ?s ?t WHERE { ?s a ?t . VALUES ?t { ex:Robot ex:Person } }
+      """, triples)
+    assert len(_vals(df, "s", "t")) == 3
+
+
+def test_truncated_expr_raises_syntax_error(triples):
+    """Round-8 ADVICE: EOF inside an IN list / call arg list / expression
+    must surface as SyntaxError, not AttributeError on a None peek."""
+    for q in ("SELECT ?s WHERE { ?s a ?t . FILTER(?t IN (",
+              "SELECT ?s WHERE { ?s a ?t . FILTER(BOUND(",
+              "SELECT ?s WHERE { ?s a ?t . FILTER(?t NOT IN (ex:a,"):
+        with pytest.raises(SyntaxError):
+            compile_sparql(_PFX + q, triples)
 
 
 def test_values_undef_standalone_stays_unbound(triples):

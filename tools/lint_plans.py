@@ -23,6 +23,7 @@ Exit 0 = no unexplained cartesian/nested-loop joins.
 from __future__ import annotations
 
 import argparse
+import json
 import pathlib
 import sys
 
@@ -51,14 +52,31 @@ BNLJ_WHITELIST = {
         "output grid, documented in COVERAGE §2.5)"),
 }
 
-# prefix waivers: the SPARQL/BGP compiler emits crossJoin ONLY for
-# solution frames sharing no variables — the spec's §8 join semantics
-# (a join of mappings with disjoint domains IS their cross product).
-# Boundedness comes from the query's constant anchors; an accidental
-# corpus×corpus cross cannot arise from the compiler because a triple
-# scan always binds at least one variable shared with its group (the
-# no-shared-var case is the deliberately-written disjoint pattern).
-BNLJ_PREFIX_WAIVERS = ("sparql_", "graph_")
+# SPARQL §8 disjoint-domain joins: the compiler emits crossJoin ONLY
+# for solution frames sharing no variables (a join of mappings with
+# disjoint domains IS their cross product), and boundedness comes from
+# each query's constant anchors.  Round-8 ADVICE: these used to be
+# waived by name PREFIX, which would also have waived a future edit
+# that degrades a keyed SPARQL join into an unbounded nested loop —
+# now every waiver is per-name (enumerated from the r9 BNLJ scan of
+# all 59 sparql_/graph_ entries), so a NEW nested loop in any other
+# sparql_/graph_ query fails the lint and must be adjudicated here.
+_SPARQL_DISJOINT = (
+    "disjoint-domain solution join (SPARQL §8 cross semantics); "
+    "broadcast side bounded by the query's constant anchors")
+for _n in (
+    "sparql_app_companions", "sparql_app_compare_items",
+    "sparql_app_compare_non_items", "sparql_app_compare_time_items",
+    "sparql_companions", "sparql_companions_hirschfeld",
+    "sparql_companions_no_constants", "sparql_compare_many_items",
+    "sparql_compare_one_item", "sparql_network_federated",
+    "sparql_network_root", "sparql_network_statements",
+    "sparql_person_relations", "sparql_time_items",
+):
+    BNLJ_WHITELIST[_n] = _SPARQL_DISJOINT
+BNLJ_WHITELIST["sparql_values_undef"] = (
+    "§10.2.2 UNDEF compatibility join: the nested-loop build side is "
+    "the inline VALUES frame (a few literal rows by construction)")
 
 
 def main() -> int:
@@ -92,10 +110,6 @@ def main() -> int:
         elif bnlj and name in BNLJ_WHITELIST:
             waived += 1
             print(f"WAIVED {name}: BNLJ — {BNLJ_WHITELIST[name][:60]}...")
-        elif bnlj and name.startswith(BNLJ_PREFIX_WAIVERS):
-            waived += 1
-            print(f"WAIVED {name}: BNLJ — SPARQL disjoint-domain join "
-                  f"(spec §8 cross semantics)")
         elif bnlj:
             bad.append((name, "BroadcastNestedLoopJoin"))
             print(f"FLAG {name}: BroadcastNestedLoopJoin (not whitelisted)")
@@ -103,6 +117,20 @@ def main() -> int:
             print(f"ok {name}")
     print(f"\n{len(names)} plans: {len(bad)} flagged, {waived} waived, "
           f"{len(errors)} build errors")
+    if not args.names:
+        # full-registry run: commit the machine-readable artifact so
+        # tests/test_plan_lint.py can assert the committed lint covered
+        # the CURRENT registry (round-8 verdict: a query added after
+        # the lint run skipped the safety net unnoticed)
+        art = pathlib.Path(__file__).resolve().parents[1] / "PLANS_LINT.json"
+        art.write_text(json.dumps({
+            "sf": args.sf,
+            "n_plans": len(names),
+            "flagged": sorted(n for n, _ in bad),
+            "waived": waived,
+            "errors": sorted(n for n, _ in errors),
+        }, indent=1) + "\n")
+        print(f"wrote {art}")
     return 1 if (bad or errors) else 0
 
 

@@ -19,6 +19,15 @@ Usage: python tools/stress_bpe.py [--sizes 10000,100000,1000000]
 Prints one table row per size: rows, fit wall (best of N passes),
 per-iteration wall, and the first three learned merges as a sanity
 fingerprint.
+
+A second axis (round-9 verdict item): real tokenizers run tens of
+thousands of merges, where the stacked-replace plan depth — iteration
+i re-evaluates i replace projections — is the cost, not the
+vocabulary.  ``--merge-ladder 8,64,256`` sweeps n_merges at one fixed
+vocabulary (``--vocab``) and reports s/iter per rung; "pass" is s/iter
+~flat across the ladder (the periodic localCheckpoint in bpe_fit —
+``--checkpoint-every``, 0 disables — bounds the chain; disable it to
+reproduce the super-linear growth it exists to prevent).
 """
 
 from __future__ import annotations
@@ -69,12 +78,33 @@ def main() -> None:
     ap.add_argument("--sizes", default="10000,100000,1000000")
     ap.add_argument("--merges", type=int, default=8)
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--merge-ladder", default=None,
+                    help="comma list of n_merges to sweep at --vocab")
+    ap.add_argument("--vocab", type=int, default=100000)
+    ap.add_argument("--checkpoint-every", type=int, default=32)
     args = ap.parse_args()
 
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.bpe import bpe_fit
     from remove_na_lgbtiq_queer_knowledge_graph_spark.session import get_spark
 
     spark = get_spark("stress-bpe")
+    if args.merge_ladder:
+        words = build_words(spark, args.vocab).persist()
+        words.count()
+        print(f"vocab={args.vocab} checkpoint_every={args.checkpoint_every}")
+        print(f"{'merges':>7} | {'fit s':>8} | {'s/iter':>7} | last merge")
+        print("-" * 60)
+        for n in [int(s) for s in args.merge_ladder.split(",")]:
+            t0 = time.time()
+            final, merges = bpe_fit(
+                words, n, checkpoint_every=args.checkpoint_every)
+            final.count()
+            wall = time.time() - t0
+            assert len(merges) == n and all(m[4] > 0 for m in merges)
+            print(f"{n:>7} | {wall:>8.2f} | {wall / n:>7.3f} | "
+                  f"{merges[-1][3]}")
+        words.unpersist()
+        return
     print(f"{'rows':>9} | {'fit s':>7} | {'s/iter':>7} | first merges")
     print("-" * 72)
     for size in [int(s) for s in args.sizes.split(",")]:

@@ -22,8 +22,19 @@ Correctness asserts: every planted copy is dropped, and its witness is
 its base or a lower-id copy of the same base (the copies are each
 other's nearest neighbors by construction).
 
+Round 9: ``--exact`` plants byte-identical copies instead of nudged
+ones — the regime the default exact-duplicate pre-pass in
+semantic_keep exists for.  With the pre-pass, identical classes
+collapse to one representative before the pair join, so 10x EXACT
+duplication costs ~the 1x wall (+ one linear groupBy/join) instead of
+~100x pair work; the nudged variant stays the documented inherent
+quadratic (the guard's regime).  The same correctness asserts hold in
+both modes: every planted copy is dropped with its base (or a lower
+copy/earlier near-dup) as witness.
+
 Usage: python tools/stress_semdedup.py [--sf /root/testdata/sf0.01]
                                        [--copies 10] [--passes 2]
+                                       [--exact]
 """
 
 from __future__ import annotations
@@ -36,27 +47,29 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def build_fixture(spark, sf_dir: str, copies: int):
+def build_fixture(spark, sf_dir: str, copies: int, exact: bool = False):
     """Base embeddings ∪ (copies-1) near-copies: copy k of vector v
     multiplies coordinate (k mod dim) by 1.001 — cosine to base stays
-    ≥ 0.999 while the vectors differ exactly."""
+    ≥ 0.999 while the vectors differ exactly.  ``exact=True`` plants
+    byte-identical copies instead (the pre-pass regime)."""
     from pyspark.sql import functions as F
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding")
     n = copies
+    emb = (F.col("embedding") if exact else F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            i == F.pmod(F.col("__k"), F.size("embedding")),
+            x * F.lit(1.001),
+        ).otherwise(x),
+    ))
     dup = (
         vecs.withColumn(
             "__k", F.explode(F.array(*[F.lit(i) for i in range(1, n)])))
         .select(
             (F.col("vec_id") * n + F.col("__k")).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: F.when(
-                    i == F.pmod(F.col("__k"), F.size("embedding")),
-                    x * F.lit(1.001),
-                ).otherwise(x),
-            ).alias("embedding"),
+            emb.alias("embedding"),
         )
     )
     base = vecs.select((F.col("vec_id") * n).alias("vec_id"), "embedding")
@@ -68,6 +81,8 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--exact", action="store_true",
+                    help="plant byte-identical copies (pre-pass regime)")
     args = ap.parse_args()
 
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
@@ -78,7 +93,8 @@ def main() -> None:
     spark = get_spark("stress-semdedup")
     base = spark.read.parquet(f"{args.sf}/embeddings.parquet").select(
         "vec_id", "embedding").persist()
-    nx = build_fixture(spark, args.sf, args.copies).persist()
+    nx = build_fixture(spark, args.sf, args.copies,
+                       exact=args.exact).persist()
     n_base, n_nx = base.count(), nx.count()
 
     def run(vecs):
