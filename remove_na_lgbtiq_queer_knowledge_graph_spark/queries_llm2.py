@@ -869,6 +869,118 @@ WHERE cum_tokens <= 1500 + 500 * (CAST(substring(source, 4, 10) AS BIGINT) % 3)
 """
 
 
+def select_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling, Efraimidis–Spirakis A-ES (Inf.
+    Process. Lett. 97(5), 2006): per source keep the k=20 documents
+    with the largest key ln(u)/w, where u is a deterministic hash-
+    uniform in (0,1] (md5 of doc_id — reproducible run-over-run and
+    engine-independent, the same discipline as mix_domains' bucket
+    cut) and the weight w is the document's token count — a one-pass,
+    merge-able weighted sample, the distributed-reservoir shape
+    (each partition keeps its local top-k by key; the merge keeps the
+    global top-k — exactly what WindowGroupLimit does map-side before
+    the single per-source exchange).  Keys round to 6 dp before
+    ranking (cross-engine float discipline), ties break on doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("double")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    base = docs.select(
+        "doc_id", "source",
+        w.cast("long").alias("n_tokens"),
+        F.round(F.log(u) / w, 6).alias("es_key"),
+    ).filter(F.col("n_tokens") > 0)
+    win = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), "doc_id")
+    return (
+        base.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "source", "n_tokens", "es_key", "rk")
+    )
+
+
+_WSAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8) AS BIGINT) + 1.0)
+                  / 4294967296.0)
+               / len(string_split(text, ' ')), 6) AS es_key
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, es_key, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY es_key DESC, doc_id) AS BIGINT) AS rk
+  FROM base WHERE n_tokens > 0
+) WHERE rk <= 20
+"""
+
+
+def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(p_source ‖ p_corpus) over the
+    unigram word distributions — the distribution-matching diagnostic
+    of corpus curation (which sources deviate most from the mixture
+    they feed; DSIR's importance weights are the per-document version
+    of the same ratio).  KL = Σ_w p·ln(p/q) with p = c_sw/c_s and
+    q = c_w/c_total; q > 0 wherever p > 0 by construction (every
+    source word is a corpus word), so the sum is total and ≥ 0.
+
+    Shapes: one explode + (source, word) count (map-side combinable),
+    word totals equi-joined on word, source totals broadcast, the
+    corpus total a one-row broadcast cross (same scalar-dimension
+    shape as mix_domains — lint-waived with the same reason).  Terms
+    accumulate as DECIMAL(38,12) before the final round so the sum is
+    partition-order-proof."""
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source",
+                    F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wc = _cache(wc)
+    st = wc.groupBy("source").agg(F.sum("c").alias("cs"))
+    wt = wc.groupBy("word").agg(F.sum("c").alias("cw"))
+    tot = wc.agg(F.sum("c").alias("ct"))
+    term = (F.col("c") / F.col("cs")) * F.log(
+        (F.col("c") / F.col("cs")) / (F.col("cw") / F.col("ct")))
+    return (
+        wc.join(F.broadcast(st), "source")
+        .join(wt, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(term.cast("decimal(38,12)")).cast("double"),
+                    6).alias("kl"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+
+
+_KL_SQL = """
+WITH wc AS MATERIALIZED (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY 1, 2
+), st AS (
+  SELECT source, sum(c) AS cs FROM wc GROUP BY 1
+), wt AS (
+  SELECT word, sum(c) AS cw FROM wc GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS ct FROM wc
+)
+SELECT source,
+       round(CAST(SUM(CAST((c / cs) * ln((c / cs) / (cw / ct))
+                           AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM wc JOIN st USING (source) JOIN wt USING (word) CROSS JOIN tot
+GROUP BY source
+"""
+
 
 def fn_isbn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier hygiene for the books domain
@@ -1224,6 +1336,14 @@ SPECS: dict[str, QuerySpec] = {
         select_token_budget, _BUDGET_SQL,
         "greedy per-source token-budget selection via two-pass grouped "
         "running sum (no per-source window funnel)"),
+    "select_weighted_sample": QuerySpec(
+        select_weighted_sample, _WSAMPLE_SQL,
+        "Efraimidis-Spirakis weighted reservoir sample per source "
+        "(deterministic hash-uniform, ln(u)/w keys)"),
+    "mix_kl_divergence": QuerySpec(
+        mix_kl_divergence, _KL_SQL,
+        "per-source KL(p_source || p_corpus) over unigram "
+        "distributions, decimal-summed"),
     "fn_isbn_validate": QuerySpec(
         fn_isbn_validate, _ISBN_SQL,
         "ISBN normalize + dual checksum validation + ISBN-13 "

@@ -1324,6 +1324,51 @@ def test_ivf_pq_cluster_precision(spark):
         assert r.cand_id % 4 == r.query_id % 4, (r.query_id, r.cand_id)
 
 
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """A-ES property: E[key] grows with weight, so over a corpus the
+    kept set's mean token count must exceed the corpus mean (weight =
+    token count), and the per-source cap holds exactly."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+    from pyspark.sql import functions as F
+
+    out = all_specs()["select_weighted_sample"].fn(spark, sf_dir)
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.rk)
+    for src, rks in per_src.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), src
+        assert len(rks) <= 20
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.select(
+        F.avg(F.size(F.split("text", " ")))).collect()[0][0]
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_kl_divergence_properties(spark, sf_dir):
+    """KL ≥ 0 per source (Gibbs), 0 for a single-source corpus (p = q
+    identically), and invariant under repartitioning (decimal sums)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm2 import (
+        mix_kl_divergence,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.registry import all_specs
+
+    out = {r.source: r.kl
+           for r in all_specs()["mix_kl_divergence"].fn(spark, sf_dir)
+           .collect()}
+    assert out and all(kl >= 0 for kl in out.values()), out
+    one = spark.createDataFrame(
+        [(1, "s", "a b b c"), (2, "s", "b c d")],
+        "doc_id long, source string, text string")
+    import unittest.mock as um
+    with um.patch(
+            "remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm2.t",
+            lambda spark_, sf_, name: one):
+        got = mix_kl_divergence(spark, "ignored").collect()
+    assert [(r.source, r.kl) for r in got] == [("s", 0.0)]
+
+
 def test_ivf_pq_residual_beats_non_residual(spark):
     """The round-9 recall point (verdict item 3): on many separated
     clusters with k_sub ≪ n_clusters, non-residual sub-codebooks must

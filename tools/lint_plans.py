@@ -45,6 +45,9 @@ BNLJ_WHITELIST = {
         "the ONE-ROW global total — a scalar broadcast, never data"),
     "mix_temperature_sample": (
         "same shape as mix_domains: per-source dims × one-row total"),
+    "mix_kl_divergence": (
+        "same shape as mix_domains: the (source, word) count table "
+        "crosses the ONE-ROW corpus total — a scalar broadcast"),
     "ts_resample_hourly": (
         "gap-fill spine construction: the exploded (min,max) hour "
         "range (one aggregate row) crossed with the distinct "
