@@ -1589,7 +1589,14 @@ class _Compiler:
                              | F.col(v).isNull()
                              | (F.col(f"__val_{v}") == F.col(v)))
                         cond = c if cond is None else cond & c
-                    env = env.join(lit, cond)
+                    # explicit broadcast: without the hint Spark's
+                    # join selection degrades this non-equi inner
+                    # join to a CartesianProduct once the solution
+                    # side outgrows the auto-broadcast threshold —
+                    # the VALUES frame is literal rows by definition,
+                    # so the nested loop must build on IT (caught by
+                    # tools/lint_plans.py at sf0.01+, round 9)
+                    env = env.join(F.broadcast(lit), cond)
                     for v in item.vars:
                         if v in env.columns:
                             env = env.withColumn(
@@ -1606,7 +1613,10 @@ class _Compiler:
                     lit = self.triples.sparkSession.createDataFrame(
                         rows,
                         ", ".join(f"`{v}` string" for v in item.vars))
-                    env = self._join(env, lit)
+                    # broadcast for the same reason as the UNDEF
+                    # path: a disjoint-domain VALUES cross must build
+                    # its nested loop on the literal frame
+                    env = self._join(env, F.broadcast(lit))
             elif isinstance(item, SubSelectPat):
                 senv = self._compile_group(item.query.where, triples)
                 if senv is None:
