@@ -186,6 +186,70 @@ def test_path_algebra_matches_reference_evaluator(spark):
     assert checked == 24
 
 
+def eps_count(ast) -> int:
+    """Bag multiplicity of the zero-length derivation of a path, per
+    the engine's §18.4 semantics: ?/*/+ closures are SETS (ε counts
+    once when admitted), sequence derivations multiply, alternation
+    branches add, links/NPS never admit ε."""
+    kind = ast[0]
+    if kind in ("link", "nps"):
+        return 0
+    if kind == "inv":
+        return eps_count(ast[1])
+    if kind == "seq":
+        n = 1
+        for sub in ast[1]:
+            n *= eps_count(sub)
+        return n
+    if kind == "alt":
+        return sum(eps_count(sub) for sub in ast[1])
+    if kind == "mod":
+        if ast[2] == "+":
+            return 1 if eps_count(ast[1]) else 0
+        return 1  # ? and * admit ε with set multiplicity
+    raise AssertionError(ast)
+
+
+def test_absent_anchor_paths_yield_epsilon_solutions(spark):
+    """Round 9: a constant anchor ABSENT from the graph can only
+    produce zero-length solutions — (ghost, ghost) with multiplicity
+    eps_count(path) — because no edge touches the anchor.  This sweeps
+    the WHOLE random algebra (alternation branches, nested groups,
+    inverses, sequences) against the closed-form ε-derivation count,
+    both subject- and object-anchored; before the round-9 seeding fix,
+    every eps-admitting alternation/multi-step case returned empty."""
+    rng = random.Random(20260817)
+    checked_nonzero = 0
+    for case in range(30):
+        graph = gen_graph(rng)
+        ast = gen_ast(rng, depth=2)
+        path = render(ast)
+        n_eps = eps_count(ast)
+        t = spark.createDataFrame(
+            [(EX + s, EX + p, EX + o, None, None) for s, p, o in graph],
+            "subject string, predicate string, object string, "
+            "lang string, dtype string")
+        ghost = EX + "ghost"
+        want = Counter({(ghost,): n_eps}) if n_eps else Counter()
+        df = compile_sparql(
+            f"PREFIX ex: <{EX}>\n"
+            f"SELECT ?o WHERE {{ ex:ghost {path} ?o . }}", t)
+        got = Counter((r["o"],) for r in df.collect())
+        assert got == want, f"case {case} subj-anchored: {path}\n" \
+                            f"eps={n_eps} got {got}"
+        df = compile_sparql(
+            f"PREFIX ex: <{EX}>\n"
+            f"SELECT ?s WHERE {{ ?s {path} ex:ghost . }}", t)
+        got = Counter((r["s"],) for r in df.collect())
+        assert got == want, f"case {case} obj-anchored: {path}\n" \
+                            f"eps={n_eps} got {got}"
+        if n_eps:
+            checked_nonzero += 1
+    # the sweep must actually exercise ε-admitting shapes (this seed
+    # draws 6 among the 30 cases)
+    assert checked_nonzero >= 5, checked_nonzero
+
+
 def test_anchored_paths_match_reference_evaluator(spark):
     """Same sweep with a CONSTANT subject anchor drawn from the graph's
     terms: `<c> PATH ?o` must equal the reference relation filtered to

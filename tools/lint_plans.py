@@ -10,7 +10,13 @@ query's DataFrame at the given SF and flag any physical plan containing
   is a provably tiny closure (a PQ lookup table, a ≤k-row centroid
   frame); every such use must be whitelisted here WITH its reason, so a
   future edit that silently degrades an equi-join to a nested loop
-  fails this lint instead of an OOM three rounds later.
+  fails this lint instead of an OOM three rounds later;
+- global funnels (round 9) — an ``Exchange SinglePartition`` feeding a
+  ``Sort``/``Window`` routes the WHOLE dataset through one task (the
+  classic unpartitioned-window hazard).  Scalar-aggregate merges also
+  exchange to a single partition but carry one row per upstream
+  partition — those are fine and not flagged; the rule looks at the
+  exchange's consumer.
 
 Building a DataFrame is lazy for pure queries, but fixture-backed
 queries (KG stores, trained models, sinks) execute their build steps —
@@ -81,6 +87,33 @@ BNLJ_WHITELIST["sparql_values_undef"] = (
     "§10.2.2 UNDEF compatibility join: the nested-loop build side is "
     "the inline VALUES frame (a few literal rows by construction)")
 
+# query -> reason a global (single-partition) Sort/Window is bounded.
+FUNNEL_WHITELIST = {
+    "pdf_layout_text": (
+        "single-DOCUMENT fill-down: the global window runs over "
+        "#pages × #formats rows (~1.2k) of one PDF by construction "
+        "(operators/pdf_layout.assign_locations docstring); a corpus "
+        "of PDFs partitions the same window by document id"),
+}
+
+
+def global_funnels(plan: str) -> list[str]:
+    """Lines where an Exchange SinglePartition feeds a Sort/Window —
+    the tree renderer prints the consumer in the immediately preceding
+    line(s), so a 2-line lookback identifies the funnel shape without
+    a full tree parse; scalar-aggregate merges (HashAggregate
+    consumers) don't match."""
+    lines = plan.split("\n")
+    hits = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        ctx = " ".join(lines[max(0, i - 2):i])
+        if "Sort [" in ctx or "Window [" in ctx \
+                or "WindowGroupLimit" in ctx:
+            hits.append(ctx.strip()[:100])
+    return hits
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -105,18 +138,35 @@ def main() -> int:
             errors.append((name, str(exc)[:200]))
             print(f"ERROR {name}: {str(exc)[:120]}")
             continue
-        cart = "CartesianProduct" in plan
-        bnlj = "BroadcastNestedLoopJoin" in plan
-        if cart:
+        # the three rules are INDEPENDENT — a query with a waived BNLJ
+        # must still fail on an unwaived funnel (and vice versa)
+        clean = True
+        if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
             print(f"FLAG {name}: CartesianProduct")
-        elif bnlj and name in BNLJ_WHITELIST:
-            waived += 1
-            print(f"WAIVED {name}: BNLJ — {BNLJ_WHITELIST[name][:60]}...")
-        elif bnlj:
-            bad.append((name, "BroadcastNestedLoopJoin"))
-            print(f"FLAG {name}: BroadcastNestedLoopJoin (not whitelisted)")
-        else:
+            clean = False
+        if "BroadcastNestedLoopJoin" in plan:
+            clean = False
+            if name in BNLJ_WHITELIST:
+                waived += 1
+                print(f"WAIVED {name}: BNLJ — "
+                      f"{BNLJ_WHITELIST[name][:60]}...")
+            else:
+                bad.append((name, "BroadcastNestedLoopJoin"))
+                print(f"FLAG {name}: BroadcastNestedLoopJoin "
+                      f"(not whitelisted)")
+        funnels = global_funnels(plan)
+        if funnels:
+            clean = False
+            if name in FUNNEL_WHITELIST:
+                waived += 1
+                print(f"WAIVED {name}: global funnel — "
+                      f"{FUNNEL_WHITELIST[name][:60]}...")
+            else:
+                bad.append((name, "SinglePartition Sort/Window"))
+                print(f"FLAG {name}: SinglePartition Sort/Window "
+                      f"funnel — {funnels[0]}")
+        if clean:
             print(f"ok {name}")
     print(f"\n{len(names)} plans: {len(bad)} flagged, {waived} waived, "
           f"{len(errors)} build errors")
