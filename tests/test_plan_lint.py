@@ -38,6 +38,30 @@ def test_no_unbounded_join_shapes(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_global_funnel_detector_shapes():
+    """The funnel rule must flag SinglePartition exchanges feeding
+    Sort/Window and must NOT flag scalar-aggregate merges."""
+    import importlib.util
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "tools" / \
+        "lint_plans.py"
+    spec = importlib.util.spec_from_file_location("lint_plans", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    funnel_plan = (
+        "+- Window [last(x) windowspecdefinition(a ASC, ...)]\n"
+        "   +- Sort [a ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "         +- FileScan parquet [a]\n")
+    assert mod.global_funnels(funnel_plan)
+    scalar_plan = (
+        "+- HashAggregate(keys=[], functions=[sum(c)])\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "      +- HashAggregate(keys=[], functions=[partial_sum(c)])\n")
+    assert not mod.global_funnels(scalar_plan)
+
+
 def test_committed_lint_artifact_covers_current_registry():
     """Round-8 verdict: a query registered after the end-of-round lint
     run shipped without the committed safety net.  The full-registry

@@ -50,7 +50,8 @@ def _lit(rng):
 def _gen_str(rng, depth):
     opts = ["var", "lit"]
     if depth > 0:
-        opts += ["ucase", "lcase", "concat", "substr", "replace", "if"]
+        opts += ["ucase", "lcase", "concat", "substr", "replace", "if",
+                 "strbefore", "strafter"]
     k = rng.choice(opts)
     if k == "var":
         return "?v", "v"
@@ -77,6 +78,21 @@ def _gen_str(rng, depth):
         # engine's no-length form passes length(s) explicitly
         return (f"SUBSTR({sp}, {start})",
                 f"substr({sq}, {start}, length({sq}))")
+    if k == "strbefore":
+        sp, sq = _gen_str(rng, depth - 1)
+        sep = rng.choice(["a", "e", " ", "-"])
+        # §17.4.3.15: empty string when the separator is absent
+        return (f'STRBEFORE({sp}, "{sep}")',
+                f"(CASE WHEN position('{sep}' IN {sq}) > 0 THEN "
+                f"substr({sq}, 1, position('{sep}' IN {sq}) - 1) "
+                f"ELSE '' END)")
+    if k == "strafter":
+        sp, sq = _gen_str(rng, depth - 1)
+        sep = rng.choice(["a", "e", " ", "-"])
+        return (f'STRAFTER({sp}, "{sep}")',
+                f"(CASE WHEN position('{sep}' IN {sq}) > 0 THEN "
+                f"substr({sq}, position('{sep}' IN {sq}) + {len(sep)}) "
+                f"ELSE '' END)")
     if k == "replace":
         sp, sq = _gen_str(rng, depth - 1)
         pat, rep = rng.choice([("a", "_"), ("e", "3"), (" ", "+")])
@@ -154,6 +170,10 @@ def _gen_bool(rng, depth):
         items = rng.sample(WORDS, 2)
         sp = ", ".join(f'"{w}"' for w in items)
         sq = ", ".join(f"'{w}'" for w in items)
+        neg = rng.random() < 0.4
+        if neg:
+            return (f"({a[0]} NOT IN ({sp}))",
+                    f"({a[1]} NOT IN ({sq}))")
         return f"({a[0]} IN ({sp}))", f"({a[1]} IN ({sq}))"
     if k == "not":
         a = _gen_bool(rng, depth - 1)

@@ -34,12 +34,20 @@ QUERIES = [
     "bpe_train_merges", "bpe_vocab_tokens", "bpe_encode_docs",
     "lr_quality_train", "lr_quality_score", "lm_bigram_score",
     "dsir_importance_weights", "text_tfidf_terms", "doc_cluster_assign",
+    # round 9: A-ES weighted sample (ln/md5-uniform discipline) and
+    # KL divergence (ln + decimal-sum discipline)
+    "select_weighted_sample", "mix_kl_divergence",
 ]
 
 # embeddings-driven queries, fuzzed with adversarial vector tables
 # (exact duplicates to force assignment tie-breaks; all vectors
-# non-zero per the documented k-means precondition)
-EMB_QUERIES = ["dedup_semantic_keep", "ann_kmeans_cells"]
+# non-zero per the documented k-means precondition).  Round 9 adds the
+# PQ family — duplicate vectors stress the sub-quantizer tie-breaks,
+# and the residual variant additionally exercises the
+# zip_with-subtraction / qc-seeded-fold parity.
+EMB_QUERIES = ["dedup_semantic_keep", "ann_kmeans_cells",
+               "ann_pq_topk", "ann_ivf_pq_topk",
+               "ann_ivf_pq_residual_topk"]
 
 
 def gen_corpus(rng: random.Random):
@@ -68,12 +76,18 @@ def gen_corpus(rng: random.Random):
 
 
 def gen_embeddings(rng: random.Random):
-    """Random (vec_id, embedding float[], label) rows: low-dim vectors
-    with coarse coordinates (ties likely), ~20% exact duplicates of
+    """Random (vec_id, embedding float[], label) rows: vectors with
+    coarse coordinates (ties likely), ~20% exact duplicates of
     earlier rows, no zero vectors (documented precondition — cosine of
-    the zero vector is undefined and the engines NaN/NULL-diverge)."""
+    the zero vector is undefined and the engines NaN/NULL-diverge).
+    dim is FIXED at 64: the PQ-family registry oracles mirror the
+    testdata embeddings schema with literal subspace slice bounds
+    (dim=64 baked into `_pq_oracle_sql(..., dim=64, ...)`), while the
+    Spark side adapts to whatever width it fits on — a narrower fuzz
+    vector silently empties the mirror's upper subspace slices
+    (caught by this fuzzer when the PQ family first joined the list)."""
     n = rng.randint(40, 150)
-    dim = rng.choice([4, 8, 16])
+    dim = 64
     rows = []
     for i in range(n):
         if rows and rng.random() < 0.2:
