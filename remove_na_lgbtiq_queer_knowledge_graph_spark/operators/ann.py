@@ -95,11 +95,18 @@ def _pair_cosine_np():
 _PAIR_COSINE = None
 
 
+# Canonical JVM-side half-away rounding (matches DuckDB's round and
+# the numpy/scalar forms below; see functions/numeric.py for the
+# F.round shortest-repr hazard this exists to close — round-9 fuzz
+# caught the divergence on this module's coarse-valued ADC sums).
+from ..functions.numeric import round_half_away_col  # noqa: E402
+
+
 def cosine(a: Column, b: Column) -> Column:
     global _PAIR_COSINE
     if _PAIR_COSINE is None:
         _PAIR_COSINE = _pair_cosine_np()
-    return F.round(_PAIR_COSINE(a, b), 6)
+    return round_half_away_col(_PAIR_COSINE(a, b), 6)
 
 
 def brute_force_topk(
@@ -820,7 +827,7 @@ def pq_topk(
     qlut = queries.select(
         F.col(id_col).alias("query_id"),
         lut(_dvec(vec_col)).alias("lut"))
-    approx = F.round(
+    approx = round_half_away_col(
         F.aggregate(
             F.zip_with(
                 F.col("codes"), F.col("lut"),
@@ -1042,7 +1049,7 @@ def ivf_pq_topk(
     probes = probes.select(*pcols)
     # residual seeds the fold with the cell dot so the float addition
     # stays left-associated ((qc + p0) + p1 ...), matching the oracle
-    approx = F.round(
+    approx = round_half_away_col(
         F.aggregate(
             F.zip_with(
                 F.col("codes"), F.col("lut"),

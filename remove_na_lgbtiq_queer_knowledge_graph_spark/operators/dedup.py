@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_half_away_col
+
 
 
 def norm_tokens(col: Column) -> Column:
@@ -317,7 +319,7 @@ def jaccard_pairs_direct(
         .join(c2, "id_2")
         .withColumn(
             "jaccard",
-            F.round(
+            round_half_away_col(
                 F.col("inter")
                 / (F.col("card_1") + F.col("card_2") - F.col("inter")),
                 6,
@@ -413,7 +415,7 @@ def jaccard_pairs_prefix(
         cand.join(g1, "id_1").join(g2, "id_2")
         .withColumn(
             "jaccard",
-            F.round(inter / (F.col("__c1") + F.col("__c2") - inter), 6))
+            round_half_away_col(inter / (F.col("__c1") + F.col("__c2") - inter), 6))
         .filter(F.col("jaccard") >= min_sim)
         .select("id_1", "id_2", "jaccard")
     )

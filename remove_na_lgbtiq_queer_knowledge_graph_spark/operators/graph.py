@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_half_away_col
+
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """G15: undirected degree per node (GraphFrames ``.degrees``
@@ -229,6 +231,11 @@ def sampled_edge_betweenness(
             seen.unionAll(nxt.select("p", "node")).coalesce(nparts))
         levels.append(nxt)
 
+    # Intentionally F.round, not round_half_away_col: at d=12 the
+    # float-scaled form leaves its validity regime once |x| reaches
+    # ~4e3 (|x|·10^12 nears 2^53), where BOTH engines' rounds
+    # degenerate to near-no-ops that F.round matches better — see
+    # functions/numeric.py "VALIDITY REGIME".
     dec_sum = F.round(
         F.sum(F.col("c").cast("decimal(38,12)")).cast("double"), 12
     )
@@ -279,7 +286,7 @@ def sampled_edge_betweenness(
         )
         .groupBy("a", "b")
         .agg(
-            F.round(
+            round_half_away_col(
                 F.sum(F.col("c").cast("decimal(38,12)")).cast("double"), 6
             ).alias("betweenness")
         )
@@ -379,4 +386,65 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return rank.select("node", F.round("rank", 9).alias("pagerank"))
+    return rank.select("node", round_half_away_col(F.col("rank"), 9).alias("pagerank"))
+
+
+def label_propagation(
+    edges: DataFrame, n_iter: int = 4, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (G15-adjacent
+    analytics next to CC / PageRank / betweenness; the reference's
+    network study clusters the statement graph visually —
+    ``analysis/plot-full-network.qmd:73-91``).
+
+    Deterministic variant (Raghavan et al. 2007 with a total-order
+    tie-break so the fixed-point is a pure function of the input):
+
+        label_{i+1}(v) = argmax_L |{u ∈ N(v) ∪ {v} : label_i(u) = L}|,
+                         ties broken by lexicographically smallest L
+
+    over the UNDIRECTED edge set, every node seeded with its own id.
+    The vote INCLUDES the node's own current label — the standard
+    damping that kills synchronous LPA's two-coloring oscillation on
+    (near-)bipartite structures (a bare 2-node component flip-flops
+    forever under neighbor-only voting).  Fixed iteration count (not
+    convergence-tested) keeps the result oracle-checkable by unrolling
+    the same rounds in SQL.
+
+    Scale shape: per iteration ONE equi-join of the label frame to the
+    symmetrized edge list (shuffle ~ |E|), one partial-aggregated
+    (node, label) count, and a per-node top-1 window (WindowGroupLimit
+    prunes to one row per node before the final exchange) — no global
+    funnel, no driver state.  The label frame is materialized each
+    round so lineage stays flat across iterations.
+    """
+    from .. import spec as _spec
+
+    sym = _spec.materialize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        votes = labels.join(sym, labels.node == sym.u).select(
+            F.col("v").alias("node"), "label"
+        ).unionAll(labels.select("node", "label"))  # self-vote
+        cnt = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c"))
+        # sym is symmetric, so every node occurs as a v — the top-1
+        # pick re-covers the full node set each round
+        labels = _spec.materialize(
+            cnt.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

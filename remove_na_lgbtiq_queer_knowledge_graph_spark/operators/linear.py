@@ -73,6 +73,10 @@ def logreg_train_rounds(
         z = F.lit(w[0])
         for wj, xj in zip(w[1:], xs[1:]):
             z = z + F.lit(wj) * xj  # left-assoc, mirroring the SQL text
+        # Both rounds intentionally F.round: d=14 with |d·xj| up to
+        # ~10 sits at the edge of the float-scaled form's validity
+        # regime (functions/numeric.py), and this exact discipline is
+        # DuckDB-pinned by the LR property tests — don't convert.
         p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
         d = p - y
         aggs = [

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_half_away_col
+
 from ..functions.strings import char_ngrams
 
 
@@ -146,7 +148,7 @@ def candidate_pairs(
         raise ValueError(f"unknown metric {metric!r}")
 
     name_pairs = (
-        paired.withColumn("value", F.round(value, 6))
+        paired.withColumn("value", round_half_away_col(value, 6))
         .filter(F.col("value") >= min_sim)
         .select("nk_1", "nk_2", "value")
     )
@@ -216,7 +218,7 @@ def candidate_pairs_lsh(
         pairs.select(
             F.col("datasetA.id").alias("id_1"),
             F.col("datasetB.id").alias("id_2"),
-            F.round(1.0 - F.col("dist"), 6).alias("value"),
+            round_half_away_col(1.0 - F.col("dist"), 6).alias("value"),
         )
         .filter(F.col("id_1") < F.col("id_2"))
     )
@@ -293,7 +295,7 @@ def candidate_pairs_minhash(
     )
     c1 = cards.select(F.col("id").alias("id_1"), F.col("card").alias("card_1"))
     c2 = cards.select(F.col("id").alias("id_2"), F.col("card").alias("card_2"))
-    value = F.round(
+    value = round_half_away_col(
         F.col("inter") / (F.col("card_1") + F.col("card_2") - F.col("inter")), 6
     )
     cls_pairs = (
@@ -375,5 +377,5 @@ def meta_ensemble(pairs_with_names: DataFrame, name_1: str = "name_1",
     lev = F.levenshtein(F.col(name_1), F.col(name_2))
     lev_term = F.when(lev == 0, F.lit(2.0)).otherwise(F.lit(2.0) / lev)
     return pairs_with_names.withColumn("lev", lev.cast("long")).withColumn(
-        "meta_sim", F.round(F.col("cosine") + F.col("jaccard") + lev_term, 6)
+        "meta_sim", round_half_away_col(F.col("cosine") + F.col("jaccard") + lev_term, 6)
     )

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_half_away_col
+
 from .dedup import norm_tokens
 
 STOPWORDS = {
@@ -65,11 +67,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     all_stop = [w for ws in STOPWORDS.values() for w in ws]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
-    mean_tok = F.round(
+    mean_tok = round_half_away_col(
         (n_chars - (n_tokens - 1)) / n_tokens, 6
     )  # chars minus separators over tokens
-    stop_ratio = F.round(stop_hits / n_tokens, 6)
-    punct_ratio = F.round(punct / n_chars, 6)
+    stop_ratio = round_half_away_col(stop_hits / n_tokens, 6)
+    punct_ratio = round_half_away_col(punct / n_chars, 6)
     tier = (
         F.when((n_tokens >= 50) & (stop_ratio > 0), "high")
         .when(n_tokens >= 20, "medium")

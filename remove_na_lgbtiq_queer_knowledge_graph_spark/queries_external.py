@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.numeric import round_half_away_col
+
 from .functions.distances import jaro_winkler_sim
 from .operators.similarity import candidate_pairs
 from .spec import QuerySpec, t
@@ -123,7 +125,7 @@ def fn_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "blk")
         .filter(F.col("id_1") < F.col("id_2"))
-        .withColumn("jw", F.round(jaro_winkler_sim(F.col("n1"), F.col("n2")), 6))
+        .withColumn("jw", round_half_away_col(jaro_winkler_sim(F.col("n1"), F.col("n2")), 6))
         .filter(F.col("jw") >= 0.9)
         .select("id_1", "id_2", "jw")
     )

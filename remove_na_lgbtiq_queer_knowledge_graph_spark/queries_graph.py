@@ -584,6 +584,88 @@ FROM ({allc}) GROUP BY 1, 2
 _BETWEENNESS_SQL = _betweenness_oracle_sql(_BT_DEPTH)
 
 
+_LPA_ITER = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    same cyclic customer–supplier co-order graph the sampled
+    betweenness uses — the fourth network analytic next to degrees,
+    PageRank and betweenness (the reference clusters its statement
+    graph visually, `analysis/plot-full-network.qmd:73-91`).
+
+    Deterministic min-tie-break LPA, fixed ``_LPA_ITER`` rounds — see
+    ``operators.graph.label_propagation`` for the scale shape (one
+    |E|-proportional equi-join + one partial agg + one per-node top-1
+    window per round, no driver state)."""
+    from .operators.graph import label_propagation
+
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def tag(prefix: str, col: str):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    edges = (
+        c.select(tag("c:", "c_custkey").alias("src"), tag("n:", "c_nationkey").alias("dst"))
+        .unionAll(s.select(tag("s:", "s_suppkey"), tag("n:", "s_nationkey")))
+        .unionAll(n.select(tag("n:", "n_nationkey"), tag("r:", "n_regionkey")))
+        .unionAll(
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(tag("c:", "o_custkey"), tag("s:", "l_suppkey"))
+            .distinct()
+        )
+    )
+    return label_propagation(edges, n_iter=_LPA_ITER)
+
+
+def _lpa_oracle_sql(n_iter: int) -> str:
+    """Unroll the exact synchronous rounds label_propagation performs.
+    Pure integer/string relational algebra — no float discipline
+    needed; the tie-break (count DESC, label ASC) is a total order so
+    both engines pick the same label."""
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS src, 'n:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'n:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR), 's:' || CAST(l_suppkey AS VARCHAR)
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM edges UNION ALL SELECT dst, src FROM edges
+  ) WHERE u <> v
+),
+lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""cnt{i} AS MATERIALIZED (
+  SELECT node, label, count(*) AS c FROM (
+    SELECT s.v AS node, l.label
+    FROM lab{i - 1} l JOIN sym s ON l.node = s.u
+    UNION ALL SELECT node, label FROM lab{i - 1}
+  ) GROUP BY 1, 2
+)""")
+        parts.append(f"""lab{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM cnt{i}
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(parts) + f"""
+SELECT node, label AS community FROM lab{n_iter}
+"""
+
+
+_LPA_SQL = _lpa_oracle_sql(_LPA_ITER)
+
+
 # YARRRML document equivalent to star_schema_maps() — same KG driven
 # from YAML text (the reference's entry point, `kg_v1.yml:28-83`).
 # customer.inNation uses a referencing object map with an equal join
@@ -705,6 +787,10 @@ SPECS: dict[str, QuerySpec] = {
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
     "graph_materialize_yaml": QuerySpec(graph_materialize_yaml, _MATERIALIZE_SQL),
     "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),
+    "graph_label_propagation": QuerySpec(
+        graph_label_propagation, _LPA_SQL,
+        "deterministic synchronous LPA community detection over the "
+        "co-order graph — unrolled-round SQL oracle"),
     "graph_betweenness_sampled": QuerySpec(
         graph_betweenness_sampled, _BETWEENNESS_SQL
     ),

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.numeric import round_half_away_col
+
 from .operators import ann as ann_ops
 from .operators import multimodal as mm_ops
 from .operators.dedup import (
@@ -563,7 +565,7 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "uniq_ratio",
-            F.round(F.col("n_distinct") / F.col("n_grams"), 6),
+            round_half_away_col(F.col("n_distinct") / F.col("n_grams"), 6),
         )
     )
 
@@ -599,11 +601,11 @@ def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_chars",
-            F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 6),
+            round_half_away_col(F.col("total_chars").cast("double") / F.col("n_docs"), 6),
         )
         .withColumn(
             "dup_ratio",
-            F.round(
+            round_half_away_col(
                 (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
                 / F.col("n_docs"),
                 6,

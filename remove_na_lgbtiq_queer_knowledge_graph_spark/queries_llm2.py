@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.numeric import round_half_away_col
+
 from .functions.strings import transliterate
 from .spec import QuerySpec, t
 from .spec import materialize as _cache
@@ -193,7 +195,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.count(F.lit(1))).alias("mean_band"),
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
-        .select("doc_id", F.round("mean_band", 6).alias("mean_band"),
+        .select("doc_id", round_half_away_col("mean_band", 6).alias("mean_band"),
                 "n_tokens")
     )
 
@@ -834,7 +836,7 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.col("text"), " ")
     base = docs.select(
         "doc_id", "source",
-        F.round(F.size(F.array_distinct(w)) / F.size(w), 6).alias("quality"),
+        round_half_away_col(F.size(F.array_distinct(w)) / F.size(w), 6).alias("quality"),
         F.size(w).cast("long").alias("n_tokens"),
     ).withColumn("q_neg", -F.col("quality"))
     ranked = grouped_running_sum(
@@ -890,7 +892,7 @@ def select_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", "source",
         w.cast("long").alias("n_tokens"),
-        F.round(F.log(u) / w, 6).alias("es_key"),
+        round_half_away_col(F.log(u) / w, 6).alias("es_key"),
     ).filter(F.col("n_tokens") > 0)
     win = Window.partitionBy("source").orderBy(
         F.col("es_key").desc(), "doc_id")
@@ -953,7 +955,7 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("source")
         .agg(
-            F.round(F.sum(term.cast("decimal(38,12)")).cast("double"),
+            round_half_away_col(F.sum(term.cast("decimal(38,12)")).cast("double"),
                     6).alias("kl"),
             F.count(F.lit(1)).cast("long").alias("n_terms"),
         )
@@ -1086,10 +1088,10 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.percentile(n, 0.5), 6).alias("p50"),
-            F.round(F.percentile(n, 0.9), 6).alias("p90"),
-            F.round(F.percentile(n, 0.99), 6).alias("p99"),
-            F.round(F.avg(n), 6).alias("mean_len"),
+            round_half_away_col(F.percentile(n, 0.5), 6).alias("p50"),
+            round_half_away_col(F.percentile(n, 0.9), 6).alias("p90"),
+            round_half_away_col(F.percentile(n, 0.99), 6).alias("p99"),
+            round_half_away_col(F.avg(n), 6).alias("mean_len"),
         )
     )
 

@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.numeric import round_half_away_col
+from pyspark.sql import Window as W
+
 from .queries_llm2 import _WORDS_DUCK, _WORDS_SPARK, _kmeans_fit_ctes
 from .spec import QuerySpec, t
 from .spec import materialize as _cache
@@ -214,7 +217,7 @@ def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "y",
             (F.size("w").cast("double") / F.lit(100.0)).alias("x1"),
-            F.round(
+            round_half_away_col(
                 F.size(F.array_distinct("w")).cast("double")
                 / F.size("w").cast("double"), 6,
             ).alias("x2"),
@@ -260,10 +263,10 @@ def lr_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.lit(w_final[0]) \
         + F.lit(w_final[1]) * F.col("x1") \
         + F.lit(w_final[2]) * F.col("x2")
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
+    p = round_half_away_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
     return feats.select(
         "doc_id",
-        F.round(p, 6).alias("score"),
+        round_half_away_col(p, 6).alias("score"),
         (p >= F.lit(0.5)).alias("pred"),
         F.col("y").cast("long").alias("y"),
     )
@@ -386,7 +389,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("word"))
         .agg(F.countDistinct("word")).collect()[0][0]
     )
-    logp = F.round(
+    logp = round_half_away_col(
         F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(vocab_n))),
         9,
     )
@@ -396,7 +399,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(
+            round_half_away_col(
                 -F.sum(F.col("lp").cast("decimal(28,14)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
@@ -486,7 +489,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     rd = float(int(totals["nr"]) + _DSIR_B)
     td = float(int(totals["nt"]) + _DSIR_B)
-    lr = F.round(
+    lr = round_half_away_col(
         F.log(((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / F.lit(td))
               / ((F.col("cr") + F.lit(1.0)) / F.lit(rd))),
         9,
@@ -497,7 +500,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(
+            round_half_away_col(
                 F.sum(F.col("lr").cast("decimal(28,14)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
@@ -566,10 +569,10 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     df_t = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+    idf = round_half_away_col(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
     scored = tf.join(df_t, "word").select(
         "doc_id", "word", "tf",
-        F.round(F.col("tf") * idf, 6).alias("score"),
+        round_half_away_col(F.col("tf") * idf, 6).alias("score"),
     )
     from pyspark.sql import Window
 
@@ -728,7 +731,250 @@ SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cell,
 FROM af a LEFT JOIN witc wc ON a.vec_id = wc.id_b"""
 
 
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier: train + score
+# ---------------------------------------------------------------------------
+
+
+def _nb_model(spark: SparkSession, sf_dir: str):
+    """Shared NB training state: token stream, lang dimension, vocab
+    scalar, and the COMPLETE Laplace-smoothed (lang × vocab) log-prob
+    model (unseen-in-lang words get the ln(1/(c_l+V)) smoothing floor).
+
+    Scale shape: training is two map-side-combinable count aggregates
+    over the corpus token stream ((lang, word) and (lang)); the model
+    completion is vocab × |langs| — |langs| is a bounded dimension (a
+    handful of language codes), so the cross join broadcasts the lang
+    frame and the completed model is |V|·|langs| rows, the same
+    magnitude as the count table itself."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _cache(
+        docs.select(
+            "doc_id", "lang", F.explode(F.expr(_WORDS_SPARK)).alias("word")
+        )
+    )
+    vocab_n = toks.agg(F.countDistinct("word")).collect()[0][0]
+    clw = toks.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c_lw"))
+    cl = toks.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c_l"))
+    vocab = toks.select("word").distinct()
+    model = _cache(
+        vocab.crossJoin(F.broadcast(cl))
+        .join(clw, ["lang", "word"], "left")
+        .select(
+            "lang", "word",
+            F.coalesce("c_lw", F.lit(0)).cast("long").alias("c_lw"),
+            round_half_away_col(
+                F.log(
+                    (F.coalesce("c_lw", F.lit(0)) + F.lit(1.0))
+                    / (F.col("c_l") + F.lit(float(vocab_n)))
+                ),
+                9,
+            ).alias("logp"),
+        )
+    )
+    return docs, toks, model
+
+
+def nb_lang_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial Naive Bayes language classifier on the
+    corpus — the fastText/CCNet-style COUNTING classifier next to the
+    gradient-descent LR (`lr_quality_train`): training is nothing but
+    two count aggregates, so it parallelizes perfectly at 100 TB.
+
+    Output: the observed slice of the smoothed model —
+    (lang, word, c_lw, logp) with logp = ln((c_lw+1)/(c_l+V)) rounded
+    to 9 dp (same float discipline as the bigram LM)."""
+    _, _, model = _nb_model(spark, sf_dir)
+    return model.filter(F.col("c_lw") > 0)
+
+
+def nb_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every document under the trained NB model: per-doc
+    per-lang log-posterior = ln(prior_l) + Σ_tokens logp(w|l), argmax
+    with lang-ascending tie-break.
+
+    - The completed model makes the scoring join a plain (word) →
+      (word, lang) equi-join: the token stream fans out by the bounded
+      |langs| factor, never |docs|×|vocab|.
+    - OOV policy: words absent from the training vocabulary are
+      ignored (the standard NB choice; smoothing covers words unseen
+      in a PARTICULAR lang, not unseen everywhere).  Self-trained here,
+      so the inner join is total over the stream.
+    - Docs whose text yields no words have no token rows and are
+      excluded (mirrored by the oracle).
+    - Float discipline: per-token logp is 9 dp; per-(doc, lang) sums
+      go through DECIMAL(28,14); prior ln rounds to 9 dp; the reported
+      score rounds to 6.  The argmax compares bit-identical doubles,
+      so the ranking is engine-independent."""
+    docs, toks, model = _nb_model(spark, sf_dir)
+    n_docs = docs.count()
+    prior = docs.groupBy("lang").agg(
+        round_half_away_col(
+            F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs))),
+            9,
+        ).alias("prior_lp")
+    )
+    per = (
+        toks.select("doc_id", "word")
+        .join(model.select("lang", "word", "logp"), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("logp").cast("decimal(28,14)"))
+            .cast("double").alias("s")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("total").desc(), F.col("lang").asc())
+    return (
+        per.join(F.broadcast(prior), "lang")
+        .select("doc_id", "lang", (F.col("s") + F.col("prior_lp")).alias("total"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            round_half_away_col("total", 6).alias("score"),
+        )
+    )
+
+
+_NB_CTES = f"""
+toks AS MATERIALIZED (
+  SELECT doc_id, lang, unnest({_WORDS_DUCK}) AS word FROM documents
+),
+vn AS (SELECT count(DISTINCT word) AS v FROM toks),
+clw AS MATERIALIZED (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS c_lw FROM toks GROUP BY 1, 2
+),
+cl AS MATERIALIZED (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c_l FROM toks GROUP BY 1
+),
+vocab AS MATERIALIZED (SELECT DISTINCT word FROM toks),
+model AS MATERIALIZED (
+  SELECT cl.lang, w.word,
+         CAST(COALESCE(c.c_lw, 0) AS BIGINT) AS c_lw,
+         round(ln((COALESCE(c.c_lw, 0) + 1.0)
+                  / (cl.c_l + (SELECT v FROM vn))), 9) AS logp
+  FROM vocab w CROSS JOIN cl
+  LEFT JOIN clw c ON c.lang = cl.lang AND c.word = w.word
+)"""
+
+
+_NB_TRAIN_SQL = f"""
+WITH {_NB_CTES}
+SELECT lang, word, c_lw, logp FROM model WHERE c_lw > 0
+"""
+
+
+_NB_SCORE_SQL = f"""
+WITH {_NB_CTES},
+prior AS (
+  SELECT lang,
+         round(ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM documents)), 9) AS prior_lp
+  FROM documents GROUP BY 1
+),
+per AS MATERIALIZED (
+  SELECT d.doc_id, m.lang,
+         CAST(SUM(CAST(m.logp AS DECIMAL(28,14))) AS DOUBLE) AS s
+  FROM (SELECT doc_id, word FROM toks) d
+  JOIN model m USING (word)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang AS pred_lang, round(total, 6) AS score FROM (
+  SELECT p.doc_id, p.lang, p.s + pr.prior_lp AS total,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY p.s + pr.prior_lp DESC, p.lang ASC) AS rn
+  FROM per p JOIN prior pr USING (lang)
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: fraction of a document's shingles unique to it
+# ---------------------------------------------------------------------------
+
+
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's distinct
+    word-3-shingles that occur in NO other document — the complement
+    of Gopher-style repeated-fraction signals, used to up-weight
+    genuinely novel text in curation mixes.
+
+    One corpus shingle pass → document-frequency aggregate →
+    per-doc ratio; pure integer counting until the final division, so
+    no float discipline beyond the reported 6 dp round.  Docs shorter
+    than 3 words have no shingles and are excluded (mirrored)."""
+    docs = t(spark, sf_dir, "documents")
+    wcol = F.expr(_WORDS_SPARK)
+    sh = _cache(
+        docs.select("doc_id", wcol.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("j"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("j")),
+                F.element_at("w", F.col("j") + 1),
+                F.element_at("w", F.col("j") + 2),
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    return (
+        sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            round_half_away_col(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w[j] || ' ' || w[j + 1] || ' ' || w[j + 2] AS sh
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents) tt,
+       unnest(range(1, len(w) - 1)) AS u(j)
+  WHERE len(w) >= 3
+),
+df AS MATERIALIZED (SELECT sh, count(*) AS d FROM sh GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM sh JOIN df USING (sh) GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "nb_lang_train": QuerySpec(
+        nb_lang_train, _NB_TRAIN_SQL,
+        "multinomial Naive Bayes language-classifier training: two "
+        "count aggregates + Laplace smoothing, observed model slice"),
+    "nb_lang_score": QuerySpec(
+        nb_lang_score, _NB_SCORE_SQL,
+        "NB classification: per-doc log-posterior argmax via a "
+        "word equi-join against the completed smoothed model"),
+    "text_novelty_score": QuerySpec(
+        text_novelty_score, _NOVELTY_SQL,
+        "per-doc fraction of word-3-shingles unique to the doc "
+        "(corpus df aggregate + per-doc ratio)"),
     "bpe_train_merges": QuerySpec(
         bpe_train_merges, _BPE_MERGES_SQL,
         "distributed BPE tokenizer training: 8 merge rules learned "

@@ -250,3 +250,55 @@ def test_transitive_closure_preserves_numeric_id_types(spark):
     assert dict(out.dtypes) == {"src": "bigint", "dst": "bigint"}
     assert {(r.src, r.dst) for r in out.collect()} == {
         (1, 2), (2, 3), (1, 3)}
+
+
+def test_label_propagation_matches_sync_simulation(spark):
+    """Two triangles joined by a bridge: compare against an
+    independent pure-Python synchronous-LPA simulation (mode of
+    neighbor labels, ties to the lexicographically smallest), and
+    assert the triangles end in different communities."""
+    import collections
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        label_propagation,
+    )
+
+    raw = [("a0", "a1"), ("a1", "a2"), ("a0", "a2"), ("a2", "b0"),
+           ("b0", "b1"), ("b1", "b2"), ("b0", "b2")]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = {r.node: r.community
+           for r in label_propagation(edges, n_iter=4).collect()}
+
+    nbrs = collections.defaultdict(set)
+    for u, v in raw:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    lab = {n: n for n in nbrs}
+    for _ in range(4):
+        lab = {
+            n: min(collections.Counter(
+                       [lab[u] for u in nbrs[n]] + [lab[n]]).items(),
+                   key=lambda kv: (-kv[1], kv[0]))[0]
+            for n in nbrs
+        }
+    assert got == lab
+    assert got["a0"] == got["a1"] == got["a2"]
+    assert got["b0"] == got["b1"] == got["b2"]
+    assert got["a0"] != got["b0"]
+
+
+def test_label_propagation_isolated_component_keeps_min_label(spark):
+    """A disconnected pair converges to its own 2-node community
+    (the self-vote kills the sync-LPA two-coloring oscillation a bare
+    edge would otherwise flip-flop on), untouched by the larger
+    component."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        label_propagation,
+    )
+
+    raw = [("x", "y"), ("p", "q"), ("q", "r"), ("p", "r")]
+    got = {r.node: r.community for r in label_propagation(
+        spark.createDataFrame(raw, ["src", "dst"]), n_iter=4).collect()}
+    assert got["x"] == got["y"]
+    assert got["p"] == got["q"] == got["r"]
+    assert got["x"] != got["p"]

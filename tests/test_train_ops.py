@@ -285,3 +285,104 @@ def test_semantic_keep_pair_guard(spark, sf_dir):
     with pytest.raises(ValueError, match="max_cell_pairs"):
         semantic_keep(vecs, min_sim=0.3, n_centroids=8, iters=2,
                       sample_mod=2, max_cell_pairs=10)
+
+
+def test_nb_model_is_a_proper_distribution(spark, sf_dir):
+    """Laplace smoothing over the full vocabulary must make each
+    lang's word distribution sum to EXACTLY 1 (Σ_w (c_lw+1) = c_l+V),
+    and every observed pair must out-probability the smoothing floor."""
+    import math
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm3 import (
+        _nb_model,
+    )
+
+    _, _, model = _nb_model(spark, sf_dir)
+    rows = model.groupBy("lang").agg(
+        F.sum(F.exp("logp")).alias("mass"),
+        F.min("logp").alias("floor_lp"),
+        F.max(F.when(F.col("c_lw") == 0, F.col("logp"))).alias("smooth_lp"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert math.isclose(r.mass, 1.0, abs_tol=1e-6), r
+        # the smoothing floor is the minimum log-prob in the lang
+        assert r.smooth_lp is None or r.floor_lp == r.smooth_lp
+
+
+def test_nb_score_covers_docs_and_stays_in_lang_set(spark, sf_dir):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm3 import (
+        nb_lang_score,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    out = nb_lang_score(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    rows = out.collect()
+    # one prediction per doc with ≥1 word; predictions from the corpus
+    # lang set; log-posteriors strictly negative
+    assert len(rows) == len({r.doc_id for r in rows})
+    assert {r.pred_lang for r in rows} <= langs
+    assert all(r.score < 0 for r in rows)
+
+
+def test_novelty_score_brute_force(spark, sf_dir):
+    """Independent pandas recomputation of the 3-shingle novelty on
+    the test SF — different code path (python dicts), same regex."""
+    import collections
+    import re
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm3 import (
+        text_novelty_score,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sh = {}
+    for r in docs:
+        ws = [w for w in re.sub(r"[^a-zA-Z ]", " ", r.text).split(" ") if w]
+        if len(ws) >= 3:
+            sh[r.doc_id] = {" ".join(ws[j:j + 3])
+                            for j in range(len(ws) - 2)}
+    df = collections.Counter(s for v in sh.values() for s in v)
+    got = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+           for r in text_novelty_score(spark, sf_dir).collect()}
+    assert set(got) == set(sh)
+    for d, shs in sh.items():
+        novel = sum(1 for s in shs if df[s] == 1)
+        assert got[d][0] == len(shs) and got[d][1] == novel
+        # novelty is reported 6-dp-rounded
+        assert abs(got[d][2] - novel / len(shs)) <= 5e-7
+
+
+def test_round_half_away_col_matches_duckdb_at_repr_boundary(spark):
+    """Round-9 fuzz regression: doubles whose exact binary value sits
+    just below a decimal midpoint but whose SHORTEST REPR is the
+    midpoint (F.round rounds the repr UP; DuckDB rounds the binary
+    value DOWN).  The JVM float-scaled form must match DuckDB on the
+    caught value and on a seeded adversarial batch."""
+    import random
+
+    import duckdb
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.numeric import (
+        round_half_away_col,
+    )
+
+    vals = [(13.0 + 1.1195624999999998) + 2.2789879999999996]  # the catch
+    rng = random.Random(99)
+    for _ in range(500):
+        if rng.random() < 0.5:
+            vals.append((rng.randint(-10**9, 10**9) * 10 + 5) / 1e7)
+        else:
+            vals.append(sum(rng.randint(-10**10, 10**10) / 1e9
+                            for _ in range(rng.randint(2, 4))))
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.y for r in df.select(
+        round_half_away_col(F.col("x"), 6).alias("y")).collect()]
+    duck = [r[0] for r in duckdb.connect().execute(
+        "SELECT round(x, 6) FROM (SELECT unnest($1) AS x)", [vals]
+    ).fetchall()]
+    assert got == duck
+    assert got[0] == 16.398550  # F.round would give 16.398551
