@@ -808,13 +808,6 @@ def nb_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       score rounds to 6.  The argmax compares bit-identical doubles,
       so the ranking is engine-independent."""
     docs, toks, model = _nb_model(spark, sf_dir)
-    n_docs = docs.count()
-    prior = docs.groupBy("lang").agg(
-        round_half_away_col(
-            F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs))),
-            9,
-        ).alias("prior_lp")
-    )
     per = (
         toks.select("doc_id", "word")
         .join(model.select("lang", "word", "logp"), "word")
@@ -824,6 +817,23 @@ def nb_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("s")
         )
     )
+    return _nb_argmax(per, _nb_prior(docs))
+
+
+def _nb_prior(docs: DataFrame) -> DataFrame:
+    n_docs = docs.count()
+    return docs.groupBy("lang").agg(
+        round_half_away_col(
+            F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs))),
+            9,
+        ).alias("prior_lp")
+    )
+
+
+def _nb_argmax(per: DataFrame, prior: DataFrame) -> DataFrame:
+    """Shared NB decision epilogue: add the prior to the per-(doc,
+    lang) likelihood sums and take the per-doc argmax (lang-ascending
+    tie-break)."""
     w = W.partitionBy("doc_id").orderBy(
         F.col("total").desc(), F.col("lang").asc())
     return (
@@ -834,9 +844,46 @@ def nb_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("lang").alias("pred_lang"),
-            round_half_away_col("total", 6).alias("score"),
+            round_half_away_col(F.col("total"), 6).alias("score"),
         )
     )
+
+
+def stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model serving in Structured Streaming: documents arrive as a
+    file stream and are classified under the BATCH-trained NB model —
+    the trained (lang, word, logp) frame joins into the streaming plan
+    as a static broadcast side, re-resolved per micro-batch exactly
+    like `stream_static_enrich`'s dimension (no join state).
+
+    The stream computes the stateful part — the per-(doc, lang)
+    log-likelihood sums, ONE complete-mode aggregation whose state is
+    |docs|·|langs| rows — and the per-doc argmax runs as a batch
+    epilogue on the sink table (window functions are unsupported on
+    streaming DataFrames; the decision is a bounded per-doc pick, so
+    finalizing at read time is the standard serving shape).  Oracle:
+    identical SQL to `nb_lang_score` — streaming the corpus through
+    the model must answer exactly what the batch pass answers."""
+    from .streaming.windows import run_to_memory
+
+    docs, _, model = _nb_model(spark, sf_dir)
+    schema = t(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    per = (
+        stream.select("doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .join(F.broadcast(model.select("lang", "word", "logp")), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("logp").cast("decimal(28,14)"))
+            .cast("double").alias("s")
+        )
+    )
+    sums = run_to_memory(per, "mem_nb_classify", "complete")
+    return _nb_argmax(sums, _nb_prior(docs))
 
 
 _NB_CTES = f"""
@@ -971,6 +1018,11 @@ SPECS: dict[str, QuerySpec] = {
         nb_lang_score, _NB_SCORE_SQL,
         "NB classification: per-doc log-posterior argmax via a "
         "word equi-join against the completed smoothed model"),
+    "stream_nb_classify": QuerySpec(
+        stream_nb_classify, _NB_SCORE_SQL,
+        "streaming NB inference: batch-trained model broadcast into a "
+        "document file stream, complete-mode likelihood sums, batch "
+        "argmax epilogue — must equal the batch pass exactly"),
     "text_novelty_score": QuerySpec(
         text_novelty_score, _NOVELTY_SQL,
         "per-doc fraction of word-3-shingles unique to the doc "

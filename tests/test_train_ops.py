@@ -386,3 +386,18 @@ def test_round_half_away_col_matches_duckdb_at_repr_boundary(spark):
     ).fetchall()]
     assert got == duck
     assert got[0] == 16.398550  # F.round would give 16.398551
+
+
+def test_stream_nb_classify_equals_batch(spark, sf_dir):
+    """Streaming the corpus through the trained NB model must produce
+    EXACTLY the batch classification (same rows, same scores)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm3 import (
+        nb_lang_score,
+        stream_nb_classify,
+    )
+
+    batch = {(r.doc_id, r.pred_lang, r.score)
+             for r in nb_lang_score(spark, sf_dir).collect()}
+    streamed = {(r.doc_id, r.pred_lang, r.score)
+                for r in stream_nb_classify(spark, sf_dir).collect()}
+    assert streamed == batch and len(batch) > 0

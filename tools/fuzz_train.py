@@ -37,6 +37,10 @@ QUERIES = [
     # round 9: A-ES weighted sample (ln/md5-uniform discipline) and
     # KL divergence (ln + decimal-sum discipline)
     "select_weighted_sample", "mix_kl_divergence",
+    # round 9 second half: NB classifier (smoothed-model ln grid +
+    # decimal sums + argmax tie-breaks) and shingle novelty (integer
+    # ratio rounding)
+    "nb_lang_train", "nb_lang_score", "text_novelty_score",
 ]
 
 # embeddings-driven queries, fuzzed with adversarial vector tables
