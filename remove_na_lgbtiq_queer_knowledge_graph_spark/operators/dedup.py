@@ -421,6 +421,75 @@ def jaccard_pairs_prefix(
     )
 
 
+def containment_pairs(
+    sh: DataFrame, min_cont: float = 0.8, block_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: all ordered (id_1, id_2)
+    with C(1→2) = |g(1) ∩ g(2)| / |g(1)| ≥ ``min_cont`` — the
+    sub-document near-dup detector (a short doc pasted inside a long
+    one has low jaccard but containment ≈ 1; quote/boilerplate
+    inclusion, the Lee et al. 2022 motivation for substring-level
+    dedup at corpus granularity).  ``sh`` from :func:`shingles`
+    (a (id, shingle) SET).
+
+    Candidate generation is one-sided prefix filtering on the
+    CONTAINED side (the same global rarest-first gram order as
+    :func:`jaccard_pairs_prefix`): if the intersection avoids id_1's
+    first ``⌊(1-t)·|g(1)|⌋ + 1`` grams then
+    o ≤ |g(1)| − (⌊(1-t)|g(1)|⌋+1) < t·|g(1)|, so C < t — exactness
+    preserved.  The container side joins with its FULL posting list
+    (containment admits no pruning there: a huge container is a valid
+    match), so the candidate shuffle is Σ_g df_prefix(g)·df(g) — hot
+    grams still fall out of every PREFIX, which caps the quadratic
+    term at hot-gram df × rare-prefix df instead of df².
+    Verification is the same per-pair sorted-array intersect, cost ∝
+    candidates."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import round_half_away_col
+    from ..spec import materialize
+
+    sh = materialize(sh)
+    blk = [block_col] if block_col else []
+    wdf = Window.partitionBy(*blk, "shingle")
+    w = Window.partitionBy("id").orderBy("__df", "shingle")
+    wc = Window.partitionBy("id")
+    prefix = (
+        sh.withColumn("__df", F.count("*").over(wdf))
+        .select(*blk, "id", "shingle",
+                F.row_number().over(w).alias("__rn"),
+                F.count("*").over(wc).alias("__card"))
+        # same +1e-9 anti-shrink epsilon as jaccard_pairs_prefix
+        .filter(F.col("__rn") <=
+                F.floor((1.0 - min_cont) * F.col("__card") + 1e-9) + 1)
+        .select(*blk, "id", "shingle")
+    )
+    cand = (
+        prefix.select(*blk, F.col("id").alias("id_1"), "shingle")
+        .join(sh.select(*blk, F.col("id").alias("id_2"), "shingle"),
+              blk + ["shingle"])
+        .filter(F.col("id_1") != F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    gsets = materialize(sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("__g"),
+        F.count("*").alias("__card")))
+    g1 = gsets.select(F.col("id").alias("id_1"),
+                      F.col("__g").alias("__g1"),
+                      F.col("__card").alias("__c1"))
+    g2 = gsets.select(F.col("id").alias("id_2"),
+                      F.col("__g").alias("__g2"))
+    inter = F.size(F.array_intersect("__g1", "__g2"))
+    return (
+        cand.join(g1, "id_1").join(g2, "id_2")
+        .withColumn("containment",
+                    round_half_away_col(inter / F.col("__c1"), 6))
+        .filter(F.col("containment") >= min_cont)
+        .select("id_1", "id_2", "containment")
+    )
+
+
 def overlap_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 8,
     min_len: int | None = None, max_df: int | None = None,

@@ -259,6 +259,33 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(sh, 0.8, block_col="lang")
 
 
+def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric word-3-gram CONTAINMENT pairs ≥ 0.8, blocked by lang
+    — catches a short document pasted inside a longer one (jaccard
+    misses it: the union is dominated by the container).  One-sided
+    prefix-filtered candidates on the contained side; see
+    ``operators.dedup.containment_pairs``."""
+    from .operators.dedup import containment_pairs
+
+    sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3,
+                  extra_cols=["lang"])
+    return containment_pairs(sh, 0.8, block_col="lang")
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_CTE},
+cards AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, round(i / c1.card, 6) AS containment
+FROM inter JOIN cards c1 ON id_1 = c1.doc_id
+WHERE round(i / c1.card, 6) >= 0.8
+"""
+
+
 def dedup_overlap_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ≥12-token overlap spans between document pairs (8-token
     anchors merged along diagonals) — the exact-substring dedup
@@ -1004,6 +1031,10 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs_q, _SIMHASH_PAIRS_SQL),
     "dedup_near_cluster_keep": QuerySpec(dedup_cluster_keep_q, _CLUSTER_KEEP_SQL),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs_q, _JACCARD_DOC_SQL),
+    "dedup_containment_pairs": QuerySpec(
+        dedup_containment_pairs_q, _CONTAINMENT_SQL,
+        "asymmetric containment pairs (sub-document near-dups) via "
+        "one-sided prefix filtering"),
     "dedup_overlap_spans": QuerySpec(
         dedup_overlap_spans_q, _OVERLAP_SPANS_SQL,
         "exact >=12-token overlap spans via k-gram anchors merged "

@@ -732,6 +732,155 @@ FROM af a LEFT JOIN witc wc ON a.vec_id = wc.id_b"""
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM scoring (the CCNet-style filter LM)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+def lm_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.28), the smoothing actually used by the
+    KenLM models in CCNet-style perplexity filters — next to
+    `lm_bigram_score`'s add-one baseline:
+
+        P_KN(w2|w1) = (c(w1,w2) − D)/c(w1)
+                      + (D·N1+(w1,·)/c(w1)) · N1+(·,w2)/N1+(··)
+
+    with discount D = 0.75.  Everything is counting: c12, its marginal
+    c1, the distinct-continuation counts N1+(w1,·) / N1+(·,w2), and
+    the bigram-type total — four map-side-combinable aggregates over
+    the corpus bigram stream, then scoring joins each doc's bigrams to
+    the (w1) and (w2) count tables on their own keys.
+
+    Self-scoring precondition (same as `lm_bigram_score`): every
+    scored bigram was seen in training, so c12 ≥ 1 > D and the
+    max(c−D, 0) clamp is vacuous — pointed at held-out text the first
+    term needs the clamp (documented, not implemented: the oracle
+    mirrors the exact formula).  Float discipline: the probability is
+    one fixed expression tree evaluated in doubles on both engines,
+    ln rounds to 9 dp, per-doc DECIMAL(28,14) sums, mean NLL to 6."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")).filter(F.size("w") >= 2)
+    js = F.sequence(F.lit(1), F.size("w") - 1)
+    bg = _cache(
+        toks.select("doc_id", F.explode(js).alias("j"), "w")
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("j")).alias("w1"),
+            F.element_at("w", F.col("j") + F.lit(1)).alias("w2"),
+        )
+    )
+    c12 = _cache(bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")))
+    t1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"))
+    t2 = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1b"))
+    nbg = float(c12.count())  # bigram-type total N1+(··), one scalar
+    d = F.lit(_KN_D)
+    p = (
+        (F.col("c12") - d) / F.col("c1")
+        + (d * F.col("n1f") / F.col("c1"))
+        * (F.col("n1b") / F.lit(nbg))
+    )
+    lp = round_half_away_col(F.log(p), 9)
+    return (
+        bg.join(c12, ["w1", "w2"]).join(t1, "w1").join(t2, "w2")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            round_half_away_col(
+                -F.sum(F.col("lp").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll_kn"),
+        )
+    )
+
+
+_KN_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
+  ) WHERE len(w) >= 2
+), bg AS MATERIALIZED (
+  SELECT doc_id, w[j] AS w1, w[j + 1] AS w2
+  FROM toks, unnest(range(1, len(w))) AS u(j)
+), c12 AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+), t1 AS MATERIALIZED (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM c12 GROUP BY 1
+), t2 AS MATERIALIZED (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1
+), nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbg FROM c12)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-CAST(SUM(CAST(round(ln(
+                 (c12 - CAST(0.75 AS DOUBLE)) / c1
+                 + (CAST(0.75 AS DOUBLE) * n1f / c1)
+                 * (n1b / (SELECT nbg FROM nb))), 9)
+             AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS avg_nll_kn
+FROM bg JOIN c12 USING (w1, w2) JOIN t1 USING (w1) JOIN t2 USING (w2)
+GROUP BY bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document word entropy (quality/diversity signal)
+# ---------------------------------------------------------------------------
+
+
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon word entropy H = −Σ_w p_w·ln(p_w) with
+    p_w = c_w/n — the vocabulary-diversity quality signal (machine-
+    generated/keyword-stuffed text is low-entropy; `text_repetition`'s
+    unique-ratio is its coarse cousin).  One (doc, word) count
+    aggregate, the per-doc total joined back, one codegen expression
+    per row.  Per-term values round to 9 dp, the DECIMAL(28,14) sum
+    makes H partition-order-proof, reported at 6 dp.  Docs with no
+    words are excluded (mirrored)."""
+    docs = t(spark, sf_dir, "documents")
+    cw = (
+        docs.select("doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = cw.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    term = round_half_away_col(
+        (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")), 9)
+    return (
+        cw.join(n, "doc_id")
+        .select("doc_id", "n", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            round_half_away_col(
+                -F.sum(F.col("t").cast("decimal(28,14)")).cast("double"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+_ENTROPY_SQL = f"""
+WITH cw AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({_WORDS_DUCK}) AS word FROM documents)
+  GROUP BY 1, 2
+), nt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cw GROUP BY 1)
+SELECT doc_id, max(n) AS n_tokens,
+       round(-CAST(SUM(CAST(round((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)), 9)
+             AS DECIMAL(28,14))) AS DOUBLE), 6) AS entropy
+FROM cw JOIN nt USING (doc_id)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multinomial Naive Bayes language classifier: train + score
 # ---------------------------------------------------------------------------
 
@@ -1054,6 +1203,15 @@ SPECS: dict[str, QuerySpec] = {
         "count-based bigram LM (add-one smoothing) trained on the "
         "corpus; per-doc mean negative log-likelihood — the "
         "perplexity quality filter"),
+    "lm_kn_bigram_score": QuerySpec(
+        lm_kn_bigram_score, _KN_SQL,
+        "interpolated Kneser-Ney bigram LM (D=0.75): four count "
+        "aggregates train it, per-doc mean NLL scores it — the "
+        "KenLM/CCNet filter smoothing"),
+    "text_entropy_score": QuerySpec(
+        text_entropy_score, _ENTROPY_SQL,
+        "per-doc Shannon word entropy (vocabulary-diversity quality "
+        "signal), decimal-summed"),
     "text_tfidf_terms": QuerySpec(
         text_tfidf_terms, _TFIDF_SQL,
         "top-3 TF-IDF terms per document (corpus df join + per-doc "

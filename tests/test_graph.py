@@ -302,3 +302,43 @@ def test_label_propagation_isolated_component_keeps_min_label(spark):
     assert got["x"] == got["y"]
     assert got["p"] == got["q"] == got["r"]
     assert got["x"] != got["p"]
+
+
+def test_label_propagation_random_graphs_match_simulation(spark):
+    """Property form: random graphs (dense, sparse, with isolated-pair
+    components) against the independent python simulation — exercises
+    tie-break paths the two hand graphs can't."""
+    import collections
+    import random
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(41)
+    for trial in range(5):
+        n = rng.randint(5, 12)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        p = rng.choice([0.15, 0.3, 0.6])
+        raw = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]
+               if rng.random() < p]
+        raw += [("z0", "z1")]  # guaranteed isolated pair
+        if not raw:
+            continue
+        k = rng.choice([1, 3, 4])
+        got = {r.node: r.community for r in label_propagation(
+            spark.createDataFrame(raw, ["src", "dst"]), n_iter=k).collect()}
+
+        nbrs = collections.defaultdict(set)
+        for u, v in raw:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        lab = {x: x for x in nbrs}
+        for _ in range(k):
+            lab = {
+                x: min(collections.Counter(
+                           [lab[u] for u in nbrs[x]] + [lab[x]]).items(),
+                       key=lambda kv: (-kv[1], kv[0]))[0]
+                for x in nbrs
+            }
+        assert got == lab, (trial, p, k)

@@ -1431,3 +1431,121 @@ def test_pq_rejects_codebook_vector_width_mismatch(spark):
     # match on the message, not the wrapper type
     with _pytest.raises(Exception, match="8-dim but the codebooks"):
         ann_ops.pq_topk(emb, emb.limit(1), k=2, codebooks=cb).collect()
+
+
+def _py_words(text):
+    import re
+
+    return [w for w in re.sub(r"[^a-zA-Z ]", " ", text).split(" ") if w]
+
+
+def test_containment_pairs_brute_force(spark, sf_dir):
+    """Exactness of the one-sided prefix filter: the reported pair set
+    must EQUAL the all-pairs brute force over python shingle sets
+    (any pruning bug shows as a missing pair)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm import (
+        dedup_containment_pairs_q,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text").collect()
+    sh = {}
+    for r in docs:
+        ws = _py_words(r.text)
+        # norm_tokens lower-cases; mirror it
+        ws = [w.lower() for w in ws]
+        if len(ws) >= 3:
+            sh[r.doc_id] = (r.lang,
+                            {" ".join(ws[j:j + 3])
+                             for j in range(len(ws) - 2)})
+    want = {}
+    ids = sorted(sh)
+    for a in ids:
+        for b in ids:
+            if a == b or sh[a][0] != sh[b][0]:
+                continue
+            c = len(sh[a][1] & sh[b][1]) / len(sh[a][1])
+            if round(c, 6) >= 0.8:
+                want[(a, b)] = round(c, 6)
+    got = {(r.id_1, r.id_2): r.containment
+           for r in dedup_containment_pairs_q(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) <= 1e-6, k
+
+
+def test_kn_bigram_score_brute_force(spark, sf_dir):
+    """Independent python recomputation of the interpolated KN NLL
+    (unrounded intermediates) — the engine's 9-dp term rounding keeps
+    it within a tight tolerance."""
+    import collections
+    import math
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm3 import (
+        lm_kn_bigram_score,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    bgs = {}
+    for r in docs:
+        ws = _py_words(r.text)
+        if len(ws) >= 2:
+            bgs[r.doc_id] = list(zip(ws, ws[1:]))
+    c12 = collections.Counter(b for v in bgs.values() for b in v)
+    c1 = collections.Counter()
+    n1f = collections.Counter()
+    n1b = collections.Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    nbg = len(c12)
+    D = 0.75
+
+    def p(w1, w2):
+        return ((c12[w1, w2] - D) / c1[w1]
+                + (D * n1f[w1] / c1[w1]) * (n1b[w2] / nbg))
+
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll_kn)
+           for r in lm_kn_bigram_score(spark, sf_dir).collect()}
+    assert set(got) == set(bgs)
+    for d, pairs in bgs.items():
+        nll = -sum(math.log(p(w1, w2)) for w1, w2 in pairs) / len(pairs)
+        assert got[d][0] == len(pairs)
+        assert abs(got[d][1] - nll) <= 1e-5, d
+    # probabilities are proper: for a few w1, the clamped sum over the
+    # continuation vocabulary is exactly 1
+    vocab = set(n1b)
+    for w1 in list(c1)[:3]:
+        s = sum(max(c12.get((w1, w2), 0) - D, 0.0) / c1[w1]
+                + (D * n1f[w1] / c1[w1]) * (n1b[w2] / nbg)
+                for w2 in vocab)
+        assert abs(s - 1.0) < 1e-9
+
+
+def test_entropy_score_brute_force(spark, sf_dir):
+    import collections
+    import math
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm3 import (
+        text_entropy_score,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    got = {r.doc_id: (r.n_tokens, r.entropy)
+           for r in text_entropy_score(spark, sf_dir).collect()}
+    want_ids = {r.doc_id for r in docs if _py_words(r.text)}
+    assert set(got) == want_ids
+    for r in docs:
+        ws = _py_words(r.text)
+        if not ws:
+            continue
+        n = len(ws)
+        h = -sum((c / n) * math.log(c / n)
+                 for c in collections.Counter(ws).values())
+        assert got[r.doc_id][0] == n
+        assert abs(got[r.doc_id][1] - h) <= 1e-5
+        assert got[r.doc_id][1] >= 0

@@ -38,9 +38,12 @@ QUERIES = [
     # KL divergence (ln + decimal-sum discipline)
     "select_weighted_sample", "mix_kl_divergence",
     # round 9 second half: NB classifier (smoothed-model ln grid +
-    # decimal sums + argmax tie-breaks) and shingle novelty (integer
-    # ratio rounding)
+    # decimal sums + argmax tie-breaks), shingle novelty (integer
+    # ratio rounding), KN bigram LM (mixed-term ln grid), word
+    # entropy (ratio·ln grid), asymmetric containment (one-sided
+    # prefix filter exactness under random corpora)
     "nb_lang_train", "nb_lang_score", "text_novelty_score",
+    "lm_kn_bigram_score", "text_entropy_score", "dedup_containment_pairs",
 ]
 
 # embeddings-driven queries, fuzzed with adversarial vector tables
