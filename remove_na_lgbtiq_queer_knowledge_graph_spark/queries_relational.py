@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.numeric import round_half_away_col
+
 from .spec import QuerySpec, dsum, t
 
 
@@ -1163,6 +1165,61 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+_EWMA_LAMBDA = 0.01  # per-hour decay rate
+
+
+def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value total, evaluated at
+    each user's LAST event: Σ_i value_i·exp(−λ·Δh_i) with Δh the age
+    in hours — the recency-weighted engagement/activity score of
+    event analytics (closed-form, not the recursive EWMA update, so
+    it is order-free and partition-order-proof).
+
+    One shuffle: the per-user max-timestamp window and the final
+    per-user aggregate share the user_id partitioning.  Epochs
+    truncate to whole seconds on both engines (`unix_timestamp` /
+    `floor(epoch())`, the file's established idiom — events carry
+    microseconds); per-event terms round to 9 dp before the
+    DECIMAL(28,14) sum; exp() cross-engine bit-parity is already
+    load-bearing in the LR sigmoid oracles."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    ue = F.unix_timestamp("ts")
+    last = F.max(ue).over(wu)
+    dh = (last - ue).cast("double") / F.lit(3600.0)
+    term = round_half_away_col(
+        F.col("value") * F.exp(-F.lit(_EWMA_LAMBDA) * dh), 9)
+    return (
+        e.select("user_id", last.alias("le"), term.alias("tm"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("le").cast("long").alias("last_epoch"),
+            round_half_away_col(
+                F.sum(F.col("tm").cast("decimal(28,14)")).cast("double"), 6
+            ).alias("decayed_value"),
+        )
+    )
+
+
+_EWMA_SQL = """
+WITH ev AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ue,
+         max(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id) AS le
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(le) AS BIGINT) AS last_epoch,
+       round(CAST(SUM(CAST(round(value * exp(-CAST(0.01 AS DOUBLE)
+                 * (CAST(le - ue AS DOUBLE) / CAST(3600.0 AS DOUBLE))), 9)
+             AS DECIMAL(28,14))) AS DOUBLE), 6) AS decayed_value
+FROM ev GROUP BY user_id
+"""
+
+
 def ts_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with gap filling: hourly event counts per
     type INCLUDING empty hours — the hypertable/`time_bucket_gapfill`
@@ -1459,6 +1516,11 @@ SPECS: dict[str, QuerySpec] = {
         agg_cube_two_dim, _CUBE_SQL,
         "CUBE (status, priority): all four grouping sets from one "
         "Expand pass"),
+    "ts_ewma_decay": QuerySpec(
+        ts_ewma_decay, _EWMA_SQL,
+        "per-user exponentially time-decayed value total at the last "
+        "event (closed-form, order-free) — one shared-partitioning "
+        "shuffle"),
     "ts_resample_hourly": QuerySpec(
         ts_resample_hourly, _RESAMPLE_SQL,
         "gap-filled hourly resampling (time_bucket_gapfill): "

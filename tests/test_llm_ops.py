@@ -1549,3 +1549,30 @@ def test_entropy_score_brute_force(spark, sf_dir):
         assert got[r.doc_id][0] == n
         assert abs(got[r.doc_id][1] - h) <= 1e-5
         assert got[r.doc_id][1] >= 0
+
+
+def test_ewma_decay_brute_force(spark, sf_dir):
+    """Independent python recomputation of the closed-form decayed
+    total (unrounded intermediates; whole-second epochs mirror
+    unix_timestamp truncation)."""
+    import math
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_relational import (
+        ts_ewma_decay,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp()), r.value))
+    got = {r.user_id: (r.n_events, r.last_epoch, r.decayed_value)
+           for r in ts_ewma_decay(spark, sf_dir).collect()}
+    assert set(got) == set(by_user)
+    for u, rows in by_user.items():
+        last = max(e for e, _ in rows)
+        dv = sum(v * math.exp(-0.01 * ((last - e) / 3600.0))
+                 for e, v in rows)
+        assert got[u][0] == len(rows) and got[u][1] == last
+        assert abs(got[u][2] - dv) <= 1e-4  # 9-dp terms x |events|
