@@ -448,3 +448,80 @@ def label_propagation(
             .select("node", "label")
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node (deg ≥ 2):
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    neighborhood is to a clique, the standard companion statistic to
+    the triangle count it reuses.  Zero-triangle nodes of degree ≥ 2
+    are kept (cc = 0): they're the signal the metric exists for.
+
+    Cost = :func:`triangle_counts` (O(m^1.5) oriented wedge join) plus
+    one degree aggregate and a left join."""
+    from ..functions.numeric import round_half_away_col
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    und = e.select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b")).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tris = triangle_counts(und, "a", "b")
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tris, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            round_half_away_col(
+                (F.lit(2) * F.coalesce("n_triangles", F.lit(0)))
+                .cast("double")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+def kcore(
+    edges: DataFrame, k: int, rounds: int,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    "drop every node whose degree in the SURVIVING subgraph is < k",
+    returning the survivors with their within-subgraph degree.  With
+    enough rounds this is the k-core (the maximal subgraph of min
+    degree ≥ k, Seidman 1983); the FIXED round count keeps the result
+    a pure function of the input, oracle-checkable by unrolling the
+    same rounds in SQL — the same contract as pagerank/LPA.  Tests
+    assert the fixpoint was actually reached on the registry graph
+    (every survivor's final degree ≥ k), so the bound is validated,
+    not assumed.
+
+    Per round: one degree aggregate over surviving edges + two semi
+    joins to drop edges touching peeled nodes — all edge-linear, the
+    label frame localCheckpointed so lineage stays flat."""
+    from .. import spec as _spec
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    und = e.select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b")).distinct()
+    sym = _spec.materialize(
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    for _ in range(rounds):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        sym = _spec.materialize(
+            sym.join(keep, "a", "semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "semi")
+        )
+    return sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree"))

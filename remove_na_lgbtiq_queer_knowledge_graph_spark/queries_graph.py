@@ -758,6 +758,115 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, "p1", "p2")
 
 
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the part co-occurrence graph
+    — the standard companion to `graph_triangle_counts` (how
+    clique-like each node's neighborhood is; Watts-Strogatz 1998).
+    Reuses the O(m^1.5) oriented triangle kernel plus one degree
+    aggregate; zero-triangle nodes of degree ≥ 2 kept at cc = 0."""
+    from .operators.graph import clustering_coefficient
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    return clustering_coefficient(pairs, "p1", "p2")
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 12
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the REPEATED part co-occurrence graph (parts
+    co-ordered in ≥2 distinct orders — the thresholded graph where
+    peeling is non-trivial; the raw co-occurrence graph is clique-like
+    and nothing peels): ``_KCORE_ROUNDS`` synchronous
+    drop-degree-<k rounds (Seidman 1983), the periphery-vs-cyclic-core
+    split of network analysis.  Fixed rounds keep it oracle-checkable;
+    the fixpoint (every survivor's degree ≥ k) is asserted in tests at
+    every shipped SF, so the bound is validated, not assumed."""
+    from .operators.graph import kcore
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    return kcore(pairs, _KCORE_K, _KCORE_ROUNDS, "p1", "p2")
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    parts = ["""WITH rep_pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+s0 AS MATERIALIZED (
+  SELECT a, b FROM rep_pairs
+  UNION ALL SELECT b, a FROM rep_pairs
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""k{i} AS MATERIALIZED (
+  SELECT a FROM (SELECT a, count(*) AS c FROM s{i - 1} GROUP BY a)
+  WHERE c >= {k}
+), s{i} AS MATERIALIZED (
+  SELECT s.a, s.b FROM s{i - 1} s
+  JOIN k{i} x ON s.a = x.a JOIN k{i} y ON s.b = y.a
+)""")
+    return ",\n".join(parts) + f"""
+SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM s{rounds} GROUP BY a
+"""
+
+
+_KCORE_SQL = _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS)
+
+
+_CLUSTERING_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+             / (d.degree * (d.degree - 1)), 6) AS clustering
+FROM deg d LEFT JOIN tcnt t USING (node)
+WHERE d.degree >= 2
+"""
+
+
 _TRIANGLES_SQL = """
 WITH pairs AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -784,6 +893,14 @@ SPECS: dict[str, QuerySpec] = {
         graph_triangle_counts, _TRIANGLES_SQL,
         "degree-oriented triangle counting over the part co-occurrence "
         "graph — O(m^1.5) wedge join, hub-immune"),
+    "graph_clustering_coeff": QuerySpec(
+        graph_clustering_coeff, _CLUSTERING_SQL,
+        "local clustering coefficient (deg ≥ 2, zero-triangle nodes "
+        "kept) over the part co-occurrence graph"),
+    "graph_kcore_peel": QuerySpec(
+        graph_kcore_peel, _KCORE_SQL,
+        "2-core of the repeated-co-order part graph: fixed synchronous "
+        "peel rounds, fixpoint asserted in tests"),
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
     "graph_materialize_yaml": QuerySpec(graph_materialize_yaml, _MATERIALIZE_SQL),
     "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),

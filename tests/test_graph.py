@@ -342,3 +342,49 @@ def test_label_propagation_random_graphs_match_simulation(spark):
                 for x in nbrs
             }
         assert got == lab, (trial, p, k)
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """K4 on {1..4} (cc=1 everywhere) plus a pendant node 5—1: node 1
+    gains a neighbor that closes nothing; node 5 (degree 1) is
+    excluded."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    got = {r.node: (r.degree, r.n_triangles, r.clustering)
+           for r in clustering_coefficient(
+               spark.createDataFrame(raw, ["src", "dst"])).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # node 1: degree 4, still 3 triangles -> 2*3/(4*3) = 0.5
+    assert got[1] == (4, 3, 0.5)
+    for n in (2, 3, 4):
+        assert got[n] == (3, 3, 1.0)
+
+
+def test_kcore_peels_trees_keeps_cycle(spark):
+    """2-core of a cycle with tree decorations = the cycle; the
+    pendant chain peels over multiple rounds (cascade)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        kcore,
+    )
+
+    cycle = [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1")]
+    chain = [("c1", "t1"), ("t1", "t2"), ("t2", "t3")]  # 3-deep cascade
+    got = {r.node: r.core_degree for r in kcore(
+        spark.createDataFrame(cycle + chain, ["src", "dst"]),
+        k=2, rounds=5).collect()}
+    assert got == {"c1": 2, "c2": 2, "c3": 2, "c4": 2}
+
+
+def test_kcore_fixpoint_reached_on_testdata(spark, sf_dir):
+    """The registry entry's fixed round count must actually reach the
+    fixpoint on the shipped graph: every survivor's degree ≥ k."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_graph import (
+        _KCORE_K,
+        graph_kcore_peel,
+    )
+
+    out = graph_kcore_peel(spark, sf_dir).collect()
+    assert all(r.core_degree >= _KCORE_K for r in out)
