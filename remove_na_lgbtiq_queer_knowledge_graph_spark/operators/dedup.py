@@ -446,7 +446,6 @@ def containment_pairs(
     candidates."""
     from pyspark.sql import Window
 
-    from ..functions.numeric import round_half_away_col
     from ..spec import materialize
 
     sh = materialize(sh)
@@ -481,12 +480,16 @@ def containment_pairs(
     g2 = gsets.select(F.col("id").alias("id_2"),
                       F.col("__g").alias("__g2"))
     inter = F.size(F.array_intersect("__g1", "__g2"))
+    # threshold on the UNROUNDED ratio: the prefix-filter proof bounds
+    # exact C, so admitting round(C,6) >= t would let a pair with
+    # C ∈ [t−5e-7, t) pass the filter while (legitimately) having been
+    # pruned from the candidates — reported value stays 6-dp rounded
     return (
         cand.join(g1, "id_1").join(g2, "id_2")
-        .withColumn("containment",
-                    round_half_away_col(inter / F.col("__c1"), 6))
-        .filter(F.col("containment") >= min_cont)
-        .select("id_1", "id_2", "containment")
+        .withColumn("__c", inter / F.col("__c1"))
+        .filter(F.col("__c") >= min_cont)
+        .select("id_1", "id_2",
+                round_half_away_col(F.col("__c"), 6).alias("containment"))
     )
 
 

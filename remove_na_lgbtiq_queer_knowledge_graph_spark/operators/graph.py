@@ -461,8 +461,6 @@ def clustering_coefficient(
 
     Cost = :func:`triangle_counts` (O(m^1.5) oriented wedge join) plus
     one degree aggregate and a left join."""
-    from ..functions.numeric import round_half_away_col
-
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
         .filter(F.col("a") != F.col("b"))
     und = e.select(F.least("a", "b").alias("a"),

@@ -29,6 +29,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_half_away_col
+
 
 def round_half_away(x: float, decimals: int) -> float:
     """Half-away-from-zero double rounding, formula-identical to
@@ -73,11 +75,16 @@ def logreg_train_rounds(
         z = F.lit(w[0])
         for wj, xj in zip(w[1:], xs[1:]):
             z = z + F.lit(wj) * xj  # left-assoc, mirroring the SQL text
-        # Both rounds intentionally F.round: d=14 with |d·xj| up to
-        # ~10 sits at the edge of the float-scaled form's validity
-        # regime (functions/numeric.py), and this exact discipline is
-        # DuckDB-pinned by the LR property tests — don't convert.
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
+        # p (a sigmoid in (0,1), d=12) is deep inside the float-scaled
+        # form's validity regime, so it rounds DuckDB-matching like
+        # every other oracle-compared double (round-9 review: keeping
+        # F.round here left the repr-midpoint hazard live on the
+        # training path while the scoring twin was converted).  The
+        # d=14 GRADIENT round stays F.round: |d·xj| up to ~10 at
+        # d=14 sits at the regime edge (functions/numeric.py), and
+        # that exact discipline is DuckDB-pinned by the LR property
+        # tests.
+        p = round_half_away_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
         d = p - y
         aggs = [
             F.sum(F.round(d * xj, 14).cast("decimal(28,14)")).alias(f"g{j}")

@@ -793,12 +793,18 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shipped SF, so the bound is validated, not assumed."""
     from .operators.graph import kcore
 
+    # distinct (order, p1, p2) FIRST: lineitem repeats (order, part)
+    # rows, and counting raw join multiplicity would admit pairs
+    # co-ordered in only ONE distinct order (round-9 review catch —
+    # 193 such edges at sf0.01)
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
     pairs = (
         a.join(b, "o")
         .filter(F.col("p1") < F.col("p2"))
+        .select("o", "p1", "p2")
+        .distinct()
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -809,10 +815,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
     parts = ["""WITH rep_pairs AS MATERIALIZED (
-  SELECT a.l_partkey AS a, b.l_partkey AS b
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= 2
+  SELECT a, b FROM (
+    SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ) GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 s0 AS MATERIALIZED (
   SELECT a, b FROM rep_pairs

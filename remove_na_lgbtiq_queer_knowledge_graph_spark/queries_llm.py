@@ -282,7 +282,7 @@ inter AS (
 )
 SELECT id_1, id_2, round(i / c1.card, 6) AS containment
 FROM inter JOIN cards c1 ON id_1 = c1.doc_id
-WHERE round(i / c1.card, 6) >= 0.8
+WHERE i / c1.card >= 0.8
 """
 
 

@@ -1466,7 +1466,7 @@ def test_containment_pairs_brute_force(spark, sf_dir):
             if a == b or sh[a][0] != sh[b][0]:
                 continue
             c = len(sh[a][1] & sh[b][1]) / len(sh[a][1])
-            if round(c, 6) >= 0.8:
+            if c >= 0.8:  # unrounded threshold, matching the operator
                 want[(a, b)] = round(c, 6)
     got = {(r.id_1, r.id_2): r.containment
            for r in dedup_containment_pairs_q(spark, sf_dir).collect()}

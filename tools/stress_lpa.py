@@ -47,9 +47,6 @@ def main() -> int:
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
         label_propagation,
     )
-    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_graph import (
-        graph_label_propagation,
-    )
     from remove_na_lgbtiq_queer_knowledge_graph_spark.session import get_spark
     from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
 
@@ -80,14 +77,12 @@ def main() -> int:
     print(f"edges (directed, pre-sym): {n_edges}")
 
     prev_comms = None
-    rows = []
     for k in ladder:
         t0 = time.time()
         out = label_propagation(edges, n_iter=k)
         n_nodes = out.count()
         wall = time.time() - t0
         n_comms = out.select("community").distinct().count()
-        rows.append((k, wall, wall / k, n_comms))
         print(f"n_iter={k}: wall={wall:.1f}s  s/round={wall / k:.2f}  "
               f"nodes={n_nodes}  communities={n_comms}")
         if prev_comms is not None and n_comms > prev_comms:
@@ -96,7 +91,7 @@ def main() -> int:
         prev_comms = n_comms
 
     # containment: every LPA community sits inside one CC component
-    out = label_propagation(edges, n_iter=ladder[-1])
+    # (`out` is the ladder's final, longest run — no recompute)
     cc = connected_components(edges)  # (node, comp)
     viol = (
         out.join(cc, "node")
