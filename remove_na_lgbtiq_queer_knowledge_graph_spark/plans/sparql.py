@@ -1567,18 +1567,41 @@ class _Compiler:
                 if env is not None and not has_undef \
                         and len(item.vars) == 1 and shared \
                         and len(set(rows)) == len(rows):
-                    # distinct-rows only: isin collapses multiplicity,
-                    # and §10.2.2 multiset join semantics say a VALUES
-                    # block listing a row twice duplicates matching
-                    # solutions — duplicate rows take the join path
-                    env = env.filter(
-                        F.col(item.vars[0]).isin([r[0] for r in rows]))
-                elif has_undef and shared:
+                    # single-var distinct-row fast path, NULL-CORRECT
+                    # (round-9 review: a bare isin dropped env rows
+                    # whose shared variable was unbound, violating
+                    # §10.2.2 — an unbound is compatible with EVERY
+                    # row and takes its binding).  ONE codegen pass:
+                    # each row explodes to its own value (bound) or to
+                    # every VALUES cell (unbound — the compatibility
+                    # expansion), then the isin keeps matching rows.
+                    # No join and no second evaluation of the solution
+                    # subtree — a filter+union split was measured 3×
+                    # slower on the big network frames because both
+                    # branches recomputed the statement walk, and the
+                    # compat join's nested loop costs the same again.
+                    v = item.vars[0]
+                    vals = [r[0] for r in rows]
+                    env = env.withColumn(
+                        v,
+                        F.explode(
+                            F.when(
+                                F.col(v).isNull(),
+                                F.array(*[F.lit(x) for x in vals]),
+                            ).otherwise(F.array(F.col(v)))
+                        ),
+                    ).filter(F.col(v).isin(vals))
+                elif shared:
                     # §10.2.2 compatibility join: a row's UNDEF cell is
-                    # compatible with any binding (so is an env-side
-                    # unbound); the merged binding takes whichever side
-                    # is bound.  The VALUES frame is tiny by definition,
-                    # so the resulting nested-loop join broadcasts it.
+                    # compatible with any binding, AND an env-side
+                    # unbound (NULL from OPTIONAL / an upstream UNDEF)
+                    # is compatible with any row; the merged binding
+                    # takes whichever side is bound.  Every other
+                    # shared-var VALUES takes this path (the former
+                    # equi-join fallback dropped env-side unbounds —
+                    # round-9 review catch).  The VALUES frame is tiny
+                    # by definition, so the nested-loop join broadcasts
+                    # it.
                     lit = self.triples.sparkSession.createDataFrame(
                         rows,
                         ", ".join(f"`__val_{v}` string"

@@ -60,6 +60,33 @@ def test_global_funnel_detector_shapes():
         "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
         "      +- HashAggregate(keys=[], functions=[partial_sum(c)])\n")
     assert not mod.global_funnels(scalar_plan)
+    # round-9 review shapes: structural parent matching must not flag
+    # a SIBLING branch's Sort sitting textually above an unrelated
+    # exchange, must see through AQE wrappers, and must treat the
+    # `*(n)` codegen marker as label, not indentation
+    sibling_plan = (
+        ":- Sort [a]\n"
+        ":  +- LocalTableScan\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- Scan parquet\n")
+    assert not mod.global_funnels(sibling_plan)
+    aqe_plan = (
+        "+- Window [w]\n"
+        "   +- Sort [a]\n"
+        "      +- AQEShuffleRead coalesced\n"
+        "         +- ShuffleQueryStage 1\n"
+        "            +- Exchange SinglePartition\n")
+    assert mod.global_funnels(aqe_plan)
+    aqe_scalar_plan = (
+        "+- HashAggregate(keys=[], functions=[sum(c)])\n"
+        "   +- AQEShuffleRead\n"
+        "      +- Exchange SinglePartition\n")
+    assert not mod.global_funnels(aqe_scalar_plan)
+    codegen_plan = (
+        "*(3) Sort [a ASC NULLS FIRST]\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- *(2) HashAggregate\n")
+    assert mod.global_funnels(codegen_plan)
 
 
 def test_committed_lint_artifact_covers_current_registry():
@@ -81,4 +108,9 @@ def test_committed_lint_artifact_covers_current_registry():
     assert data["n_plans"] == len(all_specs()), (
         f"committed lint covered {data['n_plans']} plans but the "
         f"registry now has {len(all_specs())} — re-run tools/lint_plans.py")
+    # name-SET lock, not just a count: an add + a remove cancelling
+    # out must not let an unlinted query ship (round-9 review)
+    assert sorted(data["names"]) == sorted(all_specs()), (
+        "committed lint name list diverges from the registry — "
+        "re-run tools/lint_plans.py")
     assert data["flagged"] == [] and data["errors"] == []

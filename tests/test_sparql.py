@@ -1184,7 +1184,8 @@ def test_values_duplicate_row_keeps_bag_multiplicity(triples):
       """, triples)
     assert _vals(df, "s", "t") == [
         ("http://ex.org/c", "http://ex.org/Robot")] * 2
-    # distinct rows still take the isin path: one solution per match
+    # distinct rows through the same compatibility join: one solution
+    # per match (the isin fast path is gone — round-9 review)
     df = compile_sparql(_PFX + """
       SELECT ?s ?t WHERE { ?s a ?t . VALUES ?t { ex:Robot ex:Person } }
       """, triples)
@@ -1208,3 +1209,29 @@ def test_values_undef_standalone_stays_unbound(triples):
     got = sorted(((r["x"], r["y"]) for r in df.collect()),
                  key=lambda t: (t[0] or "", t[1] or ""))
     assert got == [(None, "q"), ("p", None)]
+
+
+def test_values_joins_env_side_unbound(triples):
+    """Round-9 review: §10.2.2 compatibility also applies to ENV-side
+    unbound variables — an OPTIONAL-produced NULL must be compatible
+    with every VALUES row and take the row's binding, not be dropped
+    (the former isin fast path filtered such rows out)."""
+    df = compile_sparql(_PFX + """
+      SELECT ?s ?t WHERE {
+        ?s a ex:Robot .
+        OPTIONAL { ?s ex:name ?t . FILTER(?t = "nobody") }
+        VALUES ?t { "x" }
+      }""", triples)
+    assert _vals(df, "s", "t") == [("http://ex.org/c", "x")]
+
+
+def test_values_chained_undef_then_constrained(triples):
+    """{ VALUES (?x ?y) { ("p" UNDEF) } VALUES ?y { "q" } } — the
+    NULL ?y produced by the first block is compatible with the second
+    and takes its binding."""
+    df = compile_sparql(_PFX + """
+      SELECT ?x ?y WHERE {
+        VALUES (?x ?y) { ("p" UNDEF) }
+        VALUES ?y { "q" }
+      }""", triples)
+    assert [(r["x"], r["y"]) for r in df.collect()] == [("p", "q")]

@@ -52,9 +52,11 @@ QUERIES = [
 # PQ family — duplicate vectors stress the sub-quantizer tie-breaks,
 # and the residual variant additionally exercises the
 # zip_with-subtraction / qc-seeded-fold parity.
-EMB_QUERIES = ["dedup_semantic_keep", "ann_kmeans_cells",
-               "ann_pq_topk", "ann_ivf_pq_topk",
-               "ann_ivf_pq_residual_topk"]
+# dim-agnostic ops fuzz at random small dims (denser tie collisions);
+# the PQ family needs dim=64 (oracle slice bounds) — see gen_embeddings
+EMB_QUERIES_ANYDIM = ["dedup_semantic_keep", "ann_kmeans_cells"]
+EMB_QUERIES_DIM64 = ["ann_pq_topk", "ann_ivf_pq_topk",
+                     "ann_ivf_pq_residual_topk"]
 
 
 def gen_corpus(rng: random.Random):
@@ -82,19 +84,20 @@ def gen_corpus(rng: random.Random):
     return rows
 
 
-def gen_embeddings(rng: random.Random):
+def gen_embeddings(rng: random.Random, dim: int):
     """Random (vec_id, embedding float[], label) rows: vectors with
     coarse coordinates (ties likely), ~20% exact duplicates of
     earlier rows, no zero vectors (documented precondition — cosine of
     the zero vector is undefined and the engines NaN/NULL-diverge).
-    dim is FIXED at 64: the PQ-family registry oracles mirror the
-    testdata embeddings schema with literal subspace slice bounds
-    (dim=64 baked into `_pq_oracle_sql(..., dim=64, ...)`), while the
-    Spark side adapts to whatever width it fits on — a narrower fuzz
-    vector silently empties the mirror's upper subspace slices
-    (caught by this fuzzer when the PQ family first joined the list)."""
+
+    dim is per QUERY FAMILY (round-9 review): the PQ-family oracles
+    mirror the testdata embeddings schema with literal subspace slice
+    bounds (dim=64 baked into `_pq_oracle_sql(..., dim=64, ...)`) — a
+    narrower fuzz vector silently empties the mirror's upper slices —
+    while dedup_semantic_keep / ann_kmeans_cells are dim-agnostic and
+    small dims (4/8/16) give far denser coarse-coordinate tie
+    collisions, which is the regime that catches tie-break bugs."""
     n = rng.randint(40, 150)
-    dim = 64
     rows = []
     for i in range(n):
         if rows and rng.random() < 0.2:
@@ -144,24 +147,41 @@ def main() -> int:
             dst = os.path.join(d, f)
             if f.endswith(".parquet") and not os.path.exists(dst):
                 os.symlink(os.path.join("/root/testdata/sf0.001", f), dst)
-        erows = gen_embeddings(rng)
-        etbl = pa.table({
-            "vec_id": pa.array([r[0] for r in erows], pa.int64()),
-            "embedding": pa.array([r[1] for r in erows],
-                                  pa.list_(pa.float32())),
-            "label": pa.array([r[2] for r in erows], pa.int32()),
-        })
+        def write_embeddings(dest: str, dim: int) -> None:
+            erows = gen_embeddings(rng, dim)
+            etbl = pa.table({
+                "vec_id": pa.array([r[0] for r in erows], pa.int64()),
+                "embedding": pa.array([r[1] for r in erows],
+                                      pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in erows], pa.int32()),
+            })
+            pq.write_table(etbl, os.path.join(dest, "embeddings.parquet"))
+
         os.unlink(os.path.join(d, "embeddings.parquet"))
-        pq.write_table(etbl, os.path.join(d, "embeddings.parquet"))
+        write_embeddings(d, 64)
+        # second fixture dir for the dim-agnostic ops: same documents,
+        # small-dim embeddings
+        d2 = scratch_dir(f"fuzztrain{trial}s_")
+        for f in os.listdir(d):
+            if f.endswith(".parquet") and f != "embeddings.parquet":
+                os.symlink(os.path.join(d, f), os.path.join(d2, f))
+        write_embeddings(d2, rng.choice([4, 8, 16]))
         con = duckdb.connect()
         con.sql(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{d}/documents.parquet'")
         con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
                 f"'{d}/embeddings.parquet'")
-        for name in QUERIES + EMB_QUERIES:
+        con2 = duckdb.connect()
+        con2.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                 f"'{d2}/documents.parquet'")
+        con2.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+                 f"'{d2}/embeddings.parquet'")
+        runs = ([(n, d, con) for n in QUERIES + EMB_QUERIES_DIM64]
+                + [(n, d2, con2) for n in EMB_QUERIES_ANYDIM])
+        for name, sfd, ccon in runs:
             spec = specs[name]
             try:
-                sdf = spec.fn(spark, d)
+                sdf = spec.fn(spark, sfd)
                 scols = sdf.columns
                 srows = [tuple(r) for r in sdf.collect()]
             except ValueError as exc:
@@ -176,7 +196,7 @@ def main() -> int:
                 print(f"trial {trial} {name}: SPARK-FAIL {exc}")
                 continue
             try:
-                res = con.sql(spec.oracle)
+                res = ccon.sql(spec.oracle)
                 dcols = [x[0] for x in res.description]
                 drows = res.fetchall()
             except Exception as exc:  # noqa: BLE001
@@ -197,6 +217,7 @@ def main() -> int:
             else:
                 print(f"trial {trial} {name}: ok ({len(srows)} rows)")
         con.close()
+        con2.close()
     print(f"\n{args.trials} trials, {len(failures)} failures")
     return 1 if failures else 0
 

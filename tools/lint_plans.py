@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
+import re
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -97,21 +98,58 @@ FUNNEL_WHITELIST = {
 }
 
 
+def _tree_depth(line: str) -> int:
+    """Column where the node starts in a tree-rendered plan line — the
+    node's depth.  The renderer prefixes each level with 3-char
+    connectors drawn from ':', '+', '-', and spaces; the `*(n)`
+    whole-stage-codegen marker is part of the node LABEL and must not
+    count (it varies in width across stages at the same depth)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _node_body(line: str, depth: int) -> str:
+    """The node label with any `*(n) ` codegen marker stripped."""
+    return re.sub(r"^\*\(\d+\) ", "", line[depth:])
+
+
+# pass-through wrappers between an exchange and its real consumer in
+# AQE-rendered plans — walk the ancestor chain through these
+_WRAPPERS = ("AQEShuffleRead", "ShuffleQueryStage", "ReusedExchange",
+             "InputAdapter", "WholeStageCodegen")
+
+
 def global_funnels(plan: str) -> list[str]:
-    """Lines where an Exchange SinglePartition feeds a Sort/Window —
-    the tree renderer prints the consumer in the immediately preceding
-    line(s), so a 2-line lookback identifies the funnel shape without
-    a full tree parse; scalar-aggregate merges (HashAggregate
-    consumers) don't match."""
+    """Lines where an Exchange SinglePartition feeds a Sort/Window.
+
+    The consumer is found STRUCTURALLY (round-9 review — a fixed
+    2-line lookback both false-flagged sibling branches and missed
+    AQE-interposed wrappers): a node's parent is the nearest preceding
+    line with a smaller tree depth; pass-through wrappers
+    (AQEShuffleRead / ShuffleQueryStage / ...) are walked through.
+    Scalar-aggregate merges (HashAggregate consumers) don't match."""
     lines = plan.split("\n")
+    depths = [_tree_depth(ln) for ln in lines]
     hits = []
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        ctx = " ".join(lines[max(0, i - 2):i])
-        if "Sort [" in ctx or "Window [" in ctx \
-                or "WindowGroupLimit" in ctx:
-            hits.append(ctx.strip()[:100])
+        j, d = i, depths[i]
+        while j > 0:
+            # nearest preceding line with smaller depth = parent
+            j -= 1
+            if not lines[j].strip() or depths[j] >= d:
+                continue
+            d = depths[j]
+            body = _node_body(lines[j], depths[j])
+            if body.startswith(_WRAPPERS):
+                continue  # pass-through: keep walking up
+            if ("Sort [" in body or "Window [" in body
+                    or "WindowGroupLimit" in body):
+                hits.append(lines[j].strip()[:100])
+            break
     return hits
 
 
@@ -179,6 +217,11 @@ def main() -> int:
         art.write_text(json.dumps({
             "sf": args.sf,
             "n_plans": len(names),
+            # the full name list, not just a count: additions and
+            # removals cancelling out must not let an unlinted query
+            # ship (round-9 review — the count-only lock had exactly
+            # that hole)
+            "names": sorted(names),
             "flagged": sorted(n for n, _ in bad),
             "waived": waived,
             "errors": sorted(n for n, _ in errors),
