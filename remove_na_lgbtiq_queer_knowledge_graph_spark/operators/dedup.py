@@ -300,33 +300,36 @@ def jaccard_pairs_direct(
     from ..spec import materialize
 
     sh = materialize(sh)  # used by both join sides + the cardinality agg
-    keys = ([block_col] if block_col else []) + ["shingle"]
-    cards = sh.groupBy("id").agg(F.count("*").alias("card"))
-    a = sh.select(*([F.col(block_col)] if block_col else []),
-                  F.col("id").alias("id_1"), "shingle")
-    b = sh.select(*([F.col(block_col)] if block_col else []),
-                  F.col("id").alias("id_2"), "shingle")
+    blk = [block_col] if block_col else []
+    keys = blk + ["shingle"]
+    # block-scoped cardinalities, matching jaccard_pairs_prefix: an id
+    # under several block values verifies against per-block gram sets
+    cards = sh.groupBy(*blk, "id").agg(F.count("*").alias("card"))
+    a = sh.select(*blk, F.col("id").alias("id_1"), "shingle")
+    b = sh.select(*blk, F.col("id").alias("id_2"), "shingle")
     inter = (
         a.join(b, keys)
         .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
+        .groupBy(*blk, "id_1", "id_2")
         .agg(F.count("*").alias("inter"))
     )
-    c1 = cards.select(F.col("id").alias("id_1"), F.col("card").alias("card_1"))
-    c2 = cards.select(F.col("id").alias("id_2"), F.col("card").alias("card_2"))
+    c1 = cards.select(*blk, F.col("id").alias("id_1"),
+                      F.col("card").alias("card_1"))
+    c2 = cards.select(*blk, F.col("id").alias("id_2"),
+                      F.col("card").alias("card_2"))
+    # unrounded-ratio threshold, matching jaccard_pairs_prefix (the two
+    # plans must report the identical pair set at the float boundary)
     return (
-        inter.join(c1, "id_1")
-        .join(c2, "id_2")
+        inter.join(c1, blk + ["id_1"])
+        .join(c2, blk + ["id_2"])
         .withColumn(
-            "jaccard",
-            round_half_away_col(
-                F.col("inter")
-                / (F.col("card_1") + F.col("card_2") - F.col("inter")),
-                6,
-            ),
+            "__j",
+            F.col("inter")
+            / (F.col("card_1") + F.col("card_2") - F.col("inter")),
         )
-        .filter(F.col("jaccard") >= min_sim)
-        .select("id_1", "id_2", "jaccard")
+        .filter(F.col("__j") >= min_sim)
+        .select("id_1", "id_2",
+                round_half_away_col(F.col("__j"), 6).alias("jaccard"))
     )
 
 
@@ -398,26 +401,36 @@ def jaccard_pairs_prefix(
         .join(prefix.select(*blk, F.col("id").alias("id_2"), "shingle"),
               blk + ["shingle"])
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
+        .select(*blk, "id_1", "id_2")
         .distinct()
     )
-    gsets = materialize(sh.groupBy("id").agg(
+    # gram sets are BLOCK-SCOPED (grouped on block + id, verify joins
+    # carry the block key): candidate generation and __df are
+    # block-local, so an id that appears under several block values
+    # must verify against its per-block gram set — grouping on id
+    # alone would merge cardinalities/intersections across blocks
+    gsets = materialize(sh.groupBy(*blk, "id").agg(
         F.sort_array(F.collect_list("shingle")).alias("__g"),
         F.count("*").alias("__card")))
-    g1 = gsets.select(F.col("id").alias("id_1"),
+    g1 = gsets.select(*blk, F.col("id").alias("id_1"),
                       F.col("__g").alias("__g1"),
                       F.col("__card").alias("__c1"))
-    g2 = gsets.select(F.col("id").alias("id_2"),
+    g2 = gsets.select(*blk, F.col("id").alias("id_2"),
                       F.col("__g").alias("__g2"),
                       F.col("__card").alias("__c2"))
     inter = F.size(F.array_intersect("__g1", "__g2"))
+    # threshold on the UNROUNDED ratio (same reasoning as
+    # containment_pairs): the prefix-filter proof bounds exact J, so
+    # admitting round(J,6) >= t would accept a pair with exact
+    # J ∈ [t−5e-7, t) that the candidate generator may legitimately
+    # have pruned — the rounded filter and the exact pruning disagree
+    # on that boundary sliver.  The reported column stays 6-dp rounded.
     return (
-        cand.join(g1, "id_1").join(g2, "id_2")
-        .withColumn(
-            "jaccard",
-            round_half_away_col(inter / (F.col("__c1") + F.col("__c2") - inter), 6))
-        .filter(F.col("jaccard") >= min_sim)
-        .select("id_1", "id_2", "jaccard")
+        cand.join(g1, blk + ["id_1"]).join(g2, blk + ["id_2"])
+        .withColumn("__j", inter / (F.col("__c1") + F.col("__c2") - inter))
+        .filter(F.col("__j") >= min_sim)
+        .select("id_1", "id_2",
+                round_half_away_col(F.col("__j"), 6).alias("jaccard"))
     )
 
 
@@ -468,16 +481,20 @@ def containment_pairs(
         .join(sh.select(*blk, F.col("id").alias("id_2"), "shingle"),
               blk + ["shingle"])
         .filter(F.col("id_1") != F.col("id_2"))
-        .select("id_1", "id_2")
+        .select(*blk, "id_1", "id_2")
         .distinct()
     )
-    gsets = materialize(sh.groupBy("id").agg(
+    # BLOCK-SCOPED gram sets (grouped on block + id, verify joins on
+    # block + id): candidates and __df are block-local, so grouping on
+    # id alone would merge cardinalities and intersections across
+    # blocks for any id appearing under several block values
+    gsets = materialize(sh.groupBy(*blk, "id").agg(
         F.sort_array(F.collect_list("shingle")).alias("__g"),
         F.count("*").alias("__card")))
-    g1 = gsets.select(F.col("id").alias("id_1"),
+    g1 = gsets.select(*blk, F.col("id").alias("id_1"),
                       F.col("__g").alias("__g1"),
                       F.col("__card").alias("__c1"))
-    g2 = gsets.select(F.col("id").alias("id_2"),
+    g2 = gsets.select(*blk, F.col("id").alias("id_2"),
                       F.col("__g").alias("__g2"))
     inter = F.size(F.array_intersect("__g1", "__g2"))
     # threshold on the UNROUNDED ratio: the prefix-filter proof bounds
@@ -485,7 +502,7 @@ def containment_pairs(
     # C ∈ [t−5e-7, t) pass the filter while (legitimately) having been
     # pruned from the candidates — reported value stays 6-dp rounded
     return (
-        cand.join(g1, "id_1").join(g2, "id_2")
+        cand.join(g1, blk + ["id_1"]).join(g2, blk + ["id_2"])
         .withColumn("__c", inter / F.col("__c1"))
         .filter(F.col("__c") >= min_cont)
         .select("id_1", "id_2",

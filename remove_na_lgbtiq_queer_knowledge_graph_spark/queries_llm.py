@@ -242,7 +242,7 @@ inter AS (
 )
 SELECT id_1, id_2, round(i / (c1.card + c2.card - i), 6) AS jaccard
 FROM inter JOIN cards c1 ON id_1 = c1.doc_id JOIN cards c2 ON id_2 = c2.doc_id
-WHERE round(i / (c1.card + c2.card - i), 6) >= 0.8
+WHERE i / (c1.card + c2.card - i) >= 0.8
 """
 
 

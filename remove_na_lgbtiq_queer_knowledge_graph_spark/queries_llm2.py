@@ -929,6 +929,11 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same ratio).  KL = Σ_w p·ln(p/q) with p = c_sw/c_s and
     q = c_w/c_total; q > 0 wherever p > 0 by construction (every
     source word is a corpus word), so the sum is total and ≥ 0.
+    Each term is rounded to 9 dp BEFORE the decimal cast so both
+    engines sum the same decimal-grid values (Spark's double→decimal
+    cast goes through the shortest-repr BigDecimal while DuckDB casts
+    the exact binary value — same divergence class functions/numeric.py
+    documents for F.round).
 
     Shapes: one explode + (source, word) count (map-side combinable),
     word totals equi-joined on word, source totals broadcast, the
@@ -955,8 +960,10 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("source")
         .agg(
-            round_half_away_col(F.sum(term.cast("decimal(38,12)")).cast("double"),
-                    6).alias("kl"),
+            round_half_away_col(
+                F.sum(round_half_away_col(term, 9).cast("decimal(38,12)"))
+                .cast("double"),
+                6).alias("kl"),
             F.count(F.lit(1)).cast("long").alias("n_terms"),
         )
     )
@@ -976,7 +983,7 @@ WITH wc AS MATERIALIZED (
   SELECT sum(c) AS ct FROM wc
 )
 SELECT source,
-       round(CAST(SUM(CAST((c / cs) * ln((c / cs) / (cw / ct))
+       round(CAST(SUM(CAST(round((c / cs) * ln((c / cs) / (cw / ct)), 9)
                            AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl,
        CAST(count(*) AS BIGINT) AS n_terms
 FROM wc JOIN st USING (source) JOIN wt USING (word) CROSS JOIN tot
