@@ -402,22 +402,47 @@ def multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`02-other-duplicates.R:63`).  The supply-lines frame is keyed by
     the COMPOSITE renamed key (pk, sk) so a genuine multi-column join
     condition is exercised — two independent single-column joins would
-    leave the J10 family untested."""
+    leave the J10 family untested.
+
+    Plan: EAGER AGGREGATION below the join (Yan & Larson 1995).  Every
+    output measure distributes over the composite-key join — n = Σ cnt,
+    qty = Σ per-key decimal sums, supply_line_sum = Σ cnt·supply_lines
+    — so the 600k-row fact side is aggregated to (pk, sk) grain FIRST
+    and the composite join runs agg ↔ supply-lines at distinct-key
+    cardinality.  Both join inputs aggregate the same scan on the same
+    key, so the plan is ONE fact shuffle with a ReusedExchange feeding
+    the co-partitioned join (plan-asserted in
+    tests/test_plans.py::test_multi_key_join_reuses_exchange); the dim
+    joins broadcast, the final rollup shuffles only |distinct keys|
+    rows.  At 100 TB the row-level alternative re-shuffles the whole
+    fact table on (pk, sk) a second time; this shape never touches a
+    fact row after the first partial aggregate."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier")
+    fact = (
+        li.groupBy(F.col("l_partkey").alias("pk"),
+                   F.col("l_suppkey").alias("sk"))
+        .agg(F.count("*").cast("long").alias("cnt"),
+             F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec"))
+    )
     ps = (
         li.groupBy(F.col("l_partkey").alias("pk"),
                    F.col("l_suppkey").alias("sk"))
-        .agg(F.count("*").alias("supply_lines"))
+        .agg(F.count("*").cast("long").alias("cnt"),
+             F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec"))
+        .select(F.col("pk").alias("pk2"), F.col("sk").alias("sk2"),
+                F.col("cnt").alias("supply_lines"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(ps, (li.l_partkey == ps.pk) & (li.l_suppkey == ps.sk))
+        fact.join(ps, (fact.pk == ps.pk2) & (fact.sk == ps.sk2))
+        .join(F.broadcast(p), fact.pk == p.p_partkey)
+        .join(F.broadcast(s), fact.sk == s.s_suppkey)
         .groupBy("p_brand", "s_nationkey")
-        .agg(F.count("*").alias("n"), _dec_sum(F.col("l_quantity"), "qty"),
-             F.sum("supply_lines").cast("long").alias("supply_line_sum"))
+        .agg(F.sum("cnt").cast("long").alias("n"),
+             F.sum("qty_dec").cast("double").alias("qty"),
+             F.sum(F.col("cnt") * F.col("supply_lines"))
+             .cast("long").alias("supply_line_sum"))
     )
 
 
