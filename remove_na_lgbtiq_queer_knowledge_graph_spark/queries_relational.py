@@ -409,14 +409,15 @@ def multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = Σ per-key decimal sums, supply_line_sum = Σ cnt·supply_lines
     — so the 600k-row fact side is aggregated to (pk, sk) grain FIRST
     and the composite join runs agg ↔ supply-lines at distinct-key
-    cardinality.  Both join inputs aggregate the same scan on the same
-    key, so the plan is ONE fact shuffle with a ReusedExchange feeding
-    the co-partitioned join (plan-asserted in
-    tests/test_plans.py::test_multi_key_join_reuses_exchange); the dim
-    joins broadcast, the final rollup shuffles only |distinct keys|
-    rows.  At 100 TB the row-level alternative re-shuffles the whole
-    fact table on (pk, sk) a second time; this shape never touches a
-    fact row after the first partial aggregate."""
+    cardinality: no fact ROW ever crosses a join, only pre-aggregated
+    (cnt, qty) partials (plan-asserted in tests/test_plans.py::
+    test_multi_key_join_preaggregates_fact — no join operator carries
+    l_quantity).  Both shuffles move map-side-combined partials; the
+    dim joins broadcast; the final rollup shuffles only group rows.
+    At 100 TB the row-level alternative re-shuffles the whole fact
+    table on (pk, sk) a second time after already shuffling it for the
+    supply-lines aggregate — this shape's shuffles are both capped at
+    |distinct (pk, sk)| after map-side combine."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier")

@@ -186,6 +186,25 @@ def test_overlap_spans_is_anchor_equi_join(spark, sf_dir):
         assert "Exchange SinglePartition" not in plan, name
 
 
+def test_multi_key_join_preaggregates_fact(spark, sf_dir):
+    """join_multi_key must keep the eager-aggregation shape: the fact
+    table is aggregated to (pk, sk) grain BEFORE the composite-key
+    join, so no join operator ever carries a row-level fact column.
+    The robust string-level witness: ``l_quantity`` appears only below
+    the aggregates (scan + partial/final sum) — never in any join
+    node's Input/Output lists — and the partial aggregate exists
+    (map-side combine before the one fact shuffle per side)."""
+    plan = _plan(spark, "join_multi_key", sf_dir)
+    assert "partial_count" in plan and "partial_sum" in plan
+    # parse the formatted detail blocks: any block headed by a Join
+    # operator must not mention the fact measure column
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Join" in head:
+            assert "l_quantity" not in block, head
+    assert plan.count("BroadcastHashJoin") >= 2   # both dims broadcast
+
+
 def test_rtemplate_handles_r_escapes(tmp_path):
     """R escape sequences in paste0 strings: \\' must not end the
     string, \\n must contribute a real newline (round-6 review
