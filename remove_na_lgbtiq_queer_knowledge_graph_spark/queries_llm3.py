@@ -738,28 +738,12 @@ FROM af a LEFT JOIN witc wc ON a.vec_id = wc.id_b"""
 _KN_D = 0.75
 
 
-def lm_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
-    Chen & Goodman 1999 eq. 4.28), the smoothing actually used by the
-    KenLM models in CCNet-style perplexity filters — next to
-    `lm_bigram_score`'s add-one baseline:
-
-        P_KN(w2|w1) = (c(w1,w2) − D)/c(w1)
-                      + (D·N1+(w1,·)/c(w1)) · N1+(·,w2)/N1+(··)
-
-    with discount D = 0.75.  Everything is counting: c12, its marginal
-    c1, the distinct-continuation counts N1+(w1,·) / N1+(·,w2), and
-    the bigram-type total — four map-side-combinable aggregates over
-    the corpus bigram stream, then scoring joins each doc's bigrams to
-    the (w1) and (w2) count tables on their own keys.
-
-    Self-scoring precondition (same as `lm_bigram_score`): every
-    scored bigram was seen in training, so c12 ≥ 1 > D and the
-    max(c−D, 0) clamp is vacuous — pointed at held-out text the first
-    term needs the clamp (documented, not implemented: the oracle
-    mirrors the exact formula).  Float discipline: the probability is
-    one fixed expression tree evaluated in doubles on both engines,
-    ln rounds to 9 dp, per-doc DECIMAL(28,14) sums, mean NLL to 6."""
+def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney mean NLL — the shared
+    scoring core of ``lm_kn_bigram_score`` (which reports it) and
+    ``lm_ppl_buckets`` (which buckets on it).  See
+    ``lm_kn_bigram_score`` for the formula, scale shapes, and float
+    discipline."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.expr(_WORDS_SPARK).alias("w")).filter(F.size("w") >= 2)
@@ -802,8 +786,64 @@ def lm_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KN_SQL = f"""
-WITH toks AS MATERIALIZED (
+def lm_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.28), the smoothing actually used by the
+    KenLM models in CCNet-style perplexity filters — next to
+    `lm_bigram_score`'s add-one baseline:
+
+        P_KN(w2|w1) = (c(w1,w2) − D)/c(w1)
+                      + (D·N1+(w1,·)/c(w1)) · N1+(·,w2)/N1+(··)
+
+    with discount D = 0.75.  Everything is counting: c12, its marginal
+    c1, the distinct-continuation counts N1+(w1,·) / N1+(·,w2), and
+    the bigram-type total — four map-side-combinable aggregates over
+    the corpus bigram stream, then scoring joins each doc's bigrams to
+    the (w1) and (w2) count tables on their own keys.
+
+    Self-scoring precondition (same as `lm_bigram_score`): every
+    scored bigram was seen in training, so c12 ≥ 1 > D and the
+    max(c−D, 0) clamp is vacuous — pointed at held-out text the first
+    term needs the clamp (documented, not implemented: the oracle
+    mirrors the exact formula).  Float discipline: the probability is
+    one fixed expression tree evaluated in doubles on both engines,
+    ln rounds to 9 dp, per-doc DECIMAL(28,14) sums, mean NLL to 6."""
+    return _kn_doc_scores(spark, sf_dir)
+
+
+def lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, documents split into head / middle / tail terciles of
+    the Kneser-Ney mean NLL — the standard quality gate that keeps the
+    'head' (lowest-perplexity) slice for training and downsamples the
+    tail.  Bucketing keys on the 6-dp-ROUNDED score with doc_id as the
+    tie-break, so the tercile assignment is a deterministic total
+    order both engines share exactly (an unrounded sort key would let
+    1-ulp cross-engine drift flip a boundary doc's bucket).
+
+    Shapes: the KN scorer's joins (see ``lm_kn_bigram_score``), one
+    broadcast lang join, one per-lang window for ntile(3) — at corpus
+    scale the window shuffles |docs| score rows, not tokens — and one
+    final tiny aggregate.  Per-bucket mean NLL sums DECIMAL(18,6)
+    (exact on 6-dp inputs), reported at 6 dp."""
+    scores = _kn_doc_scores(spark, sf_dir)
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    win = W.partitionBy("lang").orderBy("avg_nll_kn", "doc_id")
+    bucketed = (
+        scores.join(langs, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(win).cast("long"))
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        round_half_away_col(
+            F.sum(F.col("avg_nll_kn").cast("decimal(18,6)"))
+            .cast("double") / F.count(F.lit(1)), 6).alias("mean_nll"),
+        F.min("avg_nll_kn").alias("min_nll"),
+        F.max("avg_nll_kn").alias("max_nll"),
+    )
+
+
+_KN_CTES = f"""toks AS MATERIALIZED (
   SELECT doc_id, w FROM (
     SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
   ) WHERE len(w) >= 2
@@ -818,7 +858,8 @@ WITH toks AS MATERIALIZED (
   FROM c12 GROUP BY 1
 ), t2 AS MATERIALIZED (
   SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1
-), nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbg FROM c12)
+), nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbg FROM c12),
+kn_scores AS MATERIALIZED (
 SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(-CAST(SUM(CAST(round(ln(
                  (c12 - CAST(0.75 AS DOUBLE)) / c1
@@ -827,6 +868,140 @@ SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS avg_nll_kn
 FROM bg JOIN c12 USING (w1, w2) JOIN t1 USING (w1) JOIN t2 USING (w2)
 GROUP BY bg.doc_id
+)"""
+
+_KN_SQL = f"""
+WITH {_KN_CTES}
+SELECT doc_id, n_bigrams, avg_nll_kn FROM kn_scores
+"""
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson & Spärck Jones probabilistic relevance,
+    k1 = 1.2, b = 0.75): top-10 documents per query over an inverted
+    index — the search primitive a curation pipeline uses for targeted
+    corpus probes (find documents like X, audit near-matches of a
+    benchmark prompt).  Queries are self-contained and deterministic:
+    per language, the first 6 words of that language's min-id document.
+
+        score(q, d) = Σ_{{term ∈ q}} idf(term) · tf·(k1+1) /
+                      (tf + k1·(1 − b + b·dlen/avgdl))
+        idf(term)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Scale shapes: the postings table is pruned to QUERY terms by a
+    broadcast join before any scoring work — df, idf, and the score
+    join never touch the full vocabulary, so the expensive path is
+    ∝ postings of ~30 terms, not the corpus index.  Corpus stats
+    (N, avgdl) are a one-row broadcast cross (the mix_domains
+    scalar-dimension shape).  Per-term contributions round to 9 dp and
+    sum as DECIMAL(28,14) per (query, doc) so the score is
+    partition-order-proof; ranking keys on the 6-dp-rounded score with
+    doc_id tie-break (a deterministic total order both engines share),
+    and the row_number filter compiles to WindowGroupLimit so each
+    partition ships only its top 10."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _cache(
+        docs.select("doc_id", "lang", F.expr(_WORDS_SPARK).alias("w"))
+        .filter(F.size("w") >= 1))
+    post = _cache(
+        toks.select("doc_id", F.explode("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dlen") / F.count(F.lit(1))).alias("avgdl"))
+    qdoc = toks.groupBy("lang").agg(F.min("doc_id").alias("doc_id"))
+    qterms = (
+        qdoc.join(toks.select("doc_id", "w"), "doc_id")
+        .select(F.col("lang").alias("qid"),
+                F.explode(F.slice("w", 1, 6)).alias("term"))
+        .distinct())
+    qpost = post.join(F.broadcast(qterms), "term")
+    dfq = qpost.groupBy("qid", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dlen")
+                            / F.col("avgdl")))
+    contrib = round_half_away_col(idf * tfn, 9)
+    scored = (
+        qpost.join(F.broadcast(dfq), ["qid", "term"])
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", contrib.alias("c"))
+        .groupBy("qid", "doc_id")
+        .agg(round_half_away_col(
+            F.sum(F.col("c").cast("decimal(28,14)")).cast("double"), 6
+        ).alias("score")))
+    win = W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "doc_id", "score", "rk"))
+
+
+_BM25_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang, {_WORDS_DUCK} AS w FROM documents
+  ) WHERE len(w) >= 1
+), post AS MATERIALIZED (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY 1, 2
+), dl AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen FROM post GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(dlen) / count(*) AS avgdl
+  FROM dl
+), qdoc AS (
+  SELECT lang, min(doc_id) AS doc_id FROM toks GROUP BY 1
+), qterms AS (
+  SELECT DISTINCT q.lang AS qid, unnest(t.w[1:6]) AS term
+  FROM qdoc q JOIN toks t ON q.doc_id = t.doc_id
+), qpost AS MATERIALIZED (
+  SELECT p.doc_id, p.term, p.tf, q.qid
+  FROM post p JOIN qterms q USING (term)
+), dfq AS (
+  SELECT qid, term, CAST(count(*) AS DOUBLE) AS df
+  FROM qpost GROUP BY 1, 2
+), scored AS (
+  SELECT qid, doc_id,
+         round(CAST(SUM(CAST(round(
+             ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75
+                + 0.75 * d.dlen / s.avgdl)), 9)
+           AS DECIMAL(28,14))) AS DOUBLE), 6) AS score
+  FROM qpost p
+  JOIN dfq f USING (qid, term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH {_KN_CTES}
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(avg_nll_kn AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_nll,
+       min(avg_nll_kn) AS min_nll,
+       max(avg_nll_kn) AS max_nll
+FROM (
+  SELECT s.avg_nll_kn, d.lang,
+         CAST(ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY s.avg_nll_kn, s.doc_id) AS BIGINT)
+           AS bucket
+  FROM kn_scores s JOIN documents d ON s.doc_id = d.doc_id
+) GROUP BY lang, bucket
 """
 
 
@@ -1208,6 +1383,14 @@ SPECS: dict[str, QuerySpec] = {
         "interpolated Kneser-Ney bigram LM (D=0.75): four count "
         "aggregates train it, per-doc mean NLL scores it — the "
         "KenLM/CCNet filter smoothing"),
+    "lm_ppl_buckets": QuerySpec(
+        lm_ppl_buckets, _PPL_BUCKETS_SQL,
+        "CCNet head/middle/tail perplexity terciles per language "
+        "over the KN scores — deterministic rounded-score ntile"),
+    "text_bm25_topk": QuerySpec(
+        text_bm25_topk, _BM25_SQL,
+        "BM25 top-10 retrieval per query over an inverted index, "
+        "postings pruned to query terms by broadcast join"),
     "text_entropy_score": QuerySpec(
         text_entropy_score, _ENTROPY_SQL,
         "per-doc Shannon word entropy (vocabulary-diversity quality "

@@ -1357,6 +1357,91 @@ FROM numbered GROUP BY user_id, session_idx
 """
 
 
+def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-to-session attribution — the RANGE JOIN family member
+    (each purchase event lands in the engagement session whose
+    [start, end] interval contains it, per user).  Spark has no native
+    interval join and the naive ``ON p BETWEEN start AND end`` degrades
+    to a per-key nested loop; this routes through
+    ``operators.relational.interval_join``, the binned equi-join:
+    intervals explode to their covered 1800 s bins (raw session spans
+    are ≤ ~2400 s at every shipped SF — measured — so with the 1-hour
+    attribution extension each interval covers ≤ 5 bins, and the
+    operator's in-plan guard fails loud on degenerate spans),
+    points map to their single bin, and the join is an equi-join on
+    (user_id, bin) with the exact range predicate as a post-filter —
+    shuffle ∝ events, never the per-user cross product.
+
+    Engagement sessions come from click/view events with the
+    ts_sessionize 30-min-gap construction (exact fractional-second
+    epoch doubles on both engines), extended by a 1-hour attribution
+    window past the last engagement event — so consecutive sessions'
+    intervals genuinely OVERLAP and a purchase can (correctly) credit
+    several sessions: the many-to-many case a range join exists for.
+    Purchases join by containment; value sums as DECIMAL(18,6) (the
+    _dec_sum grid)."""
+    from .operators.relational import interval_join
+
+    e = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    eng = e.filter(F.col("event_type").isin("click", "view"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = sec - F.lag(sec).over(w)
+    flagged = eng.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_idx",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(F.min(sec).alias("start_s"),
+             (F.max(sec) + F.lit(3600.0)).alias("end_s"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", sec.alias("p_s"), "value")
+    joined = interval_join(
+        purch, sess, "p_s", "start_s", "end_s", keys=["user_id"],
+        bin_width=1800.0)
+    return joined.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        _dec_sum(F.col("value"), "purchase_value"),
+        F.floor(F.min("start_s")).cast("long").alias("start_epoch"),
+    )
+
+
+_RANGE_INTERVAL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         min(epoch(ts)) AS start_s, max(epoch(ts)) + 3600.0 AS end_s
+  FROM (SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+  GROUP BY 1, 2
+)
+SELECT p.user_id, s.session_idx,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value,
+       CAST(floor(min(s.start_s)) AS BIGINT) AS start_epoch
+FROM events p JOIN sess s
+  ON p.user_id = s.user_id AND epoch(p.ts) BETWEEN s.start_s AND s.end_s
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis over the event stream: per user, the earliest
     view, the earliest click within ONE HOUR after that view, and the
@@ -1555,6 +1640,11 @@ SPECS: dict[str, QuerySpec] = {
         ts_sessionize, _SESSIONIZE_SQL,
         "batch gap-sessionization: lag boundary flags + running-sum "
         "session numbering, one reused sort"),
+    "join_range_interval": QuerySpec(
+        range_interval_join, _RANGE_INTERVAL_SQL,
+        "point-in-interval range join (purchase→session attribution) "
+        "via the binned equi-join — shuffle ∝ events, never the "
+        "per-key cross product"),
     "ts_funnel_steps": QuerySpec(
         ts_funnel_steps, _FUNNEL_SQL,
         "view→click→purchase funnel: ordered conditional-min steps, "

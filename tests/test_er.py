@@ -187,3 +187,50 @@ def test_asof_join_semantics(spark):
     # id2: latest ≤ 00:10 is 00:05 → 70; id3: nothing ≤ 00:02 → None;
     # id4: other key, no rights → None
     assert got == {1: 70.0, 2: 70.0, 3: None, 4: None}
+
+
+def test_interval_join_semantics(spark):
+    """Containment is inclusive on both bounds, keys isolate users,
+    overlapping intervals each match (many-to-many), and bin-boundary
+    points (point exactly on a bin edge inside the interval) are not
+    lost."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        interval_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [(1, 10, 1000.0, 2000.0),   # u1: base interval
+         (1, 11, 1900.0, 3700.0),   # u1: overlaps the first
+         (2, 20, 1000.0, 2000.0)],  # other key, same range
+        "user long, iid long, s double, e double")
+    points = spark.createDataFrame(
+        [(1, 100, 1000.0),   # == start (inclusive)
+         (1, 101, 2000.0),   # == end of i10, inside i11 → 2 matches
+         (1, 102, 3600.0),   # bin-width boundary (3600/1800 exact edge)
+         (1, 103, 999.999),  # just outside
+         (2, 200, 1500.0)],  # matches only u2's interval
+        "user long, pid long, p double")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(points, intervals, "p", "s", "e",
+                               keys=["user"], bin_width=1800.0).collect())
+    assert got == [(100, 10), (101, 10), (101, 11), (102, 11), (200, 20)]
+
+
+def test_interval_join_guard_raises_on_degenerate_span(spark):
+    """An interval spanning more bins than the guard allows must fail
+    loud in-plan, not explode the bin list."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        interval_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [(1, 10, 0.0, 1800.0 * 50)], "user long, iid long, s double, e double")
+    points = spark.createDataFrame(
+        [(1, 100, 10.0)], "user long, pid long, p double")
+    with pytest.raises(SparkRuntimeException, match="interval_join"):
+        interval_join(points, intervals, "p", "s", "e", keys=["user"],
+                      bin_width=1800.0, max_bins_per_interval=8).collect()

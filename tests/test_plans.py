@@ -186,6 +186,16 @@ def test_overlap_spans_is_anchor_equi_join(spark, sf_dir):
         assert "Exchange SinglePartition" not in plan, name
 
 
+def test_range_interval_join_is_binned_equi_join(spark, sf_dir):
+    """The point-in-interval join must stay the binned equi-join on
+    (user_id, bin) with the range predicate as a post-filter — the
+    naive BETWEEN formulation plans a BroadcastNestedLoopJoin whose
+    work is the per-key cross product."""
+    plan = _plan(spark, "join_range_interval", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_multi_key_join_preaggregates_fact(spark, sf_dir):
     """join_multi_key must keep the eager-aggregation shape: the fact
     table is aggregated to (pk, sk) grain BEFORE the composite-key
