@@ -523,3 +523,46 @@ def kcore(
         )
     return sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree"))
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_depth: int,
+    src: str = "src", dst: str = "dst", node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: the minimum hop distance from ANY source node,
+    bounded at ``max_depth`` levels — the reachability-with-evidence
+    primitive (how far is every item from a seed set: curated entities,
+    contaminated documents, trusted records).  Returns (node, dist)
+    for every node within reach; sources themselves report 0.
+
+    Level-synchronous frontier expansion (the Pregel/GraphX BFS shape):
+    each round joins the CURRENT frontier — only the nodes first seen
+    last round, not the whole visited set — against the edge table,
+    anti-joins out already-visited nodes, and localCheckpoints the new
+    frontier so lineage stays flat.  Work per round is
+    ∝ edges(frontier), total ∝ edges within ``max_depth`` of a source;
+    the visited set only ever GROWS by append, never recomputes.  The
+    bounded depth keeps the result a pure function of the input and
+    oracle-checkable by a depth-capped recursive CTE — the same fixed-
+    iteration contract as pagerank/LPA/kcore."""
+    from .. import spec as _spec
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    sym = _spec.materialize(
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct())
+    frontier = _spec.materialize(
+        sources.select(F.col(node).alias("n")).distinct())
+    visited = frontier.withColumn("dist", F.lit(0).cast("long"))
+    for depth in range(1, max_depth + 1):
+        nxt = _spec.materialize(
+            frontier.join(sym, frontier.n == sym.a)
+            .select(F.col("b").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "anti")
+        )
+        frontier = nxt
+        visited = _spec.materialize(visited.unionAll(
+            nxt.withColumn("dist", F.lit(depth).cast("long"))))
+    return visited.select(F.col("n").alias("node"), "dist")

@@ -782,6 +782,76 @@ _KCORE_K = 2
 _KCORE_ROUNDS = 12
 
 
+def _repeated_coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts co-ordered in ≥ 2 DISTINCT orders — the thresholded
+    co-occurrence graph shared by ``graph_kcore_peel`` and
+    ``graph_bfs_distances`` (distinct (order, p1, p2) first: lineitem
+    repeats rows, and raw join multiplicity would admit single-order
+    pairs)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("o", "p1", "p2")
+        .distinct()
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+
+
+_BFS_DEPTH = 3
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the repeated co-order graph: minimum hop
+    distance from the seed set (parts with key ≡ 0 mod 97 that appear
+    in the graph), bounded at ``_BFS_DEPTH`` levels — the
+    graph-proximity primitive (how close is every item to a curated
+    seed set).  Distances spread over all four levels at every shipped
+    SF (measured: sf0.01 = 19/67/213/562 nodes at d 0..3), so each
+    frontier round does real work.  See
+    ``operators.graph.bfs_distances`` for the level-synchronous
+    frontier shape; the depth bound keeps it a pure function of the
+    input, mirrored by the oracle's depth-capped recursive CTE."""
+    from .operators.graph import bfs_distances
+
+    pairs = _repeated_coorder_pairs(spark, sf_dir)
+    seeds = (
+        pairs.select(F.col("p1").alias("node"))
+        .unionAll(pairs.select(F.col("p2").alias("node")))
+        .filter(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    return bfs_distances(pairs, seeds, _BFS_DEPTH,
+                         src="p1", dst="p2", node="node")
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE rep_pairs AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ) GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT a, b FROM rep_pairs UNION SELECT b, a FROM rep_pairs
+),
+seeds AS (SELECT DISTINCT a AS n FROM edges WHERE a % 97 = 0),
+walk(node, d) AS (
+  SELECT n, 0 FROM seeds
+  UNION
+  SELECT e.b, w.d + 1 FROM walk w JOIN edges e ON w.node = e.a
+  WHERE w.d < {_BFS_DEPTH}
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the REPEATED part co-occurrence graph (parts
     co-ordered in ≥2 distinct orders — the thresholded graph where
@@ -793,24 +863,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shipped SF, so the bound is validated, not assumed."""
     from .operators.graph import kcore
 
-    # distinct (order, p1, p2) FIRST: lineitem repeats (order, part)
-    # rows, and counting raw join multiplicity would admit pairs
-    # co-ordered in only ONE distinct order (round-9 review catch —
-    # 193 such edges at sf0.01)
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("o", "p1", "p2")
-        .distinct()
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("p1", "p2")
-    )
-    return kcore(pairs, _KCORE_K, _KCORE_ROUNDS, "p1", "p2")
+    # the shared _repeated_coorder_pairs keeps the distinct
+    # (order, p1, p2) pre-pass (round-9 review catch: raw join
+    # multiplicity admits single-distinct-order pairs — 193 such
+    # edges at sf0.01)
+    return kcore(_repeated_coorder_pairs(spark, sf_dir),
+                 _KCORE_K, _KCORE_ROUNDS, "p1", "p2")
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
@@ -908,6 +966,10 @@ SPECS: dict[str, QuerySpec] = {
         graph_kcore_peel, _KCORE_SQL,
         "2-core of the repeated-co-order part graph: fixed synchronous "
         "peel rounds, fixpoint asserted in tests"),
+    "graph_bfs_distances": QuerySpec(
+        graph_bfs_distances, _BFS_SQL,
+        "multi-source BFS hop distances from a seed set, depth-bounded "
+        "level-synchronous frontier expansion"),
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
     "graph_materialize_yaml": QuerySpec(graph_materialize_yaml, _MATERIALIZE_SQL),
     "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),

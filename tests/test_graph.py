@@ -388,3 +388,35 @@ def test_kcore_fixpoint_reached_on_testdata(spark, sf_dir):
 
     out = graph_kcore_peel(spark, sf_dir).collect()
     assert all(r.core_degree >= _KCORE_K for r in out)
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Chain with two seeds, a shortcut, and an unreachable island:
+    min-distance semantics, multi-source min, depth cut-off."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = [("s1", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+             ("s2", "c"),            # second seed shortcuts c and d
+             ("x", "y")]             # island, no seed
+    seeds = spark.createDataFrame([("s1",), ("s2",)], ["node"])
+    got = {r.node: r.dist for r in bfs_distances(
+        spark.createDataFrame(edges, ["src", "dst"]), seeds,
+        max_depth=2).collect()}
+    # d: via s2→c→d = 2 (not 4 via s1); beyond-depth + island absent
+    assert got == {"s1": 0, "s2": 0, "a": 1, "c": 1, "b": 2, "d": 2}
+
+
+def test_bfs_distances_depth_bound_is_exact(spark):
+    """Nodes exactly at max_depth are reported; deeper ones are not."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    chain = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4")]
+    seeds = spark.createDataFrame([("n0",)], ["node"])
+    got = {r.node: r.dist for r in bfs_distances(
+        spark.createDataFrame(chain, ["src", "dst"]), seeds,
+        max_depth=3).collect()}
+    assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
