@@ -250,6 +250,67 @@ def decode_ppm_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+DHASH_SCHEMA = "doc_id bigint, dhash string"
+
+
+def dhash_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Perceptual difference-hash (dHash) over REAL decoded netpbm
+    rasters — the image near-dup fingerprint (Krawetz's aHash/dHash
+    family): pool the luminance plane to an 8×9 block-mean grid, emit
+    one bit per horizontally adjacent cell pair ('is the right block
+    brighter'), 64 bits row-major.
+
+    Every arithmetic step stays in INTEGERS: block sums are exact
+    int64, and the brightness comparison cross-multiplies
+    ``s_right·n_left > s_left·n_right`` instead of comparing float
+    means — no rounding enters the hash, so the DuckDB oracle can
+    reproduce it bit-for-bit from the analytic gradient.  Block
+    assignment is the pixel→cell map ``r = i·8 // h``, ``c = j·9 // w``
+    (integer division, mirrored verbatim in SQL).  Requires w ≥ 9 and
+    h ≥ 8 (every payload here satisfies it; a violating image would
+    leave an empty cell and div-by-zero loudly)."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "dhash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            magic = raw[:2]
+            if magic not in (b"P6", b"P5"):
+                raise ValueError(f"not a binary netpbm payload: {magic!r}")
+            tokens: list[int] = []
+            pos = 2
+            while len(tokens) < 3:
+                while raw[pos] in b" \t\r\n":
+                    pos += 1
+                start = pos
+                while raw[pos] not in b" \t\r\n":
+                    pos += 1
+                tokens.append(int(raw[start:pos]))
+            pos += 1
+            width, height, _maxval = tokens
+            channels = 3 if magic == b"P6" else 1
+            n_px = width * height * channels
+            if len(raw) - pos < n_px:
+                raise ValueError("truncated netpbm raster")
+            px = np.frombuffer(raw, dtype=np.uint8, count=n_px, offset=pos)
+            lum = px.reshape(height, width, channels).sum(
+                axis=2, dtype=np.int64)
+            R, C = 8, 9
+            r_idx = (np.arange(height) * R) // height
+            c_idx = (np.arange(width) * C) // width
+            s = np.zeros((R, C), dtype=np.int64)
+            np.add.at(s, (r_idx[:, None], c_idx[None, :]), lum)
+            cnt_r = np.bincount(r_idx, minlength=R).astype(np.int64)
+            cnt_c = np.bincount(c_idx, minlength=C).astype(np.int64)
+            n = cnt_r[:, None] * cnt_c[None, :]
+            bits = s[:, 1:] * n[:, :-1] > s[:, :-1] * n[:, 1:]
+            out["doc_id"].append(doc_id)
+            out["dhash"].append(
+                "".join("1" if b else "0" for b in bits.ravel()))
+        yield pd.DataFrame(out)
+
+
 PNG_META_SCHEMA = (
     "doc_id bigint, width bigint, height bigint, bit_depth bigint, "
     "color_type bigint, mean_px double"

@@ -986,6 +986,69 @@ GROUP BY d.doc_id, d.w, d.h
 """
 
 
+def mm_phash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over REAL bytes: perceptual dHash of
+    every decoded netpbm raster (8×9 block-mean grid, 64 comparison
+    bits — the standard image-dedup fingerprint), then exact-hash
+    cluster summary (hash, member count, min-id keeper).  The pipeline
+    a multimodal curation run uses to collapse visually identical
+    assets before expensive processing.
+
+    Scale shapes: decode + hash is one Arrow ``mapInPandas`` pass
+    (bytes never leave the executor), clustering is a
+    map-side-combinable groupBy on the 64-char hash.  A Hamming-
+    tolerant variant would band the hash exactly like
+    ``dedup_simhash_pairs``'s pigeonhole join — same machinery, the
+    exact-equality grouping is the honest baseline here because the
+    analytic oracle can reproduce the full hash bit-for-bit (the
+    hash's integer cross-multiplied comparisons introduce no float)."""
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        mm_ops.ppm_payload_builder, schema="doc_id bigint, payload binary"
+    )
+    hashes = payloads.mapInPandas(
+        mm_ops.dhash_ppm, schema=mm_ops.DHASH_SCHEMA
+    )
+    return hashes.groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc"),
+    )
+
+
+# The oracle rebuilds the hash from the gradient: cell sums are exact
+# integer sums of 3·((i+j+id)%256) under the same pixel→cell integer
+# division map, bits compare via the same cross-multiplication.
+_MM_PHASH_SQL = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents
+),
+cells AS (
+  SELECT d.doc_id,
+         (i.i * 8) // d.h AS r, (j.j * 9) // d.w AS c,
+         SUM(3 * ((i.i + j.j + d.doc_id) % 256)) AS s,
+         count(*) AS n
+  FROM dims d
+  JOIN range(0, 20) i(i) ON i.i < d.h
+  JOIN range(0, 32) j(j) ON j.j < d.w
+  GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT doc_id, r, c,
+         CASE WHEN lead(s) OVER w * n > s * lead(n) OVER w
+              THEN '1' ELSE '0' END AS bit,
+         lead(s) OVER w IS NOT NULL AS has_next
+  FROM cells
+  WINDOW w AS (PARTITION BY doc_id, r ORDER BY c)
+),
+hashes AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS dhash
+  FROM bits WHERE has_next GROUP BY doc_id
+)
+SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
+FROM hashes GROUP BY 1
+"""
+
+
 def mm_png_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec end-to-end (round 7): spec-conformant PNG bytes
     per doc (8-bit grayscale gradient px[i,j]=(i+j+doc_id)%256, chunk
@@ -1078,4 +1141,8 @@ SPECS: dict[str, QuerySpec] = {
         mm_png_real_decode_q, _MM_PNG_SQL,
         "REAL PNG codec (stdlib zlib; CRCs + all five scanline "
         "filters) — encode→decode round trip, analytic oracle"),
+    "mm_phash_clusters": QuerySpec(
+        mm_phash_clusters_q, _MM_PHASH_SQL,
+        "image near-dup clusters via perceptual dHash over real "
+        "decoded rasters — integer-exact bits, analytic oracle"),
 }
