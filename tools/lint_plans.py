@@ -55,6 +55,10 @@ BNLJ_WHITELIST = {
     "mix_kl_divergence": (
         "same shape as mix_domains: the (source, word) count table "
         "crosses the ONE-ROW corpus total — a scalar broadcast"),
+    "text_bm25_topk": (
+        "same shape as mix_domains: the query-term postings cross the "
+        "ONE-ROW corpus stats (N, avgdl) — a scalar broadcast; every "
+        "data-bearing join is an equi-join on term/doc_id"),
     "ts_resample_hourly": (
         "gap-fill spine construction: the exploded (min,max) hour "
         "range (one aggregate row) crossed with the distinct "
