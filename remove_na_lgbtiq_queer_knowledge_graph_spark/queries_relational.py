@@ -1442,6 +1442,65 @@ GROUP BY 1, 2
 """
 
 
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection per event-type series: hourly event
+    counts, z-scored against that type's own monthly distribution,
+    reporting hours with |z| > 2 — the basic data-quality/incident
+    monitor over an event stream.
+
+    Float discipline: the moments come from INTEGER sums (Σx, Σx² as
+    longs over long hourly counts), so μ = Σx/n and
+    σ = sqrt(Σx²/n − μ²) are single fixed double expressions over
+    identical integer operands on both engines — NOT the engines' own
+    stddev aggregates, whose streaming update orders differ in the
+    last ulp.  The |z| > 2 cut therefore filters identical doubles;
+    the reported z rounds to 6.  Shapes: one map-side-combinable
+    (type, hour) count, a ≤|types|-row stats table broadcast back,
+    one codegen filter."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sx2"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    mu = F.col("sx") / F.col("cnt")
+    sigma = F.sqrt(F.col("sx2") / F.col("cnt") - mu * mu)
+    z = (F.col("n") - mu) / sigma
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((sigma > 0) & (F.abs(z) > 2))
+        .select("event_type", F.col("h").cast("timestamp").alias("hour"),
+                "n", round_half_away_col(z, 6).alias("z"))
+    )
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS sx,
+         CAST(sum(n * n) AS BIGINT) AS sx2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, CAST(h AS TIMESTAMP) AS hour, n,
+       round((n - sx / cnt)
+             / sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt)), 6) AS z
+FROM hourly JOIN stats USING (event_type)
+WHERE sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt)) > 0
+  AND abs((n - sx / cnt)
+          / sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt))) > 2
+"""
+
+
 def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis over the event stream: per user, the earliest
     view, the earliest click within ONE HOUR after that view, and the
@@ -1645,6 +1704,10 @@ SPECS: dict[str, QuerySpec] = {
         "point-in-interval range join (purchase→session attribution) "
         "via the binned equi-join — shuffle ∝ events, never the "
         "per-key cross product"),
+    "ts_anomaly_zscore": QuerySpec(
+        ts_anomaly_zscore, _ANOMALY_SQL,
+        "hourly volume anomalies per event type: integer-moment "
+        "z-scores (no engine stddev), broadcast stats join"),
     "ts_funnel_steps": QuerySpec(
         ts_funnel_steps, _FUNNEL_SQL,
         "view→click→purchase funnel: ordered conditional-min steps, "

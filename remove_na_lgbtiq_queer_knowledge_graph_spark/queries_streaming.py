@@ -304,11 +304,84 @@ GROUP BY 1, 2
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static RANGE join: a live purchase stream attributed to
+    the STATIC engagement-session interval table via the same binned
+    equi-join as the batch ``join_range_interval`` — the point of the
+    binning strategy is exactly that it turns an un-streamable range
+    predicate into a stateless stream–static equi-join on
+    (user_id, bin) with the exact containment check as a post-filter
+    (a raw BETWEEN against a static table would nested-loop every
+    micro-batch).  Stateless inner join → append mode, no watermark
+    state; emits one row per (purchase, containing session).  The
+    oracle is the batch containment join, and the batch/stream
+    equivalence is the same contract as ``stream_nb_classify``."""
+    from .operators.relational import interval_join
+
+    # static intervals: click/view sessions + 1 h attribution window,
+    # identical to join_range_interval's construction
+    e = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    eng = e.filter(F.col("event_type").isin("click", "view"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = sec - F.lag(sec).over(w)
+    sess = (
+        eng.select(
+            "user_id", "ts", "event_id",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"))
+        .withColumn(
+            "session_idx",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id",
+                 F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(F.min(sec).alias("start_s"),
+             (F.max(sec) + F.lit(3600.0)).alias("end_s"))
+    )
+    stream = read_events_stream(spark, sf_dir)
+    purch = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").cast("double").alias("p_s"))
+    joined = interval_join(
+        purch, sess, "p_s", "start_s", "end_s", keys=["user_id"],
+        bin_width=1800.0)
+    out = joined.select("user_id", "event_id", "session_idx")
+    return run_to_memory(out, "mem_stream_interval", "append")
+
+
+_STREAM_INTERVAL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         min(epoch(ts)) AS start_s, max(epoch(ts)) + 3600.0 AS end_s
+  FROM (SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+  GROUP BY 1, 2
+)
+SELECT p.user_id, p.event_id, s.session_idx
+FROM events p JOIN sess s
+  ON p.user_id = s.user_id AND epoch(p.ts) BETWEEN s.start_s AND s.end_s
+WHERE p.event_type = 'purchase'
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stream_static_enrich": QuerySpec(
         stream_static_enrich, _STREAM_STATIC_SQL,
         "stream-static dimension enrichment joined per micro-batch, "
         "windowed counts per segment"),
+    "stream_interval_join": QuerySpec(
+        stream_interval_join, _STREAM_INTERVAL_SQL,
+        "stream-static RANGE join: binned equi-join turns the "
+        "containment predicate into a stateless append-mode join"),
     "stream_tumbling_daily": QuerySpec(stream_tumbling_daily, _TUMBLING_SQL),
     "stream_tumbling_append": QuerySpec(
         stream_tumbling_append, _TUMBLING_APPEND_SQL,
