@@ -598,10 +598,14 @@ def interval_join(
 ) -> DataFrame:
     """Point-in-interval range join: every (point, interval) pair with
     ``start <= point <= end`` (and equal ``keys``), the join family
-    member Spark has no native operator for — expressed the naive way
-    (``ON p BETWEEN start AND end``) Catalyst can only plan a
-    BroadcastNestedLoopJoin / cartesian filter, O(|points|·|intervals|)
-    per key.
+    member Spark has no native operator for.  Expressed the naive way
+    (``ON key = key AND p BETWEEN start AND end``) Catalyst hash-joins
+    on the key and evaluates the range RESIDUALLY against every
+    interval of that key — per-point work ∝ intervals-per-key, the
+    per-key cross product (with no key at all it degrades to a full
+    BroadcastNestedLoopJoin).  Measured (tools/stress_interval.py,
+    sf0.1): naive 0.15 s → 2.5 s as intervals-per-key grows 26 → 19.5k
+    while this operator stays flat ≈ 0.17 s at identical output.
 
     Implemented as the BINNED EQUI-JOIN (the interval-bucketing
     strategy of spatial and range joins): each interval explodes to
