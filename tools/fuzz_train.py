@@ -44,6 +44,13 @@ QUERIES = [
     # prefix filter exactness under random corpora)
     "nb_lang_train", "nb_lang_score", "text_novelty_score",
     "lm_kn_bigram_score", "text_entropy_score", "dedup_containment_pairs",
+    # round 10: BM25 (idf ln grid + rounded-score rank determinism —
+    # random small alphabets force score ties at the top-10 boundary),
+    # CCNet perplexity terciles (ntile boundary determinism on the
+    # rounded KN score), and the unrounded-threshold jaccard twins
+    # (boundary pairs must agree with the all-pairs oracle exactly)
+    "text_bm25_topk", "lm_ppl_buckets",
+    "dedup_jaccard_pairs", "dedup_jaccard_prefix",
 ]
 
 # embeddings-driven queries, fuzzed with adversarial vector tables
@@ -81,6 +88,19 @@ def gen_corpus(rng: random.Random):
                 for _ in range(rng.randint(15, 80)))  # BPE-viable length
         rows.append((i, text, rng.choice(langs),
                      f"src{rng.randint(0, 5)}", len(text)))
+    # planted near-duplicates (round 10): ~10% of docs get a same-lang
+    # copy with 0-2 words perturbed — puts jaccard/containment pairs
+    # right at the 0.8 threshold boundary, where the unrounded-filter
+    # vs prefix-pruning agreement is actually exercised (pure random
+    # corpora almost never produce a ≥ 0.8 pair)
+    base = list(rows)
+    for j, (i, text, lang, src, _nc) in enumerate(base):
+        if rng.random() < 0.10 and " " in text:
+            words = text.split(" ")
+            for _ in range(rng.randint(0, 2)):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            dup = " ".join(words)
+            rows.append((len(rows), dup, lang, src, len(dup)))
     return rows
 
 
