@@ -41,7 +41,7 @@ from .operators.text import (
     quality_features,
     token_counts,
 )
-from .spec import QuerySpec, t
+from .spec import QuerySpec, materialize, t
 
 # Shared oracle fragments -----------------------------------------------------
 
@@ -1049,6 +1049,104 @@ FROM hashes GROUP BY 1
 """
 
 
+def mm_phash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant image near-dup pairs over the dHash CLASSES:
+    all (hash_1, hash_2) with Hamming distance ≤ 6 between DISTINCT
+    64-bit perceptual hashes — the cluster-merge candidates exact
+    equality (``mm_phash_clusters``) can't see.  Visually-near images
+    (small crops/brightness shifts) land a few bits apart; this is the
+    image-side analogue of ``dedup_simhash_pairs``.
+
+    Candidate generation is the same PIGEONHOLE banding: split each
+    hash into 8 bands of 8 bits and equi-join on (band index, band
+    bits) — if d ≤ 7, at least one of the 8 bands is identical, so
+    recall is COMPLETE for the ≤ 6 threshold by construction, never
+    probabilistic.  Banding runs at hash-CLASS grain (distinct hashes,
+    ≪ docs — exact duplicates collapsed first, the same class-level
+    trick as er_lsh_pairs_sparse), so the self-join is tiny even when
+    clusters are huge.  The Hamming refine compares the 64 '0'/'1'
+    chars positionally — identical integer comparisons on both
+    engines, no float anywhere."""
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        mm_ops.ppm_payload_builder, schema="doc_id bigint, payload binary"
+    )
+    hashes = payloads.mapInPandas(
+        mm_ops.dhash_ppm, schema=mm_ops.DHASH_SCHEMA
+    )
+    classes = materialize(hashes.select("dhash").distinct())
+    bands = classes.select(
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+    ).select("b", F.expr("substring(dhash, b * 8 + 1, 8)").alias("bits"),
+             "dhash")
+    cand = (
+        bands.select("b", "bits", F.col("dhash").alias("h1"))
+        .join(bands.select("b", "bits", F.col("dhash").alias("h2")),
+              ["b", "bits"])
+        .filter(F.col("h1") < F.col("h2"))
+        .select("h1", "h2")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
+        "IF(substring(h1, i, 1) <> substring(h2, i, 1), 1, 0))")
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 6)
+        .select(F.col("h1").alias("hash_1"), F.col("h2").alias("hash_2"),
+                "hamming")
+    )
+
+
+_MM_PHASH_PAIRS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents
+),
+cells AS (
+  SELECT d.doc_id,
+         (i.i * 8) // d.h AS r, (j.j * 9) // d.w AS c,
+         SUM(3 * ((i.i + j.j + d.doc_id) % 256)) AS s,
+         count(*) AS n
+  FROM dims d
+  JOIN range(0, 20) i(i) ON i.i < d.h
+  JOIN range(0, 32) j(j) ON j.j < d.w
+  GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT doc_id, r, c,
+         CASE WHEN lead(s) OVER w * n > s * lead(n) OVER w
+              THEN '1' ELSE '0' END AS bit,
+         lead(s) OVER w IS NOT NULL AS has_next
+  FROM cells
+  WINDOW w AS (PARTITION BY doc_id, r ORDER BY c)
+),
+classes AS MATERIALIZED (
+  SELECT DISTINCT dhash FROM (
+    SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS dhash
+    FROM bits WHERE has_next GROUP BY doc_id
+  )
+),
+bands AS MATERIALIZED (
+  SELECT b.b, substring(dhash, b.b * 8 + 1, 8) AS bb, dhash
+  FROM classes, range(0, 8) b(b)
+),
+cand AS (
+  SELECT DISTINCT x.dhash AS h1, y.dhash AS h2
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bb = y.bb AND x.dhash < y.dhash
+)
+SELECT h1 AS hash_1, h2 AS hash_2, CAST(ham AS BIGINT) AS hamming
+FROM (
+  SELECT h1, h2,
+         (SELECT count(*) FROM range(1, 65) r(i)
+          WHERE h1[CAST(i AS INTEGER)] <> h2[CAST(i AS INTEGER)]) AS ham
+  FROM cand
+)
+WHERE ham <= 6
+"""
+
+
 def mm_png_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec end-to-end (round 7): spec-conformant PNG bytes
     per doc (8-bit grayscale gradient px[i,j]=(i+j+doc_id)%256, chunk
@@ -1145,4 +1243,8 @@ SPECS: dict[str, QuerySpec] = {
         mm_phash_clusters_q, _MM_PHASH_SQL,
         "image near-dup clusters via perceptual dHash over real "
         "decoded rasters — integer-exact bits, analytic oracle"),
+    "mm_phash_pairs": QuerySpec(
+        mm_phash_pairs_q, _MM_PHASH_PAIRS_SQL,
+        "Hamming ≤ 6 dHash class pairs via pigeonhole banding — "
+        "complete recall by construction, class-grain self-join"),
 }
