@@ -114,6 +114,55 @@ FROM bands a JOIN bands b
 """
 
 
+def dedup_minhash_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-ESTIMATED jaccard per banding candidate pair: the
+    fraction of agreeing signature components (an unbiased estimator
+    of J, Broder 1997) — at 100 TB this is the verify step you
+    actually run: signature agreement costs k integer comparisons per
+    pair against re-joining both documents' full gram sets (the exact
+    verify's sorted-array intersect), trading ±1/√k estimator noise
+    for never touching the corpus again after signing.  Candidates
+    from the same banding join as ``dedup_minhash_pairs``; signatures
+    are md5-based, so the estimate is engine-identical (exact rational
+    m/12 reported at 6 dp)."""
+    sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    sig = materialize(minhash_signature(sh, 12))
+    pairs = minhash_band_pairs(sig, 12, 3)
+    s1 = sig.select(F.col("id").alias("id_1"),
+                    *[F.col(f"h{s}").alias(f"a{s}") for s in range(12)])
+    s2 = sig.select(F.col("id").alias("id_2"),
+                    *[F.col(f"h{s}").alias(f"b{s}") for s in range(12)])
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(12))
+    return (
+        pairs.join(s1, "id_1").join(s2, "id_2")
+        .select("id_1", "id_2",
+                agree.cast("long").alias("n_agree"),
+                round_half_away_col(agree / F.lit(12.0), 6).alias("est_jaccard"))
+    )
+
+
+_MINHASH_EST_SQL = f"""
+WITH {_SHINGLE_CTE},
+sig AS MATERIALIZED (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.id_1, c.id_2,
+       CAST({" + ".join(f"(CASE WHEN s1.h{s} = s2.h{s} THEN 1 ELSE 0 END)"
+                        for s in range(12))} AS BIGINT) AS n_agree,
+       round(({" + ".join(f"(CASE WHEN s1.h{s} = s2.h{s} THEN 1 ELSE 0 END)"
+                          for s in range(12))}) / 12.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig s1 ON c.id_1 = s1.doc_id
+JOIN sig s2 ON c.id_2 = s2.doc_id
+"""
+
+
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit signatures per document."""
     sh = shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
@@ -1239,6 +1288,11 @@ SPECS: dict[str, QuerySpec] = {
         mm_png_real_decode_q, _MM_PNG_SQL,
         "REAL PNG codec (stdlib zlib; CRCs + all five scanline "
         "filters) — encode→decode round trip, analytic oracle"),
+    "dedup_minhash_est": QuerySpec(
+        dedup_minhash_est_q, _MINHASH_EST_SQL,
+        "MinHash-estimated jaccard per banding candidate (Broder "
+        "estimator) — the k-comparison verify that never re-touches "
+        "the corpus"),
     "mm_phash_clusters": QuerySpec(
         mm_phash_clusters_q, _MM_PHASH_SQL,
         "image near-dup clusters via perceptual dHash over real "

@@ -1123,6 +1123,57 @@ GROUP BY c_mktsegment
 """
 
 
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S12's literal CSV letter: the QuickStatements long format
+    (the reference's bulk-upload file, `04-persons.R:528-533`) written
+    as a real CSV sink and read back with an explicit schema — the
+    export surface a Wikibase batch upload or any spreadsheet consumer
+    reads.  Values are deliberately salted with commas and double
+    quotes (``, "de"`` appended to every label row) so the round trip
+    exercises RFC-4180 quoting/escaping, not just happy-path tokens —
+    a sink that silently mangles quoted fields would shift rows and
+    fail the oracle.  Distributed on both legs: parallel part-file
+    write, parallel schema'd read, no driver materialization."""
+    from .queries_linking import publish_quickstatements
+    from .spec import scratch_dir
+
+    d = scratch_dir("sink_csv_") + "/qs"
+    qs = publish_quickstatements(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("property") == "Lde",
+               F.concat(F.col("value"), F.lit(', "de"')))
+        .otherwise(F.col("value")),
+    )
+    qs.write.mode("overwrite").option("header", True).csv(d)
+    return spark.read.schema(
+        "item string, property string, value string, batch long"
+    ).option("header", True).csv(d)
+
+
+_SINK_CSV_SQL = """
+WITH wide AS (
+  SELECT 'item:' || CAST(s_suppkey AS VARCHAR) AS item, s_name AS lde,
+         'Q_nation_' || CAST(s_nationkey AS VARCHAR) AS p17,
+         CAST(s_acctbal AS VARCHAR) AS p2218
+  FROM supplier
+),
+long AS (
+  SELECT item, 'Lde' AS property, lde || ', "de"' AS value FROM wide
+  UNION ALL SELECT item, 'P17', p17 FROM wide
+  UNION ALL SELECT item, 'P2218', p2218 FROM wide
+),
+batches AS (
+  SELECT item,
+         CAST((ROW_NUMBER() OVER (ORDER BY item) - 1) // 20 AS BIGINT)
+           AS batch
+  FROM (SELECT DISTINCT item FROM long)
+)
+SELECT l.item, l.property, l.value, b.batch
+FROM long l JOIN batches b ON l.item = b.item
+WHERE l.value IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # OLAP grouping extensions: ROLLUP / CUBE.  Spark compiles both to ONE
 # Expand + partial-aggregated groupBy — every grouping set shares the
@@ -1674,6 +1725,10 @@ SPECS: dict[str, QuerySpec] = {
         sink_partitioned_roundtrip, _SINK_PART_SQL,
         "S9 overwrite sink + Hive partitioning + pruned read-back — "
         "the write path under the value-hash gate"),
+    "sink_csv_roundtrip": QuerySpec(
+        sink_csv_roundtrip, _SINK_CSV_SQL,
+        "QuickStatements long format through a real CSV sink and "
+        "back — RFC-4180 quoting exercised with salted commas/quotes"),
     "sink_append_roundtrip": QuerySpec(
         sink_append_roundtrip, _SINK_APPEND_SQL,
         "S8 append sink, two incremental batches reconciled on "
