@@ -566,3 +566,47 @@ def bfs_distances(
         visited = _spec.materialize(visited.unionAll(
             nxt.withColumn("dist", F.lit(depth).cast("long"))))
     return visited.select(F.col("n").alias("node"), "dist")
+
+
+def sssp_weighted(
+    edges: DataFrame, sources: DataFrame, rounds: int,
+    src: str = "src", dst: str = "dst", weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths: minimum total edge weight
+    from any source, computed as ``rounds`` synchronous Bellman-Ford
+    relaxations — hop-count BFS's weighted sibling (a 2-hop path of
+    cheap strong ties can beat a 1-hop weak tie, which is what makes
+    tie-strength routing different from reachability).  Returns
+    (node, dist) for nodes reached within ``rounds`` relaxations;
+    sources report 0.
+
+    Weights must be non-negative LONGS (integer micro-costs — keeps
+    every candidate distance exact integer arithmetic, so engines
+    cannot drift and min() is total).  Per round: one frontier?-free
+    relaxation join (current dists × edges) + a min aggregate over the
+    union with the standing dists, localCheckpointed flat.  Work per
+    round ∝ |dist| + |edges touched|; with non-negative weights dists
+    reach the true fixpoint within graph-diameter rounds — the FIXED
+    round count keeps the result a pure function of the input
+    (oracle-checkable by unrolling, same contract as kcore/pagerank),
+    and tests assert the fixpoint actually holds on the shipped graph."""
+    from .. import spec as _spec
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                     F.col(weight).cast("long").alias("w")) \
+        .filter(F.col("a") != F.col("b"))
+    sym = _spec.materialize(
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                            "w")))
+    dist = _spec.materialize(
+        sources.select(F.col(node).alias("n")).distinct()
+        .withColumn("d", F.lit(0).cast("long")))
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(sym, dist.n == sym.a)
+            .select(F.col("b").alias("n"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = _spec.materialize(
+            dist.unionAll(relaxed).groupBy("n").agg(F.min("d").alias("d")))
+    return dist.select(F.col("n").alias("node"), F.col("d").alias("dist"))

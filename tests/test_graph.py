@@ -420,3 +420,56 @@ def test_bfs_distances_depth_bound_is_exact(spark):
         spark.createDataFrame(chain, ["src", "dst"]), seeds,
         max_depth=3).collect()}
     assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
+
+
+def test_sssp_weighted_strong_ties_beat_direct_weak_edge(spark):
+    """A 2-hop path of cheap strong ties must beat the direct weak
+    edge — the semantics hop-count BFS cannot express."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        sssp_weighted,
+    )
+
+    edges = [("s", "t", 10), ("s", "m", 2), ("m", "t", 3),
+             ("t", "z", 1)]
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {r.node: r.dist for r in sssp_weighted(
+        spark.createDataFrame(edges, ["src", "dst", "w"]), seeds,
+        rounds=4).collect()}
+    assert got == {"s": 0, "m": 2, "t": 5, "z": 6}
+
+
+def test_sssp_fixpoint_reached_on_testdata(spark, sf_dir):
+    """The registry entry's fixed round count must reach the true
+    fixpoint on the shipped graph: one more relaxation round changes
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        sssp_weighted,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_graph import (
+        _SSSP_ROUNDS,
+        graph_sssp_weighted,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    weighted = (
+        a.join(b, "o").filter(F.col("p1") < F.col("p2"))
+        .select("o", "p1", "p2").distinct()
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2", F.expr("1000000 div c").cast("long").alias("w"))
+    )
+    seeds = (
+        weighted.select(F.col("p1").alias("node"))
+        .unionAll(weighted.select(F.col("p2").alias("node")))
+        .filter(F.col("node") % 97 == 0).distinct()
+    )
+    at_k = {(r.node, r.dist) for r in graph_sssp_weighted(spark, sf_dir).collect()}
+    plus_one = {(r.node, r.dist) for r in sssp_weighted(
+        weighted, seeds, _SSSP_ROUNDS + 1,
+        src="p1", dst="p2", weight="w", node="node").collect()}
+    assert at_k == plus_one
