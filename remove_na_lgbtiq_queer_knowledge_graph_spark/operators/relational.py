@@ -533,19 +533,24 @@ def grouped_running_sum(
 def asof_join(
     left: DataFrame, right: DataFrame, key: str, ts: str,
     value_cols: Sequence[str], tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: each left row picks the latest right row with
-    ``right.ts <= left.ts`` per key (time-series enrichment; Spark has
-    no native asof).
+    ``right.ts <= left.ts`` per key (``direction="backward"``, the
+    default) or the EARLIEST right row with ``right.ts >= left.ts``
+    (``direction="forward"`` — next-event enrichment: time-to-next-
+    purchase, next maintenance window).  Spark has no native asof.
 
     Implemented the scale-correct way: tag both sides, union, one
-    window sorted by (ts, side[, tie]) per key, fill the right values
-    down, keep left rows.  ONE shuffle on the key and no range-join
-    blowup — the naive ``ON r.ts <= l.ts`` join explodes to the full
-    per-key cross product before aggregation.  Ties at equal ts are
-    resolved right-row-first (so an exact-ts match is visible) and by
-    ``tie_break`` among simultaneous right rows (keep the max) — total
-    order, deterministic.
+    window sorted by (ts, side[, tie]) per key — ts DESCENDING for the
+    forward direction, which makes 'earliest following' the same
+    fill-down recurrence — fill the right values down, keep left rows.
+    ONE shuffle on the key and no range-join blowup — the naive
+    ``ON r.ts <= l.ts`` join explodes to the full per-key cross
+    product before aggregation.  Ties at equal ts are resolved
+    right-row-first (so an exact-ts match is visible in BOTH
+    directions) and by ``tie_break`` among simultaneous right rows
+    (keep the max) — total order, deterministic.
 
     All value columns are carried as ONE struct and filled together, so
     every left row is enriched from a single latest right row — a right
@@ -569,7 +574,11 @@ def asof_join(
         F.struct(*[F.col(v) for v in value_cols]).alias("__vals"),
         F.lit(0).alias("__side"),
     ).select(*[F.col(c) for c in tagged_l.columns])
-    order = [F.col(ts), F.col("__side")]
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
+    ts_order = F.col(ts) if direction == "backward" else F.col(ts).desc()
+    order = [ts_order, F.col("__side")]
     if tie_break:
         order.append(
             F.col("__vals").getField(tie_break)

@@ -1054,6 +1054,41 @@ WHERE e.event_type = 'view'
 """
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every view event enriched with the user's
+    next purchase value at-or-after the view — the conversion-
+    attribution lookup (time-to-next-purchase).  Same union+window
+    implementation as the backward twin, ts sorted descending
+    (`operators/relational.asof_join(direction="forward")`): one
+    shuffle on user_id, no range-join blowup; among simultaneous
+    purchases the max value wins (same tie contract as backward)."""
+    from .operators.relational import asof_join
+
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, "user_id", "ts", ["value"],
+                    tie_break="value", direction="forward")
+    return out.select(
+        "event_id", "user_id", F.col("value").alias("next_purchase_value")
+    )
+
+
+_ASOF_FWD_SQL = """
+SELECT e.event_id, e.user_id, p.value AS next_purchase_value
+FROM events e LEFT JOIN LATERAL (
+  SELECT value FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts >= e.ts
+  ORDER BY p.ts ASC, p.value DESC LIMIT 1
+) p ON true
+WHERE e.event_type = 'view'
+"""
+
+
 # ---------------------------------------------------------------------------
 # S8/S9 sinks, oracle-visible: write → read-back round trips.  The sink
 # helpers were previously pytest-verified only (a bare sink has no
@@ -1720,6 +1755,10 @@ SPECS: dict[str, QuerySpec] = {
     "flagship_top_customers": QuerySpec(flagship, _FLAGSHIP_SQL),
     "join_salted_skew": QuerySpec(salted_skew_join, _SALTED_SQL),
     "join_asof_last_value": QuerySpec(asof_last_purchase, _ASOF_SQL),
+    "join_asof_next_value": QuerySpec(
+        asof_next_purchase, _ASOF_FWD_SQL,
+        "forward as-of join (next purchase at-or-after each view) — "
+        "ts-descending union+window, one shuffle"),
     "window_trailing_hour": QuerySpec(window_trailing_hour, _TRAILING_SQL),
     "sink_partitioned_roundtrip": QuerySpec(
         sink_partitioned_roundtrip, _SINK_PART_SQL,

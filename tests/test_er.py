@@ -188,6 +188,17 @@ def test_asof_join_semantics(spark):
     # id4: other key, no rights → None
     assert got == {1: 70.0, 2: 70.0, 3: None, 4: None}
 
+    fwd = {
+        r.event_id: r.value
+        for r in asof_join(
+            left, right, "user_id", "ts", ["value"], tie_break="value",
+            direction="forward",
+        ).collect()
+    }
+    # id1: exact-ts 00:05 visible forward too → max 70; id2: nothing
+    # ≥ 00:10 → None; id3: earliest ≥ 00:02 is 00:03 → 30; id4: None
+    assert fwd == {1: 70.0, 2: None, 3: 30.0, 4: None}
+
 
 def test_interval_join_semantics(spark):
     """Containment is inclusive on both bounds, keys isolate users,
