@@ -610,3 +610,67 @@ def sssp_weighted(
         dist = _spec.materialize(
             dist.unionAll(relaxed).groupBy("n").agg(F.min("d").alias("d")))
     return dist.select(F.col("n").alias("node"), F.col("d").alias("dist"))
+
+
+def link_prediction_jaccard(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    min_common: int = 1, max_middle_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by neighborhood jaccard (Liben-Nowell & Kleinberg
+    2003): for every NON-adjacent pair within two hops, the common-
+    neighbor count and J = |N(u)∩N(w)| / |N(u)∪N(w)| — the missing-edge
+    suggester (which entities should probably be related but aren't:
+    ER reviewer queues, KG completion candidates).
+
+    Relational shape: candidates are exactly the open wedges — the
+    symmetric neighbor table self-joined on the MIDDLE node (each
+    common neighbor m produces the (u, w) pair once, so the wedge
+    count IS the intersection size), anti-joined against the edge set,
+    then one degree join for the union denominator.  The wedge join's
+    mass is Σ_m deg(m)² — inherent to the definition (a hub's
+    neighborhood really does pairwise co-occur), so ``max_middle_
+    degree`` optionally drops super-hub middles first: standard
+    practice at web scale, because a celebrity neighbor carries ~zero
+    link signal while contributing deg² candidate mass.  The cut is a
+    documented RECALL trade (pairs whose only common neighbors are
+    hubs disappear), applied before the quadratic step, and its effect
+    is pinned in tests."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    und = e.select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b")).distinct()
+    from ..spec import materialize
+
+    nb = materialize(
+        und.select(F.col("a").alias("m"), F.col("b").alias("x"))
+        .unionAll(und.select(F.col("b").alias("m"), F.col("a").alias("x"))))
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    mid = nb
+    if max_middle_degree is not None:
+        mdeg = nb.groupBy("m").agg(F.count(F.lit(1)).alias("md"))
+        mid = nb.join(
+            mdeg.filter(F.col("md") <= max_middle_degree).select("m"), "m")
+    wedges = (
+        mid.select("m", F.col("x").alias("u"))
+        .join(mid.select("m", F.col("x").alias("w")), "m")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    cand = wedges.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("w")),
+        ["u", "w"], "anti")
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("x").alias("w"), F.col("d").alias("dw"))
+    from ..functions.numeric import round_half_away_col
+
+    return (
+        cand.join(du, "u").join(dw, "w")
+        .select(
+            "u", "w", "common",
+            round_half_away_col(
+                F.col("common")
+                / (F.col("du") + F.col("dw") - F.col("common")), 6
+            ).alias("jaccard"))
+    )

@@ -87,6 +87,50 @@ def er_first_letter_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality diagnostics for the reference's first-letter
+    scheme — the numbers an ER engineer reads BEFORE running the
+    quadratic step: per block, its size, its candidate-pair mass
+    C(s,2), and its share of the scheme's total pair mass (6 dp).
+    A single outsized block dominating pair share is the signal to
+    re-block (the skewed-key bomb `join_salted_skew` exists for);
+    total-pair share vs the unblocked C(n,2) is the reduction ratio.
+    One count aggregate + a one-row total broadcast back — pure
+    map-side-combinable arithmetic, no pair is ever generated."""
+    p = t(spark, sf_dir, "part")
+    blocks = (
+        p.withColumn("blk", F.substring(F.lower("p_name"), 1, 1))
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .withColumn(
+            "n_pairs",
+            (F.col("n_items") * (F.col("n_items") - 1) / 2).cast("long"))
+    )
+    tot = blocks.agg(F.sum("n_pairs").cast("long").alias("total_pairs"))
+    return (
+        blocks.crossJoin(F.broadcast(tot))
+        .select(
+            "blk", "n_items", "n_pairs",
+            round_half_away_col(
+                F.col("n_pairs") / F.col("total_pairs"), 6
+            ).alias("pair_share"))
+    )
+
+
+_BLOCKING_STATS_SQL = """
+WITH blocks AS (
+  SELECT substring(lower(p_name), 1, 1) AS blk,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+  FROM part GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total_pairs FROM blocks)
+SELECT blk, n_items, n_pairs,
+       round(n_pairs / total_pairs, 6) AS pair_share
+FROM blocks CROSS JOIN tot
+"""
+
+
 _FIRST_LETTER_SQL = """
 WITH names AS (
   SELECT p_partkey AS id, substring(lower(p_name), 1, 1) AS blk,
@@ -449,5 +493,10 @@ SPECS: dict[str, QuerySpec] = {
     "external_geocode_mock": QuerySpec(external_geocode_mock, _GEOCODE_SQL),
     "external_translate_mock": QuerySpec(external_translate_mock, _TRANSLATE_SQL),
     "er_first_letter_block": QuerySpec(er_first_letter_block, _FIRST_LETTER_SQL),
+    "er_blocking_stats": QuerySpec(
+        er_blocking_stats, _BLOCKING_STATS_SQL,
+        "blocking-quality diagnostics (block sizes, C(s,2) pair mass, "
+        "skew share) — read before any quadratic step, no pair "
+        "generated"),
     "fn_jaro_winkler_join": QuerySpec(fn_jaro_winkler_join, _JW_SQL),
 }

@@ -928,6 +928,52 @@ SELECT n AS node, CAST(d AS BIGINT) AS dist FROM d{rounds}
 _SSSP_SQL = _sssp_oracle_sql(_SSSP_ROUNDS)
 
 
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-edge suggestions on the repeated co-order graph:
+    neighborhood-jaccard link prediction (Liben-Nowell & Kleinberg) —
+    non-adjacent part pairs that share co-order neighbors, scored by
+    common-neighbor jaccard.  The KG-completion / ER-reviewer-queue
+    primitive.  See ``operators.graph.link_prediction_jaccard`` for the
+    wedge shape and the hub-middle recall trade (no cut needed here:
+    the thresholded graph's max degree is small at every shipped SF)."""
+    from .operators.graph import link_prediction_jaccard
+
+    pairs = _repeated_coorder_pairs(spark, sf_dir)
+    return link_prediction_jaccard(pairs, src="p1", dst="p2",
+                                   min_common=1)
+
+
+_LINKPRED_SQL = """
+WITH rep AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b, count(*) AS c FROM (
+      SELECT DISTINCT x.l_orderkey AS o, x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ) GROUP BY 1, 2 HAVING count(*) >= 2
+  )
+),
+nb AS MATERIALIZED (
+  SELECT a AS m, b AS x FROM rep UNION ALL SELECT b, a FROM rep
+),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY 1),
+wedge AS (
+  SELECT n1.x AS u, n2.x AS w, CAST(count(*) AS BIGINT) AS common
+  FROM nb n1 JOIN nb n2 ON n1.m = n2.m AND n1.x < n2.x
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT wd.u, wd.w, wd.common FROM wedge wd
+  ANTI JOIN rep e ON wd.u = e.a AND wd.w = e.b
+)
+SELECT c.u, c.w, c.common,
+       round(c.common / (du.d + dw.d - c.common), 6) AS jaccard
+FROM cand c
+JOIN deg du ON c.u = du.x
+JOIN deg dw ON c.w = dw.x
+"""
+
+
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the REPEATED part co-occurrence graph (parts
     co-ordered in ≥2 distinct orders — the thresholded graph where
@@ -1051,6 +1097,10 @@ SPECS: dict[str, QuerySpec] = {
         "weighted shortest paths (tie-weakness micro-costs, integer "
         "arithmetic): bounded Bellman-Ford relaxations, fixpoint "
         "asserted"),
+    "graph_link_prediction": QuerySpec(
+        graph_link_prediction, _LINKPRED_SQL,
+        "neighborhood-jaccard link prediction: open-wedge candidates "
+        "anti-joined against edges, hub-middle cut available"),
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
     "graph_materialize_yaml": QuerySpec(graph_materialize_yaml, _MATERIALIZE_SQL),
     "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),

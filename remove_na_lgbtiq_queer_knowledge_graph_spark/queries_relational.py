@@ -1587,6 +1587,78 @@ WHERE sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt)) > 0
 """
 
 
+def ts_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ACTIVE TIME: each event opens a 10-minute activity
+    interval [ts, ts+600]; overlapping intervals merge and the union
+    length is the user's genuinely-covered seconds — the interval-union
+    aggregate (billing/engagement coverage), where naive Σ durations
+    double-counts every overlap.
+
+    The classic sweep as ONE sorted window pass per user (no
+    self-join): running max of interval ends over the preceding rows;
+    a row whose start exceeds that max opens a new island; islands sum
+    (max end − min start).  Float discipline: interval ends are
+    ts + 600.0 on microsecond-grain doubles (exact — 51 bits needed,
+    53 available), island lengths are exact differences, and the
+    per-user sum goes through DECIMAL(18,6) so it is
+    partition-order-proof."""
+    e = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    base = e.select("user_id", "event_id", sec.alias("s"),
+                    (sec + F.lit(600.0)).alias("en"))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "new_i",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0))
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_i").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("en") - F.min("s")).alias("len"))
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("len").cast("decimal(18,6)")).cast("double")
+        .alias("active_secs"),
+    )
+
+
+_ACTIVE_TIME_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch(ts) AS s, epoch(ts) + 600.0 AS en
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, en,
+         CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) IS NULL
+                OR s > max(en) OVER (PARTITION BY user_id
+                                     ORDER BY s, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_i,
+         event_id
+  FROM base
+),
+islands AS (
+  SELECT user_id, s, en,
+         SUM(new_i) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT user_id, island, max(en) - min(s) AS len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(CAST(len AS DECIMAL(18,6))) AS DOUBLE) AS active_secs
+FROM per_island GROUP BY 1
+"""
+
+
 def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis over the event stream: per user, the earliest
     view, the earliest click within ONE HOUR after that view, and the
@@ -1798,6 +1870,10 @@ SPECS: dict[str, QuerySpec] = {
         "point-in-interval range join (purchase→session attribution) "
         "via the binned equi-join — shuffle ∝ events, never the "
         "per-key cross product"),
+    "ts_active_time": QuerySpec(
+        ts_active_time, _ACTIVE_TIME_SQL,
+        "per-user interval-union coverage (merged 10-min activity "
+        "windows): one sorted window sweep, no self-join"),
     "ts_anomaly_zscore": QuerySpec(
         ts_anomaly_zscore, _ANOMALY_SQL,
         "hourly volume anomalies per event type: integer-moment "

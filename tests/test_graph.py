@@ -473,3 +473,29 @@ def test_sssp_fixpoint_reached_on_testdata(spark, sf_dir):
         weighted, seeds, _SSSP_ROUNDS + 1,
         src="p1", dst="p2", weight="w", node="node").collect()}
     assert at_k == plus_one
+
+
+def test_link_prediction_hand_graph(spark):
+    """Open wedge scores the non-edge; existing edges excluded; the
+    hub-middle cut drops pairs whose only common neighbor is a hub
+    (documented recall trade)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        link_prediction_jaccard,
+    )
+
+    # square a-b-c-d-a plus hub h connected to everything
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+             ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.u, r.w): (r.common, r.jaccard)
+           for r in link_prediction_jaccard(df).collect()}
+    # non-edges: (a,c) via b, d, h → common 3; N(a)=N(c)={b,d,h} → J=1
+    assert got[("a", "c")] == (3, 1.0)
+    assert got[("b", "d")] == (3, 1.0)
+    assert ("a", "b") not in got            # existing edge excluded
+    # with hub middles cut (degree ≤ 3 keeps the square, drops h):
+    cut = {(r.u, r.w): r.common
+           for r in link_prediction_jaccard(
+               df, max_middle_degree=3).collect()}
+    assert cut[("a", "c")] == 2             # b and d remain as middles
+    assert cut[("b", "d")] == 2

@@ -59,6 +59,10 @@ BNLJ_WHITELIST = {
         "same shape as mix_domains: the query-term postings cross the "
         "ONE-ROW corpus stats (N, avgdl) — a scalar broadcast; every "
         "data-bearing join is an equi-join on term/doc_id"),
+    "er_blocking_stats": (
+        "same shape as mix_domains: the ≤|alphabet|-row block table "
+        "crosses the ONE-ROW pair-mass total — a scalar broadcast; "
+        "no pair is ever generated"),
     "ts_resample_hourly": (
         "gap-fill spine construction: the exploded (min,max) hour "
         "range (one aggregate row) crossed with the distinct "
