@@ -245,3 +245,90 @@ def test_interval_join_guard_raises_on_degenerate_span(spark):
     with pytest.raises(SparkRuntimeException, match="interval_join"):
         interval_join(points, intervals, "p", "s", "e", keys=["user"],
                       bin_width=1800.0, max_bins_per_interval=8).collect()
+
+
+def test_interval_join_property_vs_brute_force(spark):
+    """Random keyed points/intervals: the binned equi-join must return
+    exactly the brute-force containment set — including intervals that
+    span many bins, zero-length intervals, and negative coordinates
+    (floor-division bin mapping must stay consistent below zero)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        interval_join,
+    )
+
+    coord = st.floats(min_value=-50.0, max_value=50.0,
+                      allow_nan=False, allow_infinity=False, width=32)
+    ivl = st.tuples(st.integers(0, 2), coord,
+                    st.floats(min_value=0.0, max_value=40.0, width=32))
+    pts = st.tuples(st.integers(0, 2), coord)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(ivl, min_size=1, max_size=12),
+           st.lists(pts, min_size=1, max_size=15))
+    def check(ivls, points):
+        ivl_rows = [(k, i, float(s), float(s + ln))
+                    for i, (k, s, ln) in enumerate(ivls)]
+        pt_rows = [(k, i, float(p)) for i, (k, p) in enumerate(points)]
+        expect = sorted(
+            (p[1], v[1])
+            for p in pt_rows for v in ivl_rows
+            if p[0] == v[0] and v[2] <= p[2] <= v[3])
+        got = sorted(
+            (r.pid, r.iid)
+            for r in interval_join(
+                spark.createDataFrame(pt_rows, "k long, pid long, p double"),
+                spark.createDataFrame(
+                    ivl_rows, "k long, iid long, s double, e double"),
+                "p", "s", "e", keys=["k"], bin_width=7.0).collect())
+        assert got == expect
+
+    check()
+
+
+def test_asof_forward_property_vs_brute_force(spark):
+    """Random keyed time series: forward as-of must pick exactly the
+    earliest right row at-or-after each left ts (max value among
+    simultaneous rights), null when none follows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        asof_join,
+    )
+
+    t_int = st.integers(0, 20)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.tuples(st.integers(0, 1), t_int),
+                    min_size=1, max_size=10),
+           st.lists(st.tuples(st.integers(0, 1), t_int,
+                              st.integers(0, 9)),
+                    min_size=0, max_size=10))
+    def check(lefts, rights):
+        l_rows = [(i, k, float(ts)) for i, (k, ts) in enumerate(lefts)]
+        r_rows = [(k, float(ts), float(v)) for k, ts, v in rights]
+
+        def brute(k, ts):
+            after = [(rts, v) for rk, rts, v in r_rows
+                     if rk == k and rts >= ts]
+            if not after:
+                return None
+            mn = min(rts for rts, _ in after)
+            return max(v for rts, v in after if rts == mn)
+
+        expect = {i: brute(k, ts) for i, k, ts in l_rows}
+        got = {r.event_id: r.value for r in asof_join(
+            spark.createDataFrame(
+                l_rows, "event_id long, user_id long, ts double"),
+            spark.createDataFrame(
+                r_rows, "user_id long, ts double, value double"),
+            "user_id", "ts", ["value"], tie_break="value",
+            direction="forward").collect()}
+        assert got == expect
+
+    check()
