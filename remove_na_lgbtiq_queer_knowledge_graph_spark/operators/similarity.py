@@ -241,7 +241,9 @@ def candidate_pairs_minhash(
 
     Deterministic by construction: signatures are ``min(md5(seed|gram))``
     (identical in any engine — min over hex strings is min over the
-    uniform hash order), banding is a (band, bucket) equi-join, and the
+    uniform hash order; a one-md5 Kirsch-Mitzenmacher family is
+    available via ``dedup.minhash_signature(family="km")`` for the
+    100 TB regime), banding is a (band, bucket) equi-join, and the
     reported ``value`` is the *exact* jaccard of the candidate pair, so
     a plain-SQL oracle reproduces it bit-for-bit.  Cost follows the
     banding collisions, not n²; the refine join touches candidate grams

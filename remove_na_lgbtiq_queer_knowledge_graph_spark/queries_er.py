@@ -366,11 +366,14 @@ def er_lsh_pairs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_sql(k: int, r: int, min_sim: float) -> str:
+    # seeded family (operators/dedup.minhash_signature default);
+    # '|'-separated buckets matching minhash_bands
     mins = ",\n       ".join(
         f"min(md5('{s}|' || gram)) AS h{s}" for s in range(k))
     bands = "\n  UNION ALL ".join(
         "SELECT id, {b} AS band, {cat} AS bucket FROM sig".format(
-            b=b, cat=" || ".join(f"h{r*b+j}" for j in range(r)))
+            b=b, cat=" || '|' || ".join(
+                f"CAST(h{r*b+j} AS VARCHAR)" for j in range(r)))
         for b in range(k // r))
     return f"""
 WITH nms AS (
