@@ -674,3 +674,41 @@ def link_prediction_jaccard(
                 / (F.col("du") + F.col("dw") - F.col("common")), 6
             ).alias("jaccard"))
     )
+
+
+def bfs_distances_per_source(
+    edges: DataFrame, sources: DataFrame, max_depth: int,
+    src: str = "src", dst: str = "dst", node: str = "node",
+) -> DataFrame:
+    """PER-SOURCE bounded BFS: (source, node, dist) for every source in
+    the sample and every node within ``max_depth`` of it — the
+    distance table sampled centrality estimators consume
+    (:func:`bfs_distances` collapses to min-over-sources; this keeps
+    each source's distances separate).  Same level-synchronous
+    frontier shape, with the source id carried through the frontier:
+    state is |sources| × reach rows, so callers sample sources — the
+    standard Eppstein-Wang trade (centrality error ~ 1/√|S|) rather
+    than all-pairs BFS."""
+    from .. import spec as _spec
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    sym = _spec.materialize(
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct())
+    frontier = _spec.materialize(
+        sources.select(F.col(node).alias("s")).distinct()
+        .select("s", F.col("s").alias("n")))
+    visited = frontier.withColumn("dist", F.lit(0).cast("long"))
+    for depth in range(1, max_depth + 1):
+        nxt = _spec.materialize(
+            frontier.join(sym, frontier.n == sym.a)
+            .select("s", F.col("b").alias("n"))
+            .distinct()
+            .join(visited.select("s", "n"), ["s", "n"], "anti")
+        )
+        frontier = nxt
+        visited = _spec.materialize(visited.unionAll(
+            nxt.withColumn("dist", F.lit(depth).cast("long"))))
+    return visited.select(F.col("s").alias("source"),
+                          F.col("n").alias("node"), "dist")

@@ -928,6 +928,67 @@ SELECT n AS node, CAST(d AS BIGINT) AS dist FROM d{rounds}
 _SSSP_SQL = _sssp_oracle_sql(_SSSP_ROUNDS)
 
 
+def graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled HARMONIC centrality, depth-bounded: for every node, the
+    sum of 1/d(s, v) over the seed sample within ``_BFS_DEPTH`` hops —
+    the centrality that handles disconnected graphs gracefully
+    (unreached pairs contribute 0, not ∞; Boldi & Vigna's preferred
+    closeness variant) — estimated from per-source BFS over the same
+    %97 seed set (the Eppstein-Wang sampling trade: error ~ 1/√|S|).
+    Terms round to 9 dp and sum as DECIMAL(28,14) per node, so the
+    estimate is partition-order-proof; d = 0 self-terms are excluded
+    on both engines."""
+    from .operators.graph import bfs_distances_per_source
+
+    pairs = _repeated_coorder_pairs(spark, sf_dir)
+    seeds = (
+        pairs.select(F.col("p1").alias("node"))
+        .unionAll(pairs.select(F.col("p2").alias("node")))
+        .filter(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    from .functions.numeric import round_half_away_col
+
+    dists = bfs_distances_per_source(pairs, seeds, _BFS_DEPTH,
+                                     src="p1", dst="p2", node="node")
+    term = round_half_away_col(F.lit(1.0) / F.col("dist"), 9)
+    return (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            round_half_away_col(
+                F.sum(term.cast("decimal(28,14)")).cast("double"), 6
+            ).alias("harmonic"))
+    )
+
+
+_HARMONIC_SQL = f"""
+WITH RECURSIVE rep_pairs AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ) GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT a, b FROM rep_pairs UNION SELECT b, a FROM rep_pairs
+),
+seeds AS (SELECT DISTINCT a AS n FROM edges WHERE a % 97 = 0),
+walk(src, node, d) AS (
+  SELECT n, n, 0 FROM seeds
+  UNION
+  SELECT w.src, e.b, w.d + 1 FROM walk w JOIN edges e ON w.node = e.a
+  WHERE w.d < {_BFS_DEPTH}
+),
+md AS (SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2)
+SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+       round(CAST(SUM(CAST(round(1.0 / d, 9) AS DECIMAL(28,14)))
+                  AS DOUBLE), 6) AS harmonic
+FROM md WHERE d > 0 GROUP BY node
+"""
+
+
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-edge suggestions on the repeated co-order graph:
     neighborhood-jaccard link prediction (Liben-Nowell & Kleinberg) —
@@ -1101,6 +1162,10 @@ SPECS: dict[str, QuerySpec] = {
         graph_link_prediction, _LINKPRED_SQL,
         "neighborhood-jaccard link prediction: open-wedge candidates "
         "anti-joined against edges, hub-middle cut available"),
+    "graph_harmonic_sampled": QuerySpec(
+        graph_harmonic_sampled, _HARMONIC_SQL,
+        "sampled depth-bounded harmonic centrality from per-source "
+        "BFS (Eppstein-Wang trade), decimal-summed terms"),
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
     "graph_materialize_yaml": QuerySpec(graph_materialize_yaml, _MATERIALIZE_SQL),
     "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),

@@ -1277,6 +1277,37 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP and CUBE are
+    sugar for: exactly the (status, priority), (status), and ()
+    aggregation levels, skipping the (priority)-only marginal a CUBE
+    would compute (the report that wants per-status breakdowns plus a
+    grand total but no priority marginal).  One Expand pass, same
+    single-shuffle plan as the rollup/cube entries, gid disambiguates
+    rolled-up NULLs."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        _dec_sum(F.col("o_totalprice"), "total"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
 _EWMA_LAMBDA = 0.01  # per-hour decay rate
 
 
@@ -1852,6 +1883,10 @@ SPECS: dict[str, QuerySpec] = {
         agg_cube_two_dim, _CUBE_SQL,
         "CUBE (status, priority): all four grouping sets from one "
         "Expand pass"),
+    "agg_grouping_sets": QuerySpec(
+        agg_grouping_sets, _GROUPING_SETS_SQL,
+        "explicit GROUPING SETS (the general form): chosen levels "
+        "only, one Expand pass, gid-tagged"),
     "ts_ewma_decay": QuerySpec(
         ts_ewma_decay, _EWMA_SQL,
         "per-user exponentially time-decayed value total at the last "

@@ -304,6 +304,55 @@ GROUP BY 1, 2
 """
 
 
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume-anomaly monitor — the live twin of
+    ``ts_anomaly_zscore``: hourly counts per event type maintained as
+    ONE complete-mode stateful aggregation over the event stream
+    (state = |types|·|hours| counters, bounded by the time span), with
+    the distribution statistics and the |z| > 2 cut as a batch
+    epilogue on the sink table — the stream_nb_classify shape: the
+    stream maintains the sufficient statistics, the decision layer
+    reads them.  Integer moments (Σx, Σx² as longs), identical
+    arithmetic to the batch twin, which is also the oracle — stream ≡
+    batch is the correctness contract."""
+    stream = read_events_stream(spark, sf_dir)
+    hourly = (
+        stream.groupBy("event_type",
+                       F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from .spec import materialize
+
+    # snapshot the sink before the stats self-join: the memory-sink
+    # VIEW carries one fixed set of attribute ids, and joining it to
+    # an aggregate of itself trips Catalyst's conflicting-reference
+    # resolution (INTERNAL_ERROR); the checkpoint also pins the
+    # epilogue to one consistent snapshot of the (live) sink table
+    sunk = materialize(run_to_memory(hourly, "mem_anomaly_hourly", "complete"))
+    stats = sunk.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sx2"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    mu = F.col("sx") / F.col("cnt")
+    sigma = F.sqrt(F.col("sx2") / F.col("cnt") - mu * mu)
+    z = (F.col("n") - mu) / sigma
+    from .functions.numeric import round_half_away_col
+
+    return (
+        sunk.join(F.broadcast(stats), "event_type")
+        .filter((sigma > 0) & (F.abs(z) > 2))
+        .select("event_type", F.col("h").cast("timestamp").alias("hour"),
+                "n", round_half_away_col(z, 6).alias("z"))
+    )
+
+
+# the stream must equal the batch pass exactly — ONE copy of the
+# anomaly SQL (same rule as queries_llm2's _MINS12 import: a shared
+# fragment, not a twin that can drift)
+from .queries_relational import _ANOMALY_SQL as _STREAM_ANOMALY_SQL  # noqa: E402
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static RANGE join: a live purchase stream attributed to
     the STATIC engagement-session interval table via the same binned
@@ -382,6 +431,10 @@ SPECS: dict[str, QuerySpec] = {
         stream_interval_join, _STREAM_INTERVAL_SQL,
         "stream-static RANGE join: binned equi-join turns the "
         "containment predicate into a stateless append-mode join"),
+    "stream_anomaly_zscore": QuerySpec(
+        stream_anomaly_zscore, _STREAM_ANOMALY_SQL,
+        "streaming anomaly monitor: complete-mode hourly counters + "
+        "integer-moment z-score epilogue — stream ≡ batch contract"),
     "stream_tumbling_daily": QuerySpec(stream_tumbling_daily, _TUMBLING_SQL),
     "stream_tumbling_append": QuerySpec(
         stream_tumbling_append, _TUMBLING_APPEND_SQL,

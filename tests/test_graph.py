@@ -499,3 +499,20 @@ def test_link_prediction_hand_graph(spark):
                df, max_middle_degree=3).collect()}
     assert cut[("a", "c")] == 2             # b and d remain as middles
     assert cut[("b", "d")] == 2
+
+
+def test_bfs_per_source_keeps_sources_separate(spark):
+    """Per-source distances must not collapse to min-over-sources: a
+    node reached at different depths from two seeds reports both."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        bfs_distances_per_source,
+    )
+
+    edges = [("s1", "a"), ("a", "b"), ("s2", "b")]
+    seeds = spark.createDataFrame([("s1",), ("s2",)], ["node"])
+    got = {(r.source, r.node): r.dist for r in bfs_distances_per_source(
+        spark.createDataFrame(edges, ["src", "dst"]), seeds,
+        max_depth=3).collect()}
+    assert got[("s1", "b")] == 2 and got[("s2", "b")] == 1
+    assert got[("s1", "s2")] == 3          # s1→a→b→s2
+    assert got[("s1", "s1")] == 0 and got[("s2", "s2")] == 0
