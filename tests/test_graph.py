@@ -516,3 +516,93 @@ def test_bfs_per_source_keeps_sources_separate(spark):
     assert got[("s1", "b")] == 2 and got[("s2", "b")] == 1
     assert got[("s1", "s2")] == 3          # s1→a→b→s2
     assert got[("s1", "s1")] == 0 and got[("s2", "s2")] == 0
+
+
+def test_sssp_property_vs_brute_dijkstra(spark):
+    """Random weighted graphs: bounded Bellman-Ford must equal a
+    round-bounded brute-force relaxation (pure-python reference) —
+    including multi-seed minima and beyond-rounds truncation."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        sssp_weighted,
+    )
+
+    edge = st.tuples(st.integers(0, 7), st.integers(0, 7),
+                     st.integers(1, 9))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(edge, min_size=1, max_size=14),
+           st.sets(st.integers(0, 7), min_size=1, max_size=3),
+           st.integers(1, 4))
+    def check(raw, seeds, rounds):
+        edges = [(a, b, w) for a, b, w in raw if a != b]
+        if not edges:
+            return
+        # brute: synchronous relaxation over the symmetric edge set,
+        # exactly `rounds` rounds (same truncation semantics)
+        sym = {}
+        for a, b, w in edges:
+            sym.setdefault(a, []).append((b, w))
+            sym.setdefault(b, []).append((a, w))
+        nodes_in_graph = set(sym)
+        dist = {s: 0 for s in seeds if s in nodes_in_graph or True}
+        for _ in range(rounds):
+            nxt = dict(dist)
+            for u, d in dist.items():
+                for v, w in sym.get(u, []):
+                    if v not in nxt or d + w < nxt[v]:
+                        nxt[v] = d + w
+            dist = nxt
+        got = {r.node: r.dist for r in sssp_weighted(
+            spark.createDataFrame(edges, "src long, dst long, w long"),
+            spark.createDataFrame([(s,) for s in seeds], ["node"]),
+            rounds).collect()}
+        assert got == dist
+
+    check()
+
+
+def test_link_prediction_property_vs_brute(spark):
+    """Random graphs: wedge-join link prediction equals the O(n²)
+    brute force over all non-adjacent pairs with ≥1 common neighbor."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        link_prediction_jaccard,
+    )
+
+    edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(edge, min_size=1, max_size=20))
+    def check(raw):
+        edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+        if not edges:
+            return
+        nb = {}
+        for a, b in edges:
+            nb.setdefault(a, set()).add(b)
+            nb.setdefault(b, set()).add(a)
+        eset = set(edges)
+        expect = {}
+        nodes = sorted(nb)
+        for i, u in enumerate(nodes):
+            for w in nodes[i + 1:]:
+                if (u, w) in eset:
+                    continue
+                common = len(nb[u] & nb[w])
+                if common >= 1:
+                    expect[(u, w)] = (
+                        common, len(nb[u] | nb[w]))
+        got = {(r.u, r.w): (r.common,) for r in link_prediction_jaccard(
+            spark.createDataFrame(edges, ["src", "dst"])).collect()}
+        assert set(got) == set(expect)
+        for k, (common,) in got.items():
+            assert common == expect[k][0], k
+
+    check()
