@@ -267,8 +267,10 @@ def dhash_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     reproduce it bit-for-bit from the analytic gradient.  Block
     assignment is the pixel→cell map ``r = i·8 // h``, ``c = j·9 // w``
     (integer division, mirrored verbatim in SQL).  Requires w ≥ 9 and
-    h ≥ 8 (every payload here satisfies it; a violating image would
-    leave an empty cell and div-by-zero loudly)."""
+    h ≥ 8 — CHECKED explicitly per image (an undersized raster leaves
+    empty grid cells whose comparisons would silently fabricate zero
+    bits; the integer cross-multiplication never divides, so nothing
+    fails on its own)."""
     import numpy as np
 
     for pdf in batches:
@@ -293,6 +295,10 @@ def dhash_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             n_px = width * height * channels
             if len(raw) - pos < n_px:
                 raise ValueError("truncated netpbm raster")
+            if width < 9 or height < 8:
+                raise ValueError(
+                    f"dhash_ppm: image {width}x{height} smaller than the "
+                    f"9x8 pooling grid — empty cells would fabricate bits")
             px = np.frombuffer(raw, dtype=np.uint8, count=n_px, offset=pos)
             lum = px.reshape(height, width, channels).sum(
                 axis=2, dtype=np.int64)

@@ -639,14 +639,21 @@ def interval_join(
     """
     w = F.lit(float(bin_width))
     nbins = (F.floor(F.col(end_col) / w) - F.floor(F.col(start_col) / w))
+    # the guard must be TWO-SIDED: an INVERTED interval (end < start,
+    # corrupt upstream data) makes nbins negative — it would pass a
+    # one-sided `< max` check while F.sequence auto-steps -1 and
+    # explodes |nbins|+1 descending bins, exactly the silent blow-up
+    # this guard exists to prevent.  The non-negativity condition also
+    # routes NULL start/end into the raise (NULL predicate → otherwise)
     guarded = intervals.withColumn(
         "__nb",
         F.when(
-            nbins < F.lit(int(max_bins_per_interval)), nbins
+            (nbins >= 0) & (nbins < F.lit(int(max_bins_per_interval))),
+            nbins,
         ).otherwise(F.raise_error(F.concat(
-            F.lit(f"interval_join: interval spans more than "
-                  f"{max_bins_per_interval} bins of {bin_width}s — raise "
-                  f"bin_width or max_bins_per_interval ("),
+            F.lit(f"interval_join: degenerate interval (NULL bound, "
+                  f"end < start, or span over {max_bins_per_interval} "
+                  f"bins of {bin_width}s) ("),
             F.col(start_col).cast("string"), F.lit(" .. "),
             F.col(end_col).cast("string"), F.lit(")"))).cast("bigint")),
     )

@@ -102,9 +102,12 @@ def er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("blk", F.substring(F.lower("p_name"), 1, 1))
         .groupBy("blk")
         .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        # integer division (div), mirroring the oracle's `// 2`: the
+        # double-division form rounds n·(n−1) above 2^53 — exactly the
+        # huge-block regime this diagnostic exists to expose
         .withColumn(
             "n_pairs",
-            (F.col("n_items") * (F.col("n_items") - 1) / 2).cast("long"))
+            F.expr("n_items * (n_items - 1) div 2").cast("long"))
     )
     tot = blocks.agg(F.sum("n_pairs").cast("long").alias("total_pairs"))
     return (

@@ -782,16 +782,23 @@ _KCORE_K = 2
 _KCORE_ROUNDS = 12
 
 
-def _repeated_coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _repeated_coorder_pairs(
+    spark: SparkSession, sf_dir: str, with_count: bool = False,
+) -> DataFrame:
     """Parts co-ordered in ≥ 2 DISTINCT orders — the thresholded
-    co-occurrence graph shared by ``graph_kcore_peel`` and
-    ``graph_bfs_distances`` (distinct (order, p1, p2) first: lineitem
-    repeats rows, and raw join multiplicity would admit single-order
-    pairs)."""
+    co-occurrence graph shared by ``graph_kcore_peel``,
+    ``graph_bfs_distances``, ``graph_sssp_weighted``,
+    ``graph_harmonic_sampled``, and ``graph_link_prediction``
+    (distinct (order, p1, p2) first: lineitem repeats rows, and raw
+    join multiplicity would admit single-order pairs).  ONE copy of
+    the construction — a threshold or pre-pass change here reaches
+    every consumer.  ``with_count=True`` keeps the distinct-order
+    multiplicity column ``c`` (the SSSP entry derives edge weights
+    from it)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
-    return (
+    counted = (
         a.join(b, "o")
         .filter(F.col("p1") < F.col("p2"))
         .select("o", "p1", "p2")
@@ -799,8 +806,10 @@ def _repeated_coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
-        .select("p1", "p2")
     )
+    if with_count:
+        return counted.select("p1", "p2", "c")
+    return counted.select("p1", "p2")
 
 
 _BFS_DEPTH = 3
@@ -871,20 +880,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     set as the BFS twin."""
     from .operators.graph import sssp_weighted
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
-    weighted = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("o", "p1", "p2")
-        .distinct()
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("p1", "p2",
-                F.expr("1000000 div c").cast("long").alias("w"))
-    )
+    weighted = _repeated_coorder_pairs(spark, sf_dir, with_count=True) \
+        .select("p1", "p2", F.expr("1000000 div c").cast("long").alias("w"))
     seeds = (
         weighted.select(F.col("p1").alias("node"))
         .unionAll(weighted.select(F.col("p2").alias("node")))

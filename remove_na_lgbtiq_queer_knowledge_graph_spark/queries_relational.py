@@ -427,14 +427,11 @@ def multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"),
              F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec"))
     )
-    ps = (
-        li.groupBy(F.col("l_partkey").alias("pk"),
-                   F.col("l_suppkey").alias("sk"))
-        .agg(F.count("*").cast("long").alias("cnt"),
-             F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec"))
-        .select(F.col("pk").alias("pk2"), F.col("sk").alias("sk2"),
-                F.col("cnt").alias("supply_lines"))
-    )
+    # the supply-lines frame IS the same aggregate — derive it from
+    # `fact` (one definition; Catalyst still plans each side's scan,
+    # and AQE broadcasts the smaller at runtime)
+    ps = fact.select(F.col("pk").alias("pk2"), F.col("sk").alias("sk2"),
+                     F.col("cnt").alias("supply_lines"))
     return (
         fact.join(ps, (fact.pk == ps.pk2) & (fact.sk == ps.sk2))
         .join(F.broadcast(p), fact.pk == p.p_partkey)
@@ -1474,6 +1471,36 @@ FROM numbered GROUP BY user_id, session_idx
 """
 
 
+def _engagement_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click/view engagement sessions (ts_sessionize's 30-min-gap
+    construction) extended by the 1-hour attribution window:
+    (user_id, session_idx, start_s, end_s) with exact fractional-
+    second epoch doubles.  ONE copy of the construction — shared by
+    ``join_range_interval``, ``stream_interval_join`` (whose
+    stream ≡ batch contract depends on byte-identical interval
+    construction), and ``tools/stress_interval.py``."""
+    e = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    eng = e.filter(F.col("event_type").isin("click", "view"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = sec - F.lag(sec).over(w)
+    flagged = eng.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    return (
+        flagged.withColumn(
+            "session_idx",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id",
+                 F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(F.min(sec).alias("start_s"),
+             (F.max(sec) + F.lit(3600.0)).alias("end_s"))
+    )
+
+
 def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase-to-session attribution — the RANGE JOIN family member
     (each purchase event lands in the engagement session whose
@@ -1501,23 +1528,7 @@ def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events")
     sec = F.col("ts").cast("double")
-    eng = e.filter(F.col("event_type").isin("click", "view"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = sec - F.lag(sec).over(w)
-    flagged = eng.select(
-        "user_id", "ts", "event_id",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
-    )
-    sess = (
-        flagged.withColumn(
-            "session_idx",
-            F.sum("new_s").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
-        .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
-        .agg(F.min(sec).alias("start_s"),
-             (F.max(sec) + F.lit(3600.0)).alias("end_s"))
-    )
+    sess = _engagement_sessions(spark, sf_dir)
     purch = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", sec.alias("p_s"), "value")
     joined = interval_join(

@@ -366,27 +366,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the batch containment join, and the batch/stream
     equivalence is the same contract as ``stream_nb_classify``."""
     from .operators.relational import interval_join
+    from .queries_relational import _engagement_sessions
 
-    # static intervals: click/view sessions + 1 h attribution window,
-    # identical to join_range_interval's construction
-    e = t(spark, sf_dir, "events")
-    sec = F.col("ts").cast("double")
-    eng = e.filter(F.col("event_type").isin("click", "view"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = sec - F.lag(sec).over(w)
-    sess = (
-        eng.select(
-            "user_id", "ts", "event_id",
-            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"))
-        .withColumn(
-            "session_idx",
-            F.sum("new_s").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id",
-                 F.col("session_idx").cast("long").alias("session_idx"))
-        .agg(F.min(sec).alias("start_s"),
-             (F.max(sec) + F.lit(3600.0)).alias("end_s"))
-    )
+    # static intervals: the SHARED construction — the stream ≡ batch
+    # contract requires byte-identical intervals to join_range_interval
+    sess = _engagement_sessions(spark, sf_dir)
     stream = read_events_stream(spark, sf_dir)
     purch = stream.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.col("ts").cast("double").alias("p_s"))

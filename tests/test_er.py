@@ -245,6 +245,14 @@ def test_interval_join_guard_raises_on_degenerate_span(spark):
     with pytest.raises(SparkRuntimeException, match="interval_join"):
         interval_join(points, intervals, "p", "s", "e", keys=["user"],
                       bin_width=1800.0, max_bins_per_interval=8).collect()
+    # INVERTED interval (end < start — corrupt upstream data) must also
+    # fail loud: a one-sided guard would let the negative span through
+    # and F.sequence would explode |nbins|+1 descending bins silently
+    inverted = spark.createDataFrame(
+        [(1, 11, 1800.0 * 50, 0.0)], "user long, iid long, s double, e double")
+    with pytest.raises(SparkRuntimeException, match="interval_join"):
+        interval_join(points, inverted, "p", "s", "e", keys=["user"],
+                      bin_width=1800.0, max_bins_per_interval=8).collect()
 
 
 def test_interval_join_property_vs_brute_force(spark):

@@ -449,20 +449,12 @@ def test_sssp_fixpoint_reached_on_testdata(spark, sf_dir):
     )
     from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_graph import (
         _SSSP_ROUNDS,
+        _repeated_coorder_pairs,
         graph_sssp_weighted,
     )
-    from remove_na_lgbtiq_queer_knowledge_graph_spark.spec import t
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
-    weighted = (
-        a.join(b, "o").filter(F.col("p1") < F.col("p2"))
-        .select("o", "p1", "p2").distinct()
-        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
+    weighted = _repeated_coorder_pairs(spark, sf_dir, with_count=True) \
         .select("p1", "p2", F.expr("1000000 div c").cast("long").alias("w"))
-    )
     seeds = (
         weighted.select(F.col("p1").alias("node"))
         .unionAll(weighted.select(F.col("p2").alias("node")))

@@ -52,25 +52,17 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         print(f"  {sf}: {best:6.3f}s  ({n} attributed sessions)")
 
-    # naive BETWEEN twin at sf0.1: same sessions, same purchases, the
-    # range predicate left to the join condition
+    # naive BETWEEN twin at sf0.1: the SHARED session construction
+    # (queries_relational._engagement_sessions — one copy), same
+    # purchases, the range predicate left to the join condition
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_relational import (
+        _engagement_sessions,
+    )
+
     sf_dir = "/root/testdata/sf0.1"
     e = t(spark, sf_dir, "events")
     sec = F.col("ts").cast("double")
-    eng = e.filter(F.col("event_type").isin("click", "view"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = sec - F.lag(sec).over(w)
-    sess = (
-        eng.select("user_id", "ts", "event_id",
-                   F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-                   .alias("new_s"))
-        .withColumn("session_idx", F.sum("new_s").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id",
-                 F.col("session_idx").cast("long").alias("session_idx"))
-        .agg(F.min(sec).alias("start_s"),
-             (F.max(sec) + F.lit(3600.0)).alias("end_s"))
-    )
+    sess = _engagement_sessions(spark, sf_dir)
     purch = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("pid"), sec.alias("p_s"))
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
