@@ -107,7 +107,16 @@ def minhash_signature(
     construction: ONE md5 per feature, k LONG components derived as
     h_s = (a + s·b) mod P with a, b the two 32-bit md5 halves and P
     the largest prime < 2^32 (Kirsch & Mitzenmacher 2006) — k hash
-    functions for the price of one.  At 100 TB the md5 over trillions
+    functions for the price of one.  b is forced ODD (``b | 1``, round
+    11): the standard KM caveat is that a feature whose b ≡ 0 (mod P)
+    collapses all k components to the constant a — negligible per
+    feature (~2^-32) but certain over trillions of shingles at the
+    100 TB target, and a collapsed feature correlates the k minima of
+    every document containing it.  Odd b can never be ≡ 0 (P is odd
+    and > 2^32-bit b values), so the degenerate family member is
+    excluded by construction; the oracle applies the same ``| 1``.
+    (Values in [P, 2^32) still alias into [0, 5) — a ~1e-9 bias both
+    engines share, documented rather than corrected.)  At 100 TB the md5 over trillions
     of shingle rows dominates the signature pass, and the km family
     halves its measured wall at sf0.1 (0.85 s → 0.42 s for k=12); the
     registry keeps the seeded default for round-over-round bench
@@ -117,7 +126,8 @@ def minhash_signature(
     if family == "km":
         m = F.md5(F.col(feature_col))
         a = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-        b = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        b = F.conv(F.substring(m, 9, 8), 16, 10).cast("long").bitwiseOR(
+            F.lit(1))
         aggs = [
             F.min(((a + F.lit(s) * b) % F.lit(KM_PRIME)).cast("long"))
              .alias(f"h{s}")

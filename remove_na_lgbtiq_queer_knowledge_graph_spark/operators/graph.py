@@ -166,6 +166,7 @@ def sampled_edge_betweenness(
     edges: DataFrame, pivots: DataFrame, max_depth: int,
     src: str = "src", dst: str = "dst", pivot: str = "p",
     state_partitions: int | None = None,
+    require_exhausted: bool = False,
 ) -> DataFrame:
     """G16 on GENERAL graphs: Brandes edge betweenness from a
     deterministic pivot set, depth-bounded (`02-look-into-data.R:49`
@@ -188,6 +189,13 @@ def sampled_edge_betweenness(
     order can't change bits (spec.py determinism rules).  Levels are
     localCheckpoint-ed: each is consumed by 2+ downstream branches and
     lineage would otherwise grow per iteration.
+
+    ``require_exhausted=True`` (the exactness mode
+    :func:`exact_edge_betweenness` runs in) raises ``ValueError`` when
+    ``max_depth`` rounds end with reachable nodes still unvisited —
+    depth truncation is part of the SAMPLED estimator's contract, but
+    for an exact computation it would silently undercount, the same
+    silent-wrongness shape the round-11 SSSP guard closes.
     """
     from .. import spec as _spec
 
@@ -215,6 +223,7 @@ def sampled_edge_betweenness(
     )
     levels = [lvl0]
     seen = lvl0.select("p", "node")
+    exhausted = False
     for _ in range(max_depth):
         frontier = levels[-1]
         nxt = _spec.materialize(
@@ -226,10 +235,24 @@ def sampled_edge_betweenness(
             .coalesce(nparts)
         )
         if nxt.isEmpty():
+            exhausted = True
             break
         seen = _spec.materialize(
             seen.unionAll(nxt.select("p", "node")).coalesce(nparts))
         levels.append(nxt)
+
+    if require_exhausted and not exhausted:
+        probe = (
+            levels[-1].join(sym, levels[-1].node == sym.u)
+            .select("p", F.col("v").alias("node"))
+            .join(seen, ["p", "node"], "left_anti")
+        )
+        if not probe.isEmpty():
+            raise ValueError(
+                f"sampled_edge_betweenness: max_depth={max_depth} rounds "
+                "left reachable nodes unvisited — exact betweenness needs "
+                "the BFS to exhaust every component (raise max_depth, or "
+                "drop require_exhausted for the depth-truncated estimate).")
 
     # Intentionally F.round, not round_half_away_col: at d=12 the
     # float-scaled form leaves its validity regime once |x| reaches
@@ -291,6 +314,59 @@ def sampled_edge_betweenness(
             ).alias("betweenness")
         )
     )
+
+
+def exact_edge_betweenness(
+    edges: DataFrame, max_depth: int, max_nodes: int = 20000,
+    src: str = "src", dst: str = "dst",
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT Brandes edge betweenness on a general (cyclic, undirected)
+    graph: :func:`sampled_edge_betweenness` with the pivot set = EVERY
+    node, plus two loud guards — the one approximation left against
+    the reference (igraph's ``centrality_edge_betweenness`` on its
+    ~10³-node statement graph, `analysis/network/02-look-into-data.R:49`)
+    closed at the scale the reference actually runs it.
+
+    Value convention: the sum of pair dependencies over ALL ordered
+    sources, i.e. each unordered pair {s, t} contributes from both
+    endpoints — exactly 2× igraph's per-pair edge betweenness on an
+    undirected graph.  The factor is left in (dividing after the
+    decimal-rounded aggregation would round twice; the parity test
+    pins ``engine == 2 × brandes``).
+
+    Guards (both fail loud, never approximate silently):
+
+    - ``max_nodes``: all-sources Brandes state is |V| × |V| rows per
+      BFS level — tractable at reference scale, a deliberate refusal
+      at 100 TB scale where the SAMPLED estimator with ``n/k`` scaling
+      is the correct tool (Brandes & Pich 2007).  The node count is
+      one aggregate over the edge list, counted BEFORE any quadratic
+      state is built.
+    - ``require_exhausted``: exactness needs the forward BFS to visit
+      every reachable node; an undersized ``max_depth`` raises instead
+      of returning a truncated count.
+    """
+    sym_nodes = (
+        edges.select(F.col(src).alias("n"))
+        .unionAll(edges.select(F.col(dst).alias("n")))
+        .filter(F.col("n").isNotNull())
+        .distinct()
+    )
+    from ..spec import materialize
+
+    pivots = materialize(sym_nodes)
+    n = pivots.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"exact_edge_betweenness: {n} nodes exceeds max_nodes="
+            f"{max_nodes} — all-sources Brandes is quadratic in state; "
+            "use sampled_edge_betweenness with a pivot sample at this "
+            "scale (scale by n/k for the unbiased estimate).")
+    return sampled_edge_betweenness(
+        edges, pivots.withColumnRenamed("n", "p"), max_depth,
+        src=src, dst=dst, pivot="p",
+        state_partitions=state_partitions, require_exhausted=True)
 
 
 def neighborhood(
@@ -571,7 +647,7 @@ def bfs_distances(
 def sssp_weighted(
     edges: DataFrame, sources: DataFrame, rounds: int,
     src: str = "src", dst: str = "dst", weight: str = "w",
-    node: str = "node",
+    node: str = "node", check_convergence: bool = True,
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths: minimum total edge weight
     from any source, computed as ``rounds`` synchronous Bellman-Ford
@@ -590,7 +666,24 @@ def sssp_weighted(
     reach the true fixpoint within graph-diameter rounds — the FIXED
     round count keeps the result a pure function of the input
     (oracle-checkable by unrolling, same contract as kcore/pagerank),
-    and tests assert the fixpoint actually holds on the shipped graph."""
+    and tests assert the fixpoint actually holds on the shipped graph.
+
+    CONVERGENCE GUARD (round 11): a ``rounds`` value below the
+    weighted diameter of some future input would silently return
+    too-short distances — the one latent silent-wrongness shape the
+    round-10 audit flagged.  With ``check_convergence=True`` (the
+    default) the operator runs ONE extra relaxation after the loop and
+    raises ``ValueError`` if any distance would still improve (a new
+    node reached, or a shorter path found) — converting under-
+    provisioned rounds into a loud, named failure at the cost of one
+    join + aggregate action.  Pass ``check_convergence=False`` only
+    when truncation-at-``rounds`` is the INTENDED semantics (e.g.
+    bounded-horizon scoring; the property tests exercise that mode
+    explicitly).  The guard never changes the returned distances, so
+    the unrolled oracle is unaffected.  ``bfs_distances``/``bfs_
+    distances_per_source`` need no guard: depth-bounded BFS is DEFINED
+    as bounded (``max_depth`` is part of the contract, not a
+    convergence knob)."""
     from .. import spec as _spec
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
@@ -609,6 +702,21 @@ def sssp_weighted(
         )
         dist = _spec.materialize(
             dist.unionAll(relaxed).groupBy("n").agg(F.min("d").alias("d")))
+    if check_convergence:
+        probe = (
+            dist.join(sym, dist.n == sym.a)
+            .select(F.col("b").alias("n"), (F.col("d") + F.col("w")).alias("cand"))
+            .groupBy("n").agg(F.min("cand").alias("cand"))
+            .join(dist, "n", "left")
+            .filter(F.col("d").isNull() | (F.col("cand") < F.col("d")))
+        )
+        if not probe.isEmpty():
+            raise ValueError(
+                f"sssp_weighted: rounds={rounds} is below the weighted "
+                "diameter — distances are not at fixpoint (an extra "
+                "relaxation still improves them).  Raise rounds, or pass "
+                "check_convergence=False if truncation at this horizon "
+                "is the intended semantics.")
     return dist.select(F.col("n").alias("node"), F.col("d").alias("dist"))
 
 
@@ -634,7 +742,16 @@ def link_prediction_jaccard(
     link signal while contributing deg² candidate mass.  The cut is a
     documented RECALL trade (pairs whose only common neighbors are
     hubs disappear), applied before the quadratic step, and its effect
-    is pinned in tests."""
+    is pinned in tests.
+
+    CONSISTENCY (round-11 advice): with the cut active, the degree
+    denominators are computed from the SAME hub-cut neighbor table as
+    the wedge numerator — i.e. the reported score is exactly the
+    jaccard of the hub-REMOVED graph, |N'(u)∩N'(w)| / |N'(u)∪N'(w)|
+    with N'(x) = non-hub neighbors of x.  (The previous mix — cut
+    intersection over UNCUT union — was the jaccard of no consistent
+    graph and biased every hub-adjacent pair low.)  With no cut the
+    two tables coincide and nothing changes."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
         .filter(F.col("a") != F.col("b"))
     und = e.select(F.least("a", "b").alias("a"),
@@ -644,12 +761,14 @@ def link_prediction_jaccard(
     nb = materialize(
         und.select(F.col("a").alias("m"), F.col("b").alias("x"))
         .unionAll(und.select(F.col("b").alias("m"), F.col("a").alias("x"))))
-    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
     mid = nb
     if max_middle_degree is not None:
         mdeg = nb.groupBy("m").agg(F.count(F.lit(1)).alias("md"))
-        mid = nb.join(
-            mdeg.filter(F.col("md") <= max_middle_degree).select("m"), "m")
+        mid = materialize(nb.join(
+            mdeg.filter(F.col("md") <= max_middle_degree).select("m"), "m"))
+    # degrees over the (possibly cut) table mid, NOT nb — numerator and
+    # denominator must describe the same graph (see docstring)
+    deg = mid.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
     wedges = (
         mid.select("m", F.col("x").alias("u"))
         .join(mid.select("m", F.col("x").alias("w")), "m")

@@ -207,9 +207,52 @@ def ppm_payload_builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         })
 
 
+def _parse_netpbm_header(raw: bytes) -> tuple[bytes, int, int, int, int]:
+    """Binary-netpbm (P5/P6) header parse shared by the decode and
+    dHash paths: returns ``(magic, width, height, maxval, raster_pos)``.
+
+    Raises ``ValueError`` — never ``IndexError`` — on a truncated or
+    malformed header: every byte scan is bounded by ``len(raw)``
+    (round-11 advice: the unbounded ``while raw[pos] ...`` walked off
+    the end of a header-only payload before any length check could
+    fire).  ``#`` comment lines, legal anywhere whitespace may appear
+    in a netpbm header, are skipped to end-of-line; a ``#`` glued
+    directly onto a digit token (no separating whitespace) is rejected
+    as a malformed token rather than guessed at."""
+    magic = raw[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    n = len(raw)
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < n and raw[pos] in b" \t\r\n#":
+            if raw[pos] == 0x23:          # '#' comment runs to newline
+                while pos < n and raw[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                pos += 1
+        start = pos
+        while pos < n and raw[pos] not in b" \t\r\n":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated netpbm header")
+        try:
+            tokens.append(int(raw[start:pos]))
+        except ValueError:
+            raise ValueError(
+                f"malformed netpbm header token {raw[start:pos]!r}") from None
+    if pos >= n:
+        raise ValueError("truncated netpbm header")
+    pos += 1  # single whitespace byte after maxval, then the raster
+    width, height, maxval = tokens
+    return magic, width, height, maxval, pos
+
+
 def decode_ppm_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL binary-netpbm decode (P6 RGB / P5 gray): header token parse
-    + numpy pixel read.  ``mean_px`` divides the exact integer pixel sum
+    (``_parse_netpbm_header`` — bounded, comment-aware, fail-loud) +
+    numpy pixel read.  ``mean_px`` divides the exact integer pixel sum
     by the exact pixel count, so the value is engine-reproducible.
     Raises ``ValueError`` on a malformed header or truncated raster."""
     import numpy as np
@@ -220,23 +263,7 @@ def decode_ppm_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = bytes(payload)
-            magic = raw[:2]
-            if magic not in (b"P6", b"P5"):
-                raise ValueError(f"not a binary netpbm payload: {magic!r}")
-            # header = magic, width, height, maxval tokens separated by
-            # whitespace (comments unsupported here), then one
-            # whitespace byte, then the raster
-            tokens: list[int] = []
-            pos = 2
-            while len(tokens) < 3:
-                while raw[pos] in b" \t\r\n":
-                    pos += 1
-                start = pos
-                while raw[pos] not in b" \t\r\n":
-                    pos += 1
-                tokens.append(int(raw[start:pos]))
-            pos += 1  # single whitespace after maxval
-            width, height, maxval = tokens
+            magic, width, height, maxval, pos = _parse_netpbm_header(raw)
             channels = 3 if magic == b"P6" else 1
             n_px = width * height * channels
             if len(raw) - pos < n_px:
@@ -277,20 +304,7 @@ def dhash_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {"doc_id": [], "dhash": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = bytes(payload)
-            magic = raw[:2]
-            if magic not in (b"P6", b"P5"):
-                raise ValueError(f"not a binary netpbm payload: {magic!r}")
-            tokens: list[int] = []
-            pos = 2
-            while len(tokens) < 3:
-                while raw[pos] in b" \t\r\n":
-                    pos += 1
-                start = pos
-                while raw[pos] not in b" \t\r\n":
-                    pos += 1
-                tokens.append(int(raw[start:pos]))
-            pos += 1
-            width, height, _maxval = tokens
+            magic, width, height, _maxval, pos = _parse_netpbm_header(raw)
             channels = 3 if magic == b"P6" else 1
             n_px = width * height * channels
             if len(raw) - pos < n_px:

@@ -150,6 +150,50 @@ def test_sampled_edge_betweenness_matches_exact_brandes(spark):
     assert got == want
 
 
+def test_exact_edge_betweenness_matches_brandes(spark):
+    """All-pivots exactness: engine == pure-python Brandes over every
+    source (the all-ordered-sources sum, 2× the per-unordered-pair
+    value) — and the closed form on a path pins the 2× convention."""
+    from collections import defaultdict
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        exact_edge_betweenness,
+    )
+
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d"),
+           ("d", "e"), ("x", "y")]          # cyclic + a separate component
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = {(r.a, r.b): r.betweenness
+           for r in exact_edge_betweenness(edges, max_depth=8).collect()}
+
+    adj = defaultdict(set)
+    for u, v in raw:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    want = _brandes_edge_betweenness(adj, nodes, 8)
+    assert got == want
+    # 2x convention on the isolated path x-y: the single unordered pair
+    # {x,y} crosses it once -> per-pair betweenness 1, engine reports 2
+    assert got[("x", "y")] == 2.0
+
+
+def test_exact_edge_betweenness_guards_fail_loud(spark):
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        exact_edge_betweenness,
+    )
+
+    # path 0-1-2-3-4 has eccentricity 4 from the ends
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["src", "dst"])
+    with pytest.raises(ValueError, match="unvisited"):
+        exact_edge_betweenness(edges, max_depth=2)
+    with pytest.raises(ValueError, match="max_nodes"):
+        exact_edge_betweenness(edges, max_depth=8, max_nodes=3)
+
+
 def test_pagerank_matches_power_iteration(spark):
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import pagerank
 
@@ -486,11 +530,15 @@ def test_link_prediction_hand_graph(spark):
     assert got[("b", "d")] == (3, 1.0)
     assert ("a", "b") not in got            # existing edge excluded
     # with hub middles cut (degree ≤ 3 keeps the square, drops h):
-    cut = {(r.u, r.w): r.common
+    # the score is the jaccard of the hub-REMOVED graph — numerator
+    # AND denominator from the cut neighbor table (round-11 advice):
+    # N'(a)=N'(c)={b,d} → common 2, union 2, J = 1.0 (the old uncut
+    # denominator gave the inconsistent 2/(3+3-2) = 0.5)
+    cut = {(r.u, r.w): (r.common, r.jaccard)
            for r in link_prediction_jaccard(
                df, max_middle_degree=3).collect()}
-    assert cut[("a", "c")] == 2             # b and d remain as middles
-    assert cut[("b", "d")] == 2
+    assert cut[("a", "c")] == (2, 1.0)      # b and d remain as middles
+    assert cut[("b", "d")] == (2, 1.0)
 
 
 def test_bfs_per_source_keeps_sources_separate(spark):
@@ -551,10 +599,35 @@ def test_sssp_property_vs_brute_dijkstra(spark):
         got = {r.node: r.dist for r in sssp_weighted(
             spark.createDataFrame(edges, "src long, dst long, w long"),
             spark.createDataFrame([(s,) for s in seeds], ["node"]),
-            rounds).collect()}
+            rounds, check_convergence=False).collect()}
         assert got == dist
 
     check()
+
+
+def test_sssp_insufficient_rounds_fails_loud(spark):
+    """The round-11 convergence guard: rounds below the weighted
+    diameter must raise, not silently return short distances."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        sssp_weighted,
+    )
+
+    # path 0-1-2-3-4: diameter 4 hops from seed 0
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(4)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    with pytest.raises(ValueError, match="not at fixpoint"):
+        sssp_weighted(edges, seeds, rounds=2)
+    # deliberate truncation stays available, and the guarded full run
+    # returns the exact distances
+    trunc = {r.node: r.dist for r in sssp_weighted(
+        edges, seeds, rounds=2, check_convergence=False).collect()}
+    assert trunc == {0: 0, 1: 1, 2: 2}
+    full = {r.node: r.dist for r in sssp_weighted(
+        edges, seeds, rounds=4).collect()}
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
 
 
 def test_link_prediction_property_vs_brute(spark):
