@@ -277,6 +277,41 @@ def decode_ppm_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def ppm_near_dup_payload_builder(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id) → (doc_id, payload): real P6 bytes built as NEAR-DUP
+    TWINS — docs pair up on ``base = doc_id - doc_id % 2`` (same dims
+    ``w = 16 + base % 16``, ``h = 12 + base % 8``, same gradient
+    ``px[i,j] = (i + j + base) % 215``), and the ODD twin additionally
+    brightens the left half of the top and bottom pixel rows by +40.
+
+    The bump is the planted perturbation for Hamming-tolerant image
+    dedup: it shifts block-mean comparisons only in dHash grid rows 0
+    and 7, so twin hashes differ by 1–4 bits (measured over 500 twin
+    pairs; 98% of them flip bits in ≥2 different 8-bit bands — the
+    band-boundary-crossing case the pigeonhole join must still catch).
+    Every pixel stays ≤ 254 + 40 < 256.  Mirrored analytically by the
+    ``mm_phash_cluster_keep`` oracle."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            base = d - d % 2
+            w, h = 16 + base % 16, 12 + base % 8
+            i = np.arange(h)[:, None]
+            j = np.arange(w)[None, :]
+            v = (i + j + base) % 215
+            if d % 2 == 1:
+                v = v + 40 * ((2 * j < w) & ((i == 0) | (i == h - 1)))
+            px = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+            header = f"P6\n{w} {h}\n255\n".encode()
+            payloads.append(header + px.tobytes())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
 DHASH_SCHEMA = "doc_id bigint, dhash string"
 
 

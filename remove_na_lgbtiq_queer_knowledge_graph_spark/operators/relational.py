@@ -603,7 +603,8 @@ def asof_join(
 def interval_join(
     points: DataFrame, intervals: DataFrame, point_col: str,
     start_col: str, end_col: str, keys: Sequence[str] = (),
-    bin_width: float = 1800.0, max_bins_per_interval: int = 1024,
+    bin_width: float | None = 1800.0, max_bins_per_interval: int = 1024,
+    width_sample_rows: int = 100_000,
 ) -> DataFrame:
     """Point-in-interval range join: every (point, interval) pair with
     ``start <= point <= end`` (and equal ``keys``), the join family
@@ -636,7 +637,32 @@ def interval_join(
     sides (keys once).  ``point_col``/``start_col``/``end_col`` must be
     numeric (epoch seconds — cast timestamps with ``.cast('double')``,
     which both engines evaluate as micros/1e6 bit-identically).
+
+    SELF-TUNING WIDTH (round 11): ``bin_width=None`` derives the width
+    from the p95 interval LENGTH over a bounded sample (``limit(width_
+    sample_rows)`` then ``approxQuantile`` — one cheap job, the same
+    counted-before-collected gate pattern as ``salted_join``).  With
+    w = p95(len), ≥95% of intervals cover ⌊len/w⌋+1 ≤ 2 bins, so
+    bins-per-interval stays O(1) on ANY span regime — the round-10
+    audit's remaining caller burden (a workload whose intervals span
+    ≫ bins×width paid a bins-per-interval explosion under any fixed
+    constant).  The tail past p95 is still bounded by the in-plan
+    ``max_bins_per_interval`` guard.  The width only shapes the PLAN,
+    never the result, so oracle equivalence is untouched.  Auto mode
+    reads the INTERVALS side eagerly — with a streaming points side
+    (``stream_interval_join``) the intervals must be the static side,
+    which is the only shape the operator supports anyway.
     """
+    if bin_width is None:
+        lens = (
+            intervals.select(
+                (F.col(end_col) - F.col(start_col)).cast("double")
+                .alias("__len"))
+            .where(F.col("__len") >= 0)
+            .limit(int(width_sample_rows))
+        )
+        q = lens.approxQuantile("__len", [0.95], 0.01)
+        bin_width = q[0] if q and q[0] and q[0] > 0 else 1800.0
     w = F.lit(float(bin_width))
     nbins = (F.floor(F.col(end_col) / w) - F.floor(F.col(start_col) / w))
     # the guard must be TWO-SIDED: an INVERTED interval (end < start,

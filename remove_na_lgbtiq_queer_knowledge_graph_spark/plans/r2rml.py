@@ -37,9 +37,15 @@ class Template:
 @dataclass(frozen=True)
 class RefObjectMap:
     """Referencing object map: object = other map's subject, linked by a
-    join condition (``kg_v1.yml:46-51``)."""
+    join condition (``kg_v1.yml:46-51``).
 
-    parent_table: str
+    ``parent_table`` may be a single table name or a TUPLE of names —
+    a YARRRML mapping with multiple sources emits its subjects from
+    every source, so a reference to it joins against the UNION of the
+    per-source frames (round 11; previously a loud
+    NotImplementedError)."""
+
+    parent_table: str | tuple[str, ...]
     parent_subject: Template
     child_key: str
     parent_key: str
@@ -82,10 +88,22 @@ def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFra
             lang_c = F.lit(lang).cast("string") if lang else null_s
             dtype_c = F.lit(dtype).cast("string") if dtype else null_s
             if isinstance(obj, RefObjectMap):
-                parent = tables[obj.parent_table].select(
-                    F.col(obj.parent_key).alias("__pk"),
-                    obj.parent_subject.expr().alias("__obj"),
-                )
+                ptabs = (obj.parent_table
+                         if isinstance(obj.parent_table, (list, tuple))
+                         else (obj.parent_table,))
+                # multi-source parent: union the per-source frames
+                # BEFORE the join — selecting first aligns the schemas
+                # and keeps the union two narrow columns wide
+                pframes = [
+                    tables[pt].select(
+                        F.col(obj.parent_key).alias("__pk"),
+                        obj.parent_subject.expr().alias("__obj"),
+                    )
+                    for pt in ptabs
+                ]
+                parent = pframes[0]
+                for extra in pframes[1:]:
+                    parent = parent.unionByName(extra)
                 parts.append(
                     tables[m.source]
                     .join(parent, F.col(obj.child_key) == F.col("__pk"))

@@ -164,12 +164,13 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                             f"equal condition of {name}.{pred} needs "
                             "str1/str2 parameters")
                     p_srcs, p_subj = heads[parent]
-                    if len(p_srcs) > 1:
-                        raise NotImplementedError(
-                            f"referenced mapping {parent!r} has multiple "
-                            "sources; a join target must be one table")
+                    # a multi-source parent joins against the UNION of
+                    # its per-source frames (plans.r2rml materializes
+                    # the tuple form); single source stays a plain name
                     po.append((pred, RefObjectMap(
-                        parent_table=p_srcs[0], parent_subject=p_subj,
+                        parent_table=(p_srcs[0] if len(p_srcs) == 1
+                                      else tuple(p_srcs)),
+                        parent_subject=p_subj,
                         child_key=child_key, parent_key=parent_key)))
                 continue
             pred = _predicate(str(entry[0]), prefixes)

@@ -1251,6 +1251,135 @@ WHERE ham <= 6
 """
 
 
+_MM_KEEP_DIST = 6
+
+
+def mm_phash_cluster_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant image near-dup dedup END-TO-END — the image
+    twin of ``dedup_near_cluster_keep`` and the shape an LLM image
+    pipeline actually runs: dHash over real netpbm bytes → pigeonhole-
+    banded Hamming pairs at hash-CLASS grain (distance ≤ 6, recall-
+    complete by the 8-band construction) → connected components over
+    the class graph → every image labeled with its cluster's canonical
+    keeper (min doc_id; singleton classes keep themselves).
+
+    The payload builder PLANTS a near-duplicate family: docs pair up on
+    ``base = doc_id - doc_id % 2`` and the odd twin carries a +40
+    brightness bump on the left half of its top/bottom pixel rows —
+    measured twin Hamming distance 1–4 bits, with 98% of pairs flipping
+    bits in ≥ 2 different bands (the band-boundary-crossing case).  So
+    every odd doc must surrender to a smaller keeper, which the tests
+    pin.  All stages are the scale shapes already proven elsewhere:
+    Arrow mapInPandas decode, class-grain banding, min-label CC."""
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        mm_ops.ppm_near_dup_payload_builder,
+        schema="doc_id bigint, payload binary")
+    hashes = materialize(payloads.mapInPandas(
+        mm_ops.dhash_ppm, schema=mm_ops.DHASH_SCHEMA))
+    classes = materialize(hashes.select("dhash").distinct())
+    bands = classes.select(
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+    ).select("b", F.expr("substring(dhash, b * 8 + 1, 8)").alias("bits"),
+             "dhash")
+    cand = (
+        bands.select("b", "bits", F.col("dhash").alias("h1"))
+        .join(bands.select("b", "bits", F.col("dhash").alias("h2")),
+              ["b", "bits"])
+        .filter(F.col("h1") < F.col("h2"))
+        .select("h1", "h2")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
+        "IF(substring(h1, i, 1) <> substring(h2, i, 1), 1, 0))")
+    pairs = (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _MM_KEEP_DIST)
+        .select("h1", "h2")
+    )
+    cc = connected_components(pairs, "h1", "h2")
+    labeled = (
+        hashes.join(cc.select(F.col("node").alias("dhash"), "comp"),
+                    "dhash", "left")
+        .withColumn("comp", F.coalesce("comp", F.col("dhash")))
+    )
+    keep = labeled.groupBy("comp").agg(F.min("doc_id").alias("keep_doc"))
+    return labeled.join(keep, "comp").select("doc_id", "keep_doc")
+
+
+# Oracle: rebuild the twin rasters analytically (same base/bump
+# formula), the hash bit-for-bit, the identical banded candidates and
+# Hamming refine, then min-label components as a recursive CTE — the
+# same CC oracle shape as dedup_near_cluster_keep.
+_MM_PHASH_KEEP_SQL = f"""
+WITH RECURSIVE dims AS (
+  SELECT doc_id, doc_id - doc_id % 2 AS base FROM documents
+),
+dims2 AS (
+  SELECT doc_id, base, 16 + base % 16 AS w, 12 + base % 8 AS h FROM dims
+),
+cells AS (
+  SELECT d.doc_id,
+         (i.i * 8) // d.h AS r, (j.j * 9) // d.w AS c,
+         SUM(3 * (((i.i + j.j + d.base) % 215)
+             + CASE WHEN d.doc_id % 2 = 1 AND 2 * j.j < d.w
+                     AND (i.i = 0 OR i.i = d.h - 1)
+                    THEN 40 ELSE 0 END)) AS s,
+         count(*) AS n
+  FROM dims2 d
+  JOIN range(0, 20) i(i) ON i.i < d.h
+  JOIN range(0, 32) j(j) ON j.j < d.w
+  GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT doc_id, r, c,
+         CASE WHEN lead(s) OVER w * n > s * lead(n) OVER w
+              THEN '1' ELSE '0' END AS bit,
+         lead(s) OVER w IS NOT NULL AS has_next
+  FROM cells
+  WINDOW w AS (PARTITION BY doc_id, r ORDER BY c)
+),
+hashes AS MATERIALIZED (
+  SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS dhash
+  FROM bits WHERE has_next GROUP BY doc_id
+),
+classes AS MATERIALIZED (SELECT DISTINCT dhash FROM hashes),
+bands AS MATERIALIZED (
+  SELECT b.b, substring(dhash, b.b * 8 + 1, 8) AS bb, dhash
+  FROM classes, range(0, 8) b(b)
+),
+cand AS (
+  SELECT DISTINCT x.dhash AS h1, y.dhash AS h2
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bb = y.bb AND x.dhash < y.dhash
+),
+pairs AS (
+  SELECT h1, h2 FROM (
+    SELECT h1, h2,
+           (SELECT count(*) FROM range(1, 65) r(i)
+            WHERE h1[CAST(i AS INTEGER)] <> h2[CAST(i AS INTEGER)]) AS ham
+    FROM cand
+  ) WHERE ham <= {_MM_KEEP_DIST}
+),
+edges AS (SELECT h1 AS u, h2 AS v FROM pairs UNION SELECT h2, h1 FROM pairs),
+cnodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(src, dst) AS (
+  SELECT n, n FROM cnodes
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+labeled AS (
+  SELECT h.doc_id, COALESCE(c.component, h.dhash) AS comp
+  FROM hashes h LEFT JOIN comp c ON h.dhash = c.id
+),
+keep AS (SELECT comp, min(doc_id) AS keep_doc FROM labeled GROUP BY comp)
+SELECT l.doc_id, k.keep_doc FROM labeled l JOIN keep k ON l.comp = k.comp
+"""
+
+
 def mm_png_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec end-to-end (round 7): spec-conformant PNG bytes
     per doc (8-bit grayscale gradient px[i,j]=(i+j+doc_id)%256, chunk
@@ -1357,6 +1486,11 @@ SPECS: dict[str, QuerySpec] = {
         mm_phash_clusters_q, _MM_PHASH_SQL,
         "image near-dup clusters via perceptual dHash over real "
         "decoded rasters — integer-exact bits, analytic oracle"),
+    "mm_phash_cluster_keep": QuerySpec(
+        mm_phash_cluster_keep_q, _MM_PHASH_KEEP_SQL,
+        "Hamming-tolerant image near-dup end-to-end: dHash -> banded "
+        "class pairs -> connected components -> canonical keep, with a "
+        "planted band-boundary-crossing twin family"),
     "mm_phash_pairs": QuerySpec(
         mm_phash_pairs_q, _MM_PHASH_PAIRS_SQL,
         "Hamming ≤ 6 dHash class pairs via pigeonhole banding — "

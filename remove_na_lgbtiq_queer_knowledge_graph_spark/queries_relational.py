@@ -1508,10 +1508,10 @@ def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval join and the naive ``ON p BETWEEN start AND end`` degrades
     to a per-key nested loop; this routes through
     ``operators.relational.interval_join``, the binned equi-join:
-    intervals explode to their covered 1800 s bins (raw session spans
-    are ≤ ~2400 s at every shipped SF — measured — so with the 1-hour
-    attribution extension each interval covers ≤ 5 bins, and the
-    operator's in-plan guard fails loud on degenerate spans),
+    intervals explode to their covered bins — width SELF-TUNED to the
+    p95 interval length since round 11 (``bin_width=None``), so
+    bins-per-interval stays O(1) on any span regime and the operator's
+    in-plan guard fails loud on degenerate spans —
     points map to their single bin, and the join is an equi-join on
     (user_id, bin) with the exact range predicate as a post-filter —
     shuffle ∝ events, never the per-user cross product.
@@ -1533,7 +1533,7 @@ def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", sec.alias("p_s"), "value")
     joined = interval_join(
         purch, sess, "p_s", "start_s", "end_s", keys=["user_id"],
-        bin_width=1800.0)
+        bin_width=None)
     return joined.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         _dec_sum(F.col("value"), "purchase_value"),

@@ -374,9 +374,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     purch = stream.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.col("ts").cast("double").alias("p_s"))
+    # auto width samples the STATIC intervals side (sess) at plan time
+    # — legal before the streaming join is wired, identical result
     joined = interval_join(
         purch, sess, "p_s", "start_s", "end_s", keys=["user_id"],
-        bin_width=1800.0)
+        bin_width=None)
     out = joined.select("user_id", "event_id", "session_idx")
     return run_to_memory(out, "mem_stream_interval", "append")
 

@@ -571,6 +571,63 @@ def test_ppm_real_codec_round_trip_and_corrupt(spark):
         list(decode_ppm_real(truncated()))
 
 
+def test_netpbm_header_comments_and_truncation():
+    """The shared header parser (round 11): '#' comment lines are
+    legal netpbm header content and skipped; truncated or malformed
+    headers raise ValueError — never IndexError."""
+    import pytest as _pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.multimodal import (
+        _parse_netpbm_header,
+    )
+
+    raw = b"P6\n# made with tool\n5 4\n# another note\n255\n" + bytes(60)
+    assert _parse_netpbm_header(raw)[:4] == (b"P6", 5, 4, 255)
+    for bad in (b"P6", b"P6\n5", b"P6\n5 4\n", b"P6\n5 4\n255",
+                b"P6\n# only a comment"):
+        with _pytest.raises(ValueError):
+            _parse_netpbm_header(bad)
+    with _pytest.raises(ValueError, match="netpbm"):
+        _parse_netpbm_header(b"JFIF whatever")
+
+
+def test_mm_phash_cluster_keep_planted_twins(spark):
+    """The planted near-dup family must actually merge: every ODD doc
+    (the +40-bump twin) surrenders to a smaller keeper, and the bit
+    flips genuinely cross band boundaries for some pair (so the merge
+    exercises the multi-band pigeonhole path, not just one band)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import (
+        multimodal as mm_ops,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm import (
+        mm_phash_cluster_keep_q,
+    )
+
+    out = {r.doc_id: r.keep_doc
+           for r in mm_phash_cluster_keep_q(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert out, "empty result"
+    assert all(keep < d for d, keep in out.items() if d % 2 == 1), \
+        "an odd twin failed to merge with its smaller near-duplicate"
+    assert any(keep == d for d, keep in out.items() if d % 2 == 0)
+
+    # band-boundary crossing: some twin pair differs in >= 2 bands
+    ids = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    payloads = ids.mapInPandas(
+        mm_ops.ppm_near_dup_payload_builder,
+        schema="doc_id bigint, payload binary")
+    hashes = {r.doc_id: r.dhash for r in payloads.mapInPandas(
+        mm_ops.dhash_ppm, schema=mm_ops.DHASH_SCHEMA).collect()}
+    crossing = 0
+    for d in range(1, 40, 2):
+        a, b = hashes[d - 1], hashes[d]
+        flipped_bands = {i // 8 for i in range(64) if a[i] != b[i]}
+        assert 1 <= len([i for i in range(64) if a[i] != b[i]]) <= 6
+        if len(flipped_bands) >= 2:
+            crossing += 1
+    assert crossing >= 1
+
+
 def test_brute_topk_rounded_tie_at_k_boundary(spark):
     """The mapInPandas scorer prunes per BATCH on (rounded cos DESC,
     cand_id ASC); the global rank must agree even when candidates from

@@ -163,3 +163,56 @@ mappings:
         ("http://ex.org/1", "http://ex.org/name", "x"),
         ("http://ex.org/3", RDF_TYPE, "http://ex.org/Thing"),
     }
+
+
+def test_multi_source_referenced_mapping_joins_union(spark):
+    """Round 11: a referencing object map whose PARENT mapping has
+    multiple sources joins against the UNION of the parent's
+    per-source frames (previously NotImplementedError)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.r2rml import (
+        materialize,
+    )
+
+    doc = load_yarrrml("""
+prefixes:
+  ex: "http://ex.org/"
+sources:
+  child: {table: child}
+  p1: {table: p1}
+  p2: {table: p2}
+mappings:
+  Child:
+    sources: child
+    s: ex:$(cid)
+    po:
+      - p: ex:owner
+        o:
+        - mapping: Parent
+          condition:
+            function: equal
+            parameters:
+              - [str1, $(pref)]
+              - [str2, $(pid)]
+  Parent:
+    sources: [p1, p2]
+    s: ex:$(pid)
+    po:
+      - [ex:kind, ex:Parent]
+""")
+    ref = next(po[1] for m in doc.maps if m.source == "child"
+               for po in m.po if isinstance(po[1], RefObjectMap))
+    assert ref.parent_table == ("p1", "p2")
+
+    child = spark.createDataFrame(
+        [("c1", "a"), ("c2", "b"), ("c3", "zz")], "cid string, pref string")
+    p1 = spark.createDataFrame([("a",)], "pid string")
+    p2 = spark.createDataFrame([("b",)], "pid string")
+    rows = {(r.subject, r.predicate, r.object)
+            for r in materialize(
+                {"child": child, "p1": p1, "p2": p2}, doc.maps).collect()
+            if r.predicate == "http://ex.org/owner"}
+    # c1 resolves through p1, c2 through p2, c3 matches neither source
+    assert rows == {
+        ("http://ex.org/c1", "http://ex.org/owner", "http://ex.org/a"),
+        ("http://ex.org/c2", "http://ex.org/owner", "http://ex.org/b"),
+    }

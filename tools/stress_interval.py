@@ -103,6 +103,32 @@ def main() -> None:
         assert n1 == n2, (n1, n2)
         print(f"  {m or 'user':>6} {per_key:8.0f} {tn:8.3f} {tb:9.3f} {n1:9d}")
 
+    # round-11: span-length ladder — a FIXED 1800 s width pays
+    # bins-per-interval ∝ span; the auto width (p95 interval length)
+    # stays ~2 bins/interval at every scale.  Claim: auto wall is flat
+    # while fixed grows with the ladder, identical outputs.
+    print("— span-length ladder (fixed 1800 s vs auto p95 width) —")
+    print(f"  {'span':>9} {'fixed s':>8} {'auto s':>8} {'pairs':>9}")
+    for scale in (1, 10, 100, 1000):
+        L = 1800.0 * scale
+        ivals = spark.range(20_000).select(
+            (F.col("id") % 100).alias("k"),
+            (F.col("id") * 97.0).alias("start_s"),
+            (F.col("id") * 97.0 + L).alias("end_s"))
+        pts = spark.range(200_000).select(
+            (F.col("id") % 100).alias("k"),
+            (F.col("id") * 11.3).alias("p_s"))
+        fixed = interval_join(pts, ivals, "p_s", "start_s", "end_s",
+                              keys=["k"], bin_width=1800.0,
+                              max_bins_per_interval=4096)
+        tf, nf = timed(fixed)
+        auto = interval_join(pts, ivals, "p_s", "start_s", "end_s",
+                             keys=["k"], bin_width=None,
+                             max_bins_per_interval=4096)
+        ta, na = timed(auto)
+        assert nf == na, (nf, na)
+        print(f"  {int(L):>9} {tf:8.3f} {ta:8.3f} {nf:9d}")
+
 
 if __name__ == "__main__":
     main()
