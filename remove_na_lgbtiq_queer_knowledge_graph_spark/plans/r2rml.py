@@ -43,12 +43,32 @@ class RefObjectMap:
     a YARRRML mapping with multiple sources emits its subjects from
     every source, so a reference to it joins against the UNION of the
     per-source frames (round 11; previously a loud
-    NotImplementedError)."""
+    NotImplementedError).
+
+    ``function`` selects the join predicate (YARRRML condition
+    functions; round 11 — previously only ``equal``):
+
+    - ``equal`` — equi-join on the raw keys (Catalyst picks
+      broadcast/sort-merge; the scale-correct default).
+    - ``equal_ignoring_case`` — equi-join on ``lower()`` of both keys;
+      STILL an equi-join, so shuffle/broadcast strategies apply
+      unchanged.
+    - ``not_equal`` — theta-join ``child <> parent``.
+    - ``contains`` — theta-join ``child LIKE '%'||parent||'%'``
+      (RML's grel:string_contains / idlab-fn
+      stringContainsOtherString).
+
+    The two theta functions cannot be hash joins; in R2RML practice the
+    parent map is a small vocabulary/dimension table, so ``materialize``
+    broadcasts the parent side for them (a broadcast-nested-loop over a
+    bounded dim — the only distributed plan a non-equi predicate
+    admits)."""
 
     parent_table: str | tuple[str, ...]
     parent_subject: Template
     child_key: str
     parent_key: str
+    function: str = "equal"
 
 
 @dataclass(frozen=True)
@@ -104,9 +124,28 @@ def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFra
                 parent = pframes[0]
                 for extra in pframes[1:]:
                     parent = parent.unionByName(extra)
+                fn = getattr(obj, "function", "equal")
+                child_c = F.col(obj.child_key)
+                if fn == "equal":
+                    cond = child_c == F.col("__pk")
+                elif fn == "equal_ignoring_case":
+                    # equi-join on the lowered keys — Catalyst still
+                    # sees an equality, so hash strategies survive
+                    cond = F.lower(child_c.cast("string")) == F.lower(
+                        F.col("__pk").cast("string"))
+                elif fn == "not_equal":
+                    cond = child_c != F.col("__pk")
+                    parent = F.broadcast(parent)
+                elif fn == "contains":
+                    cond = child_c.cast("string").contains(
+                        F.col("__pk").cast("string"))
+                    parent = F.broadcast(parent)
+                else:
+                    raise NotImplementedError(
+                        f"join condition function {fn!r}")
                 parts.append(
                     tables[m.source]
-                    .join(parent, F.col(obj.child_key) == F.col("__pk"))
+                    .join(parent, cond)
                     .select(subj.alias("subject"),
                             F.lit(pred).alias("predicate"),
                             F.col("__obj").alias("object"),

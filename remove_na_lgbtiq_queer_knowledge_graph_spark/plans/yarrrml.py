@@ -39,6 +39,34 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _TEMPLATE_RE = re.compile(r"^([A-Za-z_][\w-]*):\$\((\w+)\)$")
 _COLUMN_RE = re.compile(r"^\$\((\w+)\)$")
+
+# YARRRML condition functions → RefObjectMap.function (round 11; the
+# strict-mode NotImplementedError previously covered everything but
+# ``equal``).  Keys are normalized: prefix (``idlab-fn:`` / ``grel:`` /
+# a full IRI) stripped, lowered, underscores removed — so
+# ``idlab-fn:stringContainsOtherString``, ``grel:string_contains`` and
+# ``stringContainsOtherString`` all resolve to ``contains``.
+_JOIN_FUNCTIONS = {
+    "equal": "equal",
+    "notequal": "not_equal",
+    "stringcontainsotherstring": "contains",
+    "stringcontains": "contains",
+    "contains": "contains",
+    "equalignoringcase": "equal_ignoring_case",
+    "toolowercaseequal": "equal_ignoring_case",
+}
+
+
+def _normalize_fn(fn) -> str:
+    """Normalize a YARRRML condition-function name: default ``equal``,
+    strip any prefix/IRI namespace, lower-case, drop underscores."""
+    if fn is None:
+        return "equal"
+    name = str(fn)
+    for sep in ("#", "/", ":"):
+        if sep in name:
+            name = name.rsplit(sep, 1)[1]
+    return name.lower().replace("_", "")
 _PNAME_RE = re.compile(r"^([A-Za-z_][\w-]*):(\S*)$")
 
 
@@ -146,7 +174,9 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                         continue
                     parent = obj["mapping"]
                     cond = obj.get("condition", {})
-                    if cond.get("function") not in (None, "equal"):
+                    fn = _JOIN_FUNCTIONS.get(
+                        _normalize_fn(cond.get("function")))
+                    if fn is None:
                         raise NotImplementedError(
                             f"join condition {cond.get('function')!r}")
                     child_key = parent_key = None
@@ -171,7 +201,8 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                         parent_table=(p_srcs[0] if len(p_srcs) == 1
                                       else tuple(p_srcs)),
                         parent_subject=p_subj,
-                        child_key=child_key, parent_key=parent_key)))
+                        child_key=child_key, parent_key=parent_key,
+                        function=fn)))
                 continue
             pred = _predicate(str(entry[0]), prefixes)
             lang = dtype = None

@@ -216,3 +216,105 @@ mappings:
         ("http://ex.org/c1", "http://ex.org/owner", "http://ex.org/a"),
         ("http://ex.org/c2", "http://ex.org/owner", "http://ex.org/b"),
     }
+
+
+def test_join_condition_functions(spark):
+    """Round 11: non-`equal` condition functions — notEqual, string
+    contains, case-insensitive equal — execute as the right join
+    predicates (previously NotImplementedError in strict mode)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.r2rml import (
+        materialize,
+    )
+
+    def build(fn):
+        return load_yarrrml(f"""
+prefixes:
+  ex: "http://ex.org/"
+sources:
+  child: {{table: child}}
+  parent: {{table: parent}}
+mappings:
+  Child:
+    sources: child
+    s: ex:$(cid)
+    po:
+      - p: ex:rel
+        o:
+        - mapping: Parent
+          condition:
+            function: {fn}
+            parameters:
+              - [str1, $(ckey)]
+              - [str2, $(pkey)]
+  Parent:
+    sources: parent
+    s: ex:$(pid)
+    po:
+      - [ex:kind, ex:Parent]
+""")
+
+    child = spark.createDataFrame(
+        [("c1", "Alpha"), ("c2", "beta-Alpha")], "cid string, ckey string")
+    parent = spark.createDataFrame(
+        [("1", "alpha"), ("2", "Alpha"), ("3", "beta")],
+        "pid string, pkey string")
+    tables = {"child": child, "parent": parent}
+
+    def rels(fn):
+        doc = build(fn)
+        return {(r.subject, r.object)
+                for r in materialize(tables, doc.maps)
+                .filter("predicate = 'http://ex.org/rel'").collect()}
+
+    # exact equal: only c1/Alpha ↔ p2/Alpha
+    assert rels("equal") == {("http://ex.org/c1", "http://ex.org/2")}
+    # case-insensitive: c1 matches both alpha spellings
+    assert rels("idlab-fn:equal_ignoring_case") == {
+        ("http://ex.org/c1", "http://ex.org/1"),
+        ("http://ex.org/c1", "http://ex.org/2"),
+    }
+    # notEqual: everything except the exact-equal pair
+    assert rels("notEqual") == {
+        ("http://ex.org/c1", "http://ex.org/1"),
+        ("http://ex.org/c1", "http://ex.org/3"),
+        ("http://ex.org/c2", "http://ex.org/1"),
+        ("http://ex.org/c2", "http://ex.org/2"),
+        ("http://ex.org/c2", "http://ex.org/3"),
+    }
+    # contains: child key contains parent key as a substring
+    assert rels("grel:string_contains") == {
+        ("http://ex.org/c1", "http://ex.org/2"),
+        ("http://ex.org/c2", "http://ex.org/2"),
+        ("http://ex.org/c2", "http://ex.org/3"),
+    }
+
+
+def test_unknown_join_condition_function_still_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="reverseDns"):
+        load_yarrrml("""
+prefixes:
+  ex: "http://ex.org/"
+sources:
+  child: {table: child}
+  parent: {table: parent}
+mappings:
+  Child:
+    sources: child
+    s: ex:$(cid)
+    po:
+      - p: ex:rel
+        o:
+        - mapping: Parent
+          condition:
+            function: grel:reverseDns
+            parameters:
+              - [str1, $(ckey)]
+              - [str2, $(pkey)]
+  Parent:
+    sources: parent
+    s: ex:$(pid)
+    po:
+      - [ex:kind, ex:Parent]
+""")
