@@ -41,6 +41,9 @@ _MODULES = (
     # round-8 continuation: training-tier LLM ops (BPE, logreg,
     # SemDeDup) — appended last per the rotation ordering contract
     "queries_llm3",
+    # round-11: curation tier (upsampling, blocklist, survivorship,
+    # inter-arrival QA)
+    "queries_curation",
 )
 
 

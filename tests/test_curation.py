@@ -1,0 +1,170 @@
+"""Round-11 curation-tier tests (queries_curation.py)."""
+
+from pyspark.sql import functions as F
+
+from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_curation import (
+    er_survivorship_merge,
+    mix_upsample_epochs,
+    text_blocklist_filter,
+    ts_interarrival_stats,
+)
+
+
+def test_upsample_epochs_replication(spark, sf_dir):
+    out = mix_upsample_epochs(spark, sf_dir)
+    per = (out.groupBy("source")
+              .agg(F.max("epoch").alias("mx"),
+                   F.count("*").alias("n"),
+                   F.countDistinct("doc_id").alias("nd"))
+              .collect())
+    for r in per:
+        src_num = int(r.source[3:])
+        want = 1 + src_num % 3
+        assert r.mx == want, (r.source, r.mx, want)
+        # every doc of the source is repeated exactly `want` times
+        assert r.n == r.nd * want
+
+
+def test_upsample_epochs_dense_from_one(spark, sf_dir):
+    out = mix_upsample_epochs(spark, sf_dir)
+    one = out.filter("doc_id = 0").orderBy("epoch").collect()
+    assert [r.epoch for r in one] == list(range(1, len(one) + 1))
+    assert one[0].epoch == 1
+
+
+def test_blocklist_counts_and_keep(spark):
+    from remove_na_lgbtiq_queer_knowledge_graph_spark import queries_curation as qc
+
+    df = spark.createDataFrame(
+        [
+            (1, "a Slow sLOW stale day", "en", "src1", 0),
+            (2, "all clean words here", "en", "src1", 0),
+            (3, "slow " * 30 + "ok", "en", "src1", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {r.doc_id: r for r in text_blocklist_filter(spark, d).collect()}
+    # case-insensitive matching, 3 of 5 tokens blocked -> >2% -> dropped
+    assert rows[1].n_blocked == 3 and rows[1].keep == 0
+    assert rows[2].n_blocked == 0 and rows[2].keep == 1
+    # 30/31 blocked
+    assert rows[3].n_blocked == 30 and rows[3].keep == 0
+    assert qc._BLOCKLIST == ("slow", "broken", "stale")
+
+
+def test_survivorship_rules(spark):
+    import tempfile, os
+
+    df = spark.createDataFrame(
+        [
+            # one entity: (7, 'SEG') — latest is custkey 30; acctbal
+            # ties 20/30 at 900.0, custkey tie-break picks 30 (Cara)
+            (10, "Alice", 7, 50.0, "SEG"),
+            (20, "Bob", 7, 900.0, "SEG"),
+            (30, "Cara", 7, 900.0, "SEG"),   # acctbal tie -> custkey break
+            (40, "Dan", 8, 10.0, "SEG"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "customer.parquet"))
+        rows = {(r.c_nationkey, r.c_mktsegment): r
+                for r in er_survivorship_merge(spark, d).collect()}
+    g = rows[(7, "SEG")]
+    assert g.n_records == 3
+    assert g.survivor_custkey == 30
+    assert g.latest_name == "Cara"
+    # richest: acctbal tie between 20/30 resolved by HIGHER custkey
+    assert g.richest_name == "Cara"
+    assert g.best_acctbal == 900.0
+    assert rows[(8, "SEG")].richest_name == "Dan"
+
+
+def test_interarrival_gaps_per_user_not_global(spark):
+    import datetime as dt
+    import tempfile, os
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: gaps 10s then 20s, types a/b/b
+        (1, t0, 1, "a", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=10), 1, "b", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=30), 1, "b", 0.0, "{}"),
+        # user 2: single event -> no gap
+        (4, t0 + dt.timedelta(seconds=1), 2, "b", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.event_type: r for r in ts_interarrival_stats(spark, d).collect()}
+    assert set(got) == {"b"}          # first-of-user rows carry no gap
+    b = got["b"]
+    assert b.n_gaps == 2
+    assert b.p50_gap_us == 15_000_000.0      # median of {10s, 20s}
+    assert b.max_gap_us == 20_000_000.0
+    assert b.mean_gap_us == 15_000_000.0
+
+
+def test_survivorship_property_vs_brute(spark):
+    """Random customer tables: the one-pass groupBy survivorship must
+    equal a pure-python per-group scan (latest / richest / max rules,
+    custkey tie-breaks)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import os
+    import tempfile
+
+    row = st.tuples(
+        st.integers(1, 60),                       # custkey (unique-ified below)
+        st.sampled_from(["A", "B", "C"]),         # name
+        st.integers(0, 2),                        # nationkey
+        st.integers(-500, 500),                   # acctbal cents
+        st.sampled_from(["S1", "S2"]),            # segment
+    )
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(row, min_size=1, max_size=20))
+    def check(raw):
+        # unique custkeys: survivorship assumes a record identity
+        seen, recs = set(), []
+        for ck, nm, nk, cents, seg in raw:
+            if ck in seen:
+                continue
+            seen.add(ck)
+            recs.append((ck, f"{nm}{ck}", nk, cents / 100.0, seg))
+        df = spark.createDataFrame(
+            recs,
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "customer.parquet"))
+            got = {(r.c_nationkey, r.c_mktsegment): r
+                   for r in er_survivorship_merge(spark, d).collect()}
+        groups = {}
+        for ck, nm, nk, bal, seg in recs:
+            groups.setdefault((nk, seg), []).append((ck, nm, bal))
+        assert set(got) == set(groups)
+        for key, members in groups.items():
+            g = got[key]
+            assert g.n_records == len(members)
+            latest = max(members, key=lambda m: m[0])
+            assert g.survivor_custkey == latest[0]
+            assert g.latest_name == latest[1]
+            richest = max(members,
+                          key=lambda m: (round(m[2] * 100), m[0]))
+            assert g.richest_name == richest[1]
+            assert g.best_acctbal == max(m[2] for m in members)
+
+    check()
