@@ -1861,7 +1861,116 @@ SELECT c_custkey, c_name, c_acctbal, action FROM merged
 """
 
 
+def sink_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge — the HISTORY-keeping sibling of
+    ``sink_merge_upsert``: instead of overwriting matched rows, close
+    the old version (``valid_to`` = batch date) and open a new one, so
+    every past state stays queryable (the dimension-versioning staple
+    Delta/Iceberg users hand-roll on top of MERGE).
+
+    Delta batch (deterministic): every 3rd custkey changes balance
+    (+100); every custkey ≡ 7 (mod 5) arrives with UNCHANGED values —
+    the no-op-update case SCD2 must suppress (a naive MERGE would mint
+    a spurious version); keys ≡ 7 (mod 1000) shifted by 2⁴⁰ are brand
+    new.  One full-outer join on the key; each joined row then emits
+    its 1–2 output versions from a conditional array + ``explode`` —
+    ONE join execution, one pass (the union-of-two-projections
+    formulation re-executes the join per branch: measured 2 joins /
+    2 exchanges in the executed plan, so it was rewritten).  At 100 TB
+    this is exactly the shuffle-on-key MERGE plan plus a narrow
+    in-task fan-out; no read-modify-write, no driver state."""
+    base_date, batch_date = "2020-01-01", "2024-06-01"
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    changed = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name",
+                (F.col("c_acctbal") + 100).alias("c_acctbal"))
+    )
+    noop = c.filter((F.col("c_custkey") % 5 == 7 % 5)
+                    & (F.col("c_custkey") % 3 != 0))
+    inserts = c.filter(F.col("c_custkey") % 1000 == 7).select(
+        (F.col("c_custkey") + (1 << 40)).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    delta = changed.unionByName(noop).unionByName(inserts)
+    j = c.alias("t").join(delta.alias("s"), "c_custkey", "full_outer")
+    # value comparison on cents (exact integers) — a double != would
+    # hinge on representation bits
+    cents = lambda col: F.floor(col * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    is_change = (
+        F.col("t.c_custkey").isNotNull() & F.col("s.c_custkey").isNotNull()
+        & ((cents(F.col("s.c_acctbal")) != cents(F.col("t.c_acctbal")))
+           | (F.col("s.c_name") != F.col("t.c_name")))
+    )
+    closed_row = F.struct(
+        F.col("t.c_name").alias("c_name"),
+        F.col("t.c_acctbal").alias("c_acctbal"),
+        F.lit(base_date).cast("date").alias("valid_from"),
+        F.lit(batch_date).cast("date").alias("valid_to"),
+        F.lit(0).cast("long").alias("is_current"),
+    )
+    current_row = F.struct(
+        F.coalesce(F.col("s.c_name"), F.col("t.c_name")).alias("c_name"),
+        F.coalesce(F.col("s.c_acctbal"), F.col("t.c_acctbal"))
+         .alias("c_acctbal"),
+        F.when(F.col("t.c_custkey").isNull() | is_change, batch_date)
+         .otherwise(base_date).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    versions = F.when(is_change, F.array(closed_row, current_row)) \
+                .otherwise(F.array(current_row))
+    return (
+        j.select("c_custkey", F.explode(versions).alias("v"))
+        .select("c_custkey", "v.*")
+    )
+
+
+_SCD2_SQL = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+delta AS (
+  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal
+  FROM base WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal
+  FROM base WHERE c_custkey % 5 = 2 AND c_custkey % 3 <> 0
+  UNION ALL
+  SELECT c_custkey + (1::BIGINT << 40), 'new-' || c_name, 0.0
+  FROM base WHERE c_custkey % 1000 = 7
+),
+j AS (
+  SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+         t.c_custkey AS tk, s.c_custkey AS sk,
+         t.c_name AS tn, s.c_name AS sn,
+         t.c_acctbal AS tb, s.c_acctbal AS sb,
+         (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND
+          (CAST(floor(s.c_acctbal * 100 + 0.5) AS BIGINT)
+             <> CAST(floor(t.c_acctbal * 100 + 0.5) AS BIGINT)
+           OR s.c_name <> t.c_name)) AS is_change
+  FROM base t FULL OUTER JOIN delta s ON t.c_custkey = s.c_custkey
+)
+SELECT c_custkey, tn AS c_name, tb AS c_acctbal,
+       DATE '2020-01-01' AS valid_from, DATE '2024-06-01' AS valid_to,
+       CAST(0 AS BIGINT) AS is_current
+FROM j WHERE is_change
+UNION ALL
+SELECT c_custkey, COALESCE(sn, tn) AS c_name,
+       COALESCE(sb, tb) AS c_acctbal,
+       CASE WHEN tk IS NULL OR is_change THEN DATE '2024-06-01'
+            ELSE DATE '2020-01-01' END AS valid_from,
+       CAST(NULL AS DATE) AS valid_to,
+       CAST(1 AS BIGINT) AS is_current
+FROM j
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "sink_scd2_merge": QuerySpec(
+        sink_scd2_merge, _SCD2_SQL,
+        "SCD type-2 versioning merge: close-old + open-new from ONE "
+        "full-outer join (exchange reused), no-op updates suppressed"),
     "sink_merge_upsert": QuerySpec(
         sink_merge_upsert, _MERGE_SQL,
         "MERGE/upsert as one full-outer join + coalesce — the "

@@ -168,3 +168,40 @@ def test_survivorship_property_vs_brute(spark):
             assert g.best_acctbal == max(m[2] for m in members)
 
     check()
+
+
+def test_scd2_invariants(spark, sf_dir):
+    """SCD2 output contract: exactly one current row per key; changed
+    keys carry a closed prior version; no-op delta keys mint NO new
+    version; inserts open at the batch date."""
+    import datetime as dt
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_relational import (
+        sink_scd2_merge,
+    )
+
+    rows = sink_scd2_merge(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    batch = dt.date(2024, 6, 1)
+    base = dt.date(2020, 1, 1)
+    for key, vs in by_key.items():
+        current = [v for v in vs if v.is_current == 1]
+        closed = [v for v in vs if v.is_current == 0]
+        assert len(current) == 1, key
+        assert current[0].valid_to is None
+        if key >= (1 << 40):                       # insert
+            assert not closed and current[0].valid_from == batch
+            assert current[0].c_name.startswith("new-")
+        elif key % 3 == 0:                         # changed
+            assert len(closed) == 1
+            assert closed[0].valid_to == batch
+            assert closed[0].valid_from == base
+            assert current[0].valid_from == batch
+            # +100 balance actually applied
+            assert abs(current[0].c_acctbal
+                       - closed[0].c_acctbal - 100) < 1e-6
+        else:                                      # untouched or no-op
+            assert not closed
+            assert current[0].valid_from == base
