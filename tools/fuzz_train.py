@@ -51,6 +51,12 @@ QUERIES = [
     # (boundary pairs must agree with the all-pairs oracle exactly)
     "text_bm25_topk", "lm_ppl_buckets",
     "dedup_jaccard_pairs", "dedup_jaccard_prefix",
+    # round 11: curation tier — epoch replication (source-number
+    # parsing + sequence/generate_series parity) and the deny-list
+    # gate (case-fold + 2%-boundary integer arithmetic; gen_corpus
+    # plants literal blocklist words so n_blocked > 0 actually
+    # exercises the keep cut)
+    "mix_upsample_epochs", "text_blocklist_filter",
 ]
 
 # embeddings-driven queries, fuzzed with adversarial vector tables
@@ -86,6 +92,17 @@ def gen_corpus(rng: random.Random):
             text = " ".join(
                 rng.choice(vocab)
                 for _ in range(rng.randint(15, 80)))  # BPE-viable length
+        if kind >= 0.08 and rng.random() < 0.15:
+            # plant 1-3 deny-list words (round 11) — random vocab over
+            # a tiny alphabet would never hit the literal blocklist,
+            # leaving text_blocklist_filter's keep cut unexercised;
+            # mixed case exercises the fold, 1-3 of ~15-80 tokens puts
+            # docs on both sides of the 2% boundary
+            words = text.split(" ")
+            for _ in range(rng.randint(1, 3)):
+                planted = rng.choice(["slow", "Slow", "BROKEN", "stale"])
+                words.insert(rng.randrange(len(words) + 1), planted)
+            text = " ".join(words)
         rows.append((i, text, rng.choice(langs),
                      f"src{rng.randint(0, 5)}", len(text)))
     # planted near-duplicates (round 10): ~10% of docs get a same-lang
