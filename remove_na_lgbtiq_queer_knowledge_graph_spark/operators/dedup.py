@@ -107,15 +107,19 @@ def minhash_signature(
     construction: ONE md5 per feature, k LONG components derived as
     h_s = (a + s·b) mod P with a, b the two 32-bit md5 halves and P
     the largest prime < 2^32 (Kirsch & Mitzenmacher 2006) — k hash
-    functions for the price of one.  b is forced ODD (``b | 1``, round
-    11): the standard KM caveat is that a feature whose b ≡ 0 (mod P)
-    collapses all k components to the constant a — negligible per
-    feature (~2^-32) but certain over trillions of shingles at the
-    100 TB target, and a collapsed feature correlates the k minima of
-    every document containing it.  Odd b can never be ≡ 0 (P is odd
-    and > 2^32-bit b values), so the degenerate family member is
-    excluded by construction; the oracle applies the same ``| 1``.
-    (Values in [P, 2^32) still alias into [0, 5) — a ~1e-9 bias both
+    functions for the price of one.  b is reduced into [1, P-1] via
+    ``(b mod (P-1)) + 1`` (round 11, reviewed twice): the standard KM
+    caveat is that a feature whose b ≡ 0 (mod P) collapses all k
+    components to the constant a — negligible per feature (~2^-32) but
+    certain over trillions of shingles at the 100 TB target, and a
+    collapsed feature correlates the k minima of every document
+    containing it.  The first round-11 attempt forced b odd (``b | 1``)
+    on the argument that an odd b can't be ≡ 0 (mod odd P) — wrong,
+    because b|1 can land on P ITSELF (raw b ∈ {P-1, P} both map there),
+    so the degenerate set merely shifted.  The mod-(P-1)+1 reduction is
+    total: every raw b lands in [1, P-1], which contains no multiple of
+    P; the oracle applies the same reduction.  (a values in [P, 2^32)
+    still alias into [0, 5) — a ~1e-9 bias both
     engines share, documented rather than corrected.)  At 100 TB the md5 over trillions
     of shingle rows dominates the signature pass, and the km family
     halves its measured wall at sf0.1 (0.85 s → 0.42 s for k=12); the
@@ -126,8 +130,8 @@ def minhash_signature(
     if family == "km":
         m = F.md5(F.col(feature_col))
         a = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-        b = F.conv(F.substring(m, 9, 8), 16, 10).cast("long").bitwiseOR(
-            F.lit(1))
+        b = F.pmod(F.conv(F.substring(m, 9, 8), 16, 10).cast("long"),
+                   F.lit(KM_PRIME - 1)) + F.lit(1)
         aggs = [
             F.min(((a + F.lit(s) * b) % F.lit(KM_PRIME)).cast("long"))
              .alias(f"h{s}")

@@ -291,7 +291,8 @@ def ppm_near_dup_payload_builder(
     and 7, so twin hashes differ by 1–4 bits (measured over 500 twin
     pairs; 98% of them flip bits in ≥2 different 8-bit bands — the
     band-boundary-crossing case the pigeonhole join must still catch).
-    Every pixel stays ≤ 254 + 40 < 256.  Mirrored analytically by the
+    Every pixel stays ≤ 214 + 40 = 254 < 256 (the gradient's max value
+    is 214 since px is taken mod 215).  Mirrored analytically by the
     ``mm_phash_cluster_keep`` oracle."""
     import numpy as np
 

@@ -638,31 +638,43 @@ def interval_join(
     numeric (epoch seconds — cast timestamps with ``.cast('double')``,
     which both engines evaluate as micros/1e6 bit-identically).
 
-    SELF-TUNING WIDTH (round 11): ``bin_width=None`` derives the width
-    from the p95 interval LENGTH over a bounded sample (``limit(width_
-    sample_rows)`` then ``approxQuantile`` — one cheap job, the same
-    counted-before-collected gate pattern as ``salted_join``).  With
-    w = p95(len), ≥95% of intervals cover ⌊len/w⌋+1 ≤ 2 bins, so
-    bins-per-interval stays O(1) on ANY span regime — the round-10
-    audit's remaining caller burden (a workload whose intervals span
-    ≫ bins×width paid a bins-per-interval explosion under any fixed
-    constant).  The tail past p95 is still bounded by the in-plan
-    ``max_bins_per_interval`` guard.  The width only shapes the PLAN,
-    never the result, so oracle equivalence is untouched.  Auto mode
-    reads the INTERVALS side eagerly — with a streaming points side
+    SELF-TUNING WIDTH (round 11, hardened in review): ``bin_width=None``
+    derives the width from TWO statistics of the interval lengths —
+
+    - p95 over a bounded sample (``limit(width_sample_rows)`` then
+      ``approxQuantile`` — cheap, perf-shaping only): with w ≈
+      p95(len), ≥95% of intervals cover ≤ 2 bins, so bins-per-interval
+      stays O(1) on any span regime;
+    - the EXACT max length over ALL intervals (one map-side-combinable
+      agg): the width is floored at ``max_len / (max_bins_per_interval
+      - 2)``, which makes the bins guard UNREACHABLE for every
+      well-formed interval in auto mode.  Without the floor, a skewed
+      workload (p95 ≈ 1 s plus one legitimate 2000 s interval) would
+      pick w = 1 s and the in-plan raise would kill the job — a
+      failure mode the old fixed 1800 s default did not have — and
+      because the p95 sample is partition-order-dependent, whether it
+      raised would not even be deterministic.  With the exact-max
+      floor, auto mode raises only for inverted/NULL intervals
+      (corrupt data, which SHOULD fail loud); an explicit bin_width
+      keeps the hard guard semantics for callers who size it
+      themselves.
+
+    The width only shapes the PLAN, never the result, so oracle
+    equivalence is untouched.  Auto mode reads the INTERVALS side
+    eagerly (two small jobs) — with a streaming points side
     (``stream_interval_join``) the intervals must be the static side,
     which is the only shape the operator supports anyway.
     """
     if bin_width is None:
-        lens = (
-            intervals.select(
-                (F.col(end_col) - F.col(start_col)).cast("double")
-                .alias("__len"))
-            .where(F.col("__len") >= 0)
-            .limit(int(width_sample_rows))
-        )
-        q = lens.approxQuantile("__len", [0.95], 0.01)
-        bin_width = q[0] if q and q[0] and q[0] > 0 else 1800.0
+        lens = intervals.select(
+            (F.col(end_col) - F.col(start_col)).cast("double")
+            .alias("__len")).where(F.col("__len") >= 0)
+        mx_row = lens.agg(F.max("__len").alias("m")).first()
+        mx = mx_row[0] if mx_row and mx_row[0] else 0.0
+        q = lens.limit(int(width_sample_rows)).approxQuantile(
+            "__len", [0.95], 0.01)
+        p95 = q[0] if q and q[0] and q[0] > 0 else 1800.0
+        bin_width = max(p95, mx / max(1, max_bins_per_interval - 2))
     w = F.lit(float(bin_width))
     nbins = (F.floor(F.col(end_col) / w) - F.floor(F.col(start_col) / w))
     # the guard must be TWO-SIDED: an INVERTED interval (end < start,

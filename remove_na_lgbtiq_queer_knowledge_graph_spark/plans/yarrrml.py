@@ -191,7 +191,7 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                             parent_key = col.group(1)
                     if child_key is None or parent_key is None:
                         raise ValueError(
-                            f"equal condition of {name}.{pred} needs "
+                            f"join condition of {name}.{pred} needs "
                             "str1/str2 parameters")
                     p_srcs, p_subj = heads[parent]
                     # a multi-source parent joins against the UNION of

@@ -39,9 +39,11 @@ def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pipelined inside the scan stage (each task fans out its own
     rows, nothing crosses the wire)."""
     docs = t(spark, sf_dir, "documents")
+    # unbounded substr, matching the oracle's substring(source, 4) —
+    # a 10-char cap would diverge the engines on 11+-digit source ids
     epochs = (
         F.lit(1).cast("long")
-        + F.pmod(F.substring("source", 4, 10).cast("long"), F.lit(3))
+        + F.pmod(F.expr("substr(source, 4)").cast("long"), F.lit(3))
     )
     return docs.select(
         "doc_id",
@@ -89,15 +91,17 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the list literal is interpolated from _BLOCKLIST (one copy, the
+# shared-fragment rule — a hard-coded twin could drift from the Spark
+# expression)
+_BLOCK_DUCK = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
+_N_BLOCKED_DUCK = (f"len(list_filter({_WORDS_DUCK}, "
+                   f"x -> list_contains({_BLOCK_DUCK}, lower(x))))")
 _BLOCKLIST_SQL = f"""
 SELECT doc_id,
        CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens,
-       CAST(len(list_filter({_WORDS_DUCK},
-                x -> list_contains(['slow', 'broken', 'stale'], lower(x))))
-         AS BIGINT) AS n_blocked,
-       CAST(len(list_filter({_WORDS_DUCK},
-                x -> list_contains(['slow', 'broken', 'stale'], lower(x))))
-            * 50 <= len({_WORDS_DUCK}) AS BIGINT) AS keep
+       CAST({_N_BLOCKED_DUCK} AS BIGINT) AS n_blocked,
+       CAST({_N_BLOCKED_DUCK} * 50 <= len({_WORDS_DUCK}) AS BIGINT) AS keep
 FROM documents
 """
 
@@ -115,11 +119,23 @@ def er_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     max.  One map-side-combinable groupBy — ``max_by`` carries a
     (value, key) pair through partial aggregation, so no row leaves its
     partition un-combined.  The arg-max key packs (cents, custkey) into
-    one BIGINT: exact while custkey < 10¹⁰ — beyond that (full 100 TB
-    ids) widen to DECIMAL(38,0) or a struct ordering."""
+    one BIGINT: exact while custkey < 10¹⁰, and that bound is ENFORCED
+    by an in-plan raise (same fail-loud pattern as ``interval_join``'s
+    bins guard) — a custkey past it would silently bleed into the cents
+    field and let a poorer record out-rank a richer one, the exact
+    silent-wrongness shape this repo converts to loud failures.  For
+    full 100 TB id ranges widen the key to DECIMAL(38,0) or a struct
+    ordering and drop the guard."""
     c = t(spark, sf_dir, "customer")
+    pack_limit = 10_000_000_000
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
-    rich_key = cents * F.lit(10_000_000_000) + F.col("c_custkey")
+    rich_key = F.when(
+        F.col("c_custkey") < F.lit(pack_limit),
+        cents * F.lit(pack_limit) + F.col("c_custkey"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("er_survivorship_merge: c_custkey >= 1e10 overflows the "
+              "packed arg-max key ("),
+        F.col("c_custkey").cast("string"), F.lit(")"))).cast("long"))
     return c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_records"),
         F.max("c_custkey").alias("survivor_custkey"),

@@ -114,14 +114,16 @@ _BANDS = "\n  UNION ALL ".join(
 # Kirsch-Mitzenmacher component s over a SINGLE md5 — must stay in
 # lockstep with operators/dedup.minhash_signature(family="km") (same
 # a + s·b mod P over the two 32-bit md5 halves, same prime, same
-# b | 1 odd-forcing that excludes the b ≡ 0 degenerate family member)
+# b → (b mod (P-1)) + 1 reduction into [1, P-1] that excludes the
+# b ≡ 0 (mod P) degenerate family member totally — the earlier b|1
+# odd-forcing still admitted b|1 = P itself)
 _KM_P = 4294967291
 
 
 def _km(s: int, col: str = "s") -> str:
     return (f"min((CAST('0x' || substring(md5({col}), 1, 8) AS BIGINT)"
             f" + {s} * (CAST('0x' || substring(md5({col}), 9, 8) AS BIGINT)"
-            f" | 1))"
+            f" % {_KM_P - 1} + 1))"
             f" % {_KM_P})")
 
 

@@ -274,7 +274,7 @@ def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     ).withColumn(
-        "w", (F.lit(1) + F.pmod(F.substring("source", 4, 10).cast("long"),
+        "w", (F.lit(1) + F.pmod(F.expr("substr(source, 4)").cast("long"),
                                 F.lit(3))).cast("long")
     )
     totals = weighted.agg(
@@ -843,7 +843,7 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, ["source"], ["q_neg", "doc_id"], "n_tokens",
         out="cum_tokens")
     budget = (F.lit(1500)
-              + F.lit(500) * F.pmod(F.substring("source", 4, 10).cast("long"),
+              + F.lit(500) * F.pmod(F.expr("substr(source, 4)").cast("long"),
                                     F.lit(3)))
     return (
         ranked.filter(F.col("cum_tokens") <= budget)

@@ -340,3 +340,31 @@ def test_asof_forward_property_vs_brute_force(spark):
         assert got == expect
 
     check()
+
+
+def test_interval_join_auto_width_survives_skewed_lengths(spark):
+    """Review fix (round 11): auto width (bin_width=None) must NOT
+    raise on a skewed length distribution — p95 ≈ 1 s plus one
+    legitimate 2000 s interval previously picked w = 1 s, and the
+    2000-bin outlier tripped the in-plan guard that the fixed 1800 s
+    default never hit.  The exact-max floor makes the guard
+    unreachable for well-formed intervals in auto mode."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        interval_join,
+    )
+
+    rows = [(1, i, 1000.0 + 3 * i, 1001.0 + 3 * i) for i in range(60)]
+    rows.append((1, 999, 0.0, 2000.0))          # the legitimate outlier
+    intervals = spark.createDataFrame(
+        rows, "user long, iid long, s double, e double")
+    points = spark.createDataFrame(
+        [(1, 100, 1000.5), (1, 101, 500.0)],
+        "user long, pid long, p double")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(points, intervals, "p", "s", "e",
+                               keys=["user"], bin_width=None,
+                               max_bins_per_interval=64).collect())
+    # pid 100 hits interval 0 (1000..1001) AND the outlier; pid 101
+    # hits only the outlier
+    assert got == [(100, 0), (100, 999), (101, 999)]

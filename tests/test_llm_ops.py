@@ -591,7 +591,7 @@ def test_netpbm_header_comments_and_truncation():
         _parse_netpbm_header(b"JFIF whatever")
 
 
-def test_mm_phash_cluster_keep_planted_twins(spark):
+def test_mm_phash_cluster_keep_planted_twins(spark, sf_dir):
     """The planted near-dup family must actually merge: every ODD doc
     (the +40-bump twin) surrenders to a smaller keeper, and the bit
     flips genuinely cross band boundaries for some pair (so the merge
@@ -604,8 +604,7 @@ def test_mm_phash_cluster_keep_planted_twins(spark):
     )
 
     out = {r.doc_id: r.keep_doc
-           for r in mm_phash_cluster_keep_q(
-               spark, "/root/testdata/sf0.001").collect()}
+           for r in mm_phash_cluster_keep_q(spark, sf_dir).collect()}
     assert out, "empty result"
     assert all(keep < d for d, keep in out.items() if d % 2 == 1), \
         "an odd twin failed to merge with its smaller near-duplicate"
@@ -1633,3 +1632,22 @@ def test_ewma_decay_brute_force(spark, sf_dir):
                  for e, v in rows)
         assert got[u][0] == len(rows) and got[u][1] == last
         assert abs(got[u][2] - dv) <= 1e-4  # 9-dp terms x |events|
+
+
+def test_km_b_reduction_excludes_degenerate_member():
+    """Round-11 re-fix: the b -> (b mod (P-1)) + 1 reduction must map
+    EVERY raw 32-bit b into [1, P-1] — no multiple of P reachable (the
+    earlier b|1 odd-forcing still admitted b|1 = P itself, a no-op fix
+    caught in review)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        KM_PRIME,
+    )
+
+    edge = [0, 1, KM_PRIME - 2, KM_PRIME - 1, KM_PRIME, KM_PRIME + 1,
+            2**32 - 2, 2**32 - 1]
+    for raw in edge:
+        b = (raw % (KM_PRIME - 1)) + 1
+        assert 1 <= b <= KM_PRIME - 1
+        assert b % KM_PRIME != 0
+    # the old b|1 rule demonstrably failed exactly here:
+    assert ((KM_PRIME - 1) | 1) % KM_PRIME == 0
