@@ -465,6 +465,96 @@ def pagerank(
     return rank.select("node", round_half_away_col(F.col("rank"), 9).alias("pagerank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, n_iter: int = 10,
+    damping: float = 0.85, src: str = "src", dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Personalized PageRank: the power method with the teleport mass
+    concentrated on a SEED SET instead of spread uniformly — the
+    standard graph-proximity score ("how related is every entity to
+    these seeds"), which is what a KG actually asks (related entities
+    for a curated list; candidate ranking for entity linking).
+
+        rank_{i+1}(v) = (1−d)·rv(v) + d·( Σ_{u→v} rank_i(u)/outdeg(u)
+                                          + dangling_mass·rv(v) )
+
+    with rv uniform over the seeds (1/|S| on seeds, 0 elsewhere) —
+    dangling mass teleports back to the seeds, so ranks stay a
+    probability distribution (Σ rank = 1, asserted in tests) and nodes
+    unreachable from the seed set score exactly 0.
+
+    Same plan shape and determinism discipline as :func:`pagerank`
+    (fixed iterations → unrollable SQL oracle; DECIMAL(38,18) partial
+    sums; one join + one aggregate per iteration; the seed dim and the
+    one-row dangling mass are broadcast).  Seeds not present in the
+    edge set still receive their restart mass — they are real nodes of
+    the computation (matching the SQL oracle's FULL set = graph nodes
+    ∪ seeds)."""
+    from .. import spec as _spec
+
+    e = _spec.materialize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    )
+    s = seeds.select(F.col(node).alias("node")).distinct()
+    nodes = _spec.materialize(
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .unionAll(s)
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = _spec.materialize(
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .join(F.broadcast(s.withColumn("__seed", F.lit(1))), "node", "left")
+        .crossJoin(F.broadcast(s.agg(F.count("*").alias("ns"))))
+        .select(
+            "node", "outdeg",
+            F.when(F.col("__seed").isNotNull(),
+                   F.lit(1.0) / F.col("ns")).otherwise(F.lit(0.0))
+            .alias("rv"),
+        )
+    )
+
+    dec = "decimal(38,18)"
+    rank = base.withColumn("rank", F.col("rv"))
+    for _ in range(n_iter):
+        contrib = (
+            rank.filter(F.col("outdeg") > 0)
+            .join(e, rank.node == e.u)
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.sum((F.col("rank") / F.col("outdeg")).cast(dec))
+                .cast("double")
+                .alias("inflow")
+            )
+        )
+        dangling = (
+            rank.filter(F.col("outdeg") == 0)
+            .agg(F.sum(F.col("rank").cast(dec)).cast("double").alias("dmass"))
+            .select(F.coalesce("dmass", F.lit(0.0)).alias("dmass"))
+        )
+        rank = _spec.materialize(
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node", "outdeg", "rv",
+                (
+                    (F.lit(1.0) - F.lit(damping)) * F.col("rv")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dmass") * F.col("rv")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return rank.select("node", round_half_away_col(F.col("rank"), 9).alias("ppr"))
+
+
 def label_propagation(
     edges: DataFrame, n_iter: int = 4, src: str = "src", dst: str = "dst",
 ) -> DataFrame:

@@ -463,6 +463,76 @@ SELECT node, round(rank, 9) AS pagerank FROM r{n_iter}
 _PAGERANK_SQL = _pagerank_oracle_sql(_PR_ITER)
 
 
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on the NATION layer of the
+    membership graph (entity → nation → region): proximity-to-seeds
+    scores, the "related entities" primitive a KG runs for curated
+    lists (the reference hand-curates such lists in
+    `entities/`; PPR is the batch scoring behind them).  Fixed
+    10-iteration power method, teleport uniform over the ~25 nation
+    nodes, dangling mass returned to the seeds."""
+    from .operators.graph import personalized_pagerank
+
+    edges = _entity_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node").startswith("n:"))
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, n_iter=_PR_ITER)
+
+
+def _ppr_oracle_sql(n_iter: int) -> str:
+    """Unroll the exact PPR power iteration (same float/DECIMAL
+    discipline as :func:`_pagerank_oracle_sql`; rv replaces 1/n as the
+    teleport distribution, dangling mass scales rv instead of 1/n)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [f"""WITH {_TRIPLES_CTE},
+e AS MATERIALIZED (
+  SELECT DISTINCT subject AS u, object AS v FROM triples
+  WHERE predicate IN ('inNation', 'inRegion')
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+),
+seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node LIKE 'n:%'),
+base AS MATERIALIZED (
+  SELECT node, COALESCE(od.outdeg, 0) AS outdeg,
+         CASE WHEN node LIKE 'n:%'
+              THEN {one} / (SELECT count(*) FROM seeds)
+              ELSE CAST(0.0 AS DOUBLE) END AS rv
+  FROM nodes LEFT JOIN (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY 1) od
+  USING (node)
+),
+r0 AS MATERIALIZED (SELECT node, outdeg, rv, rv AS rank FROM base)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT e.v AS node,
+         CAST(SUM(CAST(r.rank / r.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS inflow
+  FROM r{i - 1} r JOIN e ON r.node = e.u WHERE r.outdeg > 0 GROUP BY 1
+)""")
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(38,18))) AS DOUBLE),
+                  CAST(0.0 AS DOUBLE)) AS dmass
+  FROM r{i - 1} WHERE outdeg = 0
+)""")
+        parts.append(f"""r{i} AS MATERIALIZED (
+  SELECT b.node, b.outdeg, b.rv,
+         ({one} - {d}) * b.rv
+           + {d} * (COALESCE(c.inflow, CAST(0.0 AS DOUBLE)) + dd.dmass * b.rv)
+           AS rank
+  FROM base b LEFT JOIN c{i} c USING (node) CROSS JOIN d{i} dd
+)""")
+    return ",\n".join(parts) + f"""
+SELECT node, round(rank, 9) AS ppr FROM r{n_iter}
+"""
+
+
+_PPR_SQL = _ppr_oracle_sql(_PR_ITER)
+
+
 _BT_DEPTH = 4
 
 
@@ -1244,6 +1314,11 @@ SPECS: dict[str, QuerySpec] = {
     "graph_materialize_triples": QuerySpec(graph_materialize, _MATERIALIZE_SQL),
     "graph_materialize_yaml": QuerySpec(graph_materialize_yaml, _MATERIALIZE_SQL),
     "graph_pagerank": QuerySpec(graph_pagerank, _PAGERANK_SQL),
+    "graph_pagerank_personalized": QuerySpec(
+        graph_pagerank_personalized, _PPR_SQL,
+        "personalized PageRank seeded on the nation layer — "
+        "proximity-to-seeds scores, teleport+dangling mass on the "
+        "seed distribution, unrolled-iteration oracle"),
     "graph_label_propagation": QuerySpec(
         graph_label_propagation, _LPA_SQL,
         "deterministic synchronous LPA community detection over the "

@@ -671,3 +671,38 @@ def test_link_prediction_property_vs_brute(spark):
             assert common == expect[k][0], k
 
     check()
+
+
+def test_personalized_pagerank_distribution_and_locality(spark):
+    """PPR invariants: ranks sum to 1; nodes unreachable from the seed
+    set score exactly 0; mass concentrates near the seeds (direct
+    successor of the seed out-ranks a two-hop node)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # component A: s -> a -> b (seeded); component B: x -> y (unseeded)
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("x", "y")], "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.node: r.ppr
+           for r in personalized_pagerank(edges, seeds, n_iter=12).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["s"] > got["a"] > got["b"] > 0
+
+
+def test_personalized_pagerank_seed_outside_edges(spark):
+    """A seed absent from the edge set is still a node of the
+    computation: it keeps its restart mass (isolated seed = rank 1 for
+    a single-seed run) instead of vanishing."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("z",)], "node string")
+    got = {r.node: r.ppr
+           for r in personalized_pagerank(edges, seeds, n_iter=6).collect()}
+    assert got["z"] == 1.0
+    assert got["a"] == 0.0 and got["b"] == 0.0
