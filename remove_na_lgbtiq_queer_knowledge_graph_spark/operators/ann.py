@@ -266,10 +266,17 @@ def ivf_topk(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # default seeding = the n_centroids LOWEST-id vectors (TakeOrdered,
+    # no full sort) — the previous `id < n_centroids` filter assumed
+    # dense numeric ids starting at 0: on string ids the implicit cast
+    # NULLed every row (empty centroid matrix -> IndexError in the
+    # scorer) and on sparse/offset ids it silently under-filled the
+    # centroid set (review finding; mirrors the fit-path oracles'
+    # ORDER BY vec_id LIMIT k)
     cents = centroids if centroids is not None else \
-        vectors.filter(F.col(id_col) < n_centroids).select(
+        vectors.select(
             F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v")
-        )
+        ).orderBy("cent_id").limit(n_centroids)
     # Centroid frame is small by contract — collect once, sort by id so
     # index order == the (sim DESC, cent_id ASC) tie-break order, and
     # keep ids in their NATIVE type (mapped back via an array literal).
@@ -291,17 +298,7 @@ def ivf_topk(
                 "cv")
     )
 
-    @pandas_udf("array<long>")
-    def probe_indices(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        A = np.stack(v.to_numpy()).astype("float64")
-        sims = _round_half_away(_seq_cosine(A, Cm))
-        idx = np.arange(Cm.shape[0])
-        return pd.Series([
-            np.lexsort((idx, -sims[i]))[:n_probe].tolist()
-            for i in range(len(A))
-        ])
+    probe_indices = _probe_indices_udf(Cm, n_probe)
 
     probes = (
         queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
@@ -508,6 +505,124 @@ def _fit_rows(
     return [(i, [float(x) for x in v]) for i, v in zip(ids, C)]
 
 
+
+def _collect_fit_sample(
+    vectors: DataFrame, id_col: str, vec_col: str,
+    sample_mod: int | None, max_sample_rows: int, caller: str,
+) -> tuple[list, bool]:
+    """Hash-capped fit sample, collected once — the ONE copy of the
+    sample-derivation + id-type-sniffing block that kmeans_centroids
+    and pq_codebooks used to duplicate verbatim (review finding).
+    Returns (rows, numeric_id); raises a named ValueError on an empty
+    sample instead of letting the numpy kernels die on a 0-row
+    matrix."""
+    if sample_mod is None:
+        n = vectors.count()
+        mod = -(-n // max_sample_rows)  # ceil; 1 when n fits
+        sample = vectors if mod <= 1 else \
+            vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+    else:
+        sample = vectors if sample_mod <= 1 else \
+            vectors.filter(F.col(id_col) % sample_mod == 0)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    numeric_id = id_type not in ("string", "binary")
+    rows = [
+        ((int(r["i"]) if numeric_id else r["i"]),
+         [float(x) for x in r["v"]])
+        for r in sample.select(
+            (F.col(id_col).cast("long") if numeric_id else F.col(id_col))
+            .alias("i"),
+            _dvec(vec_col).alias("v"),
+        ).collect()
+    ]
+    if not rows:
+        raise ValueError(f"{caller}: empty fit sample")
+    return rows, numeric_id
+
+
+def _probe_indices_udf(Cm, n_probe: int):
+    """(rounded cosine DESC, index ASC) top-n_probe centroid indices —
+    the probe UDF shared by ivf_topk and ivf_pq_topk (was byte-identical
+    in both, review finding)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def probe_indices(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        sims = _round_half_away(_seq_cosine(A, Cm))
+        idx = np.arange(Cm.shape[0])
+        return pd.Series([
+            np.lexsort((idx, -sims[i]))[:n_probe].tolist()
+            for i in range(len(A))
+        ])
+
+    return probe_indices
+
+
+def _pq_encode_udf(Cs, ds: int, name: str):
+    """Per-subspace nearest-codeword encoder shared by pq_topk and
+    ivf_pq_topk (parameterized on the codebook matrices and the error
+    prefix — the two copies had already drifted textually)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    want_dim = ds * len(Cs)
+
+    @pandas_udf("array<int>")
+    def encode(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        if A.shape[1] != want_dim:
+            # a codebook narrower than the vectors would otherwise
+            # silently quantize a PREFIX and drop the tail dims from
+            # every score
+            raise ValueError(
+                f"{name}: vectors are {A.shape[1]}-dim but the "
+                f"codebooks cover {want_dim} ({len(Cs)} × {ds})")
+        codes = [
+            np.argmin(_round_half_away(
+                _seq_sqdist(A[:, m * ds:(m + 1) * ds], Cs[m])), axis=1)
+            for m in range(len(Cs))
+        ]
+        return pd.Series(list(np.stack(codes, axis=1).astype("int32")))
+
+    return encode
+
+
+def _pq_lut_udf(Cs, ds: int, name: str):
+    """Per-query ADC lookup-table builder shared by pq_topk and
+    ivf_pq_topk; partial dots stay UNROUNDED — only the final ADC sum
+    rounds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    want_dim = ds * len(Cs)
+
+    @pandas_udf("array<array<double>>")
+    def lut(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype("float64")
+        if A.shape[1] != want_dim:
+            raise ValueError(
+                f"{name}: query vectors are {A.shape[1]}-dim but the "
+                f"codebooks cover {want_dim} ({len(Cs)} × {ds})")
+        return pd.Series([
+            [_seq_dot_vec(A[i, m * ds:(m + 1) * ds], Cs[m])
+             for m in range(len(Cs))]
+            for i in range(len(A))
+        ])
+
+    return lut
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -559,25 +674,9 @@ def kmeans_centroids(
     sound for dense integer ids).
     """
     spark = vectors.sparkSession
-    if sample_mod is None:
-        n = vectors.count()
-        mod = -(-n // max_sample_rows)  # ceil; 1 when n fits
-        sample = vectors if mod <= 1 else \
-            vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
-    else:
-        sample = vectors if sample_mod <= 1 else \
-            vectors.filter(F.col(id_col) % sample_mod == 0)
-    id_type = vectors.schema[id_col].dataType.simpleString()
-    numeric_id = id_type not in ("string", "binary")
-    rows = [
-        ((int(r["i"]) if numeric_id else r["i"]),
-         [float(x) for x in r["v"]])
-        for r in sample.select(
-            (F.col(id_col).cast("long") if numeric_id else F.col(id_col))
-            .alias("i"),
-            _dvec(vec_col).alias("v"),
-        ).collect()
-    ]
+    rows, numeric_id = _collect_fit_sample(
+        vectors, id_col, vec_col, sample_mod, max_sample_rows,
+        "kmeans_centroids")
     cent_rows = _fit_rows(rows, n_centroids, iters, decimals)
     # centroid ids keep the corpus id's kind: long for numeric ids,
     # the native string otherwise (a string-keyed corpus used to crash
@@ -683,27 +782,9 @@ def pq_codebooks(
     ``n_sub`` codebooks.
     """
     spark = vectors.sparkSession
-    if sample_mod is None:
-        n = vectors.count()
-        mod = -(-n // max_sample_rows)
-        sample = vectors if mod <= 1 else \
-            vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
-    else:
-        sample = vectors if sample_mod <= 1 else \
-            vectors.filter(F.col(id_col) % sample_mod == 0)
-    id_type = vectors.schema[id_col].dataType.simpleString()
-    numeric_id = id_type not in ("string", "binary")
-    rows = [
-        ((int(r["i"]) if numeric_id else r["i"]),
-         [float(x) for x in r["v"]])
-        for r in sample.select(
-            (F.col(id_col).cast("long") if numeric_id else F.col(id_col))
-            .alias("i"),
-            _dvec(vec_col).alias("v"),
-        ).collect()
-    ]
-    if not rows:
-        raise ValueError("pq_codebooks: empty fit sample")
+    rows, numeric_id = _collect_fit_sample(
+        vectors, id_col, vec_col, sample_mod, max_sample_rows,
+        "pq_codebooks")
     dim = len(rows[0][1])
     if dim % n_sub:
         raise ValueError(
@@ -781,45 +862,9 @@ def pq_topk(
     Cs = [np.array([v for _, v in sorted(by_sub[m], key=lambda t: t[0])],
                    dtype="float64") for m in subs]
     ds = Cs[0].shape[1]
-    want_dim = ds * len(Cs)
 
-    @pandas_udf("array<int>")
-    def encode(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        A = np.stack(v.to_numpy()).astype("float64")
-        if A.shape[1] != want_dim:
-            # a codebook narrower than the vectors would otherwise
-            # silently quantize a PREFIX and drop the tail dims from
-            # every score
-            raise ValueError(
-                f"pq: vectors are {A.shape[1]}-dim but the codebooks "
-                f"cover {want_dim} ({len(Cs)} × {ds})")
-        codes = [
-            np.argmin(_round_half_away(
-                _seq_sqdist(A[:, m * ds:(m + 1) * ds], Cs[m])), axis=1)
-            for m in range(len(Cs))
-        ]
-        M = np.stack(codes, axis=1).astype("int32")
-        return pd.Series(list(M))
-
-    @pandas_udf("array<array<double>>")
-    def lut(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        A = np.stack(v.to_numpy()).astype("float64")
-        if A.shape[1] != want_dim:
-            raise ValueError(
-                f"pq: query vectors are {A.shape[1]}-dim but the "
-                f"codebooks cover {want_dim} ({len(Cs)} × {ds})")
-        # partial dots stay UNROUNDED — only the final ADC sum rounds
-        tables = []
-        for i in range(len(A)):
-            tables.append([
-                _seq_dot_vec(A[i, m * ds:(m + 1) * ds], Cs[m])
-                for m in range(len(Cs))
-            ])
-        return pd.Series(tables)
+    encode = _pq_encode_udf(Cs, ds, "pq")
+    lut = _pq_lut_udf(Cs, ds, "pq")
 
     enc = vectors.select(
         F.col(id_col).alias("cand_id"),
@@ -917,9 +962,12 @@ def ivf_pq_topk(
     from pyspark.sql.functions import pandas_udf
 
     # ---- coarse quantizer (ivf_topk's default + assignment) -------------
+    # lowest-id default seeding (see ivf_topk: the `id < k` filter was
+    # the dense-numeric-id assumption, review finding)
     cents = centroids if centroids is not None else \
-        vectors.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v"))
+        vectors.select(
+            F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v")
+        ).orderBy("cent_id").limit(n_centroids)
     cent_rows = sorted(
         ((r["cent_id"], [float(x) for x in r["cent_v"]])
          for r in cents.collect()),
@@ -952,6 +1000,14 @@ def ivf_pq_topk(
     if codebooks is not None:
         cb = codebooks
     elif residual:
+        # the residual frame feeds THREE consumers (pq_codebooks'
+        # corpus count, its fit-sample collect, and the encode pass
+        # below) — materialize so the coarse-assignment pandas UDF runs
+        # over the corpus once, not 3× (review finding; the same
+        # scanned-once pattern as dedup.semantic_keep)
+        from .. import spec as _spec
+
+        base = _spec.materialize(base)
         cb = pq_codebooks(
             base.select("cand_id", "ev"), n_sub=n_sub, k_sub=k_sub,
             iters=iters, id_col="cand_id", vec_col="ev",
@@ -967,51 +1023,11 @@ def ivf_pq_topk(
     Cs = [np.array([v for _, v in sorted(by_sub[m], key=lambda t: t[0])],
                    dtype="float64") for m in sorted(by_sub)]
     ds = Cs[0].shape[1]
-    want_dim = ds * len(Cs)
 
-    def _check_dim(A):
-        if A.shape[1] != want_dim:
-            # same silent-prefix hazard as pq_topk's guard
-            raise ValueError(
-                f"ivf_pq: vectors are {A.shape[1]}-dim but the "
-                f"codebooks cover {want_dim} ({len(Cs)} × {ds})")
+    encode = _pq_encode_udf(Cs, ds, "ivf_pq")
+    lut = _pq_lut_udf(Cs, ds, "ivf_pq")
 
-    @pandas_udf("array<int>")
-    def encode(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        A = np.stack(v.to_numpy()).astype("float64")
-        _check_dim(A)
-        codes = [
-            np.argmin(_round_half_away(
-                _seq_sqdist(A[:, m * ds:(m + 1) * ds], Cs[m])), axis=1)
-            for m in range(len(Cs))
-        ]
-        return pd.Series(list(np.stack(codes, axis=1).astype("int32")))
-
-    @pandas_udf("array<array<double>>")
-    def lut(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        A = np.stack(v.to_numpy()).astype("float64")
-        _check_dim(A)
-        return pd.Series([
-            [_seq_dot_vec(A[i, m * ds:(m + 1) * ds], Cs[m])
-             for m in range(len(Cs))]
-            for i in range(len(A))
-        ])
-
-    @pandas_udf("array<long>")
-    def probe_indices(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        A = np.stack(v.to_numpy()).astype("float64")
-        sims = _round_half_away(_seq_cosine(A, Cm))
-        idx = np.arange(Cm.shape[0])
-        return pd.Series([
-            np.lexsort((idx, -sims[i]))[:n_probe].tolist()
-            for i in range(len(A))
-        ])
+    probe_indices = _probe_indices_udf(Cm, n_probe)
 
     # one corpus pass computes BOTH the coarse cell and the PQ codes
     enc = base.select(

@@ -580,7 +580,7 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_IVF_SQL = f"""
 WITH {_VEC_CTE},
 cents AS (SELECT vec_id AS cent_id, ve AS cve, nv AS cnv
-          FROM v JOIN nrm USING (vec_id) WHERE vec_id < 16),
+          FROM v JOIN nrm USING (vec_id) ORDER BY vec_id LIMIT 16),
 assign AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT c.vec_id, ct.cent_id,

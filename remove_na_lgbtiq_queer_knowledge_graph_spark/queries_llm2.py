@@ -668,7 +668,7 @@ WITH v AS (
   SELECT vec_id, sqrt(list_dot_product(cv, cv)) AS nv FROM v
 ), cents AS (
   SELECT vec_id AS cent_id, cv AS cve, nv AS cnv
-  FROM v JOIN nrm USING (vec_id) WHERE vec_id < {n_centroids}
+  FROM v JOIN nrm USING (vec_id) ORDER BY vec_id LIMIT {n_centroids}
 ), assign AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT c.vec_id, ct.cent_id,
@@ -759,7 +759,7 @@ WITH v AS (
   SELECT vec_id, sqrt(list_dot_product(cv, cv)) AS nv FROM v
 ), cents AS (
   SELECT vec_id AS cent_id, cv AS cve, nv AS cnv
-  FROM v JOIN nrm USING (vec_id) WHERE vec_id < {n_centroids}
+  FROM v JOIN nrm USING (vec_id) ORDER BY vec_id LIMIT {n_centroids}
 ), assign AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT c.vec_id, ct.cent_id,

@@ -351,6 +351,23 @@ FROM ps"""
 # ---------------------------------------------------------------------------
 
 
+
+def _doc_bigrams(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared bigram scaffolding for the LM scorers: cached
+    (doc_id, w1, w2) adjacent-token pairs via
+    :func:`operators.bpe.adjacent_elements` (ONE copy of the
+    adjacent-pairs idiom — this module used to hand-roll it twice more,
+    review finding) plus the cached distinct-pair count frame."""
+    from .operators.bpe import adjacent_elements
+
+    bg = _cache(adjacent_elements(
+        docs.select("doc_id", F.expr(_WORDS_SPARK).alias("w")),
+        "w", "w1", "w2", ["doc_id"]))
+    c12 = _cache(bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")))
+    return bg, c12
+
+
 def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-based bigram language model with add-one smoothing,
     trained on the corpus and used to score every document's average
@@ -367,22 +384,10 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division is IEEE-identical cross-engine; ln rounds to 9 dp
     before the per-doc DECIMAL(28,14) sum; the mean NLL rounds to 6."""
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.expr(_WORDS_SPARK).alias("w")).filter(F.size("w") >= 2)
-    js = F.sequence(F.lit(1), F.size("w") - 1)
     # bg feeds the count model AND the scoring join; c12 feeds its
-    # marginal AND the join — materialize both so the corpus token
-    # stream is derived once (at scale: persist/checkpoint, same call)
-    bg = _cache(
-        toks.select("doc_id", F.explode(js).alias("j"), "w")
-        .select(
-            "doc_id",
-            F.element_at("w", F.col("j")).alias("w1"),
-            F.element_at("w", F.col("j") + F.lit(1)).alias("w2"),
-        )
-    )
-    c12 = _cache(bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")))
+    # marginal AND the join — both cached inside _doc_bigrams so the
+    # corpus token stream is derived once (at scale: persist/checkpoint)
+    bg, c12 = _doc_bigrams(docs)
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     # V: one scalar — the vocabulary size of the training stream
     vocab_n = (
@@ -574,10 +579,9 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "word", "tf",
         round_half_away_col(F.col("tf") * idf, 6).alias("score"),
     )
-    from pyspark.sql import Window
 
     rk = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(
+        W.partitionBy("doc_id").orderBy(
             F.col("score").desc(), F.col("word")))
     return (
         scored.withColumn("rk", rk.cast("long"))
@@ -745,19 +749,7 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lm_kn_bigram_score`` for the formula, scale shapes, and float
     discipline."""
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.expr(_WORDS_SPARK).alias("w")).filter(F.size("w") >= 2)
-    js = F.sequence(F.lit(1), F.size("w") - 1)
-    bg = _cache(
-        toks.select("doc_id", F.explode(js).alias("j"), "w")
-        .select(
-            "doc_id",
-            F.element_at("w", F.col("j")).alias("w1"),
-            F.element_at("w", F.col("j") + F.lit(1)).alias("w2"),
-        )
-    )
-    c12 = _cache(bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")))
+    bg, c12 = _doc_bigrams(docs)
     t1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1f"))

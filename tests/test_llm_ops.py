@@ -1651,3 +1651,41 @@ def test_km_b_reduction_excludes_degenerate_member():
         assert b % KM_PRIME != 0
     # the old b|1 rule demonstrably failed exactly here:
     assert ((KM_PRIME - 1) | 1) % KM_PRIME == 0
+
+
+def test_ivf_topk_default_centroids_string_ids(spark):
+    """Review fix: the default centroid seeding must work on STRING ids
+    (the `id < n_centroids` filter implicit-cast string ids to NULL and
+    crashed the scorer on an empty centroid matrix) and on numeric ids
+    that don't start at 0 (it silently under-filled the centroid set)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
+        ivf_topk,
+    )
+
+    rows = [(f"v{i:02d}", [float(i % 3 + 1), float((i * 7) % 5 + 1)])
+            for i in range(12)]
+    v = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    q = spark.createDataFrame(rows[:2], "vec_id string, embedding array<float>")
+    got = ivf_topk(v, q, k=2, n_centroids=4, n_probe=4).collect()
+    assert len(got) == 4                       # 2 queries x top-2
+    assert all(r.query_id != r.cand_id for r in got)
+
+    # offset dense ids: seeding takes the 4 LOWEST ids, not ids < 4
+    rows2 = [(1000 + i, [float(i % 3 + 1), float((i * 7) % 5 + 1)])
+             for i in range(12)]
+    v2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    q2 = spark.createDataFrame(rows2[:1], "vec_id long, embedding array<float>")
+    got2 = ivf_topk(v2, q2, k=2, n_centroids=4, n_probe=4).collect()
+    assert len(got2) == 2
+
+
+def test_kmeans_centroids_empty_sample_raises(spark):
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
+        kmeans_centroids,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty fit sample"):
+        kmeans_centroids(empty, n_centroids=4)
