@@ -158,6 +158,13 @@ def minhash_bands(
     banding scheme: the batch pair join and the incremental
     new-vs-corpus join both read it, so a band-size or bucket-concat
     change cannot silently desynchronize the dedup family."""
+    if num_hashes % band_size:
+        # silently banding a PREFIX of the signature would compute a
+        # different (r, b) collision curve than the caller asked for —
+        # same guard class as simhash_pairs' band check (review finding)
+        raise ValueError(
+            f"minhash_bands: num_hashes {num_hashes} not divisible by "
+            f"band_size {band_size}")
     # '|'-separated: the h columns are decimal longs of varying width,
     # so a bare concat would make ("1","23") and ("12","3") collide
     band_structs = F.array(*[
@@ -380,6 +387,42 @@ def jaccard_pairs_direct(
     )
 
 
+
+def _rarest_first_prefix(sh: DataFrame, blk: list, threshold: float):
+    """Rarest-first prefix rows (id's first ⌊(1-t)·card⌋+1 grams in
+    global-df order) — the ONE copy of the prefix construction shared
+    by :func:`jaccard_pairs_prefix` and :func:`containment_pairs`
+    (review finding: two drifting copies, both with the same bug).
+
+    ALL windows are block-scoped (``(*blk, ...)``): the rank and the
+    cardinality must be computed within the id's rows UNDER THAT BLOCK
+    VALUE — partitioning by id alone interleaved blocks in the ranking
+    and used a cross-block cardinality, which could starve one block's
+    prefix to zero rows for an id appearing under several block values
+    and silently drop a qualifying pair (the verify side was already
+    block-scoped; review fix).
+
+    +1e-9 before the floor: (1 - t) is already inexact in float
+    ((1-0.8)*10 = 1.9999999999999996), and flooring it one short
+    SHRINKS the prefix — which silently drops qualifying pairs.  The
+    epsilon can only ever LENGTHEN the prefix, which costs candidates,
+    never correctness."""
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy(*blk, "shingle")
+    w = Window.partitionBy(*blk, "id").orderBy("__df", "shingle")
+    wc = Window.partitionBy(*blk, "id")
+    return (
+        sh.withColumn("__df", F.count("*").over(wdf))
+        .select(*blk, "id", "shingle",
+                F.row_number().over(w).alias("__rn"),
+                F.count("*").over(wc).alias("__card"))
+        .filter(F.col("__rn") <=
+                F.floor((1.0 - threshold) * F.col("__card") + 1e-9) + 1)
+        .select(*blk, "id", "shingle")
+    )
+
+
 def jaccard_pairs_prefix(
     sh: DataFrame, min_sim: float = 0.8, block_col: str | None = None
 ) -> DataFrame:
@@ -405,35 +448,16 @@ def jaccard_pairs_prefix(
     O(card)), so post-filter cost ∝ candidates, not Σ df².
     ``sh`` must be a (id, shingle) SET (the :func:`shingles` default).
     """
-    from pyspark.sql import Window
-
     from ..spec import materialize
 
     sh = materialize(sh)
     blk = [block_col] if block_col else []
-    # document frequency as a COUNT window over the gram key, not a
-    # groupBy + join back: both shapes shuffle sh once on (block, gram),
-    # but the join additionally pays the dfreq aggregation exchange and
-    # the join itself — measured 0.92 s vs 0.59 s for this pass at
-    # sf0.1, and the window is strictly fewer exchanges at any scale.
-    wdf = Window.partitionBy(*blk, "shingle")
-    w = Window.partitionBy("id").orderBy("__df", "shingle")
-    wc = Window.partitionBy("id")
-    prefix = (
-        sh.withColumn("__df", F.count("*").over(wdf))
-        .select(*blk, "id", "shingle",
-                F.row_number().over(w).alias("__rn"),
-                F.count("*").over(wc).alias("__card"))
-        # +1e-9 before the floor: (1 - t) is already inexact in float
-        # ((1-0.8)*10 = 1.9999999999999996), and flooring it one short
-        # SHRINKS the prefix — which silently drops qualifying pairs
-        # (e.g. an 8-of-10 subset pair at t=0.8).  The epsilon can only
-        # ever LENGTHEN the prefix, which costs candidates, never
-        # correctness.
-        .filter(F.col("__rn") <=
-                F.floor((1.0 - min_sim) * F.col("__card") + 1e-9) + 1)
-        .select(*blk, "id", "shingle")
-    )
+    # document frequency is a COUNT window over the gram key inside
+    # _rarest_first_prefix, not a groupBy + join back: both shapes
+    # shuffle sh once on (block, gram), but the join additionally pays
+    # the dfreq aggregation exchange and the join itself — measured
+    # 0.92 s vs 0.59 s for this pass at sf0.1.
+    prefix = _rarest_first_prefix(sh, blk, min_sim)
     # deliberately NOT materialized before the self-join: the two
     # candidate sides canonicalize to the same exchanges, so Spark's
     # ReusedExchange computes the df/rank windows once — a
@@ -504,25 +528,11 @@ def containment_pairs(
     term at hot-gram df × rare-prefix df instead of df².
     Verification is the same per-pair sorted-array intersect, cost ∝
     candidates."""
-    from pyspark.sql import Window
-
     from ..spec import materialize
 
     sh = materialize(sh)
     blk = [block_col] if block_col else []
-    wdf = Window.partitionBy(*blk, "shingle")
-    w = Window.partitionBy("id").orderBy("__df", "shingle")
-    wc = Window.partitionBy("id")
-    prefix = (
-        sh.withColumn("__df", F.count("*").over(wdf))
-        .select(*blk, "id", "shingle",
-                F.row_number().over(w).alias("__rn"),
-                F.count("*").over(wc).alias("__card"))
-        # same +1e-9 anti-shrink epsilon as jaccard_pairs_prefix
-        .filter(F.col("__rn") <=
-                F.floor((1.0 - min_cont) * F.col("__card") + 1e-9) + 1)
-        .select(*blk, "id", "shingle")
-    )
+    prefix = _rarest_first_prefix(sh, blk, min_cont)
     cand = (
         prefix.select(*blk, F.col("id").alias("id_1"), "shingle")
         .join(sh.select(*blk, F.col("id").alias("id_2"), "shingle"),
@@ -871,8 +881,10 @@ def semantic_keep(
     because the smallest qualifying id for any rep is itself a rep
     (a non-rep qualifier's class rep has the same vector and a smaller
     id).  Classes whose self-cosine fails the threshold (zero vectors →
-    NULL cosine, or min_sim > 1) don't collapse and ride through as
-    individual rows, preserving the original keep-everything outcome.
+    NaN cosine, excluded by the NaN-safe comparisons below, or
+    min_sim > 1) don't collapse and ride through as individual rows,
+    preserving the keep-everything outcome — matching the oracle,
+    where the zero-vector cosine is NULL and fails the filter.
 
     ``max_cell_pairs``: fail-loud guard against residual in-cell
     blow-up AFTER the exact collapse (distinct-vector mass in one
@@ -901,9 +913,16 @@ def semantic_keep(
             .withColumn("self_cos", cosine(F.col("cv"), F.col("cv")))
             .withColumn(
                 "collapsed",
+                # NaN-SAFE: cosine() yields numpy NaN (not NULL) for a
+                # zero vector, and Spark orders NaN ABOVE every double,
+                # so a bare >= would collapse zero-vector classes — the
+                # inverse of the documented keep-everything outcome and
+                # of the oracle's NULL-fails-the-filter (review fix)
                 (F.col("vec_id") != F.col("rep_id"))
-                & F.coalesce(F.col("self_cos") >= F.lit(min_sim),
-                             F.lit(False)))
+                & F.coalesce(
+                    ~F.isnan("self_cos")
+                    & (F.col("self_cos") >= F.lit(min_sim)),
+                    F.lit(False)))
         )
         reps = member.filter(~F.col("collapsed")) \
             .select("vec_id", "cell", "cv")
@@ -932,7 +951,8 @@ def semantic_keep(
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_b", "id_a", cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= min_sim)
+        # NaN-safe for the same reason as `collapsed` above
+        .filter(~F.isnan("cos") & (F.col("cos") >= min_sim))
     )
     wit = (pairs.groupBy("id_b").agg(F.min("id_a").alias("witness"))
            .alias("w"))

@@ -181,9 +181,13 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle ∝ token count.
     """
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # toks feeds the df aggregation AND the scoring join — materialize
+    # so the token-scale explode runs once, not per branch (Spark
+    # shares no identical subplans across branches; the same
+    # double-scan remove_frequent_ngrams documents — review fix)
+    toks = _cache(docs.select(
         "doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("tok")
-    )
+    ))
     dfreq = toks.select("doc_id", "tok").distinct() \
         .groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
     band = F.length(F.bin(F.col("dfreq")))
@@ -359,8 +363,11 @@ def dedup_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus boilerplate removal: drop words covered by any 5-gram
     occurring in >= 3 distinct documents (CCNet's repeated-paragraph
     cut, at n-gram granularity).  Doc-frequency shuffle on the gram
-    hash, positional anti-join, ordered reassembly — shuffle volume
-    ∝ token count."""
+    hash, then covered positions collapse per doc and the text
+    reassembles via array_except + element_at (see
+    ``remove_frequent_ngrams`` — the older positional-anti-join +
+    collect_list re-sort plan was measured and replaced); shuffle
+    volume ∝ token count."""
     from .operators.dedup import remove_frequent_ngrams
 
     docs = t(spark, sf_dir, "documents")
@@ -644,26 +651,20 @@ def ann_ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        n_sub=2, k_sub=8, iters=2, sample_mod=2)
 
 
-def _ivf_pq_oracle_sql(n_centroids: int, n_probe: int, n_sub: int,
-                       k_sub: int, iters: int, dim: int, k: int,
-                       decimals: int = 6, sample_mod: int = 2,
-                       query_mod: int = 50) -> str:
-    """IVF-PQ mirror: the IVF coarse-assignment/probe CTEs (rounded
-    cosine, ties to the lowest centroid id — same as the ann_ivf_topk
-    oracle) composed with the shared PQ fit/encode fragment; scoring
-    joins probes to cell members and sums the per-subspace partials
-    left-associated."""
-    ds = dim // n_sub
 
+def _ivf_coarse_ctes(n_centroids: int, n_probe: int, query_mod: int,
+                     decimals: int = 6) -> str:
+    """The v/nrm/cents/assign/probes coarse-quantizer CTE block shared
+    by the IVF-PQ and residual-IVF-PQ oracles (review finding: two
+    verbatim ~30-line copies that a coarse-assignment change would have
+    had to hit twice)."""
     def rcos(x, nx, c, nc):
         return f"round(list_dot_product({x}, {c}) / ({nx} * {nc}), {decimals})"
 
-    out = [f"""
+    return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
-), vf AS (
-  SELECT * FROM v WHERE vec_id % {sample_mod} = 0
 ), nrm AS (
   SELECT vec_id, sqrt(list_dot_product(cv, cv)) AS nv FROM v
 ), cents AS (
@@ -686,6 +687,23 @@ WITH v AS (
     FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
     WHERE c.vec_id % {query_mod} = 0
   ) WHERE rn <= {n_probe}
+)"""
+
+
+def _ivf_pq_oracle_sql(n_centroids: int, n_probe: int, n_sub: int,
+                       k_sub: int, iters: int, dim: int, k: int,
+                       decimals: int = 6, sample_mod: int = 2,
+                       query_mod: int = 50) -> str:
+    """IVF-PQ mirror: the IVF coarse-assignment/probe CTEs (rounded
+    cosine, ties to the lowest centroid id — same as the ann_ivf_topk
+    oracle) composed with the shared PQ fit/encode fragment; scoring
+    joins probes to cell members and sums the per-subspace partials
+    left-associated."""
+    ds = dim // n_sub
+
+    out = [_ivf_coarse_ctes(n_centroids, n_probe, query_mod, decimals),
+           f""", vf AS (
+  SELECT * FROM v WHERE vec_id % {sample_mod} = 0
 )"""]
     out.append(_pq_fit_ctes(n_sub, k_sub, iters, ds, decimals))
     qslices = ", ".join(
@@ -748,36 +766,8 @@ def _ivf_pq_residual_oracle_sql(n_centroids: int, n_probe: int,
     engine's qc-seeded fold."""
     ds = dim // n_sub
 
-    def rcos(x, nx, c, nc):
-        return f"round(list_dot_product({x}, {c}) / ({nx} * {nc}), {decimals})"
-
-    out = [f"""
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings
-), nrm AS (
-  SELECT vec_id, sqrt(list_dot_product(cv, cv)) AS nv FROM v
-), cents AS (
-  SELECT vec_id AS cent_id, cv AS cve, nv AS cnv
-  FROM v JOIN nrm USING (vec_id) ORDER BY vec_id LIMIT {n_centroids}
-), assign AS (
-  SELECT vec_id, cent_id AS cell FROM (
-    SELECT c.vec_id, ct.cent_id,
-           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-             {rcos('c.cv', 'n1.nv', 'ct.cve', 'ct.cnv')} DESC,
-             ct.cent_id) AS rn
-    FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
-  ) WHERE rn = 1
-), probes AS (
-  SELECT vec_id AS query_id, cent_id AS cell FROM (
-    SELECT c.vec_id, ct.cent_id,
-           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-             {rcos('c.cv', 'n1.nv', 'ct.cve', 'ct.cnv')} DESC,
-             ct.cent_id) AS rn
-    FROM v c JOIN nrm n1 USING (vec_id) CROSS JOIN cents ct
-    WHERE c.vec_id % {query_mod} = 0
-  ) WHERE rn <= {n_probe}
-), vres AS (
+    out = [_ivf_coarse_ctes(n_centroids, n_probe, query_mod, decimals),
+           f""", vres AS (
   SELECT a.vec_id,
          list_transform(vv.cv, (x, j) -> x - ct.cve[j]) AS cv
   FROM assign a
@@ -1138,7 +1128,13 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cnt"))
     totals = counts.agg(
         F.sum("cnt").alias("total"),
-        F.sum(F.sqrt(F.col("cnt")).cast("decimal(28,10)"))
+        # √cnt rounds to 9 dp BEFORE the decimal cast — Spark's
+        # double→decimal goes through the SHORTEST-REPR BigDecimal
+        # while DuckDB casts the exact binary value, so an unrounded
+        # cast can differ by 1e-10 and flip a floor()ed keep threshold
+        # (the same hazard mix_kl_divergence guards; review fix)
+        F.sum(round_half_away_col(F.sqrt(F.col("cnt")), 9)
+              .cast("decimal(28,10)"))
          .cast("double").alias("z"),
     )
     rates = counts.crossJoin(F.broadcast(totals)).select(
@@ -1167,7 +1163,7 @@ WITH counts AS (
 ),
 totals AS (
   SELECT CAST(SUM(cnt) AS BIGINT) AS total,
-         CAST(SUM(CAST(sqrt(cnt) AS DECIMAL(28,10))) AS DOUBLE) AS z
+         CAST(SUM(CAST(round(sqrt(cnt), 9) AS DECIMAL(28,10))) AS DOUBLE) AS z
   FROM counts
 ),
 rates AS (

@@ -1689,3 +1689,68 @@ def test_kmeans_centroids_empty_sample_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty fit sample"):
         kmeans_centroids(empty, n_centroids=4)
+
+
+def test_prefix_windows_are_block_scoped(spark):
+    """Review fix: an id whose shingle rows appear under TWO block
+    values must get a per-block prefix — id-only windows interleaved
+    blocks in the rarest-first ranking and could starve one block's
+    prefix, dropping a qualifying pair that the direct plan reports."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    rows = []
+    # block B: ids 1 and 2 share 9 of 10 shingles (J = 9/11 ≈ 0.818)
+    for i in range(9):
+        rows += [(1, "B", f"s{i}"), (2, "B", f"s{i}")]
+    rows += [(1, "B", "only1"), (2, "B", "only2")]
+    # block A: id 1 carries 10 RARER shingles (df=1 each) — in an
+    # id-global ranking these hog the prefix ranks
+    for i in range(10):
+        rows.append((1, "A", f"a{i}"))
+    sh = spark.createDataFrame(rows, "id long, blk string, shingle string")
+    for plan in ("prefix", "direct"):
+        got = {(r.id_1, r.id_2)
+               for r in jaccard_pairs(sh, min_sim=0.8, block_col="blk",
+                                      plan=plan).collect()}
+        assert got == {(1, 2)}, plan
+
+
+def test_semantic_keep_zero_vectors_ride_through(spark):
+    """Review fix: cosine of a zero vector is NaN, and Spark orders NaN
+    above every double — the bare >= used to COLLAPSE zero-vector
+    classes and match zero vectors to everything.  They must ride
+    through kept, like the oracle's NULL-fails-the-filter."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        semantic_keep,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 0.0], 0),     # zero vector
+        (3, [0.0, 0.0], 0),     # exact-duplicate zero vector
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r for r in semantic_keep(
+        v, n_centroids=1, min_sim=0.3).collect()}
+    assert got[1].kept
+    # zero vectors neither collapse onto each other nor match id 1
+    assert got[2].kept and got[3].kept
+    assert got[2].witness is None and got[3].witness is None
+
+
+def test_minhash_bands_guards_divisibility(spark):
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], ["doc_id", "text"])
+    sig = minhash_signature(shingles(docs, "doc_id", "text", 2), 12)
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_bands(sig, num_hashes=12, band_size=5)
