@@ -52,7 +52,7 @@ def clean_string(col: Column) -> Column:
     """
     out = F.lower(F.trim(col))
     out = transliterate(out)
-    return F.regexp_replace(out, r"\s+", " ")
+    return F.regexp_replace(out, r"[ \t\n\x0b\f\r]+", " ")
 
 
 def fingerprint(col: Column) -> Column:
@@ -65,7 +65,7 @@ def fingerprint(col: Column) -> Column:
     out = F.lower(F.trim(col))
     out = transliterate(out)
     out = F.regexp_replace(out, r"[^\p{L} ]", "")
-    toks = F.array_sort(F.array_distinct(F.split(F.trim(F.regexp_replace(out, r"\s+", " ")), " ")))
+    toks = F.array_sort(F.array_distinct(F.split(F.trim(F.regexp_replace(out, r"[ \t\n\x0b\f\r]+", " ")), " ")))
     return F.array_join(F.filter(toks, lambda t: t != F.lit("")), " ")
 
 
@@ -104,7 +104,7 @@ def strip_markers(col: Column, markers: list[str]) -> Column:
     # plain-word markers the lookarounds are exactly \b.
     alternation = "|".join(re.escape(m) for m in markers)
     out = F.regexp_replace(col, rf"(?i)(?<!\w)({alternation})(?!\w)", "")
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, r"[ \t\n\x0b\f\r]+", " "))
 
 
 def char_ngrams(col: Column, n: int = 2) -> Column:
@@ -128,7 +128,7 @@ def char_ngrams(col: Column, n: int = 2) -> Column:
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram (shingle) array over whitespace-tokenized text."""
-    toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0b\f\r]+", " ")), " ")
     return F.when(
         F.size(toks) >= n,
         F.transform(

@@ -378,7 +378,11 @@ def cosine_dup_pairs(
     return (
         joined.filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= min_sim)
+        # NaN-safe: a zero vector's cosine is numpy NaN and Spark
+        # orders NaN ABOVE every double, so a bare >= would emit
+        # NaN-scored pairs the oracle (0/0 → NULL, fails the filter)
+        # drops — the semantic_keep review fix, applied here too
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= min_sim))
     )
 
 

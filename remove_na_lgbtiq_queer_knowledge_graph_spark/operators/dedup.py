@@ -22,7 +22,11 @@ from ..functions.numeric import round_half_away_col
 
 
 def norm_tokens(col: Column) -> Column:
-    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+    # explicit whitespace class, NOT \s: Java's \s is [ \t\n\x0b\f\r]
+    # but DuckDB's RE2 \s lacks \x0b, so a vertical tab tokenized
+    # differently across engines (review fix) — the literal class is
+    # value-identical to Java \s on the Spark side and portable
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0b\f\r]+", " ")), " ")
 
 
 def ws_tokens(col: Column) -> Column:
@@ -30,7 +34,7 @@ def ws_tokens(col: Column) -> Column:
     whitespace splitting, so positions align 1:1 with
     :func:`norm_tokens` — detection can match case-insensitively while
     reconstruction keeps the original text."""
-    return F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
+    return F.split(F.trim(F.regexp_replace(col, r"[ \t\n\x0b\f\r]+", " ")), " ")
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

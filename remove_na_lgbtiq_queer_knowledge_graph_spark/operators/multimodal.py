@@ -33,6 +33,18 @@ DECODED_SCHEMA = (
 )
 
 
+
+def _rha6(x):
+    """Scalar half-away-from-zero rounding to 6 dp — the SQL ``round``
+    semantics every oracle-compared value must use.  Python's ``round``
+    and pandas ``.round`` are half-EVEN on the exact binary value and
+    can differ by one ulp at decimal midpoints (the round-9 fuzz class
+    documented in functions/numeric.py; review fix — the mm stubs were
+    the last sites using built-in rounding)."""
+    from .ann import _round_half_away
+
+    return float(_round_half_away(float(x), 6))
+
 def to_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Model a binary media column: (id, payload binary).  In production
     this is the raw image/audio bytes column of the lakehouse table."""
@@ -174,8 +186,8 @@ def decode_wav_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["sample_rate"].append(sr)
             out["n_channels"].append(ch)
             out["n_samples"].append(n)
-            out["duration_ms"].append(round(n * 1000.0 / sr, 6))
-            out["rms"].append(round(float(np.sqrt(np.mean(data * data))), 6))
+            out["duration_ms"].append(_rha6(n * 1000.0 / sr))
+            out["rms"].append(_rha6(np.sqrt(np.mean(data * data))))
         yield pd.DataFrame(out)
 
 
@@ -273,7 +285,7 @@ def decode_ppm_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["width"].append(width)
             out["height"].append(height)
             out["maxval"].append(maxval)
-            out["mean_px"].append(round(float(int(px.sum(dtype=np.int64))) / n_px, 6))
+            out["mean_px"].append(_rha6(float(int(px.sum(dtype=np.int64))) / n_px))
         yield pd.DataFrame(out)
 
 
@@ -529,7 +541,7 @@ def decode_png_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["height"].append(height)
             out["bit_depth"].append(depth)
             out["color_type"].append(ctype)
-            out["mean_px"].append(round(total / (width * height * bpp), 6))
+            out["mean_px"].append(_rha6(total / (width * height * bpp)))
         yield pd.DataFrame(out)
 
 
@@ -589,8 +601,11 @@ def resize_stub(
                     axis=1,
                 )
                 .min(axis=1)
-                .round(6)
             )
+            from .ann import _round_half_away
+
+            scale = pd.Series(_round_half_away(scale.to_numpy(), 6),
+                              index=scale.index)
             sig = [
                 hashlib.md5(bytes(p) + f"@{target_w}x{target_h}".encode()).hexdigest()
                 for p in pdf["payload"]
@@ -636,7 +651,7 @@ def audio_energy_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 out["doc_id"].append(doc_id)
                 out["window_idx"].append(w)
                 out["n_samples"].append(len(seg))
-                out["rms"].append(round(float(np.sqrt(np.mean(seg * seg))), 6))
+                out["rms"].append(_rha6(np.sqrt(np.mean(seg * seg))))
         yield pd.DataFrame(out)
 
 

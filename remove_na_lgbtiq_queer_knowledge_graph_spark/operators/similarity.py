@@ -65,8 +65,13 @@ def candidate_pairs(
 
     Returns (id_1, id_2, value) with id_1 < id_2, value rounded to 6dp.
     ``metric``: 'cosine' over gram counts or 'jaccard' over gram sets.
-    ``max_df`` drops grams occurring in more than that many docs (postings
-    cut; at 100 TB this is what bounds the self-join).  The recall trade
+    ``max_df`` drops grams occurring in more than that many DISTINCT
+    NAME CLASSES — not raw documents: the quadratic join runs over
+    distinct (block, name) strings (below), so class-level df is
+    exactly the posting length the join pays, and that is what the cut
+    bounds (a gram in 10⁴ duplicated rows collapsing to 3 names has
+    df = 3 and is correctly NOT cut — its postings are 3).  The recall
+    trade
     is one-sided and measured: a pair whose qualifying similarity rests
     on grams with df ≤ max_df is unaffected (planted near-dup recall
     1.0 at max_df ∈ {5,10,20}); pairs qualifying only through hotter
@@ -95,7 +100,14 @@ def candidate_pairs(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
         *[F.col(c) for c in block_cols],
     )
-    nk = F.md5(F.concat_ws("\x1f", *block_cols, F.col("txt")))
+    # name-class key over a JSON array, not concat_ws: concat_ws SKIPS
+    # NULL fields, so (blk=NULL, txt='ab') and (blk='ab', txt=NULL)
+    # collided on one nk and could fabricate a similarity-1.0 pair
+    # between unrelated rows (review fix); JSON keeps nulls as `null`
+    # and escapes separators inside values
+    nk = F.md5(F.to_json(F.array(
+        *[F.col(c).cast("string") for c in block_cols],
+        F.col("txt").cast("string"))))
     ids = materialize(base.withColumn("nk", nk))
     names = ids.select("nk", "txt", *block_cols).distinct()
 
@@ -213,7 +225,14 @@ def candidate_pairs_lsh(
     fdf = tf.transform(feats)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables)
     model = lsh.fit(fdf)
-    pairs = model.approxSimilarityJoin(fdf, fdf, 1.0 - min_sim, distCol="dist")
+    # +1e-9: approxSimilarityJoin filters dist < threshold STRICTLY, so
+    # a pair at exactly jaccard == min_sim would be excluded — breaking
+    # the inclusive >= min_sim contract every sibling operator keeps
+    # (and the float form of 1-0.8 is already 0.19999...96, which
+    # dropped boundary pairs one ulp early; review fix).  The epsilon
+    # only ever ADMITS extra candidates, never loses one.
+    pairs = model.approxSimilarityJoin(
+        fdf, fdf, 1.0 - min_sim + 1e-9, distCol="dist")
     return (
         pairs.select(
             F.col("datasetA.id").alias("id_1"),
@@ -375,7 +394,15 @@ def meta_ensemble(pairs_with_names: DataFrame, name_1: str = "name_1",
     Reference: ``meta_sim = cosine + jaccard + 2/lv``
     (``find-duplicates-authors.R:204-210``) with relevance cutoffs
     cosine ≥ 0.5, jaccard ≥ 0.3, lev < 3.
-    """
+
+    DELIBERATE deviation from the reference at lev == 0: R's ``2/0``
+    is ``Inf`` (exact name matches sort above everything); this
+    operator caps the term at 2.0 so ``meta_sim`` stays finite,
+    summable, and oracle-hashable.  Consequence: an exact match and a
+    one-edit match with equal cosine/jaccard score the SAME — callers
+    ranking candidates should tie-break on the returned ``lev`` ASC,
+    which restores the reference's exact-first ordering without
+    infinities."""
     lev = F.levenshtein(F.col(name_1), F.col(name_2))
     lev_term = F.when(lev == 0, F.lit(2.0)).otherwise(F.lit(2.0) / lev)
     return pairs_with_names.withColumn("lev", lev.cast("long")).withColumn(

@@ -332,7 +332,7 @@ _STRIP_SQL = """
 SELECT trim(regexp_replace(
          regexp_replace(lower(p_name),
            '\\b(small|large|red|blue|green|yellow|shiny|heavy)\\b', '', 'g'),
-         '\\s+', ' ', 'g')) AS base_name,
+         '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS base_name,
        count(*) AS n
 FROM part GROUP BY 1
 """

@@ -237,7 +237,7 @@ def _pdf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         F.col("doc_id").alias("page"),
         F.posexplode(
-            F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+            F.split(F.trim(F.regexp_replace("text", r"[ \t\n\x0b\f\r]+", " ")), " ")
         ).alias("pos0", "word"),
     ).select(
         "page", (F.col("pos0") + 1).cast("long").alias("pos"), "word"
@@ -270,7 +270,7 @@ pdf_words AS (
               WHEN t.i % 7 = 0 THEN 'AAAAAD+Univers-Light'
               ELSE 'AAAAAD+Univers-Light' END AS font_name
   FROM (SELECT doc_id,
-               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+               string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS w
         FROM documents) d,
        unnest(range(1, len(d.w) + 1)) t(i)
 )

@@ -391,7 +391,7 @@ WITH toks AS (
   -- regex split on ANY whitespace run, matching the model stub's
   -- Python str.split(); a single-space split would diverge on the
   -- first document with a newline/tab/double space
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
   FROM documents
 )
 SELECT doc_id, tok AS entity,

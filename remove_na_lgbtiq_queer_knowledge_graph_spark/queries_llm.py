@@ -45,10 +45,10 @@ from .spec import QuerySpec, materialize, t
 
 # Shared oracle fragments -----------------------------------------------------
 
-_TOKS = ("string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')")
+_TOKS = ("string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')")
 # case-preserving twin of _TOKS (same positions — lower() commutes with
 # whitespace splitting); used where text is REBUILT, not just matched
-_TOKS_CASED = ("string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')")
+_TOKS_CASED = ("string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')")
 _SHINGLE_CTE = f"""
 toks AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
 sh AS (
@@ -204,16 +204,10 @@ def dedup_minhash_km_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature(sh, 12, family="km"), 12, 3)
 
 
-_BANDS_KM = "\n  UNION ALL ".join(
-    "SELECT doc_id, {b} AS band, {cat} AS bucket FROM sig".format(
-        b=b, cat=" || '|' || ".join(
-            f"CAST(h{3*b + i} AS VARCHAR)" for i in range(3)))
-    for b in range(4)
-)
 _MINHASH_KM_SQL = f"""
 WITH {_SHINGLE_CTE},
 sig AS (SELECT doc_id, {_MINS_KM} FROM sh GROUP BY doc_id),
-bands AS ({_BANDS_KM})
+bands AS ({_BANDS})
 SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1155,6 +1149,38 @@ FROM hashes GROUP BY 1
 """
 
 
+
+def _dhash_class_pairs(classes: DataFrame, max_dist: int) -> DataFrame:
+    """(h1, h2, hamming ≤ max_dist) over a DISTINCT-dhash class frame:
+    8 pigeonhole bands of 8 bits → banded candidate equi-join → exact
+    Hamming refine.  The ONE copy of the class-banding pipeline shared
+    by ``mm_phash_pairs_q`` and ``mm_phash_cluster_keep_q`` (review
+    finding: ~20 duplicated lines whose recall guarantee could drift).
+    Recall-complete for distance ≤ max_dist while max_dist < 8: two
+    64-bit hashes within 7 flipped bits must agree on ≥ 1 of 8 bands
+    (pigeonhole)."""
+    bands = classes.select(
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+    ).select("b", F.expr("substring(dhash, b * 8 + 1, 8)").alias("bits"),
+             "dhash")
+    cand = (
+        bands.select("b", "bits", F.col("dhash").alias("h1"))
+        .join(bands.select("b", "bits", F.col("dhash").alias("h2")),
+              ["b", "bits"])
+        .filter(F.col("h1") < F.col("h2"))
+        .select("h1", "h2")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
+        "IF(substring(h1, i, 1) <> substring(h2, i, 1), 1, 0))")
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
 def mm_phash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-tolerant image near-dup pairs over the dHash CLASSES:
     all (hash_1, hash_2) with Hamming distance ≤ 6 between DISTINCT
@@ -1181,28 +1207,9 @@ def mm_phash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm_ops.dhash_ppm, schema=mm_ops.DHASH_SCHEMA
     )
     classes = materialize(hashes.select("dhash").distinct())
-    bands = classes.select(
-        "dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
-    ).select("b", F.expr("substring(dhash, b * 8 + 1, 8)").alias("bits"),
-             "dhash")
-    cand = (
-        bands.select("b", "bits", F.col("dhash").alias("h1"))
-        .join(bands.select("b", "bits", F.col("dhash").alias("h2")),
-              ["b", "bits"])
-        .filter(F.col("h1") < F.col("h2"))
-        .select("h1", "h2")
-        .distinct()
-    )
-    ham = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
-        "IF(substring(h1, i, 1) <> substring(h2, i, 1), 1, 0))")
-    return (
-        cand.withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= 6)
-        .select(F.col("h1").alias("hash_1"), F.col("h2").alias("hash_2"),
-                "hamming")
-    )
+    return _dhash_class_pairs(classes, 6).select(
+        F.col("h1").alias("hash_1"), F.col("h2").alias("hash_2"),
+        "hamming")
 
 
 _MM_PHASH_PAIRS_SQL = f"""
@@ -1280,27 +1287,7 @@ def mm_phash_cluster_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = materialize(payloads.mapInPandas(
         mm_ops.dhash_ppm, schema=mm_ops.DHASH_SCHEMA))
     classes = materialize(hashes.select("dhash").distinct())
-    bands = classes.select(
-        "dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
-    ).select("b", F.expr("substring(dhash, b * 8 + 1, 8)").alias("bits"),
-             "dhash")
-    cand = (
-        bands.select("b", "bits", F.col("dhash").alias("h1"))
-        .join(bands.select("b", "bits", F.col("dhash").alias("h2")),
-              ["b", "bits"])
-        .filter(F.col("h1") < F.col("h2"))
-        .select("h1", "h2")
-        .distinct()
-    )
-    ham = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
-        "IF(substring(h1, i, 1) <> substring(h2, i, 1), 1, 0))")
-    pairs = (
-        cand.withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= _MM_KEEP_DIST)
-        .select("h1", "h2")
-    )
+    pairs = _dhash_class_pairs(classes, _MM_KEEP_DIST).select("h1", "h2")
     cc = connected_components(pairs, "h1", "h2")
     labeled = (
         hashes.join(cc.select(F.col("node").alias("dhash"), "comp"),

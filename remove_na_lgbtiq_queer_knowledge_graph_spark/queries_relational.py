@@ -949,7 +949,7 @@ SELECT fp, count(*) AS n FROM (
            list_sort(list_distinct(
              list_filter(string_split(trim(regexp_replace(
                regexp_replace(lower(trim(p_name)), '[^a-z ]', '', 'g'),
-               '\\s+', ' ', 'g')), ' '), x -> x <> ''))), ' ') AS fp
+               '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '), x -> x <> ''))), ' ') AS fp
   FROM part
 ) GROUP BY fp
 """

@@ -368,3 +368,22 @@ def test_interval_join_auto_width_survives_skewed_lengths(spark):
     # pid 100 hits interval 0 (1000..1001) AND the outlier; pid 101
     # hits only the outlier
     assert got == [(100, 0), (100, 999), (101, 999)]
+
+
+def test_candidate_pairs_null_fields_do_not_collide(spark):
+    """Review fix: concat_ws SKIPS NULLs, so (blk=NULL, txt='ab') and
+    (blk='ab', txt=NULL) used to collide on one name-class key and
+    could fabricate a similarity-1.0 pair between unrelated rows; the
+    JSON-array key keeps nulls distinct."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.similarity import (
+        candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab", None), (2, None, "ab"), (3, "ab", "ab")],
+        "id long, txt string, blk string")
+    got = candidate_pairs(df, "id", "txt", min_sim=0.1,
+                          block_cols=["blk"]).collect()
+    # row 2 has NULL txt, row 1 NULL blk — neither can pair with
+    # anything (no shared block / no grams); row 3 is alone in blk 'ab'
+    assert got == []

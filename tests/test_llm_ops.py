@@ -1754,3 +1754,37 @@ def test_minhash_bands_guards_divisibility(spark):
     sig = minhash_signature(shingles(docs, "doc_id", "text", 2), 12)
     with pytest.raises(ValueError, match="not divisible"):
         minhash_bands(sig, num_hashes=12, band_size=5)
+
+
+def test_whitespace_class_portable_across_engines(spark):
+    """Review fix: Java \\s includes vertical tab, RE2 \\s does not —
+    tokenization now uses the explicit class [ \\t\\n\\x0b\\f\\r]+ on
+    BOTH engines, so a \\x0b document tokenizes identically."""
+    import duckdb
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        norm_tokens,
+    )
+
+    txt = "foo\x0bbar  baz\tqux"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    spark_toks = df.select(norm_tokens(F.col("text")).alias("w")) \
+        .collect()[0].w
+    duck_toks = duckdb.connect().execute(
+        "SELECT string_split(trim(regexp_replace(lower(?), "
+        "'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')", [txt]).fetchone()[0]
+    assert spark_toks == duck_toks == ["foo", "bar", "baz", "qux"]
+
+
+def test_cosine_dup_pairs_zero_vectors_excluded(spark):
+    """Review fix: zero-vector cosine is NaN and Spark's NaN >= x is
+    TRUE — pairs must exclude them like the oracle's NULL."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
+        cosine_dup_pairs,
+    )
+
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 0.0], 0)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.id_1, r.id_2) for r in cosine_dup_pairs(
+        v, 0.3, block_col="label").collect()}
+    assert got == {(1, 2)}
