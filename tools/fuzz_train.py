@@ -92,6 +92,15 @@ def gen_corpus(rng: random.Random):
             text = " ".join(
                 rng.choice(vocab)
                 for _ in range(rng.randint(15, 80)))  # BPE-viable length
+        if kind >= 0.08 and rng.random() < 0.10:
+            # exotic-whitespace joiners (round 11): \x0b is where Java
+            # \s and RE2 \s disagreed — the portable
+            # [ \t\n\x0b\f\r]+ class must tokenize these identically
+            # on both engines (norm_tokens-based dedup/jaccard paths)
+            ws = ["\t", "\x0b", "\n", "  "]
+            words = text.split(" ")
+            text = words[0] + "".join(
+                rng.choice(ws + [" ", " ", " "]) + w for w in words[1:])
         if kind >= 0.08 and rng.random() < 0.15:
             # plant 1-3 deny-list words (round 11) — random vocab over
             # a tiny alphabet would never hit the literal blocklist,
