@@ -49,7 +49,9 @@ def token_counts(text: Column) -> tuple[Column, Column]:
     The regex tokenizer splits into letter runs, digit runs, and single
     punctuation marks — the shape of a byte-level BPE pre-tokenizer."""
     ws = F.size(norm_tokens(text))
-    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    # explicit whitespace class, NOT \s — Java/RE2 disagree on \x0b
+    # (the norm_tokens portability rule; review fix)
+    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"), 0))
     return ws, bpe
 
 
@@ -64,7 +66,8 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     toks = norm_tokens(text)
     n_tokens = F.size(toks)
     n_chars = F.length(text)
-    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    punct = F.size(F.regexp_extract_all(
+        text, F.lit(r"[^\w \t\n\x0b\f\r]"), 0))
     all_stop = [w for ws in STOPWORDS.values() for w in ws]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
     mean_tok = round_half_away_col(
@@ -100,9 +103,11 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 PII_PATTERNS = {
-    # dialect-portable (Java regex and RE2 agree on these classes)
+    # dialect-portable: explicit classes only — [^\s] looked portable
+    # but Java \s includes \x0b and RE2 \s does not, so the URL
+    # match ended at different places across engines (review fix)
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "url": r"https?://[^\s]+",
+    "url": r"https?://[^ \t\n\x0b\f\r]+",
 }
 
 

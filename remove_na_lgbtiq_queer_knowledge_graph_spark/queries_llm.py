@@ -645,7 +645,7 @@ WITH f AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS n_punct,
          CAST(len(list_filter({_TOKS}, x -> x IN ({_ALL_STOP}))) AS BIGINT) AS stop_hits
   FROM documents
 )
@@ -671,7 +671,7 @@ def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_SQL = f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
 

@@ -1570,6 +1570,37 @@ GROUP BY 1, 2
 """
 
 
+
+def _zscore_epilogue(hourly: DataFrame) -> DataFrame:
+    """|z| > 2 anomaly epilogue over an (event_type, h, n) hourly frame
+    — ONE copy shared by ``ts_anomaly_zscore`` and
+    ``stream_anomaly_zscore`` (review finding: the stream twin carried
+    a verbatim copy that a fix here would have missed).
+
+    The σ radicand clamps at 0 (``greatest``): the integer moments make
+    Σx²/n − μ² exact at shipped scales, but once k·c² ≳ 2⁵¹ (the 100 TB
+    regime) the double expression can dip to −1e-4 by fp error — Spark
+    would then produce σ = NaN, and NaN-is-greater ordering passes NaN
+    z-scores through BOTH filters while the DuckDB oracle hard-errors
+    on sqrt of a negative.  Clamped, both engines see σ = 0 → the
+    hour is filtered, deterministically."""
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sx2"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    mu = F.col("sx") / F.col("cnt")
+    sigma = F.sqrt(F.greatest(
+        F.col("sx2") / F.col("cnt") - mu * mu, F.lit(0.0)))
+    z = (F.col("n") - mu) / sigma
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((sigma > 0) & (F.abs(z) > 2))
+        .select("event_type", F.col("h").cast("timestamp").alias("hour"),
+                "n", round_half_away_col(z, 6).alias("z"))
+    )
+
+
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection per event-type series: hourly event
     counts, z-scored against that type's own monthly distribution,
@@ -1591,20 +1622,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    stats = hourly.groupBy("event_type").agg(
-        F.sum("n").cast("long").alias("sx"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sx2"),
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-    )
-    mu = F.col("sx") / F.col("cnt")
-    sigma = F.sqrt(F.col("sx2") / F.col("cnt") - mu * mu)
-    z = (F.col("n") - mu) / sigma
-    return (
-        hourly.join(F.broadcast(stats), "event_type")
-        .filter((sigma > 0) & (F.abs(z) > 2))
-        .select("event_type", F.col("h").cast("timestamp").alias("hour"),
-                "n", round_half_away_col(z, 6).alias("z"))
-    )
+    return _zscore_epilogue(hourly)
 
 
 _ANOMALY_SQL = """
@@ -1621,11 +1639,11 @@ stats AS (
 )
 SELECT event_type, CAST(h AS TIMESTAMP) AS hour, n,
        round((n - sx / cnt)
-             / sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt)), 6) AS z
+             / sqrt(greatest(sx2 / cnt - (sx / cnt) * (sx / cnt), 0)), 6) AS z
 FROM hourly JOIN stats USING (event_type)
-WHERE sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt)) > 0
+WHERE sqrt(greatest(sx2 / cnt - (sx / cnt) * (sx / cnt), 0)) > 0
   AND abs((n - sx / cnt)
-          / sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt))) > 2
+          / sqrt(greatest(sx2 / cnt - (sx / cnt) * (sx / cnt), 0))) > 2
 """
 
 

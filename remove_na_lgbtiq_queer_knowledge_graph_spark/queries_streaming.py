@@ -60,7 +60,7 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS wday, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM events
 WHERE date_trunc('day', ts) + INTERVAL 1 DAY
-      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      <= (SELECT date_trunc('milliseconds', max(ts)) FROM events) - INTERVAL 1 HOUR
 GROUP BY 1, 2
 """
 
@@ -72,42 +72,18 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized only when the watermark passes ``last event + gap``.  The
     oracle applies the same closure cut to batch-computed sessions:
     ``last_ts + gap ≤ max(ts) − delay``."""
-    stream = (
-        read_events_stream(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_timestamp(F.col("w.start")).alias("session_start"),
-            "n_events",
-        )
+    # the SHARED session_aggregate construction (review fix: this body
+    # was an inline copy that a gap change could silently miss)
+    stream = session_aggregate(
+        read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour"),
+        "30 minutes",
     )
     return run_append_to_files(stream, "session_append")
 
 
-_SESSION_APPEND_SQL = """
-WITH marked AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS brk
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sessions AS (
-  SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-  FROM marked
-)
-SELECT user_id,
-       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-       count(*) AS n_events
-FROM sessions GROUP BY user_id, sess
-HAVING max(ts) + INTERVAL 30 MINUTE
-       <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
-"""
+# _SESSION_APPEND_SQL is composed from _SESSION_SQL below (one copy of
+# the sessionization CTEs + the watermark-closure HAVING; was a
+# verbatim duplicate of the CTE body — review fix)
 
 
 def stream_sliding_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +153,16 @@ SELECT user_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        count(*) AS n_events
 FROM sessions GROUP BY user_id, sess
+"""
+
+# append-mode oracle: the same sessions, cut to those the 1-hour
+# watermark CLOSED — watermark = ms-truncated max event time − delay
+# (Spark's EventTimeWatermarkExec floors to milliseconds, so the cut
+# must too or a session end inside the sub-ms gap would be included
+# here while Spark still withholds it)
+_SESSION_APPEND_SQL = _SESSION_SQL + """
+HAVING max(ts) + INTERVAL 30 MINUTE
+       <= (SELECT date_trunc('milliseconds', max(ts)) FROM events) - INTERVAL 1 HOUR
 """
 
 
@@ -329,22 +315,11 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resolution (INTERNAL_ERROR); the checkpoint also pins the
     # epilogue to one consistent snapshot of the (live) sink table
     sunk = materialize(run_to_memory(hourly, "mem_anomaly_hourly", "complete"))
-    stats = sunk.groupBy("event_type").agg(
-        F.sum("n").cast("long").alias("sx"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sx2"),
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-    )
-    mu = F.col("sx") / F.col("cnt")
-    sigma = F.sqrt(F.col("sx2") / F.col("cnt") - mu * mu)
-    z = (F.col("n") - mu) / sigma
-    from .functions.numeric import round_half_away_col
+    # the stream result IS the batch epilogue over the sunk hourly
+    # frame — one shared implementation, like the shared oracle SQL
+    from .queries_relational import _zscore_epilogue
 
-    return (
-        sunk.join(F.broadcast(stats), "event_type")
-        .filter((sigma > 0) & (F.abs(z) > 2))
-        .select("event_type", F.col("h").cast("timestamp").alias("hour"),
-                "n", round_half_away_col(z, 6).alias("z"))
-    )
+    return _zscore_epilogue(sunk)
 
 
 # the stream must equal the batch pass exactly — ONE copy of the
@@ -369,8 +344,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_relational import _engagement_sessions
 
     # static intervals: the SHARED construction — the stream ≡ batch
-    # contract requires byte-identical intervals to join_range_interval
-    sess = _engagement_sessions(spark, sf_dir)
+    # contract requires byte-identical intervals to join_range_interval.
+    # Materialized: auto-width interval_join reads the intervals side
+    # THREE times (exact-max agg, p95 sample, the join itself) and the
+    # stream-static join re-evaluates the static side per micro-batch —
+    # unmaterialized, the multi-window session pipeline re-ran each
+    # time (review fix)
+    from .spec import materialize as _mat
+
+    sess = _mat(_engagement_sessions(spark, sf_dir))
     stream = read_events_stream(spark, sf_dir)
     purch = stream.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.col("ts").cast("double").alias("p_s"))
