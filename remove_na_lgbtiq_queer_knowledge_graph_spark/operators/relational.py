@@ -666,6 +666,16 @@ def interval_join(
     which is the only shape the operator supports anyway.
     """
     if bin_width is None:
+        # the exact-max floor divides by (max_bins_per_interval - 2);
+        # below 3 that clamps to 1, w = max_len, and a full-length
+        # interval straddling one bin boundary yields nbins == 2 —
+        # which the strict `< max_bins` guard would then RAISE on for
+        # well-formed data.  Auto mode therefore requires >= 3.
+        if max_bins_per_interval < 3:
+            raise ValueError(
+                "interval_join: auto bin_width requires "
+                f"max_bins_per_interval >= 3 (got {max_bins_per_interval}); "
+                "pass an explicit bin_width for tighter guards")
         lens = intervals.select(
             (F.col(end_col) - F.col(start_col)).cast("double")
             .alias("__len")).where(F.col("__len") >= 0)

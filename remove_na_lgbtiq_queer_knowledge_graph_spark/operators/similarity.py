@@ -240,6 +240,11 @@ def candidate_pairs_lsh(
             round_half_away_col(1.0 - F.col("dist"), 6).alias("value"),
         )
         .filter(F.col("id_1") < F.col("id_2"))
+        # the widened threshold above can ADMIT a pair whose true
+        # jaccard lies inside (min_sim - 1e-9, min_sim); this exact
+        # post-filter on the reported value restores the inclusive
+        # ``value >= min_sim`` contract every sibling operator keeps
+        .filter(F.col("value") >= F.lit(float(min_sim)))
     )
 
 

@@ -41,10 +41,20 @@ def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # unbounded substr, matching the oracle's substring(source, 4) —
     # a 10-char cap would diverge the engines on 11+-digit source ids
-    epochs = (
-        F.lit(1).cast("long")
-        + F.pmod(F.expr("substr(source, 4)").cast("long"), F.lit(3))
-    )
+    num = F.expr("try_cast(substr(source, 4) as long)")
+    # fail-LOUD on malformed source ids, with a NAMED error: under
+    # non-ANSI configs a bad suffix casts to NULL, sequence(1, NULL) is
+    # NULL, and explode silently DROPS the document; under ANSI the
+    # bare cast throws a generic CAST_INVALID_INPUT.  try_cast + the
+    # in-plan raise (the interval_join bins-guard pattern) gives the
+    # same loud, named failure in EITHER mode — matching the DuckDB
+    # oracle's hard CAST error.
+    checked = F.when(num.isNotNull(), num).otherwise(
+        F.raise_error(F.concat(
+            F.lit("mix_upsample_epochs: non-numeric source id ("),
+            F.coalesce(F.col("source"), F.lit("NULL")),
+            F.lit(")"))).cast("long"))
+    epochs = F.lit(1).cast("long") + F.pmod(checked, F.lit(3))
     return docs.select(
         "doc_id",
         "source",
@@ -128,7 +138,13 @@ def er_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering and drop the guard."""
     c = t(spark, sf_dir, "customer")
     pack_limit = 10_000_000_000
-    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    # half-AWAY-from-zero cents (the repo's one rounding kernel):
+    # `floor(x*100+0.5)` rounds half-toward-+inf, which on a negative
+    # sub-cent balance (-10055.5 cents) would disagree with
+    # round_half_away by one cent — unreachable on 2-dp TPC-H data but
+    # kept to one kernel so the convention can't silently fork
+    cents = (F.floor(F.abs(F.col("c_acctbal")) * 100 + F.lit(0.5))
+             * F.signum(F.col("c_acctbal"))).cast("long")
     rich_key = F.when(
         F.col("c_custkey") < F.lit(pack_limit),
         cents * F.lit(pack_limit) + F.col("c_custkey"),
@@ -150,7 +166,8 @@ SELECT c_nationkey, c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_records,
        max(c_custkey) AS survivor_custkey,
        arg_max(c_name, c_custkey) AS latest_name,
-       arg_max(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+       arg_max(c_name, CAST(floor(abs(c_acctbal) * 100 + 0.5)
+                            * sign(c_acctbal) AS BIGINT)
                        * 10000000000 + c_custkey) AS richest_name,
        CAST(max(c_acctbal) AS DOUBLE) AS best_acctbal
 FROM customer GROUP BY c_nationkey, c_mktsegment

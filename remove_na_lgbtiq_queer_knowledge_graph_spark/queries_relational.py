@@ -1915,8 +1915,11 @@ def sink_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = changed.unionByName(noop).unionByName(inserts)
     j = c.alias("t").join(delta.alias("s"), "c_custkey", "full_outer")
     # value comparison on cents (exact integers) — a double != would
-    # hinge on representation bits
-    cents = lambda col: F.floor(col * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    # hinge on representation bits; half-AWAY-from-zero like
+    # round_half_away_col (plain floor(x*100+0.5) is half-up, which
+    # forks the repo's rounding convention on negative sub-cent values)
+    cents = lambda col: (F.floor(F.abs(col) * 100 + F.lit(0.5))  # noqa: E731
+                         * F.signum(col)).cast("long")
     is_change = (
         F.col("t.c_custkey").isNotNull() & F.col("s.c_custkey").isNotNull()
         & ((cents(F.col("s.c_acctbal")) != cents(F.col("t.c_acctbal")))
@@ -1964,8 +1967,10 @@ j AS (
          t.c_name AS tn, s.c_name AS sn,
          t.c_acctbal AS tb, s.c_acctbal AS sb,
          (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND
-          (CAST(floor(s.c_acctbal * 100 + 0.5) AS BIGINT)
-             <> CAST(floor(t.c_acctbal * 100 + 0.5) AS BIGINT)
+          (CAST(floor(abs(s.c_acctbal) * 100 + 0.5)
+                * sign(s.c_acctbal) AS BIGINT)
+             <> CAST(floor(abs(t.c_acctbal) * 100 + 0.5)
+                     * sign(t.c_acctbal) AS BIGINT)
            OR s.c_name <> t.c_name)) AS is_change
   FROM base t FULL OUTER JOIN delta s ON t.c_custkey = s.c_custkey
 )

@@ -205,3 +205,50 @@ def test_scd2_invariants(spark, sf_dir):
         else:                                      # untouched or no-op
             assert not closed
             assert current[0].valid_from == base
+
+
+def test_upsample_epochs_malformed_source_fails_loud(spark):
+    """A non-numeric source suffix must RAISE, not silently drop the
+    document (cast→NULL would make sequence(1, NULL) NULL and explode
+    eat the row — silent data loss on corrupt config; the DuckDB
+    oracle's hard CAST errors, so fail-loud also keeps the engines
+    symmetric)."""
+    import os
+    import tempfile
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, "hello", "en", "src2", 5), (2, "world", "en", "srcX", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        with pytest.raises(SparkRuntimeException,
+                           match="non-numeric source id"):
+            mix_upsample_epochs(spark, d).collect()
+
+
+def test_survivorship_cents_half_away_on_negative_subcent(spark):
+    """The packed arg-max key's cents must round half-AWAY-from-zero
+    (the repo's one rounding kernel): -100.555 → -10056 cents, so the
+    -100.55 (= -10055 cents) record is strictly richer.  The old
+    floor(x*100+0.5) half-up form made them TIE at -10055 and let the
+    higher custkey (the poorer -100.555 record) win."""
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        [
+            (2, "Poorer", 7, -100.555, "SEG"),   # higher custkey, poorer
+            (1, "Richer", 7, -100.55, "SEG"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "customer.parquet"))
+        g = er_survivorship_merge(spark, d).collect()[0]
+    assert g.richest_name == "Richer"
+    assert g.best_acctbal == -100.55

@@ -255,6 +255,33 @@ def test_interval_join_guard_raises_on_degenerate_span(spark):
                       bin_width=1800.0, max_bins_per_interval=8).collect()
 
 
+def test_interval_join_auto_mode_validates_tiny_guard(spark):
+    """Auto width divides by (max_bins_per_interval - 2); below 3 the
+    docstring's 'guard unreachable' claim breaks (w = max_len, and a
+    max-length interval straddling a bin boundary needs 2 bins, which
+    the strict `< 2` guard rejects on WELL-FORMED data).  Auto mode
+    must refuse such settings at entry — and at the minimum legal
+    setting (3) the straddling shape must pass."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        interval_join,
+    )
+
+    # max-length interval NOT aligned to a bin edge → straddles one
+    intervals = spark.createDataFrame(
+        [(1, 10, 50.0, 150.0)], "user long, iid long, s double, e double")
+    points = spark.createDataFrame(
+        [(1, 100, 60.0)], "user long, pid long, p double")
+    for bad in (0, 1, 2):
+        with pytest.raises(ValueError, match="max_bins_per_interval >= 3"):
+            interval_join(points, intervals, "p", "s", "e", keys=["user"],
+                          bin_width=None, max_bins_per_interval=bad)
+    got = interval_join(points, intervals, "p", "s", "e", keys=["user"],
+                        bin_width=None, max_bins_per_interval=3).collect()
+    assert [(r.pid, r.iid) for r in got] == [(100, 10)]
+
+
 def test_interval_join_property_vs_brute_force(spark):
     """Random keyed points/intervals: the binned equi-join must return
     exactly the brute-force containment set — including intervals that
