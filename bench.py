@@ -96,7 +96,15 @@ def main() -> None:
 
     specs = all_specs()
     times: dict[str, float] = {}
+    raw_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # Ambient-load telemetry: the shared host has shown 1.6x–1.9x
+    # ratio swings on IDENTICAL code (r9, r11 driver-vs-local reruns).
+    # loadavg before/after plus the per-pass raw times below make that
+    # variance measurable IN the artifact instead of adjudicated after
+    # the fact — a spread of per-pass times ≫ the min is the load
+    # signature; a tight spread means the reading is trustworthy.
+    loadavg_before = [round(x, 2) for x in os.getloadavg()]
     # min of PASSES runs per query: the shared host carries noisy
     # ambient load (observed 1.7x swings on identical runs, and 3x+
     # spikes that survive min-of-2), and min over repeats is the
@@ -118,6 +126,7 @@ def main() -> None:
                 df = specs[name].fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
+                raw_times.setdefault(name, []).append(round(dt, 3))
                 best = dt if best is None else min(best, dt)
             times[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
@@ -129,6 +138,7 @@ def main() -> None:
     # over the same parquet (single-node engine as the reference would
     # run).  Ratio compares only the oracle-covered subset.
     duck_times: dict[str, float] = {}
+    duck_raw_times: dict[str, list[float]] = {}
     baseline_error = None
     try:
         import duckdb
@@ -151,6 +161,7 @@ def main() -> None:
                     t0 = time.perf_counter()
                     con.sql(specs[name].oracle).fetchall()
                     dt = time.perf_counter() - t0
+                    duck_raw_times.setdefault(name, []).append(round(dt, 3))
                     best = dt if best is None else min(best, dt)
                 duck_times[name] = round(best, 3)
             except Exception:
@@ -175,6 +186,9 @@ def main() -> None:
         "sf": sf,
         "fixture_warmup_sec": fixture_warmup,
         "passes": PASSES,
+        "loadavg_before": loadavg_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "raw_times": raw_times,
     }
     if warmup_error:
         out["fixture_warmup_error"] = warmup_error
@@ -186,6 +200,7 @@ def main() -> None:
         spark_sub = sum(times[n] for n in duck_times if n in times)
         duck_total = sum(duck_times.values())
         out["duckdb_queries"] = duck_times
+        out["duckdb_raw_times"] = duck_raw_times
         out["duckdb_total"] = round(duck_total, 3)
         if duck_total > 0:
             out["spark_vs_duckdb_ratio"] = round(spark_sub / duck_total, 3)

@@ -225,6 +225,190 @@ FROM g WHERE gap IS NOT NULL GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 12: mergeable quantile sketch + hybrid retrieval fusion
+# ---------------------------------------------------------------------------
+
+_QSK_QS = (0.5, 0.9, 0.99)
+_QSK_ACC = 10_000          # percentile_approx accuracy: rank error <= n/ACC
+
+
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with an oracle-checked error contract —
+    the 100 TB path ``corpus_length_quantiles`` and
+    ``ts_interarrival_stats`` document ("swap ``percentile_approx``"),
+    made real the way ``agg_sketch_distinct`` did for HLL.
+
+    Per source: doc-length p50/p90/p99 via ``percentile_approx``
+    (Greenwald–Khanna sketch: O(1/ε·log εn) mergeable state per group,
+    one pass, partial-aggregated map-side — vs the exact ``percentile``,
+    which buffers every value of the group).  Raw sketch outputs are
+    algorithm-internal (merge-order may move them within the bound), so
+    the entry emits the *guarantee*, not the raw value: the sketch
+    promises the returned element's rank is within ``ε·n`` of ``q·n``
+    (ε = 1/accuracy); the plan broadcast-joins the per-source sketch
+    results back to the lengths and counts ``lt = #{len < v}`` /
+    ``le = #{len <= v}``, so v's feasible rank interval is
+    ``[lt+1, le]`` — the boolean asserts it intersects
+    ``[q·n − ε·n − 1, q·n + ε·n + 1]`` (+1 absorbs rank discreteness).
+    Exact interpolated quantiles ride along as the oracle anchor
+    (Spark ``percentile`` == DuckDB ``quantile_cont``); the oracle
+    states them plus literal TRUE, so a sketch regression breaks the
+    hash.  At 100 TB drop the exact columns and the rank audit and keep
+    the one-pass sketch aggregate — the plan shape is unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("len"))
+    sk = lens.groupBy("source").agg(
+        F.percentile_approx(
+            "len", F.array(*[F.lit(q) for q in _QSK_QS]), F.lit(_QSK_ACC)
+        ).alias("qs"))
+    j = lens.join(F.broadcast(sk), "source")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for i, q in enumerate(_QSK_QS):
+        tag = f"p{int(round(q * 100))}"
+        aggs.append(round_half_away_col(F.percentile(F.col("len"), q), 6)
+                    .alias(f"{tag}_exact"))
+        aggs.append(F.sum(F.when(F.col("len") <= F.col("qs").getItem(i), 1)
+                          .otherwise(0)).cast("long").alias(f"__le{i}"))
+        aggs.append(F.sum(F.when(F.col("len") < F.col("qs").getItem(i), 1)
+                          .otherwise(0)).cast("long").alias(f"__lt{i}"))
+    g = j.groupBy("source").agg(*aggs)
+    n = F.col("n_docs").cast("double")
+    tol = n / F.lit(float(_QSK_ACC)) + F.lit(1.0)
+    sel = [F.col("source"), F.col("n_docs")]
+    for i, q in enumerate(_QSK_QS):
+        tag = f"p{int(round(q * 100))}"
+        ok = (
+            (F.col(f"__lt{i}").cast("double") + F.lit(1.0)
+             <= F.lit(q) * n + tol)
+            & (F.col(f"__le{i}").cast("double") >= F.lit(q) * n - tol)
+        )
+        sel += [F.col(f"{tag}_exact"), ok.alias(f"{tag}_rank_ok")]
+    return g.select(*sel)
+
+
+_LEN_DUCK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+_QSKETCH_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont({_LEN_DUCK}, 0.5), 6) AS p50_exact,
+       true AS p50_rank_ok,
+       round(quantile_cont({_LEN_DUCK}, 0.9), 6) AS p90_exact,
+       true AS p90_rank_ok,
+       round(quantile_cont({_LEN_DUCK}, 0.99), 6) AS p99_exact,
+       true AS p99_rank_ok
+FROM documents GROUP BY source
+"""
+
+
+_RRF_K = 60
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard
+    lexical+dense composition a RAG/curation pipeline runs daily: fuse
+    the BM25 top-10 (``text_bm25_topk``, reused verbatim — one copy of
+    the scorer) with a dense cosine top-10 over the document embeddings
+    (vec_id == doc_id by the fixture's id contract) as
+
+        rrf(d) = Σ_lists 1/(K + rank_list(d)),  K = 60
+
+    (Cormack, Clarke & Büttcher 2009's parameter-free rank fusion —
+    scores from incomparable scales are never mixed, only ranks).
+    Queries are the BM25 query set (per lang, that language's min-id
+    tokenizable document), so both rankers answer the SAME probes.
+
+    Determinism: both input rankings carry their own pinned tie-breaks
+    (6-dp score, doc_id); docs present in only ONE list at equal rank
+    tie exactly on rrf (e.g. lex-only #5 vs dense-only #5) and the
+    fused row_number breaks on doc_id — the rank-boundary tie pinned
+    explicitly.  Scale: the dense side broadcasts |langs| query vectors
+    against a one-pass corpus scan (swap in ``ann_ivf_topk`` for the
+    probed-cell shape at 100 TB — fusion is agnostic to the ranker);
+    the fusion itself joins two ≤10·|q|-row lists — negligible."""
+    from .operators.ann import cosine
+    from .queries_llm3 import text_bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", "lang", F.expr(_WORDS_SPARK).alias("w"))
+            .filter(F.size("w") >= 1))
+    qdoc = (toks.groupBy("lang").agg(F.min("doc_id").alias("doc_id"))
+            .select(F.col("lang").alias("qid"), "doc_id"))
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"))
+    qv = qdoc.join(
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("ve").alias("qe")),
+        "doc_id").select("qid", "qe")
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "qid", F.col("vec_id").alias("doc_id"),
+        cosine(F.col("qe"), F.col("ve")).alias("cos_sim"))
+    wd = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "doc_id")
+    den = (scored.withColumn("dense_rk",
+                             F.row_number().over(wd).cast("long"))
+           .filter(F.col("dense_rk") <= 10)
+           .select("qid", "doc_id", "dense_rk"))
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "qid", "doc_id", F.col("rk").alias("lex_rk"))
+    fused = lex.join(den, ["qid", "doc_id"], "full_outer")
+    rrf = round_half_away_col(
+        F.coalesce(F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("lex_rk")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("dense_rk")),
+                     F.lit(0.0)), 9)
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf_score").desc(),
+                                           "doc_id")
+    return (fused.withColumn("rrf_score", rrf)
+            .withColumn("rk", F.row_number().over(wf).cast("long"))
+            .filter(F.col("rk") <= 10)
+            .select("qid", "doc_id", "lex_rk", "dense_rk", "rrf_score", "rk"))
+
+
+def _rrf_sql() -> str:
+    # the lexical list IS text_bm25_topk's oracle, embedded verbatim as
+    # a derived table (one copy of the scorer on the oracle side too)
+    from .queries_llm3 import _BM25_SQL
+
+    return f"""
+WITH bm AS MATERIALIZED (SELECT * FROM ({_BM25_SQL}) AS b),
+toks2 AS (SELECT doc_id, lang, {_WORDS_DUCK} AS w FROM documents),
+qdoc AS (SELECT lang AS qid, min(doc_id) AS doc_id
+         FROM toks2 WHERE len(w) >= 1 GROUP BY 1),
+v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(list_dot_product(ve, ve)) AS nv FROM v),
+qv AS (SELECT q.qid, v.ve, n.nv
+       FROM qdoc q JOIN v ON v.vec_id = q.doc_id
+       JOIN nrm n ON n.vec_id = q.doc_id),
+den AS (
+  SELECT qid, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS dense_rk
+  FROM (SELECT q.qid, c.vec_id AS doc_id,
+               round(list_dot_product(q.ve, c.ve) / (q.nv * n.nv), 6)
+                 AS cos_sim
+        FROM qv q CROSS JOIN v c JOIN nrm n ON n.vec_id = c.vec_id)
+),
+fused AS (
+  SELECT COALESCE(l.qid, d.qid) AS qid,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.rk AS lex_rk, d.dense_rk,
+         round(COALESCE(1.0 / (60.0 + l.rk), 0)
+               + COALESCE(1.0 / (60.0 + d.dense_rk), 0), 9) AS rrf_score
+  FROM (SELECT qid, doc_id, rk FROM bm) l
+  FULL OUTER JOIN (SELECT * FROM den WHERE dense_rk <= 10) d
+    ON l.qid = d.qid AND l.doc_id = d.doc_id
+)
+SELECT qid, doc_id, lex_rk, dense_rk, rrf_score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
+  FROM fused
+) WHERE rk <= 10
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "mix_upsample_epochs": QuerySpec(
         mix_upsample_epochs, _UPSAMPLE_SQL,
@@ -239,4 +423,10 @@ SPECS: dict[str, QuerySpec] = {
     "ts_interarrival_stats": QuerySpec(
         ts_interarrival_stats, _INTERARRIVAL_SQL,
         "inter-arrival cadence QA behind watermark sizing"),
+    "agg_quantile_sketch": QuerySpec(
+        agg_quantile_sketch, _QSKETCH_SQL,
+        "mergeable GK quantile sketch with in-plan rank-error audit"),
+    "retrieval_rrf_fusion": QuerySpec(
+        retrieval_rrf_fusion, _rrf_sql(),
+        "reciprocal-rank fusion of BM25 and dense cosine top-10"),
 }

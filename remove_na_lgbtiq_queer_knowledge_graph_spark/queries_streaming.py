@@ -390,6 +390,126 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def _scd2_versions(changes: DataFrame) -> DataFrame:
+    """SCD2 version chains from a change log — pure function of the
+    (user_id, us, event_id, value) change set, shared by the batch
+    semantics and every micro-batch rebuild (one copy, so the stream
+    and the oracle cannot drift).
+
+    Consecutive equal values per user (total order ``(us, event_id)``)
+    are no-op changes and mint NO version (the ``sink_scd2_merge``
+    suppression rule); each retained change opens a version at its
+    event time and the successor's event time closes it."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    retained = (
+        changes
+        .withColumn("__pv", F.lag("value").over(w))
+        .filter(~F.col("__pv").eqNullSafe(F.col("value")))
+        .drop("__pv")
+    )
+    nxt = F.lead("us").over(w)
+    return retained.select(
+        "user_id",
+        "value",
+        F.col("us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
+
+
+def _scd2_apply_stream(stream: DataFrame, scratch: str) -> DataFrame:
+    """Drive a CDC change stream into a versioned SCD2 dimension via
+    ``foreachBatch`` — the stream twin of ``sink_scd2_merge``
+    (`queries_relational.py`): each micro-batch appends its changes to
+    a user-partitionable CHANGELOG and rebuilds the version chains of
+    exactly the users the batch touched; untouched users' rows pass
+    through by anti-join.
+
+    Event-sourced on purpose: a rebuild from the full per-user history
+    makes the final dimension a pure function of the change SET, so the
+    result is identical under ANY micro-batch split — including
+    out-of-order arrivals across batches (a late change inserts its
+    version mid-chain, which a current-row-only merge cannot do; that
+    determinism is what the stream≡batch equality test pins).  At
+    100 TB the changelog is partitioned by user key, a batch touches
+    only its affected partitions, and the rebuild joins the batch's
+    (small) key set against them — no full-dimension rewrite."""
+    import os as _os
+
+    spark = stream.sparkSession
+    log_dir = _os.path.join(scratch, "changelog")
+    state: dict[str, object] = {"dim": None, "n": 0}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        changes = batch.select(
+            "user_id", F.unix_micros("ts").alias("us"), "event_id", "value")
+        changes.write.mode("append").parquet(log_dir)
+        log = sp.read.parquet(log_dir)
+        affected = changes.select("user_id").distinct()
+        rebuilt = _scd2_versions(log.join(affected, "user_id"))
+        if state["dim"] is not None:
+            prev = sp.read.parquet(state["dim"])
+            new_dim = (prev.join(affected, "user_id", "left_anti")
+                       .unionByName(rebuilt))
+        else:
+            new_dim = rebuilt
+        # versioned dim dirs: the prior dim is READ while the new one
+        # writes, so overwrite-in-place would race its own input
+        out = _os.path.join(scratch, f"dim_v{state['n']}")
+        new_dim.write.mode("overwrite").parquet(out)
+        state["dim"] = out
+        state["n"] = int(state["n"]) + 1
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", _os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["dim"] is None:
+        return spark.createDataFrame(
+            [], "user_id long, value double, valid_from_us long, "
+                "valid_to_us long, is_current long")
+    return spark.read.parquet(state["dim"])
+
+
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → SCD2: the events stream as a change feed over a
+    per-user dimension attribute (``value``), merged per micro-batch
+    into full version history — see :func:`_scd2_apply_stream` for the
+    event-sourced merge and :func:`_scd2_versions` for the shared
+    chain semantics."""
+    from .spec import scratch_dir
+
+    return _scd2_apply_stream(
+        read_events_stream(spark, sf_dir), scratch_dir("scd2_stream_"))
+
+
+_SCD2_STREAM_SQL = """
+WITH changes AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+), retained AS (
+  SELECT user_id, us, event_id, value FROM (
+    SELECT user_id, us, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS pv
+    FROM changes)
+  WHERE pv IS DISTINCT FROM value
+)
+SELECT user_id, value,
+       us AS valid_from_us,
+       lead(us) OVER w AS valid_to_us,
+       CAST(CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM retained
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stream_static_enrich": QuerySpec(
         stream_static_enrich, _STREAM_STATIC_SQL,
@@ -423,4 +543,8 @@ SPECS: dict[str, QuerySpec] = {
     "stream_dedupe_watermarked": QuerySpec(stream_dedupe_watermarked, _DEDUPE_SQL),
     "stream_incremental_antijoin": QuerySpec(stream_incremental_antijoin, _INCR_SQL),
     "stream_stream_join": QuerySpec(stream_stream_join, _SSJOIN_SQL),
+    "stream_scd2_apply": QuerySpec(
+        stream_scd2_apply, _SCD2_STREAM_SQL,
+        "streaming CDC -> SCD2: per-micro-batch event-sourced merge "
+        "into full version history, split-invariant"),
 }

@@ -44,6 +44,8 @@ _MODULES = (
     # round-11: curation tier (upsampling, blocklist, survivorship,
     # inter-arrival QA)
     "queries_curation",
+    # round-12: unigram-LM tokenizer trainer + encoder
+    "queries_ulm",
 )
 
 

@@ -252,3 +252,111 @@ def test_survivorship_cents_half_away_on_negative_subcent(spark):
         g = er_survivorship_merge(spark, d).collect()[0]
     assert g.richest_name == "Richer"
     assert g.best_acctbal == -100.55
+
+
+def test_quantile_sketch_bounds_and_exact_anchors(spark):
+    """agg_quantile_sketch: exact interpolated quantiles match the
+    closed form, and the sketch's rank-error booleans hold (the
+    guarantee percentile_approx ships: returned element's rank within
+    n/accuracy of q·n)."""
+    import os
+    import tempfile
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_curation import (
+        agg_quantile_sketch,
+    )
+
+    rows = [(i, " ".join(["w"] * i), "en", "srcA", i) for i in range(1, 101)]
+    rows += [(200 + i, " ".join(["w"] * 7), "en", "srcB", 7)
+             for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.source: r for r in agg_quantile_sketch(spark, d).collect()}
+    a = got["srcA"]
+    # interpolated: pos = 1 + (n-1)*q over lengths 1..100
+    assert a.n_docs == 100
+    assert a.p50_exact == 50.5
+    assert a.p90_exact == 90.1
+    assert a.p99_exact == 99.01
+    b = got["srcB"]
+    assert (b.p50_exact, b.p90_exact, b.p99_exact) == (7.0, 7.0, 7.0)
+    for r in got.values():
+        assert r.p50_rank_ok and r.p90_rank_ok and r.p99_rank_ok, r
+
+
+def test_rrf_fusion_formula_order_and_tie_breaks(spark):
+    """retrieval_rrf_fusion: the fused score is exactly
+    Σ 1/(60+rank) over the lists the doc appears in; the output rank is
+    the (rrf desc, doc_id) total order; and rank-boundary ties (a
+    lex-only doc and a dense-only doc at the SAME list rank → equal
+    rrf) break on doc_id — pinned by construction: docs 1-5 appear only
+    in the BM25 list, docs 6-14 only in the dense list."""
+    import math
+    import os
+    import tempfile
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_curation import (
+        retrieval_rrf_fusion,
+    )
+
+    q_words = "alpha beta gamma delta epsilon zeta".split()
+    docs = [(0, " ".join(q_words), "en", "src1", 0)]
+    # docs 1-5: share a descending number of query terms (lex-only)
+    for i in range(1, 6):
+        text = " ".join(q_words[: 7 - i]) + " filler" + str(i)
+        docs.append((i, text, "en", "src1", 0))
+    # docs 6-15: disjoint vocabulary (dense-only candidates)
+    for i in range(6, 16):
+        docs.append((i, f"foo bar baz qux{i}", "en", "src1", 0))
+    embs = [(0, [1.0, 0.0], 0)]
+    embs += [(i, [-1.0, 0.0], 0) for i in range(1, 6)]     # far from query
+    embs += [(i, [1.0, 0.001 * (i - 5)], 0) for i in range(6, 15)]  # near
+    embs.append((15, [0.0, -1.0], 0))                      # out of top-10
+    ddf = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    edf = spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        ddf.write.parquet(os.path.join(d, "documents.parquet"))
+        edf.write.parquet(os.path.join(d, "embeddings.parquet"))
+        rows = sorted(retrieval_rrf_fusion(spark, d).collect(),
+                      key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    # query doc tops both lists → fused #1
+    assert rows[0].doc_id == 0 and rows[0].lex_rk == 1 \
+        and rows[0].dense_rk == 1
+    got_sets = {r.doc_id: (r.lex_rk, r.dense_rk) for r in rows}
+    for i in range(1, 6):
+        lex_rk, dense_rk = got_sets[i]
+        assert lex_rk is not None and dense_rk is None, (i, got_sets[i])
+    for i in range(6, 15):
+        if i in got_sets:
+            lex_rk, dense_rk = got_sets[i]
+            assert lex_rk is None and dense_rk is not None
+    assert 15 not in got_sets
+    # score formula + total order
+    def expect(r):
+        s = 0.0
+        if r.lex_rk is not None:
+            s += 1.0 / (60.0 + r.lex_rk)
+        if r.dense_rk is not None:
+            s += 1.0 / (60.0 + r.dense_rk)
+        return math.floor(abs(s) * 1e9 + 0.5) / 1e9 * (1 if s > 0 else 0)
+    for r in rows:
+        assert r.rrf_score == expect(r), r
+    keys = [(-r.rrf_score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    # rank-boundary ties exist and break on doc_id: a lex-only and a
+    # dense-only doc at the same list rank carry identical rrf
+    ties = [
+        (a, b) for a, b in zip(rows, rows[1:])
+        if a.rrf_score == b.rrf_score
+    ]
+    assert len(ties) >= 3
+    for a, b in ties:
+        assert a.doc_id < b.doc_id

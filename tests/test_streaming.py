@@ -140,3 +140,71 @@ def test_transform_with_state_extrema(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_scd2_stream_split_invariant_equals_batch(spark, tmp_path):
+    """CDC → SCD2 must be a pure function of the change SET: drive the
+    SAME events through (a) a 3-file stream processed one file per
+    micro-batch with ts-interleaved files (later batches carry EARLIER
+    events — the out-of-order-across-batches case a current-row-only
+    merge gets wrong) and (b) the batch version-chain function, and
+    assert identical dimensions.  Also pins the no-op suppression rule
+    (consecutive equal values mint no version)."""
+    import datetime as dt
+    import os
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_streaming import (
+        _scd2_apply_stream,
+        _scd2_versions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: v 10, 10 (no-op), 20, 10 — three versions
+    # user 2: single change; user 3: interleaved order across files
+    raw = [
+        (1, 1, 0, 10.0), (2, 1, 60, 10.0), (3, 1, 120, 20.0),
+        (4, 1, 180, 10.0),
+        (5, 2, 30, 5.0),
+        (6, 3, 10, 1.0), (7, 3, 20, 2.0), (8, 3, 30, 3.0),
+        (9, 3, 40, 3.0),  # no-op
+    ]
+    for eid, uid, secs, val in raw:
+        rows.append((eid, t0 + dt.timedelta(seconds=secs), uid, "u", val,
+                     "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    src = str(tmp_path / "events_src")
+    # ts-INTERLEAVED file split: file i gets every 3rd event, so each
+    # later micro-batch contains events earlier than ones already seen
+    for i in range(3):
+        part = df.filter(F.col("event_id") % 3 == i)
+        part.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    got = _scd2_apply_stream(stream, str(tmp_path / "scd2"))
+    # the split actually happened: one rebuilt dim per micro-batch
+    dim_dirs = [p for p in os.listdir(str(tmp_path / "scd2"))
+                if p.startswith("dim_v")]
+    assert len(dim_dirs) == 3, dim_dirs
+    changes = df.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "value")
+    want = _scd2_versions(changes)
+    key = lambda r: (r.user_id, r.valid_from_us)  # noqa: E731
+    got_rows = {key(r): r for r in got.collect()}
+    want_rows = {key(r): r for r in want.collect()}
+    assert got_rows.keys() == want_rows.keys()
+    for k in want_rows:
+        g, w = got_rows[k], want_rows[k]
+        assert (g.value, g.valid_to_us, g.is_current) == \
+            (w.value, w.valid_to_us, w.is_current), (g, w)
+    # semantic pins: u1 has 3 versions (one suppressed), u3 has 3
+    by_user = {}
+    for r in want_rows.values():
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 3 and len(by_user[3]) == 3
+    assert sum(r.is_current for r in got_rows.values()) == 3  # one per user

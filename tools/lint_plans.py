@@ -68,6 +68,11 @@ BNLJ_WHITELIST = {
         "range (one aggregate row) crossed with the distinct "
         "event-type dim — broadcast-sized BY DESIGN (the spine is the "
         "output grid, documented in COVERAGE §2.5)"),
+    "retrieval_rrf_fusion": (
+        "dense ranking crosses the corpus scan with the broadcast "
+        "QUERY-VECTOR table (one row per language, ≤ |langs| — the "
+        "brute_force_topk size contract); the fusion join itself is a "
+        "keyed full-outer of two ≤10·|q|-row lists"),
 }
 
 # SPARQL §8 disjoint-domain joins: the compiler emits crossJoin ONLY
