@@ -54,10 +54,18 @@ def triangle_counts(
     instead of Σ deg² (which a hub node makes quadratic).  Two
     equi-joins, one explode, one groupBy; no collect.
     """
+    from ..spec import materialize
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
         .filter(F.col("a") != F.col("b"))
-    und = e.select(F.least("a", "b").alias("a"),
-                   F.greatest("a", "b").alias("b")).distinct()
+    # materialize the deduped edge set: the oriented-edge plan below
+    # references it ~6× (twice in sym's union, deg from sym, two deg
+    # joins) and Spark does not share identical subplans across
+    # DataFrame branches — for the co-occurrence callers the input is
+    # itself a self-join + distinct that would re-run per reference
+    und = materialize(
+        e.select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b")).distinct())
     sym = und.unionByName(und.select(F.col("b").alias("a"),
                                      F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count("*").alias("d"))
@@ -69,8 +77,6 @@ def triangle_counts(
         (F.col("d") < F.col("d2"))
         | ((F.col("d") == F.col("d2")) & (F.col("a") < F.col("b")))
     ).select(F.col("a").alias("u"), F.col("b").alias("v"))
-    from ..spec import materialize
-
     o = materialize(o)  # three join sides, one token of work
     wedges = (
         o.select(F.col("u"), F.col("v"))
@@ -97,6 +103,7 @@ def two_hop(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 def tree_edge_betweenness(
     child_parent: DataFrame, max_depth: int,
     child: str = "child", parent: str = "parent",
+    check_convergence: bool = True,
 ) -> DataFrame:
     """G16: exact edge betweenness for forests.
 
@@ -110,9 +117,27 @@ def tree_edge_betweenness(
 
     ``max_depth`` bounds both the subtree-size and root-finding
     iterations; each round is one join + aggregation.
+
+    ``check_convergence`` (default on — the silent-wrongness guard this
+    file applies to every bounded iteration): raises when (a) any child
+    has MULTIPLE parents — the input is not a forest, subtree sizes
+    double-count and the output duplicates rows — or (b) one extra
+    size round would still change a size, i.e. ``max_depth`` is below
+    the tree height (or the "tree" has a cycle, whose sizes never
+    reach fixpoint).  Size fixpoint at depth d implies every
+    node-to-root chain is ≤ d hops, so the root-chase loop is covered
+    by the same probe.  Two extra counts, both forest-table-sized.
     """
     e = child_parent.select(F.col(child).alias("c"), F.col(parent).alias("p"))
     e = e.localCheckpoint(eager=True)
+    if check_convergence:
+        multi = e.groupBy("c").agg(F.count(F.lit(1)).alias("n")) \
+                 .filter(F.col("n") > 1).count()
+        if multi:
+            raise ValueError(
+                f"tree_edge_betweenness: {multi} child(ren) with multiple "
+                "parents — input is not a forest; subtree sizes would "
+                "double-count (use sampled/exact Brandes instead)")
     nodes = e.select(F.col("c").alias("node")).union(
         e.select(F.col("p").alias("node"))
     ).distinct().localCheckpoint(eager=True)
@@ -130,6 +155,28 @@ def tree_edge_betweenness(
             .select("node", (F.lit(1) + F.coalesce("csum", F.lit(0))).cast("long").alias("size"))
             .localCheckpoint(eager=True)
         )
+    if check_convergence:
+        # one probe round: any size still moving means max_depth is
+        # below the tree height (or a cycle) — fail loud, don't return
+        # wrong betweenness
+        probe_sum = (
+            e.join(sizes.withColumnRenamed("node", "c"), "c")
+            .groupBy(F.col("p").alias("node"))
+            .agg(F.sum("size").alias("csum"))
+        )
+        probe = (
+            nodes.join(probe_sum, "node", "left")
+            .select("node", (F.lit(1) + F.coalesce("csum", F.lit(0)))
+                    .cast("long").alias("size2"))
+        )
+        moved = (sizes.join(probe, "node")
+                 .filter(F.col("size") != F.col("size2")).count())
+        if moved:
+            raise ValueError(
+                f"tree_edge_betweenness: subtree sizes not at fixpoint "
+                f"after max_depth={max_depth} rounds ({moved} still "
+                "changing) — raise max_depth (tree deeper than assumed) "
+                "or the input contains a cycle")
 
     # root per node by parent-pointer chasing (≤ depth hops)
     parents = e.select(F.col("c").alias("node"), F.col("p").alias("up"))
@@ -296,8 +343,13 @@ def sampled_edge_betweenness(
         )
 
     if not contribs:
+        # schema must come from the INPUT id type, not a hardcoded
+        # string — otherwise output types flip with the data shape
+        # (max_depth=0 / disjoint pivots), the exact hazard pinned by
+        # test_transitive_closure_preserves_numeric_id_types
+        id_type = edges.schema[src].dataType.simpleString()
         return edges.sparkSession.createDataFrame(
-            [], "a string, b string, betweenness double"
+            [], f"a {id_type}, b {id_type}, betweenness double"
         )
     allc = contribs[0]
     for c in contribs[1:]:
@@ -627,10 +679,16 @@ def clustering_coefficient(
 
     Cost = :func:`triangle_counts` (O(m^1.5) oriented wedge join) plus
     one degree aggregate and a left join."""
+    from ..spec import materialize
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
         .filter(F.col("a") != F.col("b"))
-    und = e.select(F.least("a", "b").alias("a"),
-                   F.greatest("a", "b").alias("b")).distinct()
+    # one materialized dedup shared by the degree aggregate AND the
+    # triangle pass (which would otherwise re-run the caller's
+    # self-join-distinct input per internal reference)
+    und = materialize(
+        e.select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b")).distinct())
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -779,6 +837,18 @@ def sssp_weighted(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
                      F.col(weight).cast("long").alias("w")) \
         .filter(F.col("a") != F.col("b"))
+    if check_convergence:
+        # the documented non-negativity contract, ENFORCED: a negative
+        # weight makes a negative cycle on the symmetrized graph — the
+        # probe below would then raise "rounds below the diameter"
+        # (wrong diagnosis), and with the guard off the result is
+        # silently non-shortest.  One min() aggregate.
+        mn = e.agg(F.min("w").alias("m")).first()["m"]
+        if mn is not None and mn < 0:
+            raise ValueError(
+                f"sssp_weighted: negative edge weight {mn} — weights "
+                "must be non-negative (a negative weight forms a "
+                "negative cycle on the symmetrized graph)")
     sym = _spec.materialize(
         e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"),
                             "w")))

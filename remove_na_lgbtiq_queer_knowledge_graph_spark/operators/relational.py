@@ -98,10 +98,19 @@ def string_agg(
 def explode_delimited(df: DataFrame, col: str, sep: str, out: str | None = None) -> DataFrame:
     """R1: ``separate_rows`` — split a delimited string into rows, trimmed.
 
+    ``sep`` is a LITERAL delimiter (the separate_rows contract), not a
+    regex: F.split takes a Java regex, so an unescaped '|' matches the
+    empty string (one row per character) and '.' matches everything —
+    the separator is regex-quoted before it reaches split.
+
     Reference: ``books.R:131-134``.
     """
+    import re as _re
+
     out = out or col
-    return df.withColumn(out, F.explode(F.transform(F.split(F.col(col), sep), F.trim)))
+    return df.withColumn(
+        out,
+        F.explode(F.transform(F.split(F.col(col), _re.escape(sep)), F.trim)))
 
 
 def melt(df: DataFrame, ids: Sequence[str], value_cols: Sequence[str],
@@ -220,7 +229,13 @@ def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
 
 
 def assert_no_null(df: DataFrame, cols: Sequence[str]) -> None:
-    """§5 completeness assertion (``12-events.R:112-115``)."""
+    """§5 completeness assertion (``12-events.R:112-115``).
+
+    An empty ``cols`` is vacuously true and returns without running a
+    job (df.filter(None) would raise a confusing PySparkTypeError from
+    deep inside an assertion helper)."""
+    if not cols:
+        return
     pred = None
     for c in cols:
         p = F.col(c).isNull()
@@ -234,11 +249,15 @@ def assert_no_null(df: DataFrame, cols: Sequence[str]) -> None:
 # semanticHash, key, params).  Hot-key lists are tiny (≤ 1/hot_share).
 _HOT_KEY_MEMO: dict[tuple, list] = {}
 
+# interval_join auto-width estimates — same per-plan memo contract
+_AUTO_WIDTH_MEMO: dict[tuple, float] = {}
+
 
 def salted_join(
     fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 16,
     how: str = "inner", hot_keys: Sequence | str | None = "auto",
     hot_share: float = 0.02, sample_rows: int = 100_000,
+    sample_fraction: float = 0.01,
 ) -> DataFrame:
     """Skew-resistant equi-join: spread HOT fact keys over ``n_salts``
     sub-partitions via a deterministic salt, replicate the dim rows for
@@ -257,11 +276,16 @@ def salted_join(
     - ``hot_keys=<sequence>`` — explicit hot-key values (a viral
       document id, a null-bucket fk) salt; everything else plain-joins.
     - ``hot_keys="auto"`` (default) — estimate from a bounded sample of
-      the fact side (``sample_rows`` rows max, one small job): keys
-      owning more than ``hot_share`` of the sample are hot.  The sample
-      reads only the partitions needed to fill ``sample_rows``, so at
-      100 TB the estimate costs a prefix scan, not a pass — tune
-      ``sample_rows`` up if hot keys cluster late in partition order.
+      the fact side: a ``sample_fraction`` spread sample truncated at
+      ``sample_rows`` (so at 100 TB the estimate costs a partial scan,
+      not a pass).  The EFFECTIVE sample is therefore
+      ``min(sample_rows, ~sample_fraction·|fact|)`` — raising
+      ``sample_rows`` alone only helps once ``|fact| >
+      sample_rows/sample_fraction``; raise ``sample_fraction`` if hot
+      keys cluster late in partition order.  On small facts where the
+      fraction yields a noisy sample (< 1000 rows and < sample_rows)
+      the estimator falls back to a ``limit(sample_rows)`` prefix scan
+      — cheap exactly because such a fact is small.
     - ``hot_keys=None`` / empty — plain join (AQE's skew-join already
       rebalances moderate *sorted-shuffle* skew; explicit salting is for
       the extreme keys and for aggregations-after-join with AQE off).
@@ -290,7 +314,7 @@ def salted_join(
         memo_key = (
             fact.sparkSession.sparkContext.applicationId,
             fact._jdf.queryExecution().analyzed().semanticHash(),
-            key, hot_share, sample_rows,
+            key, hot_share, sample_rows, sample_fraction,
         )
         hot = _HOT_KEY_MEMO.get(memo_key)
         if hot is None:
@@ -298,10 +322,16 @@ def salted_join(
                 _HOT_KEY_MEMO.pop(next(iter(_HOT_KEY_MEMO)))
             pdf = (
                 fact.select(key)
-                .sample(fraction=0.01, seed=42)
+                .sample(fraction=float(sample_fraction), seed=42)
                 .limit(sample_rows)
                 .toPandas()
             )
+            if len(pdf) < min(sample_rows, 1000):
+                # fraction yielded a statistically useless sample — the
+                # fact is small, so a bounded prefix scan is cheap and
+                # makes hot/cold classification deterministic instead
+                # of coin-flip noise on ~50 rows
+                pdf = fact.select(key).limit(sample_rows).toPandas()
             total = len(pdf) or 1
             vc = pdf[key].value_counts(dropna=True)
             hot = [k for k, n in vc.items() if n / total > hot_share]
@@ -445,8 +475,17 @@ def grouped_running_sum(
     n = num_partitions or spark.sparkContext.defaultParallelism
 
     vtype = dict(df.dtypes)[value_col]
-    out_type = T.DoubleType() if vtype in ("double", "float") \
-        else T.LongType()
+    if vtype in ("double", "float"):
+        out_type = T.DoubleType()
+    elif vtype in ("tinyint", "smallint", "int", "bigint", "long"):
+        out_type = T.LongType()
+    else:
+        # decimal (or anything else) would be SILENTLY truncated by the
+        # long fallback (1.5 + 2.7 → 4) — refuse instead
+        raise ValueError(
+            f"grouped_running_sum: unsupported value_col type {vtype!r}; "
+            "cast to bigint or double first (a decimal column would be "
+            "silently truncated by the integer sum path)")
 
     if max_meta_rows is not None:
         n_groups = df.agg(
@@ -463,10 +502,20 @@ def grouped_running_sum(
             )
 
     keys = [F.col(c) for c in (*group, *order)]
+    # canonical STRING group key for the driver↔pandas handshake: raw
+    # tuples break in two ways — a NULL in a numeric/datetime group
+    # column arrives in pandas as NaN/NaT (hashes unequal to the
+    # driver's None), and the NaN coerces the whole pandas column to
+    # float so even non-null int keys stop matching.  md5-over-JSON-
+    # array keeps NULLs distinct (to_json of an ARRAY keeps nulls; the
+    # concat_ws form would collapse them — the similarity.py lesson).
+    gk = F.md5(F.to_json(F.array(
+        *[F.col(c).cast("string") for c in group])))
     parted = (
         df.repartitionByRange(n, *keys)
         .sortWithinPartitions(*group, *order)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__gk", gk)
     )
     # materialize between the passes — same CORRECTNESS requirement as
     # dense_ids: the partial-sum collect and the mapInPandas pass would
@@ -477,15 +526,15 @@ def grouped_running_sum(
 
     parted = materialize(parted)
     parts = (
-        parted.groupBy("__pid", *group)
+        parted.groupBy("__pid", "__gk")
         .agg(F.sum(value_col).alias("__psum"))
         .collect()
     )
     offsets: dict[tuple, float] = {}
     seen_prior: dict[tuple, bool] = {}
-    acc: dict[tuple, float] = {}
+    acc: dict[str, float] = {}
     for r in sorted(parts, key=lambda r: r["__pid"]):
-        gkey = tuple(r[g] for g in group)
+        gkey = r["__gk"]
         offsets[(r["__pid"], gkey)] = acc.get(gkey, 0)
         seen_prior[(r["__pid"], gkey)] = gkey in acc
         # __psum is NULL only for a slice whose values are ALL NULL —
@@ -495,13 +544,12 @@ def grouped_running_sum(
             acc[gkey] = acc.get(gkey, 0) + r["__psum"]
 
     out_schema = T.StructType(df.schema.fields + [T.StructField(out, out_type)])
-    gcols = list(group)
 
     def add_running(batches):
         import pandas as pd
 
-        run: dict[tuple, float] = {}
-        seen: dict[tuple, bool] = {}
+        run: dict[str, float] = {}
+        seen: dict[str, bool] = {}
         pid = None
         for pdf in batches:
             if len(pdf) == 0:
@@ -509,8 +557,7 @@ def grouped_running_sum(
             if pid is None:
                 pid = int(pdf["__pid"].iloc[0])
             vals = []
-            for gkey, v in zip(map(tuple, pdf[gcols].itertuples(index=False)),
-                               pdf[value_col]):
+            for gkey, v in zip(pdf["__gk"], pdf[value_col]):
                 if gkey not in run:
                     run[gkey] = offsets.get((pid, gkey), 0)
                     seen[gkey] = seen_prior.get((pid, gkey), False)
@@ -523,7 +570,7 @@ def grouped_running_sum(
                     run[gkey] += v
                     seen[gkey] = True
                 vals.append(run[gkey] if seen[gkey] else None)
-            pdf = pdf.drop(columns="__pid")
+            pdf = pdf.drop(columns=["__pid", "__gk"])
             pdf[out] = vals
             yield pdf
 
@@ -559,6 +606,13 @@ def asof_join(
     values from different right rows.
     """
     lcols = [c for c in left.columns]
+    # a value_col shadowing a LEFT column would silently overwrite the
+    # left frame's data with right-side values in the output — refuse
+    collide = set(value_cols) & (set(lcols) - {key, ts})
+    if collide:
+        raise ValueError(
+            f"asof_join: value_cols {sorted(collide)} collide with left "
+            "columns — rename the right-side columns before joining")
     rtypes = dict(right.dtypes)
     vals_ddl = "struct<" + ",".join(f"`{v}`:{rtypes[v]}" for v in value_cols) + ">"
     tagged_l = left.select(
@@ -566,7 +620,11 @@ def asof_join(
         F.lit(None).cast(vals_ddl).alias("__vals"),
         F.lit(1).alias("__side"),
     )
-    tagged_r = right.select(
+    # a NULL-ts right row can never satisfy r.ts <= l.ts / >= l.ts, but
+    # under asc NULLS FIRST it would sort to the partition head and
+    # fill down into every early left row (and desc NULLS LAST mirrors
+    # it forward) — drop them before the union
+    tagged_r = right.filter(F.col(ts).isNotNull()).select(
         F.col(key),
         F.col(ts),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
@@ -594,6 +652,13 @@ def asof_join(
         tagged_l.unionByName(tagged_r)
         .withColumn("__vals", F.last("__vals", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
+        # a NULL-ts LEFT row has no defined as-of point: under the
+        # forward ordering (desc NULLS LAST) it would inherit the
+        # minimum-ts right row — the oracle's r.ts >= l.ts yields NULL,
+        # so the values must be NULL here too
+        .withColumn("__vals", F.when(F.col(ts).isNull(),
+                                     F.lit(None).cast(vals_ddl))
+                    .otherwise(F.col("__vals")))
     )
     for v in value_cols:
         out = out.withColumn(v, F.col("__vals").getField(v))
@@ -676,15 +741,29 @@ def interval_join(
                 "interval_join: auto bin_width requires "
                 f"max_bins_per_interval >= 3 (got {max_bins_per_interval}); "
                 "pass an explicit bin_width for tighter guards")
-        lens = intervals.select(
-            (F.col(end_col) - F.col(start_col)).cast("double")
-            .alias("__len")).where(F.col("__len") >= 0)
-        mx_row = lens.agg(F.max("__len").alias("m")).first()
-        mx = mx_row[0] if mx_row and mx_row[0] else 0.0
-        q = lens.limit(int(width_sample_rows)).approxQuantile(
-            "__len", [0.95], 0.01)
-        p95 = q[0] if q and q[0] and q[0] > 0 else 1800.0
-        bin_width = max(p95, mx / max(1, max_bins_per_interval - 2))
+        # the derived width is a pure function of the intervals plan +
+        # params, so memoize it per plan like salted_join's hot-key
+        # estimate — a bench/pipeline re-executing the same join pays
+        # the two stat jobs (exact max + p95 sample) once per session
+        memo_key = (
+            intervals.sparkSession.sparkContext.applicationId,
+            intervals._jdf.queryExecution().analyzed().semanticHash(),
+            start_col, end_col, max_bins_per_interval, width_sample_rows,
+        )
+        bin_width = _AUTO_WIDTH_MEMO.get(memo_key)
+        if bin_width is None:
+            if len(_AUTO_WIDTH_MEMO) >= 256:  # bound driver-side growth
+                _AUTO_WIDTH_MEMO.pop(next(iter(_AUTO_WIDTH_MEMO)))
+            lens = intervals.select(
+                (F.col(end_col) - F.col(start_col)).cast("double")
+                .alias("__len")).where(F.col("__len") >= 0)
+            mx_row = lens.agg(F.max("__len").alias("m")).first()
+            mx = mx_row[0] if mx_row and mx_row[0] else 0.0
+            q = lens.limit(int(width_sample_rows)).approxQuantile(
+                "__len", [0.95], 0.01)
+            p95 = q[0] if q and q[0] and q[0] > 0 else 1800.0
+            bin_width = max(p95, mx / max(1, max_bins_per_interval - 2))
+            _AUTO_WIDTH_MEMO[memo_key] = bin_width
     w = F.lit(float(bin_width))
     nbins = (F.floor(F.col(end_col) / w) - F.floor(F.col(start_col) / w))
     # the guard must be TWO-SIDED: an INVERTED interval (end < start,

@@ -9,8 +9,13 @@ knowledge graph by hand (entity dedupe in
 declarative bulk ops — repeat-by-weight, deny-list filtering, per-field
 survivorship, and arrival-cadence QA.
 
-Every query here is a pure narrow expression or a map-side-combinable
-aggregate: no cartesians, no driver loops, no Python UDFs.
+The round-11 entries are pure narrow expressions or map-side-combinable
+aggregates: no cartesians, no driver loops, no Python UDFs.  The
+round-12 additions relax that where the algorithm demands it —
+`retrieval_rrf_fusion` crosses the corpus scan with a BOUNDED broadcast
+query-vector table (waived by name in tools/lint_plans.py) and scores
+through the shared Arrow-batched cosine; everything else here stays
+in-contract.
 """
 
 from __future__ import annotations
@@ -48,8 +53,12 @@ def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bare cast throws a generic CAST_INVALID_INPUT.  try_cast + the
     # in-plan raise (the interval_join bins-guard pattern) gives the
     # same loud, named failure in EITHER mode — matching the DuckDB
-    # oracle's hard CAST error.
-    checked = F.when(num.isNotNull(), num).otherwise(
+    # oracle's hard CAST error.  NEGATIVE suffixes are malformed too:
+    # Spark's pmod is always non-negative while the oracle's % keeps
+    # the sign (epochs ≤ 0 → empty generate_series → silent drop), so
+    # admitting them would let the engines diverge silently — the
+    # review catch on the first version of this guard.
+    checked = F.when(num.isNotNull() & (num >= 0), num).otherwise(
         F.raise_error(F.concat(
             F.lit("mix_upsample_epochs: non-numeric source id ("),
             F.coalesce(F.col("source"), F.lit("NULL")),
@@ -329,13 +338,12 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed-cell shape at 100 TB — fusion is agnostic to the ranker);
     the fusion itself joins two ≤10·|q|-row lists — negligible."""
     from .operators.ann import cosine
-    from .queries_llm3 import text_bm25_topk
+    from .queries_llm3 import _bm25_toks, bm25_query_docs, text_bm25_topk
 
-    docs = t(spark, sf_dir, "documents")
-    toks = (docs.select("doc_id", "lang", F.expr(_WORDS_SPARK).alias("w"))
-            .filter(F.size("w") >= 1))
-    qdoc = (toks.groupBy("lang").agg(F.min("doc_id").alias("doc_id"))
-            .select(F.col("lang").alias("qid"), "doc_id"))
+    # the SAME probe construction text_bm25_topk runs (shared helpers —
+    # a probe-rule change there reaches the dense side too; review fix:
+    # this was a copy)
+    qdoc = bm25_query_docs(_bm25_toks(spark, sf_dir))
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("ve"))
@@ -368,14 +376,14 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rrf_sql() -> str:
     # the lexical list IS text_bm25_topk's oracle, embedded verbatim as
-    # a derived table (one copy of the scorer on the oracle side too)
-    from .queries_llm3 import _BM25_SQL
+    # a derived table, and the dense side's probe set is the SAME
+    # shared CTE fragment that oracle uses internally (one copy of the
+    # scorer AND the probe rule on the oracle side too)
+    from .queries_llm3 import _BM25_PROBE_CTES, _BM25_SQL
 
     return f"""
 WITH bm AS MATERIALIZED (SELECT * FROM ({_BM25_SQL}) AS b),
-toks2 AS (SELECT doc_id, lang, {_WORDS_DUCK} AS w FROM documents),
-qdoc AS (SELECT lang AS qid, min(doc_id) AS doc_id
-         FROM toks2 WHERE len(w) >= 1 GROUP BY 1),
+{_BM25_PROBE_CTES},
 v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings),

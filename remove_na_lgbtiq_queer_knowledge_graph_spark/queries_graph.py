@@ -536,42 +536,56 @@ _PPR_SQL = _ppr_oracle_sql(_PR_ITER)
 _BT_DEPTH = 4
 
 
-def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G16 on a GENERAL (cyclic) graph: depth-bounded sampled-Brandes
-    edge betweenness (`02-look-into-data.R:49`), closing the forest-only
-    gap flagged in COVERAGE.md.
+def _tag(prefix: str, col: str):
+    return F.concat(F.lit(prefix), F.col(col).cast("string"))
 
-    Graph: customer/supplier membership edges plus customer–supplier
-    co-order edges (cycles).  Pivots: the 5 region hubs + nations with
-    key < 5 — a deterministic hub sample; paths counted up to length
-    _BT_DEPTH on both engines, so truncation is part of the (matching)
-    semantics.
-    """
-    from .operators.graph import sampled_edge_betweenness
 
+def _membership_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed-node analysis graph shared by the sampled betweenness
+    AND label-propagation entries: customer/supplier→nation→region
+    membership edges plus distinct customer–supplier co-order edges
+    (cycles).  ONE copy (the `_repeated_coorder_pairs` rule): an edge-
+    shape change here reaches every consumer — review fix, this body
+    was duplicated verbatim in both entries, so a change to one graph
+    silently left the other analyzing a different one.  SQL twin:
+    ``_BT_EDGES_SQL`` (shared by the betweenness and LPA oracles)."""
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    r = t(spark, sf_dir, "region")
-
-    def tag(prefix: str, col: str):
-        return F.concat(F.lit(prefix), F.col(col).cast("string"))
-
-    edges = (
-        c.select(tag("c:", "c_custkey").alias("src"), tag("n:", "c_nationkey").alias("dst"))
-        .unionAll(s.select(tag("s:", "s_suppkey"), tag("n:", "s_nationkey")))
-        .unionAll(n.select(tag("n:", "n_nationkey"), tag("r:", "n_regionkey")))
+    return (
+        c.select(_tag("c:", "c_custkey").alias("src"),
+                 _tag("n:", "c_nationkey").alias("dst"))
+        .unionAll(s.select(_tag("s:", "s_suppkey"), _tag("n:", "s_nationkey")))
+        .unionAll(n.select(_tag("n:", "n_nationkey"), _tag("r:", "n_regionkey")))
         .unionAll(
             o.join(li, o.o_orderkey == li.l_orderkey)
-            .select(tag("c:", "o_custkey"), tag("s:", "l_suppkey"))
+            .select(_tag("c:", "o_custkey"), _tag("s:", "l_suppkey"))
             .distinct()
         )
     )
+
+
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16 on a GENERAL (cyclic) graph: depth-bounded sampled-Brandes
+    edge betweenness (`02-look-into-data.R:49`), closing the forest-only
+    gap flagged in COVERAGE.md.
+
+    Graph: the shared membership + co-order construction
+    (:func:`_membership_coorder_edges`).  Pivots: the 5 region hubs +
+    nations with key < 5 — a deterministic hub sample; paths counted up
+    to length _BT_DEPTH on both engines, so truncation is part of the
+    (matching) semantics.
+    """
+    from .operators.graph import sampled_edge_betweenness
+
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    edges = _membership_coorder_edges(spark, sf_dir)
     pivots = (
-        r.select(tag("r:", "r_regionkey").alias("p"))
-        .unionAll(n.filter(F.col("n_nationkey") < 5).select(tag("n:", "n_nationkey")))
+        r.select(_tag("r:", "r_regionkey").alias("p"))
+        .unionAll(n.filter(F.col("n_nationkey") < 5).select(_tag("n:", "n_nationkey")))
     )
     return sampled_edge_betweenness(edges, pivots, max_depth=_BT_DEPTH)
 
@@ -748,26 +762,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per round, no driver state)."""
     from .operators.graph import label_propagation
 
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-
-    def tag(prefix: str, col: str):
-        return F.concat(F.lit(prefix), F.col(col).cast("string"))
-
-    edges = (
-        c.select(tag("c:", "c_custkey").alias("src"), tag("n:", "c_nationkey").alias("dst"))
-        .unionAll(s.select(tag("s:", "s_suppkey"), tag("n:", "s_nationkey")))
-        .unionAll(n.select(tag("n:", "n_nationkey"), tag("r:", "n_regionkey")))
-        .unionAll(
-            o.join(li, o.o_orderkey == li.l_orderkey)
-            .select(tag("c:", "o_custkey"), tag("s:", "l_suppkey"))
-            .distinct()
-        )
-    )
-    return label_propagation(edges, n_iter=_LPA_ITER)
+    return label_propagation(
+        _membership_coorder_edges(spark, sf_dir), n_iter=_LPA_ITER)
 
 
 def _lpa_oracle_sql(n_iter: int) -> str:
@@ -776,12 +772,10 @@ def _lpa_oracle_sql(n_iter: int) -> str:
     needed; the tie-break (count DESC, label ASC) is a total order so
     both engines pick the same label."""
     parts = [
-        """WITH edges AS MATERIALIZED (
-  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS src, 'n:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
-  UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'n:' || CAST(s_nationkey AS VARCHAR) FROM supplier
-  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
-  UNION ALL SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR), 's:' || CAST(l_suppkey AS VARCHAR)
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        # the SHARED edge SQL (one copy with the betweenness oracle —
+        # review fix: this was an inlined verbatim twin of it)
+        f"""WITH edges AS MATERIALIZED (
+{_BT_EDGES_SQL}
 ),
 sym AS MATERIALIZED (
   SELECT DISTINCT u, v FROM (
@@ -894,15 +888,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wedge join at O(m^1.5) regardless of hub parts."""
     from .operators.graph import triangle_counts
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
+    pairs = _repeated_coorder_pairs(spark, sf_dir, min_orders=1)
     return triangle_counts(pairs, "p1", "p2")
 
 
@@ -914,15 +900,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; zero-triangle nodes of degree ≥ 2 kept at cc = 0."""
     from .operators.graph import clustering_coefficient
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
+    pairs = _repeated_coorder_pairs(spark, sf_dir, min_orders=1)
     return clustering_coefficient(pairs, "p1", "p2")
 
 
@@ -932,17 +910,20 @@ _KCORE_ROUNDS = 12
 
 def _repeated_coorder_pairs(
     spark: SparkSession, sf_dir: str, with_count: bool = False,
+    min_orders: int = 2,
 ) -> DataFrame:
-    """Parts co-ordered in ≥ 2 DISTINCT orders — the thresholded
+    """Parts co-ordered in ≥ ``min_orders`` DISTINCT orders — the
     co-occurrence graph shared by ``graph_kcore_peel``,
     ``graph_bfs_distances``, ``graph_sssp_weighted``,
-    ``graph_harmonic_sampled``, and ``graph_link_prediction``
-    (distinct (order, p1, p2) first: lineitem repeats rows, and raw
-    join multiplicity would admit single-order pairs).  ONE copy of
-    the construction — a threshold or pre-pass change here reaches
-    every consumer.  ``with_count=True`` keeps the distinct-order
-    multiplicity column ``c`` (the SSSP entry derives edge weights
-    from it)."""
+    ``graph_harmonic_sampled``, ``graph_link_prediction`` (default
+    threshold 2) and, unthresholded (``min_orders=1``, review fix:
+    those bodies were copies), ``graph_triangle_counts`` /
+    ``graph_clustering_coeff`` (distinct (order, p1, p2) first:
+    lineitem repeats rows, and raw join multiplicity would admit
+    single-order pairs).  ONE copy of the construction — a threshold
+    or pre-pass change here reaches every consumer.
+    ``with_count=True`` keeps the distinct-order multiplicity column
+    ``c`` (the SSSP entry derives edge weights from it)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
@@ -953,7 +934,7 @@ def _repeated_coorder_pairs(
         .distinct()
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
+        .filter(F.col("c") >= int(min_orders))
     )
     if with_count:
         return counted.select("p1", "p2", "c")

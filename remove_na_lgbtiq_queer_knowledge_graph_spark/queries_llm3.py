@@ -867,6 +867,36 @@ WITH {_KN_CTES}
 SELECT doc_id, n_bigrams, avg_nll_kn FROM kn_scores
 """
 
+def _bm25_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized corpus (doc_id, lang, w), cached — the retrieval
+    probe universe (documents with ≥1 token).  ONE copy: BM25 and
+    every ranker fused with it (retrieval_rrf_fusion) must draw from
+    the same universe or the fusion silently mixes rankings answered
+    against different query sets."""
+    docs = t(spark, sf_dir, "documents")
+    return _cache(
+        docs.select("doc_id", "lang", F.expr(_WORDS_SPARK).alias("w"))
+        .filter(F.size("w") >= 1))
+
+
+def bm25_query_docs(toks: DataFrame) -> DataFrame:
+    """(qid, doc_id): per language, that language's min-id tokenizable
+    document — THE probe set (see _bm25_toks; shared-fragment rule)."""
+    return (toks.groupBy("lang").agg(F.min("doc_id").alias("doc_id"))
+            .select(F.col("lang").alias("qid"), "doc_id"))
+
+
+# the probe set's SQL twin — slotted verbatim into _BM25_SQL and into
+# retrieval_rrf_fusion's oracle, so the two oracles cannot drift either
+_BM25_PROBE_CTES = f"""toks AS MATERIALIZED (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang, {{words}} AS w FROM documents
+  ) WHERE len(w) >= 1
+), qdoc AS (
+  SELECT lang AS qid, min(doc_id) AS doc_id FROM toks GROUP BY 1
+)""".replace("{words}", _WORDS_DUCK)
+
+
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval (Robertson & Spärck Jones probabilistic relevance,
     k1 = 1.2, b = 0.75): top-10 documents per query over an inverted
@@ -890,10 +920,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tie-break (a deterministic total order both engines share),
     and the row_number filter compiles to WindowGroupLimit so each
     partition ships only its top 10."""
-    docs = t(spark, sf_dir, "documents")
-    toks = _cache(
-        docs.select("doc_id", "lang", F.expr(_WORDS_SPARK).alias("w"))
-        .filter(F.size("w") >= 1))
+    toks = _bm25_toks(spark, sf_dir)
     post = _cache(
         toks.select("doc_id", F.explode("w").alias("term"))
         .groupBy("doc_id", "term")
@@ -902,11 +929,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dlen") / F.count(F.lit(1))).alias("avgdl"))
-    qdoc = toks.groupBy("lang").agg(F.min("doc_id").alias("doc_id"))
+    qdoc = bm25_query_docs(toks)
     qterms = (
         qdoc.join(toks.select("doc_id", "w"), "doc_id")
-        .select(F.col("lang").alias("qid"),
-                F.explode(F.slice("w", 1, 6)).alias("term"))
+        .select("qid", F.explode(F.slice("w", 1, 6)).alias("term"))
         .distinct())
     qpost = post.join(F.broadcast(qterms), "term")
     dfq = qpost.groupBy("qid", "term").agg(
@@ -935,11 +961,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_SQL = f"""
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, lang, w FROM (
-    SELECT doc_id, lang, {_WORDS_DUCK} AS w FROM documents
-  ) WHERE len(w) >= 1
-), post AS MATERIALIZED (
+WITH {_BM25_PROBE_CTES}, post AS MATERIALIZED (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY 1, 2
 ), dl AS MATERIALIZED (
@@ -948,10 +970,8 @@ WITH toks AS MATERIALIZED (
   SELECT CAST(count(*) AS DOUBLE) AS n_docs,
          sum(dlen) / count(*) AS avgdl
   FROM dl
-), qdoc AS (
-  SELECT lang, min(doc_id) AS doc_id FROM toks GROUP BY 1
 ), qterms AS (
-  SELECT DISTINCT q.lang AS qid, unnest(t.w[1:6]) AS term
+  SELECT DISTINCT q.qid, unnest(t.w[1:6]) AS term
   FROM qdoc q JOIN toks t ON q.doc_id = t.doc_id
 ), qpost AS MATERIALIZED (
   SELECT p.doc_id, p.term, p.tf, q.qid

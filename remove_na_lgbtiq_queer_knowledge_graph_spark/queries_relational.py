@@ -1416,29 +1416,41 @@ FROM spine s LEFT JOIN counts c USING (event_type, h)
 """
 
 
-def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (the batch twin of the streaming session
-    windows): events more than 30 minutes apart start a new session per
-    user — ``lag`` marks boundaries, a running sum numbers sessions,
-    one groupBy emits per-session stats.  Two sorted passes over the
-    same (user, time) partitioning; Catalyst reuses the sort.  Ordering
-    ties break on event_id for a total order."""
-    e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # exact fractional-second gap (timestamp→double keeps microseconds)
-    # so the 1800 s boundary test is bit-identical to the oracle's
-    # epoch() arithmetic; output epochs floor explicitly on both sides
+def _gap_session_ids(e: DataFrame, gap_s: float = 1800.0) -> DataFrame:
+    """Gap-sessionization core: events of the same user more than
+    ``gap_s`` seconds apart start a new session — ``lag`` marks
+    boundaries, a running sum numbers sessions; ties break on event_id
+    for a total order.  Exact fractional-second gaps
+    (timestamp→double keeps microseconds) so the boundary test is
+    bit-identical to the oracles' epoch() arithmetic.
+
+    ONE copy of the boundary semantics, shared by ``ts_sessionize``
+    and ``_engagement_sessions`` (review fix: these were near-verbatim
+    twins — the same drift hazard the z-score epilogue already
+    documented and fixed once).  Returns
+    (user_id, ts, event_id, session_idx)."""
     sec = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = sec - F.lag(sec).over(w)
     flagged = e.select(
         "user_id", "ts", "event_id",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+        F.when(gap.isNull() | (gap > F.lit(float(gap_s))), 1)
+         .otherwise(0).alias("new_s"),
     )
-    sessions = flagged.withColumn(
+    return flagged.withColumn(
         "session_idx",
         F.sum("new_s").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    ).drop("new_s")
+
+
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of the streaming session
+    windows): the shared 30-min-gap core (:func:`_gap_session_ids`)
+    plus one groupBy of per-session stats.  Two sorted passes over the
+    same (user, time) partitioning; Catalyst reuses the sort.  Output
+    epochs floor explicitly on both sides."""
+    sessions = _gap_session_ids(t(spark, sf_dir, "events"))
     return sessions.groupBy("user_id", "session_idx").agg(
         F.count("*").cast("long").alias("n_events"),
         F.floor(F.min(F.col("ts").cast("double"))).cast("long")
@@ -1475,25 +1487,17 @@ def _engagement_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click/view engagement sessions (ts_sessionize's 30-min-gap
     construction) extended by the 1-hour attribution window:
     (user_id, session_idx, start_s, end_s) with exact fractional-
-    second epoch doubles.  ONE copy of the construction — shared by
-    ``join_range_interval``, ``stream_interval_join`` (whose
-    stream ≡ batch contract depends on byte-identical interval
-    construction), and ``tools/stress_interval.py``."""
+    second epoch doubles.  ONE copy of the construction — the shared
+    :func:`_gap_session_ids` core plus the engagement filter and the
+    attribution-window epilogue; consumed by ``join_range_interval``,
+    ``stream_interval_join`` (whose stream ≡ batch contract depends on
+    byte-identical interval construction), and
+    ``tools/stress_interval.py``."""
     e = t(spark, sf_dir, "events")
     sec = F.col("ts").cast("double")
     eng = e.filter(F.col("event_type").isin("click", "view"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = sec - F.lag(sec).over(w)
-    flagged = eng.select(
-        "user_id", "ts", "event_id",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
-    )
     return (
-        flagged.withColumn(
-            "session_idx",
-            F.sum("new_s").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
+        _gap_session_ids(eng)
         .groupBy("user_id",
                  F.col("session_idx").cast("long").alias("session_idx"))
         .agg(F.min(sec).alias("start_s"),

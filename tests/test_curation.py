@@ -228,6 +228,18 @@ def test_upsample_epochs_malformed_source_fails_loud(spark):
         with pytest.raises(SparkRuntimeException,
                            match="non-numeric source id"):
             mix_upsample_epochs(spark, d).collect()
+    # NEGATIVE suffixes are malformed too: Spark pmod(-2, 3) = 1 would
+    # replicate while the oracle's sign-keeping % drops — the guard
+    # must reject them before the engines can diverge silently
+    neg = spark.createDataFrame(
+        [(1, "hello", "en", "src-2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        neg.write.parquet(os.path.join(d, "documents.parquet"))
+        with pytest.raises(SparkRuntimeException,
+                           match="non-numeric source id"):
+            mix_upsample_epochs(spark, d).collect()
 
 
 def test_survivorship_cents_half_away_on_negative_subcent(spark):

@@ -414,3 +414,84 @@ def test_candidate_pairs_null_fields_do_not_collide(spark):
     # row 2 has NULL txt, row 1 NULL blk — neither can pair with
     # anything (no shared block / no grams); row 3 is alone in blk 'ab'
     assert got == []
+
+
+def test_asof_join_null_timestamps_and_collisions(spark):
+    """NULL-ts rows must behave like the LATERAL-join semantics: a
+    NULL-ts RIGHT row matches nothing (not 'everything early' via
+    NULLS FIRST), a NULL-ts LEFT row gets NULL values in BOTH
+    directions (not the min-ts right row via NULLS LAST), and a
+    value_cols name shadowing a left column refuses loudly instead of
+    silently overwriting left data."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100.0, 7.0), (1, 200.0, 8.0), (1, None, 9.0)],
+        "k long, ts double, keepme double")
+    right = spark.createDataFrame(
+        [(1, 150.0, 50.0), (1, None, 99.0)],
+        "k long, ts double, value double")
+    for direction, want in (
+        ("backward", {100.0: None, 200.0: 50.0, None: None}),
+        ("forward", {100.0: 50.0, 200.0: None, None: None}),
+    ):
+        got = {r.ts: r.value
+               for r in asof_join(left, right, "k", "ts", ["value"],
+                                  direction=direction).collect()}
+        assert got == want, (direction, got)
+        # left columns untouched
+    with pytest.raises(ValueError, match="collide with left"):
+        asof_join(left, right.withColumnRenamed("value", "keepme"),
+                  "k", "ts", ["keepme"])
+
+
+def test_grouped_running_sum_null_group_keys_and_decimal_guard(spark):
+    """(a) A NULL in a numeric GROUP column must produce the same
+    running sums on the two-pass path as on the window fallback (the
+    pandas NaN-tuple key used to miss the driver offsets and reset at
+    every partition boundary).  (b) A decimal value column must refuse
+    loudly, not truncate."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        grouped_running_sum,
+    )
+
+    rows = [(None, i, 1) for i in range(1, 21)]
+    rows += [(5, i, 10) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g int, o int, v long")
+    two_pass = {(r.g, r.o): r.rs
+                for r in grouped_running_sum(
+                    df, ["g"], ["o"], "v", "rs",
+                    num_partitions=4, max_meta_rows=None).collect()}
+    fallback = {(r.g, r.o): r.rs
+                for r in grouped_running_sum(
+                    df, ["g"], ["o"], "v", "rs",
+                    num_partitions=4, max_meta_rows=0).collect()}
+    assert two_pass == fallback
+    assert two_pass[(None, 20)] == 20 and two_pass[(5, 5)] == 50
+
+    dec = df.select("g", "o", F.col("v").cast("decimal(18,6)").alias("v"))
+    with pytest.raises(ValueError, match="unsupported value_col type"):
+        grouped_running_sum(dec, ["g"], ["o"], "v", "rs")
+
+
+def test_explode_delimited_literal_separator(spark):
+    """'|' and '.' are LITERAL delimiters (separate_rows semantics),
+    not regexes — unescaped, '|' split 'a|b' into one row per
+    character."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.relational import (
+        explode_delimited,
+    )
+
+    df = spark.createDataFrame([("a|b|c",), ("x.y",)], "s string")
+    pipe = [r.s for r in explode_delimited(
+        df.filter(F.col("s").contains("|")), "s", "|").collect()]
+    assert pipe == ["a", "b", "c"]
+    dot = [r.s for r in explode_delimited(
+        df.filter(F.col("s").contains(".")), "s", ".").collect()]
+    assert dot == ["x", "y"]

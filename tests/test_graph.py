@@ -706,3 +706,69 @@ def test_personalized_pagerank_seed_outside_edges(spark):
            for r in personalized_pagerank(edges, seeds, n_iter=6).collect()}
     assert got["z"] == 1.0
     assert got["a"] == 0.0 and got["b"] == 0.0
+
+
+def test_tree_betweenness_guards_fail_loud(spark):
+    """tree_edge_betweenness must RAISE (not return wrong numbers) on
+    (a) non-forest input — a child with two parents double-counts
+    subtree sizes — and (b) max_depth below the tree height, where the
+    bottom-up size loop stops before fixpoint; at the exact height the
+    straddling 3-level chain must pass and give the textbook values."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        tree_edge_betweenness,
+    )
+
+    # 3-level chain: 1->2->3->4 (heights need 3 size rounds)
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "child long, parent long")
+    with pytest.raises(ValueError, match="not at fixpoint"):
+        tree_edge_betweenness(chain, max_depth=2)
+    got = {(r.src, r.dst): r.betweenness
+           for r in tree_edge_betweenness(chain, max_depth=3).collect()}
+    # edge (c,p): below(c) * (4 - below(c))
+    assert got == {(1, 2): 3, (2, 3): 4, (3, 4): 3}
+
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "child long, parent long")
+    with pytest.raises(ValueError, match="not a forest"):
+        tree_edge_betweenness(diamond, max_depth=4)
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 1)], "child long, parent long")
+    with pytest.raises(ValueError, match="not a forest|not at fixpoint"):
+        tree_edge_betweenness(cycle, max_depth=4)
+
+
+def test_sssp_negative_weight_fails_loud(spark):
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        sssp_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, -1)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="negative edge weight"):
+        sssp_weighted(edges, seeds, rounds=4)
+
+
+def test_sampled_betweenness_empty_result_keeps_id_types(spark):
+    """The empty-contribs path must carry the INPUT id type (long
+    here), not a hardcoded string schema — output types must not flip
+    with the data shape (the transitive_closure lesson)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        sampled_edge_betweenness,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    pivots = spark.createDataFrame([(99,)], "p long")  # disjoint pivot
+    for depth in (0, 3):  # 0 forces the empty-contribs early return
+        out = sampled_edge_betweenness(edges, pivots, max_depth=depth)
+        assert out.count() == 0
+        kinds = {f.name: f.dataType.simpleString()
+                 for f in out.schema.fields}
+        assert kinds == {"a": "bigint", "b": "bigint",
+                         "betweenness": "double"}, depth
