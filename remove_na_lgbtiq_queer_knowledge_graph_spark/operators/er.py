@@ -17,6 +17,8 @@ same (node, comp) contract, equality-tested against propagation.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +41,8 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
 
     rows = sym.collect()
     parent: dict = {}
+    saw_null = False
+    null_neighbors: list = []
 
     def find(x):
         r = x
@@ -50,6 +54,21 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
 
     for r in rows:
         u, v = r["u"], r["v"]
+        # NULL endpoints mirror the distributed propagation exactly
+        # (review fix — unioning None used to raise TypeError in min(),
+        # making behavior flip with the edge-count gate): a NULL join
+        # key never MATCHES, so NULL never donates its label and can
+        # never bridge two components; but the symmetrized edge
+        # (NULL, x) feeds x's label INTO the NULL node, so NULL ends
+        # with the min over its neighbors' final components (or NULL
+        # when it has no non-null neighbor).
+        if u is None or v is None:
+            saw_null = True
+            other = v if u is None else u
+            if other is not None:
+                null_neighbors.append(other)
+                parent.setdefault(other, other)
+            continue
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -58,8 +77,16 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
     groups: dict = {}
     for node in parent:
         groups.setdefault(find(node), []).append(node)
-    out = [(n, min(members))
-           for members in groups.values() for n in members]
+    comp_of = {}
+    out = []
+    for members in groups.values():
+        c = min(members)
+        for n in members:
+            comp_of[n] = c
+            out.append((n, c))
+    if saw_null:
+        out.append((None,
+                    min((comp_of[n] for n in null_neighbors), default=None)))
     utype = sym.schema["u"].dataType
     schema = StructType([StructField("node", utype),
                          StructField("comp", utype)])
@@ -92,13 +119,19 @@ def connected_components(
     # join-based changed-count (2× fewer jobs; iteration overhead, not
     # data volume, dominates small-diameter graphs).
     #
-    # The Σcomp test only exists for NUMERIC node ids — F.sum over a
-    # string comp column yields NULL, and None == None would end the
-    # loop after one round, silently splitting every component wider
-    # than one propagate+jump step.  Non-numeric ids use a per-round
-    # changed-label count instead (one extra node-keyed join, still a
-    # single action per round).
-    numeric_ids = dict(labels.dtypes)["comp"] not in ("string", "binary")
+    # The Σcomp test only exists for INTEGRAL node ids (an explicit
+    # ALLOWLIST — review fix: the old 'not string/binary' denylist
+    # routed double/decimal(p,s>0) ids here, where the decimal(38,0)
+    # cast rounds fractional distinctions away and Σ can look constant
+    # while labels are still moving — premature 'convergence' that
+    # silently splits components; a non-castable type would make the
+    # sum NULL every round and None == None ends the loop after one).
+    # Everything else uses the per-round changed-label count (one extra
+    # node-keyed join, still a single action per round).
+    ctype = dict(labels.dtypes)["comp"]
+    numeric_ids = bool(
+        ctype in ("tinyint", "smallint", "int", "bigint")
+        or re.fullmatch(r"decimal\(\d+,0\)", ctype))
     prev_total = None
     for _ in range(max_iter):
         nbr = sym.join(

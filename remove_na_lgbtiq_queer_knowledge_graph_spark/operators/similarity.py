@@ -64,7 +64,13 @@ def candidate_pairs(
     """All-pairs similarity ≥ ``min_sim`` via blocked inverted-index join.
 
     Returns (id_1, id_2, value) with id_1 < id_2, value rounded to 6dp.
-    ``metric``: 'cosine' over gram counts or 'jaccard' over gram sets.
+    ``metric``: 'cosine' over gram counts, 'jaccard' over gram sets, or
+    'both' — one inverted-index join producing BOTH scores (grams are
+    one row per (id, gram), so the matched-row count is the set
+    intersection while the cnt product sums the cosine dot); takes
+    ``min_sim=(min_cosine, min_jaccard)`` (pairs must meet both) and
+    returns (id_1, id_2, cosine, jaccard).  The ensemble path runs at
+    half the cost of two single-metric calls.
     ``max_df`` drops grams occurring in more than that many DISTINCT
     NAME CLASSES — not raw documents: the quadratic join runs over
     distinct (block, name) strings (below), so class-level df is
@@ -111,6 +117,10 @@ def candidate_pairs(
     ids = materialize(base.withColumn("nk", nk))
     names = ids.select("nk", "txt", *block_cols).distinct()
 
+    if metric == "both" and not (isinstance(min_sim, (tuple, list))
+                                 and len(min_sim) == 2):
+        raise ValueError(
+            "metric='both' takes min_sim=(min_cosine, min_jaccard)")
     grams = gram_counts(names, "nk", "txt", n, block_cols)
     if metric == "jaccard":
         grams = grams.withColumn("cnt", F.lit(1))
@@ -123,9 +133,14 @@ def candidate_pairs(
     # materialize once instead of re-shingling three times
     grams = materialize(grams)
 
+    # card semantics per metric: for 'jaccard' cnt was just set to 1,
+    # so Σcnt IS the distinct-gram count; for 'both' the counts must
+    # stay intact for the cosine dot, so the set cardinality is the
+    # row count instead — identical values, different route
     norms = grams.groupBy("id").agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("norm"),
-        F.sum("cnt").alias("card"),
+        (F.count(F.lit(1)) if metric == "both"
+         else F.sum("cnt")).alias("card"),
     )
 
     a = grams.select(
@@ -139,11 +154,19 @@ def candidate_pairs(
         F.col("cnt").alias("cnt_2"),
     )
     join_keys = [f"{c}__b" for c in block_cols] + ["gram"]
+    # ONE self-join serves both metrics: grams are one row per
+    # (id, gram), so the matched-row COUNT is exactly the set
+    # intersection while the cnt product sums to the cosine dot —
+    # metric='both' (the meta-ensemble path) gets both numbers for the
+    # price of one inverted-index join instead of two full pipelines
+    pair_aggs = [F.sum(F.col("cnt_1") * F.col("cnt_2")).alias("dot")]
+    if metric == "both":
+        pair_aggs.append(F.count(F.lit(1)).alias("inter"))
     dots = (
         a.join(b, join_keys)
         .filter(F.col("nk_1") < F.col("nk_2"))
         .groupBy("nk_1", "nk_2")
-        .agg(F.sum(F.col("cnt_1") * F.col("cnt_2")).alias("dot"))
+        .agg(*pair_aggs)
     )
 
     n1 = norms.select(F.col("id").alias("nk_1"), F.col("norm").alias("norm_1"),
@@ -156,16 +179,31 @@ def candidate_pairs(
         value = F.col("dot") / (F.col("norm_1") * F.col("norm_2"))
     elif metric == "jaccard":
         value = F.col("dot") / (F.col("card_1") + F.col("card_2") - F.col("dot"))
+    elif metric == "both":
+        cos_v = F.col("dot") / (F.col("norm_1") * F.col("norm_2"))
+        jac_v = F.col("inter") / (
+            F.col("card_1") + F.col("card_2") - F.col("inter"))
+        min_cos, min_jac = float(min_sim[0]), float(min_sim[1])
+        name_pairs = (
+            paired.withColumn("cosine", round_half_away_col(cos_v, 6))
+            .withColumn("jaccard", round_half_away_col(jac_v, 6))
+            .filter((F.col("cosine") >= min_cos)
+                    & (F.col("jaccard") >= min_jac))
+            .select("nk_1", "nk_2", "cosine", "jaccard")
+        )
+        value = None
     else:
         raise ValueError(f"unknown metric {metric!r}")
 
-    name_pairs = (
-        paired.withColumn("value", round_half_away_col(value, 6))
-        .filter(F.col("value") >= min_sim)
-        .select("nk_1", "nk_2", "value")
-    )
+    if metric != "both":
+        name_pairs = (
+            paired.withColumn("value", round_half_away_col(value, 6))
+            .filter(F.col("value") >= min_sim)
+            .select("nk_1", "nk_2", "value")
+        )
 
     # expansion back to id level --------------------------------------
+    val_cols = ["cosine", "jaccard"] if metric == "both" else ["value"]
     ids1 = ids.select(F.col("nk").alias("nk_1"), F.col("id").alias("id_a"))
     ids2 = ids.select(F.col("nk").alias("nk_2"), F.col("id").alias("id_b"))
     cross = (
@@ -174,13 +212,14 @@ def candidate_pairs(
         .select(
             F.least("id_a", "id_b").alias("id_1"),
             F.greatest("id_a", "id_b").alias("id_2"),
-            "value",
+            *val_cols,
         )
     )
     # same-name id pairs score exactly 1.0 (identical gram vectors);
     # names whose gram set is empty (letters-only strip) never pair,
     # matching the id-level formulation — hence the semi join on norms.
-    if min_sim <= 1.0:
+    same_qualifies = (max(min_sim) if metric == "both" else min_sim) <= 1.0
+    if same_qualifies:
         grammed = names.join(
             norms.select(F.col("id").alias("nk")), "nk", "left_semi"
         ).select("nk")
@@ -192,7 +231,7 @@ def candidate_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .select(
                 F.col("id_a").alias("id_1"), F.col("id_b").alias("id_2"),
-                F.lit(1.0).alias("value"),
+                *[F.lit(1.0).alias(c) for c in val_cols],
             )
         )
         cross = cross.unionByName(same)

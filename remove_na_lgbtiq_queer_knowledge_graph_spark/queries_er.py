@@ -7,7 +7,7 @@ value-for-value against a straightforward relational formulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.er import connected_components, resolve_entities
@@ -120,14 +120,15 @@ def er_meta_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance cutoffs — cosine ≥ 0.5, jaccard ≥ 0.3, lev < 3, meta_sim =
     cosine + jaccard + 2/lev ≥ 1 (`find-duplicates-authors.R:199-222`)."""
     p = t(spark, sf_dir, "part")
-    cos = candidate_pairs(p, "p_partkey", "p_name", min_sim=0.5,
-                          metric="cosine", block_cols=["p_brand"])
-    jac = candidate_pairs(p, "p_partkey", "p_name", min_sim=0.3,
-                          metric="jaccard", block_cols=["p_brand"])
+    # ONE fused inverted-index pass for both metrics (review fix: two
+    # full candidate_pairs pipelines — two scans, two shingle passes,
+    # two blocked self-joins — fed an inner join that a single join's
+    # (Σcnt·cnt, matched-row count) aggregates replace outright)
+    pairs = candidate_pairs(p, "p_partkey", "p_name", min_sim=(0.5, 0.3),
+                            metric="both", block_cols=["p_brand"])
     names = p.select("p_partkey", "p_name")
     both = (
-        cos.withColumnRenamed("value", "cosine")
-        .join(jac.withColumnRenamed("value", "jaccard"), ["id_1", "id_2"])
+        pairs
         .join(names.select(F.col("p_partkey").alias("id_1"),
                            F.col("p_name").alias("name_1")), "id_1")
         .join(names.select(F.col("p_partkey").alias("id_2"),
@@ -185,15 +186,18 @@ WHERE lev < 3
 
 # Supplier near-duplicate graph: lev ≤ 2 within a nation block.
 def _supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # routes through the SHARED blocked fuzzy join (review fix: this
+    # was a hand-rolled copy of string_distance_join's plan — a
+    # null-handling or blocking fix there would have missed it)
     s = t(spark, sf_dir, "supplier")
     left = s.select(F.col("s_suppkey").alias("id_1"), F.col("s_name").alias("n1"),
                     F.col("s_nationkey").alias("blk"))
     right = s.select(F.col("s_suppkey").alias("id_2"), F.col("s_name").alias("n2"),
-                     F.col("s_nationkey").alias("blk"))
+                     F.col("s_nationkey").alias("blk2"))
     return (
-        left.join(right, "blk")
+        string_distance_join(left, right, "n1", "n2", max_dist=2,
+                             block_cols=[("blk", "blk2")])
         .filter(F.col("id_1") < F.col("id_2"))
-        .filter(F.levenshtein("n1", "n2") <= 2)
         .select("id_1", "id_2")
     )
 

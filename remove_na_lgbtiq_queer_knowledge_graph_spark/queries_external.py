@@ -97,8 +97,13 @@ def er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-pair share vs the unblocked C(n,2) is the reduction ratio.
     One count aggregate + a one-row total broadcast back — pure
     map-side-combinable arithmetic, no pair is ever generated."""
+    from .spec import materialize
+
     p = t(spark, sf_dir, "part")
-    blocks = (
+    # materialized: the aggregation subtree feeds BOTH the total and
+    # the final select, and Spark re-executes identical subplans per
+    # branch — without this the part scan + groupBy runs twice
+    blocks = materialize(
         p.withColumn("blk", F.substring(F.lower("p_name"), 1, 1))
         .groupBy("blk")
         .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
@@ -289,21 +294,31 @@ _CLASSIFY_CASE = """
 """
 
 
+# the book's content-page range — ONE copy feeding both Spark entry
+# points AND both SQL twins (review fix: classify inlined the literals
+# while the pipeline parameterized them; an adjustment could silently
+# leave the two entries covering different page sets)
+_CONTENT_PAGES = (14, 149)
+
+
 def pdf_layout_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: word-level format classification over the content pages —
     the reference's font/size/shape case_when
     (`themengeschichtspfad.R:36-49`) as a codegen when() cascade."""
     from .operators.pdf_layout import classify_layout
 
+    lo, hi = _CONTENT_PAGES
     words = _pdf_words(spark, sf_dir).filter(
-        (F.col("page") >= 14) & (F.col("page") < 149))
+        (F.col("page") >= lo) & (F.col("page") < hi))
     return classify_layout(words).select("page", "pos", "word", "format")
 
 
+_CONTENT_PAGES_PRED = (f"page >= {_CONTENT_PAGES[0]} "
+                       f"AND page < {_CONTENT_PAGES[1]}")
 _PDF_CLASSIFY_SQL = f"""
 WITH {_PDF_WORDS_CTE}
 SELECT page, pos, word, {_CLASSIFY_CASE}
-FROM pdf_words WHERE page >= 14 AND page < 149
+FROM pdf_words WHERE {_CONTENT_PAGES_PRED}
 """
 
 
@@ -313,14 +328,15 @@ def pdf_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`themengeschichtspfad.R:13-68`, composing the W7 fill-down)."""
     from .operators.pdf_layout import pdf_layout_pipeline
 
-    return pdf_layout_pipeline(_pdf_words(spark, sf_dir))
+    return pdf_layout_pipeline(_pdf_words(spark, sf_dir),
+                               content_pages=_CONTENT_PAGES)
 
 
 _PDF_TEXT_SQL = f"""
 WITH {_PDF_WORDS_CTE},
 classified AS (
   SELECT page, pos, word, {_CLASSIFY_CASE}
-  FROM pdf_words WHERE page >= 14 AND page < 149
+  FROM pdf_words WHERE {_CONTENT_PAGES_PRED}
 ),
 runs AS (
   SELECT page, format,
@@ -380,6 +396,14 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
 
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    # validate numeric knobs DRIVER-side like on_error: retries=-1 would
+    # make default_get's final `raise last` fire with last=None (a
+    # masking TypeError deep inside a task)
+    if retries < 0:
+        raise ValueError(f"retries must be >= 0, got {retries}")
+    if timeout <= 0 or max_bytes <= 0:
+        raise ValueError(
+            f"timeout and max_bytes must be positive, got {timeout}/{max_bytes}")
 
     def run(batches):
         import time as _time
@@ -407,6 +431,22 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
                 except ValueError:
                     # malformed URL — deterministic, never retries
                     raise
+                except urllib.error.URLError as e:
+                    # URLError wraps BOTH deterministic failures (DNS
+                    # NXDOMAIN = socket.gaierror, missing file:// path
+                    # = FileNotFoundError) and transient ones (conn
+                    # refused/reset).  Dead links must fail FAST — the
+                    # docstring's no-re-download promise; only the
+                    # transient reasons earn backoff.
+                    import socket as _socket
+
+                    if isinstance(e.reason,
+                                  (_socket.gaierror, FileNotFoundError)):
+                        raise
+                    last = e
+                    if attempt < retries:
+                        _time.sleep(0.5 * (attempt + 1))
+                    continue
                 except Exception as e:  # noqa: BLE001 — re-raised below
                     # transient (network) errors retry with backoff
                     last = e
@@ -422,7 +462,19 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
                 return data
             raise last
 
-        get = fetcher or default_get
+        # the max_bytes cap applies to ANY fetcher — the docstring's
+        # OOM guarantee is unconditional, so an injected fetcher's
+        # response is length-checked too (default_get already caps
+        # during the read, before the payload fully materializes)
+        if fetcher is not None:
+            def get(u, _raw=fetcher):
+                data = _raw(u)
+                if len(data) > max_bytes:
+                    raise ValueError(
+                        f"payload exceeds max_bytes={max_bytes}")
+                return data
+        else:
+            get = default_get
         for pdf in batches:
             if not len(pdf):  # empty Arrow batch: a zero-column frame
                 continue      # would fail schema coercion

@@ -485,6 +485,25 @@ FROM events GROUP BY 1
 _CMS_D, _CMS_K = 4, 20
 
 
+def cms_bucket_structs(key, d: int = _CMS_D):
+    """The CMS hash scheme — bucket(r, key) = first 2 hex chars of
+    ``md5('{r}|' || key)`` — as an array of (r, bucket) structs to
+    explode.  ONE copy shared by the batch sketch
+    (:func:`agg_count_min_topk`) and the streaming twin
+    (``streaming.windows.streaming_cms_buckets``): a change to d, the
+    salt format, or the bucket width must reach both or the twins stop
+    being comparable.  SQL twin: ``_CMS_BUCKETS`` below."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}|"), key.cast("string"))), 1, 2)
+             .alias("bucket"),
+        )
+        for r in range(d)
+    ])
+
+
 def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters — the streaming/100 TB form of
     "top users by event count".
@@ -501,12 +520,7 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "events")
     exact = e.groupBy("user_id").agg(F.count("*").alias("exact"))
-    bucket = lambda r: F.substring(  # noqa: E731
-        F.md5(F.concat(F.lit(f"{r}|"), F.col("user_id").cast("string"))), 1, 2)
-    rows_arr = F.array(*[
-        F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
-        for r in range(_CMS_D)
-    ])
+    rows_arr = cms_bucket_structs(F.col("user_id"))
     keyed = exact.select(
         "user_id", "exact", F.explode(rows_arr).alias("b")
     ).select("user_id", "exact", "b.r", "b.bucket")

@@ -1545,8 +1545,12 @@ def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RANGE_INTERVAL_SQL = """
-WITH flagged AS (
+# engagement-session CTEs — the SQL twin of _engagement_sessions, ONE
+# copy shared by _RANGE_INTERVAL_SQL and the streaming twin's oracle
+# (queries_streaming._STREAM_INTERVAL_SQL — review fix: that module
+# carried a verbatim copy of these CTEs, the exact drift class the
+# Spark side's shared _gap_session_ids exists to prevent)
+_ENG_SESSIONS_CTES = """flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
@@ -1562,7 +1566,10 @@ sess AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_idx
         FROM flagged)
   GROUP BY 1, 2
-)
+)"""
+
+_RANGE_INTERVAL_SQL = f"""
+WITH {_ENG_SESSIONS_CTES}
 SELECT p.user_id, s.session_idx,
        CAST(count(*) AS BIGINT) AS n_purchases,
        CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value,

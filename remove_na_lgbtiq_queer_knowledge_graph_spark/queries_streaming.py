@@ -32,12 +32,15 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TUMBLING_SQL = """
+# shared projection/aggregation body (review fix: the append twin
+# carried a verbatim copy — a cast fix here must reach both oracles)
+_TUMBLING_BODY = """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS wday, event_type,
        count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
-FROM events GROUP BY 1, 2
-"""
+FROM events"""
+
+_TUMBLING_SQL = _TUMBLING_BODY + "\nGROUP BY 1, 2\n"
 
 
 def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,11 +57,7 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TUMBLING_APPEND_SQL = """
-SELECT CAST(date_trunc('day', ts) AS DATE) AS wday, event_type,
-       count(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
-FROM events
+_TUMBLING_APPEND_SQL = _TUMBLING_BODY + """
 WHERE date_trunc('day', ts) + INTERVAL 1 DAY
       <= (SELECT date_trunc('milliseconds', max(ts)) FROM events) - INTERVAL 1 HOUR
 GROUP BY 1, 2
@@ -115,10 +114,10 @@ def stream_cms_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CMS_STREAM_BUCKETS = " , ".join(
-    f"({r}, substring(md5('{r}|' || CAST(user_id AS VARCHAR)), 1, 2))"
-    for r in range(4)
-)
+# the SHARED CMS hash fragment (queries_linking._CMS_BUCKETS — review
+# fix: this module carried its own copy with a literal d=4)
+from .queries_linking import _CMS_BUCKETS as _CMS_STREAM_BUCKETS  # noqa: E402
+
 _CMS_STREAM_SQL = f"""
 SELECT b.r, b.bucket, count(*) AS total
 FROM events, LATERAL (VALUES {_CMS_STREAM_BUCKETS}) AS b(r, bucket)
@@ -217,13 +216,25 @@ WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
 
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
-    running totals carried in explicit state — one emission per user on
-    the bounded run.  Rounded to 2dp: inputs are 2-decimal values, so
-    the true total is exact at 2dp regardless of summation order."""
+    running totals carried in explicit state.  Rounded to 2dp: inputs
+    are 2-decimal values, so the true total is exact at 2dp regardless
+    of summation order.
+
+    SPLIT-INVARIANT epilogue (review fix): the operator emits one
+    cumulative row per user per micro-batch, so a multi-batch source
+    (multi-file events dir, maxFilesPerTrigger) would land stale
+    partial totals next to the final ones in the append sink and the
+    one-row-per-user oracle would fail.  ``n_events`` is strictly
+    increasing across a user's emissions, so keeping each user's
+    max-``n_events`` row is exactly 'the final state' under ANY batch
+    split — the `_scd2_apply_stream` determinism contract."""
     stream = read_events_stream(spark, sf_dir)
-    return run_to_memory(
+    sink = run_to_memory(
         stateful_user_totals(stream), "mem_stateful_totals", "append"
     )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (sink.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
 
 
 _STATEFUL_SQL = """
@@ -365,24 +376,13 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, "mem_stream_interval", "append")
 
 
-_STREAM_INTERVAL_SQL = """
-WITH flagged AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-              THEN 1 ELSE 0 END AS new_s
-  FROM events WHERE event_type IN ('click', 'view')
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-         min(epoch(ts)) AS start_s, max(epoch(ts)) + 3600.0 AS end_s
-  FROM (SELECT user_id, ts,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
-        FROM flagged)
-  GROUP BY 1, 2
-)
+# sessionization CTEs shared verbatim with the batch twin's oracle
+# (queries_relational._ENG_SESSIONS_CTES — one copy, like the Spark
+# side's _engagement_sessions)
+from .queries_relational import _ENG_SESSIONS_CTES  # noqa: E402
+
+_STREAM_INTERVAL_SQL = f"""
+WITH {_ENG_SESSIONS_CTES}
 SELECT p.user_id, p.event_id, s.session_idx
 FROM events p JOIN sess s
   ON p.user_id = s.user_id AND epoch(p.ts) BETWEEN s.start_s AND s.end_s

@@ -78,6 +78,14 @@ def read_jdbc(
         .option("url", url)
         .option("dbtable", table)
     )
+    if partition_column is None and (
+            lower_bound is not None or upper_bound is not None):
+        # the inverse mistake of the check below: bounds without the
+        # column were silently DROPPED, giving the one-connection
+        # full-table read this docstring warns against
+        raise ValueError(
+            "lower_bound/upper_bound have no effect without "
+            "partition_column — pass it (or drop the bounds)")
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError(

@@ -73,6 +73,24 @@ def scratch_dir(prefix: str) -> str:
 _TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts``'s physical forms to TIMESTAMP — ONE copy
+    of the two-branch conversion (see :func:`t`'s docstring for the
+    forms), shared by the batch loader and the streaming reader
+    (``streaming.windows.read_events_stream``); a third physical form
+    needs ONE new branch here, not three (the round-3 failure class).
+    ``events_in_range`` keeps its own pushdown-ordered variant: it must
+    filter the RAW column before converting."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a star-schema table.
 
@@ -107,14 +125,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return memo
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     _TABLE_MEMO[key] = df

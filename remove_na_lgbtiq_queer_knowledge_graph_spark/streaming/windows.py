@@ -45,6 +45,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     skey = (spark.sparkContext.applicationId, path, mtime)
     schema = _SCHEMA_MEMO.get(skey)
     if schema is None:
+        if len(_SCHEMA_MEMO) >= 512:  # same growth bound as spec._TABLE_MEMO
+            _SCHEMA_MEMO.pop(next(iter(_SCHEMA_MEMO)))
         schema = spark.read.parquet(path).schema
         _SCHEMA_MEMO[skey] = schema
     # the file-stream source wants a directory; glob-filter to the one file
@@ -53,12 +55,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    # SHARED ts normalization (spec.normalize_event_ts) — this was a
+    # third hand-rolled copy of the two-branch conversion; a new
+    # physical form fixed in spec.t but missed here would feed
+    # withWatermark an unnormalized column
+    from ..spec import normalize_event_ts
+
+    return normalize_event_ts(stream)
 
 
 # Stateful-operator partition count, fixed into the checkpoint at the
@@ -253,16 +256,11 @@ def streaming_cms_buckets(events: DataFrame, d: int = 4) -> DataFrame:
     keeps the sketch engine-portable and the oracle exact: a bounded
     availableNow run equals the batch bucket totals.
     """
-    buckets = F.array(*[
-        F.struct(
-            F.lit(r).alias("r"),
-            F.substring(
-                F.md5(F.concat(F.lit(f"{r}|"),
-                               F.col("user_id").cast("string"))), 1, 2)
-             .alias("bucket"),
-        )
-        for r in range(d)
-    ])
+    # ONE copy of the hash scheme (review fix — this was the fourth
+    # inline copy of the md5 bucket derivation)
+    from ..queries_linking import cms_bucket_structs
+
+    buckets = cms_bucket_structs(F.col("user_id"), d)
     return (
         events.select(F.explode(buckets).alias("b"))
         .select("b.r", "b.bucket")

@@ -495,3 +495,69 @@ def test_explode_delimited_literal_separator(spark):
     dot = [r.s for r in explode_delimited(
         df.filter(F.col("s").contains(".")), "s", ".").collect()]
     assert dot == ["x", "y"]
+
+
+def test_cc_fractional_ids_and_nulls_path_independent(spark, monkeypatch):
+    """Review-fix pins for connected_components: (a) DOUBLE node ids on
+    the distributed path must not converge prematurely (the decimal-
+    cast Σcomp rounded fractional label moves away — ids clustered in
+    one integer bucket looked 'converged' after a single round); (b) a
+    NULL edge endpoint must behave identically on the driver union-find
+    and the distributed path (it used to TypeError in min() only below
+    the edge-count gate)."""
+    import remove_na_lgbtiq_queer_knowledge_graph_spark.operators.er as er_mod
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.er import (
+        connected_components,
+    )
+
+    # 7-node chain of doubles inside ONE integer rounding bucket: needs
+    # several propagate+jump rounds, Σ(decimal(38,0)) is constant
+    # (node list built once — recomputing 2.01+i/100 per edge yields
+    # different doubles for the "same" node and breaks the chain)
+    nodes = [2.0 + (i + 1) / 100 for i in range(7)]
+    chain = list(zip(nodes, nodes[1:]))
+    edges = spark.createDataFrame(chain, "src double, dst double")
+    want = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(want.values()) == {nodes[0]}  # driver path ground truth
+    monkeypatch.setattr(er_mod, "_DRIVER_CC_EDGES", -1)  # force distributed
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == want
+
+    # NULL semantics (shared by both paths): NULL never donates its
+    # label (a NULL join key matches nothing) so it cannot BRIDGE
+    # components, but it receives the min over its neighbors' comps
+    monkeypatch.setattr(er_mod, "_DRIVER_CC_EDGES", 100_000)
+    nul = spark.createDataFrame(
+        [(1, 2), (3, None), (None, 5)], "src long, dst long")
+    by_node = {r.node: r.comp for r in connected_components(nul).collect()}
+    assert by_node[1] == 1 and by_node[2] == 1
+    assert by_node[3] == 3 and by_node[5] == 5   # NULL bridges nothing
+    assert by_node[None] == 3                    # min neighbor comp
+    monkeypatch.setattr(er_mod, "_DRIVER_CC_EDGES", -1)
+    dist = {r.node: r.comp for r in connected_components(nul).collect()}
+    assert dist == by_node
+
+
+def test_candidate_pairs_both_equals_two_single_calls(spark):
+    """metric='both' (one fused inverted-index join) must return
+    exactly the inner join of the two single-metric calls."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.similarity import (
+        candidate_pairs,
+    )
+
+    rows = [(1, "alpha beta", "B"), (2, "alpha bett", "B"),
+            (3, "alpha beta", "B"), (4, "gamma", "B"),
+            (5, "alpha beta", "C"), (6, "alphaX betaY", "B")]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    cos = {(r.id_1, r.id_2): r.value for r in candidate_pairs(
+        df, "id", "name", min_sim=0.5, metric="cosine",
+        block_cols=["blk"]).collect()}
+    jac = {(r.id_1, r.id_2): r.value for r in candidate_pairs(
+        df, "id", "name", min_sim=0.3, metric="jaccard",
+        block_cols=["blk"]).collect()}
+    fused = {(r.id_1, r.id_2): (r.cosine, r.jaccard)
+             for r in candidate_pairs(
+                 df, "id", "name", min_sim=(0.5, 0.3), metric="both",
+                 block_cols=["blk"]).collect()}
+    want = {k: (cos[k], jac[k]) for k in cos if k in jac}
+    assert fused == want and len(fused) >= 2

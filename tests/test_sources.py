@@ -228,3 +228,56 @@ def test_fetch_json_source_failure_semantics(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_error"):
         fetch_json_source(urls, "url", "url string", parse, on_error="skip")
+
+
+def test_fetch_json_guards_and_custom_fetcher_cap(spark, tmp_path):
+    """Review-fix pins: (a) retries/timeout/max_bytes validate on the
+    DRIVER (retries=-1 used to surface as `raise None` inside a task),
+    (b) the max_bytes cap applies to INJECTED fetchers too, (c) a dead
+    file:// link fails fast (URLError with a deterministic reason must
+    not burn retries)."""
+    import json
+    import time
+
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_external import (
+        fetch_json_source,
+    )
+
+    urls = spark.createDataFrame([("u1",)], "url string")
+    parse = lambda row: {"url": row["url"],  # noqa: E731
+                         "ok": row["__json"] is not None}
+    for bad_kwargs in ({"retries": -1}, {"timeout": 0}, {"max_bytes": 0}):
+        with pytest.raises(ValueError):
+            fetch_json_source(urls, "url", "url string, ok boolean",
+                              parse, **bad_kwargs)
+
+    big = tmp_path / "big.json"
+    big.write_text(json.dumps({"x": "y" * 100}))
+    fat_fetcher = lambda u: open(big, "rb").read()  # noqa: E731
+    rows = fetch_json_source(
+        spark.createDataFrame([(f"file://{big}",)], "url string"),
+        "url", "url string, ok boolean", parse,
+        fetcher=fat_fetcher, max_bytes=10, on_error="null").collect()
+    assert rows[0].ok is False  # capped, surfaced as the error row
+
+    dead = spark.createDataFrame(
+        [(f"file://{tmp_path}/definitely-missing.json",)], "url string")
+    t0 = time.monotonic()
+    out = fetch_json_source(dead, "url", "url string, ok boolean",
+                            parse, retries=2, on_error="null").collect()
+    assert out[0].ok is False
+    # fail-fast: 2 retries would sleep 0.5+1.0 s; deterministic reasons
+    # must skip the backoff entirely
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_read_jdbc_bounds_without_partition_column_raise(spark):
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import read_jdbc
+
+    with pytest.raises(ValueError, match="without\\s+partition_column"):
+        read_jdbc(spark, "jdbc:h2:mem:x", "t", lower_bound=0,
+                  upper_bound=10, num_partitions=4)

@@ -208,3 +208,48 @@ def test_scd2_stream_split_invariant_equals_batch(spark, tmp_path):
         by_user.setdefault(r.user_id, []).append(r)
     assert len(by_user[1]) == 3 and len(by_user[3]) == 3
     assert sum(r.is_current for r in got_rows.values()) == 3  # one per user
+
+
+def test_stateful_totals_split_invariant(spark, tmp_path):
+    """applyInPandasWithState emits one cumulative row per user per
+    micro-batch; the query's max-n_events epilogue must reduce a
+    multi-batch run (one file per trigger, users spanning batches) to
+    exactly the final per-user totals — equal to the batch groupBy."""
+    import datetime as dt
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.streaming.windows import (
+        stateful_user_totals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1 + (i % 2), "u",
+             float(i), "{}") for i in range(12)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    src = str(tmp_path / "ev")
+    for i in range(3):
+        df.filter(F.col("event_id") % 3 == i).coalesce(1) \
+          .write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sink_name = "mem_stateful_split_test"
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.streaming.windows import (
+        run_to_memory,
+    )
+    sink = run_to_memory(stateful_user_totals(stream), sink_name, "append")
+    # raw sink carries the stale partial emissions (the hazard)
+    assert sink.count() > 2
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {r.user_id: (r.n_events, r.total_value)
+             for r in sink.withColumn("rn", F.row_number().over(w))
+                          .filter("rn = 1").collect()}
+    want = {r.user_id: (r.n, round(r.tv, 2))
+            for r in df.groupBy("user_id")
+                       .agg(F.count("*").alias("n"),
+                            F.sum("value").alias("tv")).collect()}
+    assert final == want
