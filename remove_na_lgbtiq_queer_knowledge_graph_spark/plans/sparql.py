@@ -54,6 +54,14 @@ from .bgp import transitive_closure
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 SKOS_ALT_LABEL = "http://www.w3.org/2004/02/skos/core#altLabel"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_INTEGER = _XSD + "integer"
+XSD_DECIMAL = _XSD + "decimal"
+# datatypes whose comparisons are NUMERIC per §17.3 (operand promotion)
+_NUMERIC_DTYPES = frozenset(
+    _XSD + t for t in ("integer", "decimal", "double", "float", "int",
+                       "long", "short", "byte", "nonNegativeInteger",
+                       "positiveInteger", "unsignedInt", "unsignedLong"))
 WIKIBASE_LABEL_SERVICE = "http://wikiba.se/ontology#label"
 
 
@@ -65,8 +73,8 @@ _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+)
       | (?P<comment>\#[^\n]*)
       | (?P<iri><[^<>\s]*>)
-      | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^\S+)?)
-      | (?P<sstring>'(?:[^'\\]|\\.)*'(?:@[A-Za-z][A-Za-z0-9-]*|\^\^\S+)?)
+      | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w.-]*[\w-]|[A-Za-z_][\w-]*:?))?)
+      | (?P<sstring>'(?:[^'\\]|\\.)*'(?:@[A-Za-z][A-Za-z0-9-]*|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w.-]*[\w-]|[A-Za-z_][\w-]*:?))?)
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
         # local name may contain dots but never ends with one — the
@@ -157,6 +165,12 @@ class FilterPat:
 @dataclass(frozen=True)
 class NotExistsPat:          # FILTER NOT EXISTS and MINUS
     group: "GroupPat"
+    # the two differ EXACTLY when the sub-group shares no variables
+    # with the outer bindings: MINUS removes nothing (SPARQL 1.1
+    # §8.3.3), NOT EXISTS is all-or-nothing (it tests pattern
+    # existence, not binding compatibility) — review fix, both used
+    # to take the MINUS no-op
+    is_minus: bool = False
 
 
 @dataclass(frozen=True)
@@ -295,7 +309,12 @@ class _Parser:
         if t.kind == "word" and t.text == "a":
             return ("iri", RDF_TYPE)
         if t.kind == "num":
-            return ("lit", t.text, None, None)
+            # carry the numeric datatype so comparisons can tell 30
+            # apart from "30" (a bare number IS xsd:integer/decimal per
+            # the SPARQL grammar) — scans ignore the dtype slot, so
+            # triple-pattern matching is unchanged
+            dt = (XSD_DECIMAL if "." in t.text else XSD_INTEGER)
+            return ("lit", t.text, None, dt)
         raise SyntaxError(f"unexpected term token {t}")
 
     def _parse_string(self, raw: str) -> Term:
@@ -526,7 +545,8 @@ class _Parser:
                 continue
             if t.kind == "word" and t.text.upper() == "MINUS":
                 self.next()
-                g.items.append(NotExistsPat(self.parse_group()))
+                g.items.append(NotExistsPat(self.parse_group(),
+                                            is_minus=True))
                 continue
             if t.kind == "word" and t.text.upper() == "FILTER":
                 self.next()
@@ -647,6 +667,17 @@ class _Parser:
                 while not self.accept("op", ")"):
                     row.append(cell())
                 rows.append(tuple(row))
+        # strict mode: the compiler's VALUES paths match on the bare
+        # lexical value (rows keep t[1] only) — a tagged literal would
+        # silently match ACROSS language tags, violating RDF term
+        # equality everywhere else enforced via __lang__ companions.
+        # Refuse instead of being quietly wrong (review finding).
+        for r in rows:
+            for t_ in r:
+                if t_[0] == "lit" and len(t_) > 2 and t_[2]:
+                    raise NotImplementedError(
+                        "VALUES with language-tagged literals is not "
+                        f"supported (got \"{t_[1]}\"@{t_[2]})")
         return ValuesPat(tuple(vars_), tuple(rows))
 
     # -- query ---------------------------------------------------------------
@@ -906,8 +937,16 @@ class _Compiler:
                 add(F.col(col) == term[1])
             elif term[0] == "lit":
                 add(F.col(col) == term[1])
-                if term[2] and has_lang:
-                    add(F.col("lang") == term[2])
+                if has_lang and col == "object":
+                    if term[2]:
+                        add(F.col("lang") == term[2])
+                    else:
+                        # RDF term equality: a PLAIN literal is a
+                        # different term from any tagged one — without
+                        # this a constant "Berlin" silently matched
+                        # "Berlin"@de too (review fix; the tagged and
+                        # shared-variable cases already constrained)
+                        add(F.col("lang").isNull())
             elif term[1] in sel:
                 add(F.col(col) == F.col(sel[term[1]]))
             else:
@@ -1192,7 +1231,10 @@ class _Compiler:
             p = F.col(f"__jl.{c}").eqNullSafe(F.col(f"__jr.{c}"))
             cond = p if cond is None else cond & p
         out = left.join(right, cond, how)
-        if how == "left_anti":
+        if how in ("left_anti", "left_semi"):
+            # semi/anti joins produce LEFT columns only — the __jr
+            # re-select below would crash on them (review fix: the
+            # lang-companion FILTER EXISTS path hit exactly that)
             return out
         cols = [F.col(f"__jl.{c}").alias(c) for c in env.columns]
         cols += [F.col(f"__jr.{c}").alias(c) for c in df.columns
@@ -1200,6 +1242,19 @@ class _Compiler:
         return out.select(*cols)
 
     # -- expressions ---------------------------------------------------------
+
+    @staticmethod
+    def _numeric_node(node: tuple) -> bool:
+        """True when an expression node is statically numeric: an
+        arithmetic expression, a unary minus, or a literal carrying a
+        numeric datatype (bare numbers parse with xsd:integer/decimal;
+        typed literals keep their ^^dtype)."""
+        if node[0] in ("arith", "neg"):
+            return True
+        if node[0] == "term" and node[1][0] == "lit":
+            dt = node[1][3] if len(node[1]) > 3 else None
+            return dt in _NUMERIC_DTYPES
+        return False
 
     def _expr(self, node: tuple, env: DataFrame | None) -> Column:
         kind = node[0]
@@ -1215,7 +1270,17 @@ class _Compiler:
                 return F.lit(self.auto_language)
             return F.lit(term[1])
         if kind == "cmp":
-            op, a, b = node[1], self._expr(node[2], env), self._expr(node[3], env)
+            op = node[1]
+            a, b = self._expr(node[2], env), self._expr(node[3], env)
+            if op in ("<", ">", "<=", ">=") and (
+                    self._numeric_node(node[2])
+                    or self._numeric_node(node[3])):
+                # §17.3 operand promotion: ordering against a NUMBER is
+                # numeric, not lexicographic ("99" > "100" was wrongly
+                # true — review fix).  try_cast: a non-numeric lexical
+                # form is a type error, and an errored comparison drops
+                # the row (NULL) per §17.2 — never kills the job.
+                a, b = a.try_cast("double"), b.try_cast("double")
             return {"=": a == b, "!=": a != b, "<": a < b, ">": a > b,
                     "<=": a <= b, ">=": a >= b}[op]
         if kind == "inlist":
@@ -1262,12 +1327,31 @@ class _Compiler:
                 return self._expr(args[0], env)
             if name == "CONCAT":
                 return F.concat(*[self._expr(a, env) for a in args])
-            if name == "REPLACE":
-                pat = args[1][1][1]
-                rep = args[2][1][1]
-                return F.regexp_replace(self._expr(args[0], env), pat, rep)
-            if name == "REGEX":
-                pat = args[1][1][1]
+            if name in ("REPLACE", "REGEX"):
+                # pattern (and flags) must be LITERALS: grabbing
+                # args[1][1][1] from a variable node would silently use
+                # the variable NAME as the regex — fail loud instead
+                # (review fix), and honor the optional flags argument
+                # ('i'/'s'/'m' map onto Java embedded flags; anything
+                # else is refused, not dropped)
+                def _lit_arg(a, what):
+                    if a[0] == "term" and a[1][0] == "lit":
+                        return a[1][1]
+                    raise NotImplementedError(
+                        f"{name}: only literal {what} supported")
+                pat = _lit_arg(args[1], "patterns")
+                flag_idx = 3 if name == "REPLACE" else 2
+                if len(args) > flag_idx:
+                    flags = _lit_arg(args[flag_idx], "flags")
+                    if flags and not set(flags) <= set("ism"):
+                        raise NotImplementedError(
+                            f"{name}: unsupported regex flags {flags!r}")
+                    if flags:
+                        pat = f"(?{flags})" + pat
+                if name == "REPLACE":
+                    rep = _lit_arg(args[2], "replacements")
+                    return F.regexp_replace(
+                        self._expr(args[0], env), pat, rep)
                 return self._expr(args[0], env).rlike(pat)
             if name == "STRSTARTS":
                 return self._expr(args[0], env).startswith(
@@ -1433,6 +1517,7 @@ class _Compiler:
         ``get_gnd_from_fg_and_wd.rq:44-48``)."""
         triples = triples if triples is not None else self.triples
         run: list[TriplePat] = []
+        deferred_filters: list[tuple] = []
 
         def flush(env: DataFrame | None) -> DataFrame | None:
             if not run:
@@ -1513,6 +1598,16 @@ class _Compiler:
                     continue
                 if self._shared(env, sub):
                     env = self._join(env, sub, "left_anti")
+                elif not item.is_minus:
+                    # FILTER NOT EXISTS with disjoint vars: every
+                    # solution dies iff the sub-pattern matches at all
+                    # (dual of the EXISTS cross below); MINUS with
+                    # disjoint domains removes NOTHING (§8.3.3) and
+                    # stays the no-op above
+                    env = env.join(
+                        F.broadcast(sub.limit(1).select(
+                            F.lit(1).alias("__ne"))),
+                        F.lit(True), "left_anti")
             elif isinstance(item, ExistsPat):
                 # dual of NOT EXISTS: keep solutions with ≥1 compatible
                 # binding in the sub-group → left-semi join on shared
@@ -1536,9 +1631,14 @@ class _Compiler:
                     env = env.drop("__exists")
             elif isinstance(item, FilterPat):
                 if env is None:
-                    # a filter-only group (e.g. MINUS {FILTER(...)},
-                    # companions_and_relations.rq:124) has no bindings
-                    # to constrain — per SPARQL semantics it is a no-op
+                    # no bindings YET — but §18.2.2.2 scopes filters to
+                    # the WHOLE group regardless of position, so a
+                    # group-LEADING filter must constrain the bindings
+                    # that arrive later (review fix: it was dropped).
+                    # A filter-only group (e.g. MINUS {FILTER(...)},
+                    # companions_and_relations.rq:124) still no-ops:
+                    # deferred filters die with env == None at the end.
+                    deferred_filters.append(item.expr)
                     continue
                 env = env.filter(self._expr(item.expr, env))
             elif isinstance(item, BindPat):
@@ -1659,7 +1759,14 @@ class _Compiler:
                                           env)
             else:
                 raise NotImplementedError(f"pattern {item}")
-        return flush(env)
+        env = flush(env)
+        # group-leading filters deferred above: §18.2.2.2 scopes them
+        # to the whole group, so apply them over the final bindings
+        # (env still None == filter-only group == no-op, unchanged)
+        if env is not None:
+            for expr in deferred_filters:
+                env = env.filter(self._expr(expr, env))
+        return env
 
     def _register_label_service(self, group: GroupPat) -> None:
         """``SERVICE wikibase:label { bd:serviceParam wikibase:language
@@ -2049,6 +2156,14 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
                 if has_agg:
                     env = env.withColumn(
                         s.var, c._expr(subst_aggs(s.expr, agg_names), env))
+                else:
+                    # a non-aggregate projection over GROUP BY keys
+                    # (SELECT ?k (UCASE(?k) AS ?u) ... GROUP BY ?k) is
+                    # legal SPARQL: compute it AFTER grouping, where
+                    # the keys live (review fix — it was computed
+                    # pre-group, dropped by the agg, then rejected by
+                    # the projection loop's fail-loud)
+                    env = env.withColumn(s.var, c._expr(s.expr, env))
         env = env.drop(*agg_names.values())
     select = [s.var if isinstance(s, SelectExpr) else s for s in q.select]
     if select == ["*"]:
@@ -2081,17 +2196,30 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
             # unbound projection (SPARQL allows it), incl. Description
             # service vars we don't model (AltLabel IS modeled above)
             cols.append(F.lit(None).cast("string").alias(v))
+    # ORDER BY may sort on a variable bound in WHERE but not projected
+    # (§15.1; review fix — such keys were silently dropped like the
+    # truly-unbound ones): carry it through the projection under its
+    # own name, sort, then drop.  With DISTINCT the spec itself forbids
+    # ordering by non-projected vars, so there is nothing to carry.
+    sort_extras = []
+    if q.order_by and not q.distinct:
+        sort_extras = list(dict.fromkeys(
+            v for v, _ in q.order_by
+            if v not in select and v in env.columns))
+        cols += [F.col(v) for v in sort_extras]
     out = env.select(*cols)
     if q.distinct:
         out = out.distinct()
     if q.order_by:
-        # A sort var that is bound nowhere (SPARQL allows it — the
+        # A sort var that is bound NOWHERE (SPARQL allows it — the
         # reference's ORDER BY (?PropertyLabel) misspells a select var)
         # compares all-equal, so it is simply dropped.
         keys = [F.col(v).desc() if d else F.col(v)
                 for v, d in q.order_by if v in out.columns]
         if keys:
             out = out.orderBy(*keys)
+    if sort_extras:
+        out = out.drop(*sort_extras)
     if q.offset is not None:
         # §15.4: OFFSET skips from the (ordered) solution sequence
         # BEFORE LIMIT takes — DataFrame.offset composes the same way

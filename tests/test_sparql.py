@@ -1235,3 +1235,129 @@ def test_values_chained_undef_then_constrained(triples):
         VALUES ?y { "q" }
       }""", triples)
     assert [(r["x"], r["y"]) for r in df.collect()] == [("p", "q")]
+
+
+def test_group_leading_filter_applies(triples):
+    """§18.2.2.2: a FILTER written BEFORE its group's patterns scopes
+    to the whole group (it used to be silently dropped when no
+    bindings had accumulated yet)."""
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { FILTER(?o = ex:b) ?s ex:knows ?o }""", triples)
+    assert _vals(df, "s") == [("http://ex.org/a",)]
+    # filter-only group stays a no-op (the MINUS {FILTER} shape)
+    df2 = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:knows ex:b MINUS { FILTER(1 = 2) } }""", triples)
+    assert _vals(df2, "s") == [("http://ex.org/a",)]
+
+
+def test_disjoint_not_exists_vs_minus(triples):
+    """FILTER NOT EXISTS with NO shared vars is all-or-nothing;
+    MINUS with disjoint domains removes NOTHING (§8.3.3)."""
+    ne = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ex:Robot
+  FILTER NOT EXISTS { ex:a ex:knows ex:b } }""", triples)
+    assert _vals(ne, "s") == []  # the sub-pattern matches → all die
+    ne2 = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ex:Robot
+  FILTER NOT EXISTS { ex:a ex:knows ex:zzz } }""", triples)
+    assert _vals(ne2, "s") == [("http://ex.org/c",)]  # no match → keep
+    mi = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s a ex:Robot MINUS { ex:a ex:knows ex:b } }""", triples)
+    assert _vals(mi, "s") == [("http://ex.org/c",)]  # disjoint → no-op
+
+
+def test_regex_flags_and_nonliteral_pattern(triples):
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l FILTER(REGEX(?l, "alice", "i")) }""",
+                        triples)
+    assert _vals(df, "s") == [("http://ex.org/a",)]
+    with pytest.raises(NotImplementedError, match="literal patterns"):
+        compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l FILTER(REGEX(?l, ?l)) }""",
+                       triples).collect()
+    with pytest.raises(NotImplementedError, match="unsupported regex"):
+        compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l FILTER(REGEX(?l, "a", "x")) }""",
+                       triples).collect()
+
+
+def test_typed_literal_tokenizes_before_paren(triples):
+    """The datatype tail must not swallow an adjacent ')' — this query
+    used to die with SyntaxError on the structural paren."""
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l
+  FILTER(?l != "zzz"^^<http://www.w3.org/2001/XMLSchema#string>) }""",
+                        triples)
+    assert len(_vals(df, "s")) == 3
+    df2 = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l FILTER(?l != "zzz"^^xsd:string) }""",
+                        triples)
+    assert len(_vals(df2, "s")) == 3
+
+
+def test_plain_literal_does_not_match_tagged(triples):
+    """RDF term equality: a constant plain literal matches only
+    untagged objects — "Alice" must NOT match "Alice"@en."""
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label "Alice" }""", triples)
+    assert _vals(df, "s") == []
+    tagged = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label "Alice"@en }""", triples)
+    assert _vals(tagged, "s") == [("http://ex.org/a",)]
+
+
+def test_filter_exists_on_lang_bearing_frame(triples):
+    """FILTER EXISTS sharing a lang-carrying variable compiles through
+    the null-safe companion join (the left_semi path used to crash
+    re-selecting right-side columns a semi join doesn't produce)."""
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l
+  FILTER EXISTS { ex:a rdfs:label ?l } }""", triples)
+    assert _vals(df, "s") == [("http://ex.org/a",), ("http://ex.org/a",)]
+
+
+def test_order_by_non_projected_variable(triples):
+    """ORDER BY on a WHERE-bound but non-projected var must actually
+    sort (it used to be silently dropped with the truly-unbound keys)."""
+    df = compile_sparql(_PFX + """
+SELECT ?l WHERE { ?s rdfs:label ?l . ?s ex:knows ?o }
+ORDER BY DESC(?o) ?l""", triples)
+    rows = [r.l for r in df.collect()]
+    # a knows b (labels Alice/Alix), b knows c (label Bob):
+    # DESC(?o) puts ?o = ex:c (Bob) first, then ex:b (Alice, Alix asc)
+    assert rows == ["Bob", "Alice", "Alix"]
+    assert df.columns == ["l"]  # the carried sort key is dropped
+
+
+def test_numeric_comparison_not_lexicographic(spark):
+    """FILTER(?v > 99) must compare numerically: "100" > "99" is true
+    as numbers, false lexicographically (review fix)."""
+    tr = spark.createDataFrame(
+        [("http://ex.org/a", "http://ex.org/v", "100", None, None),
+         ("http://ex.org/b", "http://ex.org/v", "99", None, None),
+         ("http://ex.org/c", "http://ex.org/v", "98", None, None),
+         ("http://ex.org/d", "http://ex.org/v", "oops", None, None)],
+        "subject string, predicate string, object string,"
+        " lang string, dtype string")
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:v ?val FILTER(?val > 98.5) }""", tr)
+    # numeric: 100 and 99 pass; "oops" is a type error -> row dropped
+    assert _vals(df, "s") == [("http://ex.org/a",), ("http://ex.org/b",)]
+
+
+def test_projection_expr_over_group_key(triples):
+    df = compile_sparql(_PFX + """
+SELECT ?t (UCASE(STR(?t)) AS ?u) (COUNT(*) AS ?n)
+WHERE { ?s a ?t } GROUP BY ?t""", triples)
+    got = {r.t: (r.u, r.n) for r in df.collect()}
+    assert got == {
+        "http://ex.org/Person": ("HTTP://EX.ORG/PERSON", 2),
+        "http://ex.org/Robot": ("HTTP://EX.ORG/ROBOT", 1),
+    }
+
+
+def test_values_tagged_literal_fails_loud(triples):
+    with pytest.raises(NotImplementedError, match="language-tagged"):
+        compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l VALUES ?l { "Alice"@en } }""",
+                       triples)
