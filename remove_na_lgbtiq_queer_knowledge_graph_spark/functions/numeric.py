@@ -30,8 +30,22 @@ values at high precision.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def round_half_away(x: float, decimals: int = 6) -> float:
+    """Scalar twin of :func:`round_half_away_col` — the ONE Python-side
+    half-away-from-zero kernel (driver-fit model scores, test oracles).
+    Formula-identical to DuckDB's ``round(double, n)``; NaN/±inf pass
+    through unchanged (``math.floor(nan)`` would raise).  Pinned to
+    DuckDB over 5000 random values in ``tests/test_train_ops.py``."""
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    scale = 10.0 ** decimals
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
 
 
 def round_half_away_col(c: Column, decimals: int = 6) -> Column:

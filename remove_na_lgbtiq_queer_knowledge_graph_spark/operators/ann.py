@@ -412,7 +412,11 @@ def _seq_cosine(A, B):
         dots = dots + A[:, d:d + 1] * B[:, d]
         na = na + A[:, d] * A[:, d]
         nb = nb + B[:, d] * B[:, d]
-    return dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+    # a zero vector divides 0/0 → NaN, which downstream filters drop
+    # DELIBERATELY (two tests pin it); suppress numpy's RuntimeWarning
+    # so real warnings stay visible in worker logs
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
 
 
 def _nearest_index_udf(C, decimals: int | None = None):

@@ -24,23 +24,13 @@ score in this repo):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round_half_away_col
-
-
-def round_half_away(x: float, decimals: int) -> float:
-    """Half-away-from-zero double rounding, formula-identical to
-    DuckDB's ``round(double, n)`` (``std::round(x·10ⁿ)/10ⁿ``) — NOT
-    Python's builtin half-even ``round``.  The +0.5 is exact for every
-    magnitude this trainer produces (|x·10ⁿ| ≪ 2⁵²)."""
-    if x != x or x in (float("inf"), float("-inf")):
-        return x
-    scale = 10.0 ** decimals
-    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+# round_half_away: the shared scalar kernel (half-away-from-zero,
+# formula-identical to DuckDB's ``round(double, n)``, NaN/inf-safe) —
+# hoisted to functions.numeric so the convention has exactly one home.
+from ..functions.numeric import round_half_away, round_half_away_col  # noqa: F401
 
 
 def logreg_train_rounds(

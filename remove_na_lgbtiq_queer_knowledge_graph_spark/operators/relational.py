@@ -607,8 +607,10 @@ def asof_join(
     """
     lcols = [c for c in left.columns]
     # a value_col shadowing a LEFT column would silently overwrite the
-    # left frame's data with right-side values in the output — refuse
-    collide = set(value_cols) & (set(lcols) - {key, ts})
+    # left frame's data with right-side values in the output — refuse.
+    # key/ts included: a value_col named after them would clobber the
+    # join key / as-of timestamp itself (NULL on unmatched left rows)
+    collide = set(value_cols) & set(lcols)
     if collide:
         raise ValueError(
             f"asof_join: value_cols {sorted(collide)} collide with left "

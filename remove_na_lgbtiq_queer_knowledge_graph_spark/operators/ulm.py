@@ -61,14 +61,9 @@ PRUNE_SCHEDULE = (40, 30)
 # LEFT-JOIN COALESCE shape identical to the dict .get default here
 MISSING_SCORE = -1.0e9
 
-
-def round_half_away(x: float, decimals: int = 6) -> float:
-    """Scalar twin of ``functions.numeric.round_half_away_col`` (same
-    floor(|x|·10^d + 0.5) arithmetic, so driver-fit scores land on the
-    exact doubles the column kernel and DuckDB's ``round`` produce)."""
-    scale = float(10 ** decimals)
-    s = 1.0 if x > 0 else (-1.0 if x < 0 else 0.0)
-    return math.floor(abs(x) * scale + 0.5) / scale * s
+# the ONE scalar half-away kernel (NaN/inf-guarded) — see
+# functions/numeric.py for the cross-engine determinism contract
+from ..functions.numeric import round_half_away  # noqa: E402,F401
 
 
 def substring_counts(words: DataFrame, max_len: int = MAX_PIECE_LEN) -> DataFrame:

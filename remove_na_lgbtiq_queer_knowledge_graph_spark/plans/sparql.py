@@ -667,17 +667,6 @@ class _Parser:
                 while not self.accept("op", ")"):
                     row.append(cell())
                 rows.append(tuple(row))
-        # strict mode: the compiler's VALUES paths match on the bare
-        # lexical value (rows keep t[1] only) — a tagged literal would
-        # silently match ACROSS language tags, violating RDF term
-        # equality everywhere else enforced via __lang__ companions.
-        # Refuse instead of being quietly wrong (review finding).
-        for r in rows:
-            for t_ in r:
-                if t_[0] == "lit" and len(t_) > 2 and t_[2]:
-                    raise NotImplementedError(
-                        "VALUES with language-tagged literals is not "
-                        f"supported (got \"{t_[1]}\"@{t_[2]})")
         return ValuesPat(tuple(vars_), tuple(rows))
 
     # -- query ---------------------------------------------------------------
@@ -1272,14 +1261,15 @@ class _Compiler:
         if kind == "cmp":
             op = node[1]
             a, b = self._expr(node[2], env), self._expr(node[3], env)
-            if op in ("<", ">", "<=", ">=") and (
-                    self._numeric_node(node[2])
-                    or self._numeric_node(node[3])):
-                # §17.3 operand promotion: ordering against a NUMBER is
-                # numeric, not lexicographic ("99" > "100" was wrongly
-                # true — review fix).  try_cast: a non-numeric lexical
-                # form is a type error, and an errored comparison drops
-                # the row (NULL) per §17.2 — never kills the job.
+            if self._numeric_node(node[2]) or self._numeric_node(node[3]):
+                # §17.3 operand promotion: comparison against a NUMBER
+                # is numeric, not lexicographic ("99" > "100" was
+                # wrongly true; "30.0"^^xsd:decimal = 30 was wrongly
+                # false — review fixes; promotion covers =/!= too since
+                # numeric equality is value equality, not term
+                # equality).  try_cast: a non-numeric lexical form is a
+                # type error, and an errored comparison drops the row
+                # (NULL) per §17.2 — never kills the job.
                 a, b = a.try_cast("double"), b.try_cast("double")
             return {"=": a == b, "!=": a != b, "<": a < b, ">": a > b,
                     "<=": a <= b, ">=": a >= b}[op]
@@ -1662,10 +1652,29 @@ class _Compiler:
                                 for t in r)
                 rows = [tuple(None if t[0] == "undef" else t[1]
                               for t in r) for r in item.rows]
+                # RDF term equality includes the language tag: carry a
+                # per-cell lang alongside the lexical value so a tagged
+                # VALUES literal matches ONLY same-tag bindings and a
+                # plain one only lang-NULL ones (review fix: this
+                # replaced a fail-loud NotImplementedError; before that
+                # the bare lexical match crossed tags silently).  A
+                # var needs lang-aware matching when any of its cells
+                # is tagged OR the env tracks a __lang__ companion for
+                # it — otherwise the bare-value paths below are exact.
+                row_langs = [
+                    tuple(t[2] if (t[0] == "lit" and len(t) > 2)
+                          else None for t in r)
+                    for r in item.rows]
+                lang_vars = {
+                    v for i, v in enumerate(item.vars)
+                    if any(r[i] is not None for r in row_langs)
+                    or (env is not None and _lang_col(v) in env.columns)
+                }
                 shared = ([v for v in item.vars if v in env.columns]
                           if env is not None else [])
                 if env is not None and not has_undef \
                         and len(item.vars) == 1 and shared \
+                        and not lang_vars \
                         and len(set(rows)) == len(rows):
                     # single-var distinct-row fast path, NULL-CORRECT
                     # (round-9 review: a bare isin dropped env rows
@@ -1702,15 +1711,34 @@ class _Compiler:
                     # round-9 review catch).  The VALUES frame is tiny
                     # by definition, so the nested-loop join broadcasts
                     # it.
+                    schema = [f"`__val_{v}` string" for v in item.vars]
+                    data = list(rows)
+                    if lang_vars:
+                        # append one lang column per lang-aware var
+                        schema += [f"`__vallang_{v}` string"
+                                   for v in item.vars if v in lang_vars]
+                        data = [
+                            r + tuple(
+                                lr[i] for i, v in enumerate(item.vars)
+                                if v in lang_vars)
+                            for r, lr in zip(rows, row_langs)]
                     lit = self.triples.sparkSession.createDataFrame(
-                        rows,
-                        ", ".join(f"`__val_{v}` string"
-                                  for v in item.vars))
+                        data, ", ".join(schema))
                     cond = None
                     for v in shared:
+                        m = F.col(f"__val_{v}") == F.col(v)
+                        if v in lang_vars:
+                            # term equality: the tag must match too; an
+                            # env binding with no companion column is an
+                            # IRI/plain term = lang NULL
+                            envlang = (F.col(_lang_col(v))
+                                       if _lang_col(v) in env.columns
+                                       else F.lit(None).cast("string"))
+                            m = m & F.col(f"__vallang_{v}") \
+                                     .eqNullSafe(envlang)
                         c = (F.col(f"__val_{v}").isNull()
                              | F.col(v).isNull()
-                             | (F.col(f"__val_{v}") == F.col(v)))
+                             | m)
                         cond = c if cond is None else cond & c
                     # explicit broadcast: without the hint Spark's
                     # join selection degrades this non-equi inner
@@ -1721,21 +1749,50 @@ class _Compiler:
                     # tools/lint_plans.py at sf0.01+, round 9)
                     env = env.join(F.broadcast(lit), cond)
                     for v in item.vars:
-                        if v in env.columns:
+                        if v in env.columns and v in shared:
+                            if v in lang_vars:
+                                # an unbound env row takes the cell's
+                                # tag with its value — BEFORE v itself
+                                # is coalesced, so "was unbound" is
+                                # still observable
+                                prev = (F.col(_lang_col(v))
+                                        if _lang_col(v) in env.columns
+                                        else F.lit(None).cast("string"))
+                                env = env.withColumn(
+                                    _lang_col(v),
+                                    F.when(F.col(v).isNull(),
+                                           F.col(f"__vallang_{v}"))
+                                    .otherwise(prev))
                             env = env.withColumn(
                                 v, F.coalesce(F.col(v),
                                               F.col(f"__val_{v}")))
                         else:
                             env = env.withColumn(v, F.col(f"__val_{v}"))
+                            if v in lang_vars:
+                                env = env.withColumn(
+                                    _lang_col(v), F.col(f"__vallang_{v}"))
                     env = env.drop(*[f"__val_{v}" for v in item.vars])
+                    env = env.drop(*[f"__vallang_{v}" for v in item.vars
+                                     if v in lang_vars])
                 else:
                     # no overlap with prior bindings (or no env yet):
                     # the inline table joins in as-is; UNDEF cells ride
                     # through as nulls = unbound (explicit string
-                    # schema — an all-UNDEF column defeats inference)
+                    # schema — an all-UNDEF column defeats inference).
+                    # Lang-aware vars bind their __lang__ companion
+                    # directly so later term-equality joins see the tag.
+                    schema = [f"`{v}` string" for v in item.vars]
+                    data = list(rows)
+                    if lang_vars:
+                        schema += [f"`{_lang_col(v)}` string"
+                                   for v in item.vars if v in lang_vars]
+                        data = [
+                            r + tuple(
+                                lr[i] for i, v in enumerate(item.vars)
+                                if v in lang_vars)
+                            for r, lr in zip(rows, row_langs)]
                     lit = self.triples.sparkSession.createDataFrame(
-                        rows,
-                        ", ".join(f"`{v}` string" for v in item.vars))
+                        data, ", ".join(schema))
                     # broadcast for the same reason as the UNDEF
                     # path: a disjoint-domain VALUES cross must build
                     # its nested loop on the literal frame
@@ -1765,8 +1822,45 @@ class _Compiler:
         # (env still None == filter-only group == no-op, unchanged)
         if env is not None:
             for expr in deferred_filters:
-                env = env.filter(self._expr(expr, env))
+                # a variable never bound ANYWHERE in the group is
+                # unbound for every solution (§17.2: evaluating it is
+                # a type error → NULL → the filter drops the row, or
+                # keeps it for !BOUND) — bind it as NULL instead of
+                # letting F.col raise AnalysisException on a missing
+                # column (review fix: the crash replaced the old
+                # silent no-op, but spec wants empty-result semantics)
+                missing = [v for v in sorted(self._expr_free_vars(expr))
+                           if v not in env.columns]
+                if missing:
+                    tmp = env
+                    for v in missing:
+                        tmp = tmp.withColumn(v, F.lit(None).cast("string"))
+                    env = tmp.filter(self._expr(expr, tmp)) \
+                             .select(*env.columns)
+                else:
+                    env = env.filter(self._expr(expr, env))
         return env
+
+    @staticmethod
+    def _expr_free_vars(node) -> set[str]:
+        """All variable names mentioned in an expression tree — the
+        parser encodes a variable reference as a ``("var", name)``
+        tuple wherever it appears (term nodes, LANG/BOUND args)."""
+        out: set[str] = set()
+
+        def walk(n):
+            if isinstance(n, tuple):
+                if (len(n) == 2 and n[0] == "var"
+                        and isinstance(n[1], str)):
+                    out.add(n[1])
+                for c in n:
+                    walk(c)
+            elif isinstance(n, list):
+                for c in n:
+                    walk(c)
+
+        walk(node)
+        return out
 
     def _register_label_service(self, group: GroupPat) -> None:
         """``SERVICE wikibase:label { bd:serviceParam wikibase:language

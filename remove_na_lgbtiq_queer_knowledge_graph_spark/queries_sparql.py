@@ -877,6 +877,34 @@ def sparql_alt_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_sparql(_ALT_CLOSURE_RQ, factgrid_kg(spark, sf_dir))
 
 
+def sparql_values_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§10.2 VALUES over language-tagged literals (round 13): each cell
+    matches on the FULL RDF term (lexical form, language tag) — the
+    ``"EUROPE"@de`` cell binds only the de-tagged label row,
+    ``"ASIA"@en`` only the en row, and the plain ``"AFRICA"`` cell
+    matches NOTHING because every stored region label is tagged
+    (replaces the round-12 fail-loud NotImplementedError)."""
+    return compile_sparql("""\
+PREFIX fg: <https://database.factgrid.de/entity/>
+PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?region ?label (LANG(?label) AS ?tag) WHERE {
+  ?region fgt:P2 fg:Q82794 .
+  ?region rdfs:label ?label .
+  VALUES ?label { "EUROPE"@de "ASIA"@en "AFRICA" }
+}
+""", factgrid_kg(spark, sf_dir))
+
+
+_VALUES_LANG_SQL = f"""
+SELECT '{FG}Q' || CAST(300000 + r_regionkey AS VARCHAR) AS region,
+       r_name AS label,
+       CASE r_name WHEN 'EUROPE' THEN 'de' ELSE 'en' END AS tag
+FROM region
+WHERE r_name IN ('EUROPE', 'ASIA')
+"""
+
+
 _ALT_CLOSURE_RQ = """\
 PREFIX fg: <https://database.factgrid.de/entity/>
 PREFIX fgt: <https://database.factgrid.de/prop/direct/>
@@ -942,4 +970,8 @@ SPECS: dict[str, QuerySpec] = {
     "sparql_lokale": QuerySpec(
         sparql_lokale, _LOKALE_SQL,
         "verbatim lokale-from-factgrid.rq (5-way UNION + OPTIONAL chain)"),
+    "sparql_values_lang": QuerySpec(
+        sparql_values_lang, _VALUES_LANG_SQL,
+        "VALUES with language-tagged literals — full (lexical, tag) "
+        "term equality; plain cells never match tagged bindings"),
 }

@@ -417,13 +417,28 @@ def _scd2_versions(changes: DataFrame) -> DataFrame:
     )
 
 
-def _scd2_apply_stream(stream: DataFrame, scratch: str) -> DataFrame:
+def _read_changelog(sp: SparkSession, log_dir: str,
+                    buckets: list[int]) -> DataFrame:
+    """Changelog scan PRUNED to the given user-hash buckets: ``__bkt``
+    is the directory-partition column, so the isin filter becomes
+    PartitionFilters — whole bucket directories are skipped before any
+    file opens (plan-asserted in ``tests/test_streaming_scd2.py``).  At
+    100 TB this is the difference between a batch scanning its touched
+    buckets and re-reading the entire change history every trigger."""
+    return (sp.read.parquet(log_dir)
+            .filter(F.col("__bkt").isin([int(b) for b in buckets])))
+
+
+def _scd2_apply_stream(stream: DataFrame, scratch: str,
+                       n_buckets: int = 8,
+                       compact_every: int = 0) -> DataFrame:
     """Drive a CDC change stream into a versioned SCD2 dimension via
     ``foreachBatch`` — the stream twin of ``sink_scd2_merge``
     (`queries_relational.py`): each micro-batch appends its changes to
-    a user-partitionable CHANGELOG and rebuilds the version chains of
-    exactly the users the batch touched; untouched users' rows pass
-    through by anti-join.
+    a user-BUCKETED changelog (``partitionBy(pmod(hash(user_id), N))``)
+    and rebuilds the version chains of exactly the users the batch
+    touched, scanning ONLY the bucket directories those users hash to;
+    untouched users' rows pass through by anti-join.
 
     Event-sourced on purpose: a rebuild from the full per-user history
     makes the final dimension a pure function of the change SET, so the
@@ -431,9 +446,14 @@ def _scd2_apply_stream(stream: DataFrame, scratch: str) -> DataFrame:
     out-of-order arrivals across batches (a late change inserts its
     version mid-chain, which a current-row-only merge cannot do; that
     determinism is what the stream≡batch equality test pins).  At
-    100 TB the changelog is partitioned by user key, a batch touches
-    only its affected partitions, and the rebuild joins the batch's
-    (small) key set against them — no full-dimension rewrite."""
+    100 TB the changelog bucket count scales with the key space, a
+    batch reads only its affected buckets (partition pruning, not just
+    a design claim — see :func:`_read_changelog`), and the rebuild
+    joins the batch's (small) key set against them — no full-dimension
+    rewrite.  ``compact_every`` > 0 compacts the touched buckets every
+    that-many batches — streaming appends leave one small file per
+    batch per bucket, and scan cost degrades to file listing without
+    periodic compaction."""
     import os as _os
 
     spark = stream.sparkSession
@@ -445,11 +465,21 @@ def _scd2_apply_stream(stream: DataFrame, scratch: str) -> DataFrame:
             return
         sp = batch.sparkSession
         changes = batch.select(
-            "user_id", F.unix_micros("ts").alias("us"), "event_id", "value")
-        changes.write.mode("append").parquet(log_dir)
-        log = sp.read.parquet(log_dir)
+            "user_id", F.unix_micros("ts").alias("us"), "event_id", "value",
+            F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("__bkt"))
+        changes.write.mode("append").partitionBy("__bkt").parquet(log_dir)
+        # ≤ n_buckets ints — bounded driver state at any key cardinality
+        bkts = sorted(r["__bkt"] for r in
+                      changes.select("__bkt").distinct().collect())
+        if compact_every and (int(state["n"]) + 1) % compact_every == 0:
+            from .sources.io import compact_parquet
+            for b in bkts:
+                compact_parquet(sp, _os.path.join(log_dir, f"__bkt={b}"),
+                                target_file_bytes=128 * 1024 * 1024)
+        log = _read_changelog(sp, log_dir, bkts)
         affected = changes.select("user_id").distinct()
-        rebuilt = _scd2_versions(log.join(affected, "user_id"))
+        rebuilt = _scd2_versions(
+            log.join(affected, "user_id").drop("__bkt"))
         if state["dim"] is not None:
             prev = sp.read.parquet(state["dim"])
             new_dim = (prev.join(affected, "user_id", "left_anti")
@@ -486,7 +516,8 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .spec import scratch_dir
 
     return _scd2_apply_stream(
-        read_events_stream(spark, sf_dir), scratch_dir("scd2_stream_"))
+        read_events_stream(spark, sf_dir), scratch_dir("scd2_stream_"),
+        compact_every=2)
 
 
 _SCD2_STREAM_SQL = """

@@ -447,6 +447,12 @@ def test_asof_join_null_timestamps_and_collisions(spark):
     with pytest.raises(ValueError, match="collide with left"):
         asof_join(left, right.withColumnRenamed("value", "keepme"),
                   "k", "ts", ["keepme"])
+    # value_cols naming the join key or the ts column would clobber the
+    # left frame's key/timestamp (NULL for unmatched rows) — refused too
+    with pytest.raises(ValueError, match="collide with left"):
+        asof_join(left, right, "k", "ts", ["ts"])
+    with pytest.raises(ValueError, match="collide with left"):
+        asof_join(left, right, "k", "ts", ["k"])
 
 
 def test_grouped_running_sum_null_group_keys_and_decimal_guard(spark):

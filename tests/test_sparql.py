@@ -1356,8 +1356,88 @@ WHERE { ?s a ?t } GROUP BY ?t""", triples)
     }
 
 
-def test_values_tagged_literal_fails_loud(triples):
-    with pytest.raises(NotImplementedError, match="language-tagged"):
-        compile_sparql(_PFX + """
+def test_numeric_equality_promotion(spark):
+    """§17.3 promotion covers =/!= too: FILTER(?v = 30) must match a
+    value stored as "30.0" (numeric VALUE equality, not lexical term
+    equality), and a non-numeric lexical form is a type error that
+    drops the row for BOTH = and != (advice fix)."""
+    tr = spark.createDataFrame(
+        [("http://ex.org/a", "http://ex.org/v", "30.0", None,
+          "http://www.w3.org/2001/XMLSchema#decimal"),
+         ("http://ex.org/b", "http://ex.org/v", "30", None, None),
+         ("http://ex.org/c", "http://ex.org/v", "31", None, None),
+         ("http://ex.org/d", "http://ex.org/v", "oops", None, None)],
+        "subject string, predicate string, object string,"
+        " lang string, dtype string")
+    eq = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:v ?val FILTER(?val = 30) }""", tr)
+    assert _vals(eq, "s") == [("http://ex.org/a",), ("http://ex.org/b",)]
+    ne = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s ex:v ?val FILTER(?val != 30) }""", tr)
+    # "31" != 30 numerically; "oops" is a type error → dropped, NOT kept
+    assert _vals(ne, "s") == [("http://ex.org/c",)]
+
+
+def test_group_leading_filter_never_bound_var(triples):
+    """§17.2: a deferred group-leading FILTER whose variable is never
+    bound anywhere in the group evaluates the var as unbound — the
+    comparison errors to NULL and removes every solution (it used to
+    raise AnalysisException on the missing column), while !BOUND keeps
+    them all."""
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { FILTER(?nope = ex:b) ?s ex:knows ?o }""", triples)
+    assert _vals(df, "s") == []
+    kept = compile_sparql(_PFX + """
+SELECT ?s WHERE { FILTER(!BOUND(?nope)) ?s ex:knows ?o }""", triples)
+    assert len(_vals(kept, "s")) == 3
+
+
+def test_values_tagged_literal_term_equality(triples):
+    """VALUES with language-tagged literals matches on the full RDF
+    term (lexical, tag): same-tag matches, cross-tag does NOT, and a
+    plain literal does not match a tagged binding (round-13 feature —
+    replaced the fail-loud NotImplementedError)."""
+    same = compile_sparql(_PFX + """
 SELECT ?s WHERE { ?s rdfs:label ?l VALUES ?l { "Alice"@en } }""",
-                       triples)
+                          triples)
+    assert _vals(same, "s") == [("http://ex.org/a",)]
+    cross = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l VALUES ?l { "Alice"@de } }""",
+                           triples)
+    assert _vals(cross, "s") == []
+    plain = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l VALUES ?l { "Alice" } }""",
+                           triples)
+    assert _vals(plain, "s") == []  # every stored label is tagged
+    # mixed tags in one VALUES list: each cell matches only its tag
+    mixed = compile_sparql(_PFX + """
+SELECT ?s ?l WHERE { ?s rdfs:label ?l
+  VALUES ?l { "Alice"@en "Alix"@de "Bob"@de } }""", triples)
+    assert _vals(mixed, "s", "l") == [
+        ("http://ex.org/a", "Alice"), ("http://ex.org/a", "Alix")]
+
+
+def test_values_tagged_leading_and_lang_visible(triples):
+    """A group-LEADING tagged VALUES binds the __lang__ companion so
+    the later triple join enforces the tag (null-safe term equality),
+    and LANG(?l) sees the VALUES-supplied tag."""
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE { VALUES ?l { "Alice"@en "Bob"@de } ?s rdfs:label ?l }""",
+                        triples)
+    assert _vals(df, "s") == [("http://ex.org/a",)]
+    lang = compile_sparql(_PFX + """
+SELECT ?s ?tag WHERE { ?s rdfs:label ?l VALUES ?l { "Bob"@en }
+  BIND(LANG(?l) AS ?tag) }""", triples)
+    assert _vals(lang, "s", "tag") == [("http://ex.org/b", "en")]
+
+
+def test_values_tagged_multi_var_with_undef(triples):
+    """Tagged cells coexist with UNDEF compatibility: the UNDEF cell's
+    row matches any binding; the tagged cell constrains its own row."""
+    df = compile_sparql(_PFX + """
+SELECT ?s ?kind WHERE { ?s rdfs:label ?l
+  VALUES (?l ?kind) { ("Alix"@de "german") (UNDEF "any") } }""",
+                        triples)
+    assert _vals(df, "s", "kind") == [
+        ("http://ex.org/a", "any"), ("http://ex.org/a", "any"),
+        ("http://ex.org/a", "german"), ("http://ex.org/b", "any")]
