@@ -204,6 +204,27 @@ def main() -> None:
         out["duckdb_total"] = round(duck_total, 3)
         if duck_total > 0:
             out["spark_vs_duckdb_ratio"] = round(spark_sub / duck_total, 3)
+        # Margin honesty (round-13 verdict): the headline ratio can be
+        # subsidized by ONE query whose DuckDB oracle plan is
+        # pathologically slow (er_lsh_pairs_sparse: 2.2s Spark vs 11s
+        # DuckDB at r12 — a denominator artifact, not engine merit).
+        # Report the ratio with that best-for-us query excluded, plus
+        # the per-query median, so the ≤2x contract is visibly not
+        # resting on a single denominator.
+        ratios = {n: times[n] / duck_times[n]
+                  for n in duck_times
+                  if n in times and duck_times[n] > 0}
+        if len(ratios) >= 2:
+            out_q = min(ratios, key=lambda n: ratios[n])
+            sub_s = sum(times[n] for n in ratios if n != out_q)
+            sub_d = sum(duck_times[n] for n in ratios if n != out_q)
+            out["ex_outlier_query"] = out_q
+            if sub_d > 0:
+                out["ex_outlier_ratio"] = round(sub_s / sub_d, 3)
+            srt = sorted(ratios.values())
+            mid = len(srt) // 2
+            med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+            out["median_query_ratio"] = round(med, 3)
     print(json.dumps(out))
 
 

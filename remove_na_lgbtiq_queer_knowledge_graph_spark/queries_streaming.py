@@ -520,6 +520,132 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_every=2)
 
 
+def _dedup_minhash_stream(stream: DataFrame, scratch: str,
+                          num_hashes: int = 12,
+                          band_size: int = 3) -> DataFrame:
+    """Streaming first-seen-wins MinHash near-dedupe — the stream twin
+    of ``dedup_incremental_minhash`` (`queries_llm2.py`) and the one
+    operator a training-data crawl runs daily: each micro-batch of
+    documents computes signatures, checks its bands against the
+    ACCUMULATED band store (docs from all earlier batches) plus
+    lower-id docs inside the batch, emits the non-colliding docs, and
+    appends its distinct (band, bucket) pairs to the store.
+
+    First-seen-wins is defined by ``doc_id`` order (the crawl's
+    arrival order; the oracle's ``c.doc_id < n.doc_id``), so the
+    result is identical under ANY id-ordered micro-batch split — the
+    `_scd2_apply_stream` determinism contract, pinned by the
+    stream≡batch equality test.
+
+    100 TB design: state is the DISTINCT (band, bucket) set — bounded
+    by the banded signature space, never by corpus rows (the
+    ``stream_cms_buckets`` bounded-state discipline), and the per-batch
+    collision check is an equi-join of batch bands against it (the
+    ``stream_incremental_antijoin`` shape) — never batch×corpus.  In
+    production the store is a bucketed table compacted on the
+    `_scd2_apply_stream` changelog schedule."""
+    import os as _os
+
+    from .operators.dedup import minhash_bands, minhash_signature, shingles
+
+    spark = stream.sparkSession
+    store = _os.path.join(scratch, "band_store")
+    kept_dir = _os.path.join(scratch, "kept")
+    state = {"has_store": False, "has_kept": False}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        docs = batch.select("doc_id", "source", "text")
+        bands = minhash_bands(
+            minhash_signature(shingles(docs, "doc_id", "text", 3),
+                              num_hashes),
+            num_hashes, band_size)
+        # the band frame feeds three consumers below — materialize once
+        # instead of recomputing the signature aggregation per use
+        from .spec import materialize
+        bands = materialize(bands)
+        # collisions against earlier batches: semi-join the store
+        if state["has_store"]:
+            prev = sp.read.parquet(store)
+            coll_prev = (bands.join(prev, ["band", "bucket"], "left_semi")
+                         .select("id"))
+        else:
+            coll_prev = bands.select("id").limit(0)
+        # within-batch: any LOWER-id doc sharing a bucket suppresses
+        w = Window.partitionBy("band", "bucket")
+        coll_in = (bands.withColumn("__min", F.min("id").over(w))
+                   .filter(F.col("id") > F.col("__min")).select("id"))
+        collided = coll_prev.unionByName(coll_in).distinct() \
+                            .withColumnRenamed("id", "doc_id")
+        kept = (docs.join(collided, "doc_id", "left_anti")
+                .select("doc_id", "source"))
+        kept.write.mode("append").parquet(kept_dir)
+        state["has_kept"] = True
+        # append AFTER the collision check — a batch must not collide
+        # with itself through the store
+        bands.select("band", "bucket").distinct() \
+             .write.mode("append").parquet(store)
+        state["has_store"] = True
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", _os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not state["has_kept"]:
+        return spark.createDataFrame([], "doc_id long, source string")
+    return spark.read.parquet(kept_dir)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file stream (schema from a batch read,
+    the ``read_events_stream`` pattern — no ts column to normalize)."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MinHash near-dedupe: first-seen-wins over
+    the documents stream — see :func:`_dedup_minhash_stream`."""
+    from .spec import scratch_dir
+
+    return _dedup_minhash_stream(
+        read_documents_stream(spark, sf_dir),
+        scratch_dir("dedup_minhash_stream_"))
+
+
+# signature/banding SQL fragments shared with the batch dedup oracles
+# (queries_llm._SHINGLE_CTE/_MINS/_BANDS — ONE copy of the scheme; a
+# parameter change there must reach this oracle too)
+from .queries_llm import _BANDS as _SDM_BANDS  # noqa: E402
+from .queries_llm import _MINS as _SDM_MINS  # noqa: E402
+from .queries_llm import _SHINGLE_CTE as _SDM_SHINGLE_CTE  # noqa: E402
+
+_STREAM_DEDUP_MINHASH_SQL = f"""
+WITH {_SDM_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SDM_MINS} FROM sh GROUP BY doc_id),
+bands AS ({_SDM_BANDS}),
+collided AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands n JOIN bands c
+    ON n.band = c.band AND n.bucket = c.bucket
+   AND c.doc_id < n.doc_id
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM collided)
+"""
+
+
 _SCD2_STREAM_SQL = """
 WITH changes AS (
   SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
@@ -578,4 +704,9 @@ SPECS: dict[str, QuerySpec] = {
         stream_scd2_apply, _SCD2_STREAM_SQL,
         "streaming CDC -> SCD2: per-micro-batch event-sourced merge "
         "into full version history, split-invariant"),
+    "stream_dedup_minhash": QuerySpec(
+        stream_dedup_minhash, _STREAM_DEDUP_MINHASH_SQL,
+        "streaming first-seen-wins MinHash near-dedupe: per-batch "
+        "banded join against the accumulated (band, bucket) store — "
+        "bounded state, split-invariant under id-ordered batches"),
 }

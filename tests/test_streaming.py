@@ -275,6 +275,78 @@ def test_scd2_changelog_partition_pruned_and_compacted(spark, tmp_path):
     assert 0 < pruned.count() < full.count()
 
 
+def test_stream_dedup_minhash_equals_batch(spark, tmp_path):
+    """First-seen-wins MinHash dedupe must be identical whether the
+    corpus arrives as one batch or as id-ordered micro-batches with
+    duplicate families CROSSING batch boundaries (the accumulated
+    band store suppresses a later batch's copy) and inside one batch
+    (the lower-id window suppresses the sibling)."""
+    import glob
+    import os
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+        shingles,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_streaming import (
+        _dedup_minhash_stream,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strange potions under a pale winter moon")
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen",
+        "red orange yellow green blue indigo violet crimson amber "
+        "teal maroon olive navy coral silver golden bronze",
+        "north south east west mountain river forest desert ocean "
+        "valley canyon plateau tundra savanna glacier island",
+    ]
+    rows = []
+    for i in range(12):
+        if i in (2, 7, 11):       # family A: crosses batches 0, 1, 2
+            text = base
+        elif i in (4, 5):         # family B: both inside batch 1
+            text = uniq[0]
+        else:
+            text = uniq[1 + i % 3] + f" marker{i} tail{i * 7}"
+        rows.append((i, f"src{i % 2}", text))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    src = str(tmp_path / "docs_src")
+    # id-ordered batches (arrival order IS the semantics); force
+    # strictly increasing mtimes so the file source triggers in order
+    for j, lo in enumerate((0, 4, 8)):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 4)) \
+          .coalesce(1).write.mode("append").parquet(src)
+        for p in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(p, (1_700_000_000 + j * 10, 1_700_000_000 + j * 10))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    got = _dedup_minhash_stream(stream, str(tmp_path / "dedup_mh"))
+    got_ids = sorted(r.doc_id for r in got.collect())
+
+    # batch twin: kept iff no band collision with ANY lower-id doc
+    bands = minhash_bands(
+        minhash_signature(shingles(df, "doc_id", "text", 3), 12), 12, 3)
+    b2 = bands.select(F.col("id").alias("id2"), "band", "bucket")
+    coll = (bands.join(b2, ["band", "bucket"])
+            .filter(F.col("id2") < F.col("id"))
+            .select(F.col("id").alias("doc_id")).distinct())
+    want_ids = sorted(r.doc_id for r in
+                      df.join(coll, "doc_id", "left_anti").collect())
+    assert got_ids == want_ids
+    # semantic pins: first family member survives, later copies die —
+    # across batches (7, 11 vs 2) and within one (5 vs 4)
+    assert 2 in got_ids and 4 in got_ids
+    assert 7 not in got_ids and 11 not in got_ids and 5 not in got_ids
+
+
 def test_stateful_totals_split_invariant(spark, tmp_path):
     """applyInPandasWithState emits one cumulative row per user per
     micro-batch; the query's max-n_events epilogue must reduce a

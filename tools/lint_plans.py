@@ -100,6 +100,10 @@ for _n in (
 BNLJ_WHITELIST["sparql_values_undef"] = (
     "§10.2.2 UNDEF compatibility join: the nested-loop build side is "
     "the inline VALUES frame (a few literal rows by construction)")
+BNLJ_WHITELIST["sparql_values_lang"] = (
+    "lang-tagged VALUES term-equality join (round 13): same shape as "
+    "sparql_values_undef — the nested-loop build side is the inline "
+    "VALUES frame (3 literal rows), broadcast by the compiler")
 
 # query -> reason a global (single-partition) Sort/Window is bounded.
 FUNNEL_WHITELIST = {
