@@ -32,6 +32,26 @@ _DST = "".join(dst * len(srcs) for srcs, dst in _LATIN_MAP)
 assert len(_SRC) == len(_DST)
 
 
+def lower_simple(col: Column) -> Column:
+    """Cross-engine-deterministic lowercase: Unicode SIMPLE (1:1
+    codepoint) mapping on both engines.
+
+    Java's ``toLowerCase`` (behind ``F.lower``) applies the FULL
+    mappings from SpecialCasing.txt — contextual final sigma
+    (``'ΟΔΟΣ'`` → ``'οδος'``) and the dotted capital I expansion
+    (``'İ'`` → ``'i' + U+0307``, one char becomes two) — while
+    DuckDB's utf8proc ``lower`` maps 1:1 (``'οδοσ'``, ``'i'``;
+    verified live, round-13 review).  Any md5/shingle/fingerprint
+    built on ``F.lower`` therefore hash-diverges from its oracle on
+    text containing Σ or İ — routine in a multilingual crawl corpus,
+    invisible on ASCII fixtures (the Java-vs-RE2 ``\\x0b`` class).
+    Pre-translating exactly those two codepoints (the only lowercase
+    FULL-mapping entries in SpecialCasing.txt; locale rules don't
+    apply in root locale) makes Java's remaining 1:1 path equal
+    utf8proc's.  Parity pinned in tests/test_llm_ops.py."""
+    return F.lower(F.translate(col, "Σİ", "σi"))
+
+
 def transliterate(col: Column) -> Column:
     """de-ASCII; Latin-ASCII transliteration as codegen'd expressions.
 
@@ -50,7 +70,7 @@ def clean_string(col: Column) -> Column:
     Reference: ``kabrutils::clean_string`` used at
     ``entity-resolution/entities/01-within-entities.R:25``.
     """
-    out = F.lower(F.trim(col))
+    out = lower_simple(F.trim(col))
     out = transliterate(out)
     return F.regexp_replace(out, r"[ \t\n\x0b\f\r]+", " ")
 
@@ -62,7 +82,7 @@ def fingerprint(col: Column) -> Column:
     whitespace → unique → sort → rejoin.  Reference:
     ``open-refine-fingerprint.R:15-23``.
     """
-    out = F.lower(F.trim(col))
+    out = lower_simple(F.trim(col))
     out = transliterate(out)
     out = F.regexp_replace(out, r"[^\p{L} ]", "")
     toks = F.array_sort(F.array_distinct(F.split(F.trim(F.regexp_replace(out, r"[ \t\n\x0b\f\r]+", " ")), " ")))
@@ -115,7 +135,7 @@ def char_ngrams(col: Column, n: int = 2) -> Column:
     higher-order functions so it stays JVM-side: strip non-letters, then
     slide a window of ``n`` over the char sequence.
     """
-    s = F.regexp_replace(F.lower(col), r"[^a-z]", "")
+    s = F.regexp_replace(lower_simple(col), r"[^a-z]", "")
     # sequence(1, len-n+1) → substr(s, i, n); empty array when too short
     return F.when(
         F.length(s) >= n,
@@ -128,7 +148,7 @@ def char_ngrams(col: Column, n: int = 2) -> Column:
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram (shingle) array over whitespace-tokenized text."""
-    toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0b\f\r]+", " ")), " ")
+    toks = F.split(F.trim(F.regexp_replace(lower_simple(col), r"[ \t\n\x0b\f\r]+", " ")), " ")
     return F.when(
         F.size(toks) >= n,
         F.transform(

@@ -25,8 +25,12 @@ def norm_tokens(col: Column) -> Column:
     # explicit whitespace class, NOT \s: Java's \s is [ \t\n\x0b\f\r]
     # but DuckDB's RE2 \s lacks \x0b, so a vertical tab tokenized
     # differently across engines (review fix) — the literal class is
-    # value-identical to Java \s on the Spark side and portable
-    return F.split(F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0b\f\r]+", " ")), " ")
+    # value-identical to Java \s on the Spark side and portable.
+    # lower_simple, not F.lower: Java's FULL case mapping diverges
+    # from DuckDB's 1:1 on Σ/İ (round-13 review — same class)
+    from ..functions.strings import lower_simple
+
+    return F.split(F.trim(F.regexp_replace(lower_simple(col), r"[ \t\n\x0b\f\r]+", " ")), " ")
 
 
 def ws_tokens(col: Column) -> Column:

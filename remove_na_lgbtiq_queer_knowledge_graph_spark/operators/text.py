@@ -51,7 +51,9 @@ def token_counts(text: Column) -> tuple[Column, Column]:
     ws = F.size(norm_tokens(text))
     # explicit whitespace class, NOT \s — Java/RE2 disagree on \x0b
     # (the norm_tokens portability rule; review fix)
-    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"), 0))
+    from ..functions.strings import lower_simple
+
+    bpe = F.size(F.regexp_extract_all(lower_simple(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"), 0))
     return ws, bpe
 
 
@@ -70,9 +72,13 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
         text, F.lit(r"[^\w \t\n\x0b\f\r]"), 0))
     all_stop = [w for ws in STOPWORDS.values() for w in ws]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
+    # Σ token lengths / n_tokens — NOT (n_chars - (n_tokens-1)) /
+    # n_tokens, which assumes exactly one single-space separator and
+    # inflates the feature on tab runs / trailing whitespace (round-13
+    # review: 'a\t\tb' scored 1.5 instead of 1.0)
     mean_tok = round_half_away_col(
-        (n_chars - (n_tokens - 1)) / n_tokens, 6
-    )  # chars minus separators over tokens
+        F.length(F.concat_ws("", toks)) / n_tokens, 6
+    )
     stop_ratio = round_half_away_col(stop_hits / n_tokens, 6)
     punct_ratio = round_half_away_col(punct / n_chars, 6)
     tier = (

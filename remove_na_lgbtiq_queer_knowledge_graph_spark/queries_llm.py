@@ -128,13 +128,26 @@ def _km(s: int, col: str = "s") -> str:
 
 
 _MINS_KM = ",\n       ".join(f"{_km(s)} AS h{s}" for s in range(_K))
+
+
+def _lsh_pair_join(a: str = "id_1", b: str = "id_2") -> str:
+    """The ONE copy of the LSH band-pair candidate join over a `bands`
+    CTE — mirrors operators/dedup.minhash_band_pairs (id tie-break
+    a.doc_id < b.doc_id, DISTINCT over band collisions).  A change to
+    the dedup pair convention must reach every oracle through THIS
+    fragment, not four hand-synced copies (round-13 review; the
+    incremental/streaming variants keep their own joins — their
+    new-vs-old predicates are genuinely different semantics)."""
+    return (f"SELECT DISTINCT a.doc_id AS {a}, b.doc_id AS {b}\n"
+            "  FROM bands a JOIN bands b\n"
+            "    ON a.band = b.band AND a.bucket = b.bucket"
+            " AND a.doc_id < b.doc_id")
+
 _MINHASH_SQL = f"""
 WITH {_SHINGLE_CTE},
 sig AS (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
 bands AS ({_BANDS})
-SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+{_lsh_pair_join()}
 """
 
 
@@ -172,9 +185,7 @@ WITH {_SHINGLE_CTE},
 sig AS MATERIALIZED (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
 bands AS ({_BANDS}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  {_lsh_pair_join()}
 )
 SELECT c.id_1, c.id_2,
        CAST({" + ".join(f"(CASE WHEN s1.h{s} = s2.h{s} THEN 1 ELSE 0 END)"
@@ -208,9 +219,7 @@ _MINHASH_KM_SQL = f"""
 WITH {_SHINGLE_CTE},
 sig AS (SELECT doc_id, {_MINS_KM} FROM sh GROUP BY doc_id),
 bands AS ({_BANDS})
-SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+{_lsh_pair_join()}
 """
 
 
@@ -300,9 +309,7 @@ WITH RECURSIVE {_SHINGLE_CTE},
 sig AS MATERIALIZED (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
 bands AS MATERIALIZED ({_BANDS}),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  {_lsh_pair_join("u", "v")}
 ),
 edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
 nodes AS (SELECT DISTINCT u AS n FROM edges),
@@ -645,12 +652,13 @@ WITH f AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(array_to_string({_TOKS}, '')) AS BIGINT) AS tok_chars,
          CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS n_punct,
          CAST(len(list_filter({_TOKS}, x -> x IN ({_ALL_STOP}))) AS BIGINT) AS stop_hits
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens, n_punct,
-       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len,
+       round(tok_chars / n_tokens, 6) AS mean_token_len,
        round(stop_hits / n_tokens, 6) AS stopword_ratio,
        round(n_punct / n_chars, 6) AS punct_ratio,
        CASE WHEN n_tokens >= 50 AND round(stop_hits / n_tokens, 6) > 0 THEN 'high'
@@ -1118,8 +1126,15 @@ def mm_phash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle rebuilds the hash from the gradient: cell sums are exact
 # integer sums of 3·((i+j+id)%256) under the same pixel→cell integer
 # division map, bits compare via the same cross-multiplication.
-_MM_PHASH_SQL = """
-WITH dims AS (
+
+# dHash oracle fragments — ONE copy each of the raster pooling, the
+# row-wise bit rule, the hash assembly, the 8-band pigeonhole
+# candidates, and the Hamming refine (round-13 review: the three phash
+# oracles carried 2-3 hand-synced copies of each; the Spark side was
+# already consolidated into _dhash_class_pairs).  _MM_PHASH_KEEP_SQL
+# keeps its OWN dims/cells (different raster: near-dup twins with a
+# brightness bump) and reuses everything downstream of `cells`.
+_DHASH_PLAIN_RASTER = """dims AS (
   SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents
 ),
 cells AS (
@@ -1131,19 +1146,40 @@ cells AS (
   JOIN range(0, 20) i(i) ON i.i < d.h
   JOIN range(0, 32) j(j) ON j.j < d.w
   GROUP BY 1, 2, 3
-),
-bits AS (
+)"""
+
+_DHASH_BITS_CTE = """bits AS (
   SELECT doc_id, r, c,
          CASE WHEN lead(s) OVER w * n > s * lead(n) OVER w
               THEN '1' ELSE '0' END AS bit,
          lead(s) OVER w IS NOT NULL AS has_next
   FROM cells
   WINDOW w AS (PARTITION BY doc_id, r ORDER BY c)
-),
-hashes AS (
+)"""
+
+_DHASH_HASHES_CTE = """hashes AS MATERIALIZED (
   SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS dhash
   FROM bits WHERE has_next GROUP BY doc_id
-)
+)"""
+
+_DHASH_BAND_CTES = """classes AS MATERIALIZED (SELECT DISTINCT dhash FROM hashes),
+bands AS MATERIALIZED (
+  SELECT b.b, substring(dhash, b.b * 8 + 1, 8) AS bb, dhash
+  FROM classes, range(0, 8) b(b)
+),
+cand AS (
+  SELECT DISTINCT x.dhash AS h1, y.dhash AS h2
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bb = y.bb AND x.dhash < y.dhash
+)"""
+
+_DHASH_HAM = """(SELECT count(*) FROM range(1, 65) r(i)
+          WHERE h1[CAST(i AS INTEGER)] <> h2[CAST(i AS INTEGER)])"""
+
+_MM_PHASH_SQL = f"""
+WITH {_DHASH_PLAIN_RASTER},
+{_DHASH_BITS_CTE},
+{_DHASH_HASHES_CTE}
 SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
 FROM hashes GROUP BY 1
 """
@@ -1213,47 +1249,14 @@ def mm_phash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MM_PHASH_PAIRS_SQL = f"""
-WITH dims AS (
-  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents
-),
-cells AS (
-  SELECT d.doc_id,
-         (i.i * 8) // d.h AS r, (j.j * 9) // d.w AS c,
-         SUM(3 * ((i.i + j.j + d.doc_id) % 256)) AS s,
-         count(*) AS n
-  FROM dims d
-  JOIN range(0, 20) i(i) ON i.i < d.h
-  JOIN range(0, 32) j(j) ON j.j < d.w
-  GROUP BY 1, 2, 3
-),
-bits AS (
-  SELECT doc_id, r, c,
-         CASE WHEN lead(s) OVER w * n > s * lead(n) OVER w
-              THEN '1' ELSE '0' END AS bit,
-         lead(s) OVER w IS NOT NULL AS has_next
-  FROM cells
-  WINDOW w AS (PARTITION BY doc_id, r ORDER BY c)
-),
-classes AS MATERIALIZED (
-  SELECT DISTINCT dhash FROM (
-    SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS dhash
-    FROM bits WHERE has_next GROUP BY doc_id
-  )
-),
-bands AS MATERIALIZED (
-  SELECT b.b, substring(dhash, b.b * 8 + 1, 8) AS bb, dhash
-  FROM classes, range(0, 8) b(b)
-),
-cand AS (
-  SELECT DISTINCT x.dhash AS h1, y.dhash AS h2
-  FROM bands x JOIN bands y
-    ON x.b = y.b AND x.bb = y.bb AND x.dhash < y.dhash
-)
+WITH {_DHASH_PLAIN_RASTER},
+{_DHASH_BITS_CTE},
+{_DHASH_HASHES_CTE},
+{_DHASH_BAND_CTES}
 SELECT h1 AS hash_1, h2 AS hash_2, CAST(ham AS BIGINT) AS hamming
 FROM (
   SELECT h1, h2,
-         (SELECT count(*) FROM range(1, 65) r(i)
-          WHERE h1[CAST(i AS INTEGER)] <> h2[CAST(i AS INTEGER)]) AS ham
+         {_DHASH_HAM} AS ham
   FROM cand
 )
 WHERE ham <= 6
@@ -1322,33 +1325,13 @@ cells AS (
   JOIN range(0, 32) j(j) ON j.j < d.w
   GROUP BY 1, 2, 3
 ),
-bits AS (
-  SELECT doc_id, r, c,
-         CASE WHEN lead(s) OVER w * n > s * lead(n) OVER w
-              THEN '1' ELSE '0' END AS bit,
-         lead(s) OVER w IS NOT NULL AS has_next
-  FROM cells
-  WINDOW w AS (PARTITION BY doc_id, r ORDER BY c)
-),
-hashes AS MATERIALIZED (
-  SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS dhash
-  FROM bits WHERE has_next GROUP BY doc_id
-),
-classes AS MATERIALIZED (SELECT DISTINCT dhash FROM hashes),
-bands AS MATERIALIZED (
-  SELECT b.b, substring(dhash, b.b * 8 + 1, 8) AS bb, dhash
-  FROM classes, range(0, 8) b(b)
-),
-cand AS (
-  SELECT DISTINCT x.dhash AS h1, y.dhash AS h2
-  FROM bands x JOIN bands y
-    ON x.b = y.b AND x.bb = y.bb AND x.dhash < y.dhash
-),
+{_DHASH_BITS_CTE},
+{_DHASH_HASHES_CTE},
+{_DHASH_BAND_CTES},
 pairs AS (
   SELECT h1, h2 FROM (
     SELECT h1, h2,
-           (SELECT count(*) FROM range(1, 65) r(i)
-            WHERE h1[CAST(i AS INTEGER)] <> h2[CAST(i AS INTEGER)]) AS ham
+           {_DHASH_HAM} AS ham
     FROM cand
   ) WHERE ham <= {_MM_KEEP_DIST}
 ),

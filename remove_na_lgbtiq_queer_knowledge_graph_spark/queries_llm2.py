@@ -857,7 +857,7 @@ WITH base AS (
 )
 SELECT doc_id, source, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM ranked
-WHERE cum_tokens <= 1500 + 500 * (CAST(substring(source, 4, 10) AS BIGINT) % 3)
+WHERE cum_tokens <= 1500 + 500 * (CAST(substring(source, 4) AS BIGINT) % 3)
 """
 
 
@@ -882,7 +882,12 @@ def select_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", "source",
         w.cast("long").alias("n_tokens"),
-        round_half_away_col(F.log(u) / w, 6).alias("es_key"),
+        # ln rounds to 9 dp BEFORE the division: the JVM's Math.log
+        # and DuckDB's libm log differ in the last ulp, which the
+        # outer 6-dp round alone would let flip a midpoint key
+        # (round-13 review — the discipline every llm3 log site uses)
+        round_half_away_col(
+            round_half_away_col(F.log(u), 9) / w, 6).alias("es_key"),
     ).filter(F.col("n_tokens") > 0)
     win = Window.partitionBy("source").orderBy(
         F.col("es_key").desc(), "doc_id")
@@ -897,9 +902,9 @@ _WSAMPLE_SQL = """
 WITH base AS (
   SELECT doc_id, source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+         round(round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
                                           1, 8) AS BIGINT) + 1.0)
-                  / 4294967296.0)
+                  / 4294967296.0), 9)
                / len(string_split(text, ' ')), 6) AS es_key
   FROM documents
 )
@@ -942,8 +947,11 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = wc.groupBy("source").agg(F.sum("c").alias("cs"))
     wt = wc.groupBy("word").agg(F.sum("c").alias("cw"))
     tot = wc.agg(F.sum("c").alias("ct"))
-    term = (F.col("c") / F.col("cs")) * F.log(
-        (F.col("c") / F.col("cs")) / (F.col("cw") / F.col("ct")))
+    # the ln itself rounds to 9 dp before the p-multiply: a last-ulp
+    # log difference scaled by p could otherwise straddle the outer
+    # 9-dp term grid (round-13 review; same fix as es_key)
+    term = (F.col("c") / F.col("cs")) * round_half_away_col(F.log(
+        (F.col("c") / F.col("cs")) / (F.col("cw") / F.col("ct"))), 9)
     return (
         wc.join(F.broadcast(st), "source")
         .join(wt, "word")
@@ -973,7 +981,7 @@ WITH wc AS MATERIALIZED (
   SELECT sum(c) AS ct FROM wc
 )
 SELECT source,
-       round(CAST(SUM(CAST(round((c / cs) * ln((c / cs) / (cw / ct)), 9)
+       round(CAST(SUM(CAST(round((c / cs) * round(ln((c / cs) / (cw / ct)), 9), 9)
                            AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl,
        CAST(count(*) AS BIGINT) AS n_terms
 FROM wc JOIN st USING (source) JOIN wt USING (word) CROSS JOIN tot

@@ -428,12 +428,18 @@ def multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec"))
     )
     # the supply-lines frame IS the same aggregate — derive it from
-    # `fact` (one definition; Catalyst still plans each side's scan,
-    # and AQE broadcasts the smaller at runtime)
+    # `fact` (one definition).  MERGE hint (round 13): the unhinted
+    # plan broadcast this side — a hashed relation of |distinct
+    # (pk, sk)| rows, which is UNBOUNDED in the corpus (at 100 TB it
+    # cannot broadcast, and even at sf0.1 building the 600k-row
+    # relation cost more than the join it saved — measured 2.1s vs
+    # 1.2s total).  Sort-merge reuses each aggregate's own (pk, sk)
+    # shuffle as the join partitioning: zero extra exchanges, both
+    # sides already co-located.
     ps = fact.select(F.col("pk").alias("pk2"), F.col("sk").alias("sk2"),
                      F.col("cnt").alias("supply_lines"))
     return (
-        fact.join(ps, (fact.pk == ps.pk2) & (fact.sk == ps.sk2))
+        fact.join(ps.hint("merge"), (fact.pk == ps.pk2) & (fact.sk == ps.sk2))
         .join(F.broadcast(p), fact.pk == p.p_partkey)
         .join(F.broadcast(s), fact.sk == s.s_suppkey)
         .groupBy("p_brand", "s_nationkey")

@@ -1776,6 +1776,55 @@ def test_whitespace_class_portable_across_engines(spark):
     assert spark_toks == duck_toks == ["foo", "bar", "baz", "qux"]
 
 
+def test_mean_token_len_ignores_whitespace_runs(spark):
+    """Round-13 review fix: mean token length is Σ token chars /
+    n_tokens, not (n_chars − n_tokens + 1) / n_tokens — the old
+    formula assumed single-space separators and inflated the feature
+    on tab runs or trailing whitespace ('a\\t\\tb' scored 1.5)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.text import (
+        quality_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\t\tb"), (2, "ab cd  \n"), (3, "one two three")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.mean_token_len
+           for r in quality_features(df, "doc_id", "text").collect()}
+    assert got[1] == 1.0, got          # was 1.5 under the old formula
+    assert got[2] == 2.0, got          # trailing whitespace ignored
+    assert abs(got[3] - 3.666667) < 1e-9, got  # 11 chars / 3 tokens
+
+
+def test_unicode_lowercase_portable_across_engines(spark):
+    """Round-13 review fix (same class as the \\x0b finding): Java's
+    FULL lowercase mapping (contextual final sigma, İ → i+U+0307)
+    diverges from DuckDB's utf8proc 1:1 mapping — lower_simple
+    pre-translates exactly those two codepoints so tokens, shingle
+    hashes, and fingerprints agree on multilingual text."""
+    import duckdb
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        norm_tokens,
+    )
+
+    cases = [
+        "ΟΔΟΣ ΕΛΛΑΣ",          # word-final capital sigma (contextual)
+        "İstanbul VE İZMİR",    # dotted capital I (expansion mapping)
+        "Σ İ mixed ΑΣΦΑΛΩΣ",
+        "straße GROẞ Ärger",    # ß/ẞ + umlauts: 1:1 on both engines
+        "déjà vu naïve Ñandú",
+    ]
+    con = duckdb.connect()
+    for txt in cases:
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        spark_toks = df.select(norm_tokens(F.col("text")).alias("w")) \
+            .collect()[0].w
+        duck_toks = con.execute(
+            "SELECT string_split(trim(regexp_replace(lower(?), "
+            "'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')", [txt]).fetchone()[0]
+        assert spark_toks == duck_toks, (txt, spark_toks, duck_toks)
+
+
 def test_cosine_dup_pairs_zero_vectors_excluded(spark):
     """Review fix: zero-vector cosine is NaN and Spark's NaN >= x is
     TRUE — pairs must exclude them like the oracle's NULL."""
