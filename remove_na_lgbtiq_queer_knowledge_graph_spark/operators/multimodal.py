@@ -34,16 +34,17 @@ DECODED_SCHEMA = (
 
 
 
-def _rha6(x):
-    """Scalar half-away-from-zero rounding to 6 dp — the SQL ``round``
-    semantics every oracle-compared value must use.  Python's ``round``
-    and pandas ``.round`` are half-EVEN on the exact binary value and
-    can differ by one ulp at decimal midpoints (the round-9 fuzz class
-    documented in functions/numeric.py; review fix — the mm stubs were
-    the last sites using built-in rounding)."""
-    from .ann import _round_half_away
+# Scalar half-away-from-zero rounding to 6 dp — the SQL ``round``
+# semantics every oracle-compared value must use (Python's ``round``
+# is half-EVEN; the round-9 fuzz class in functions/numeric.py).
+# Delegates to the ONE scalar kernel instead of wrapping the numpy
+# path per row (round-13 review: this was a third copy, and the
+# function-level import ran once per decoded row).
+from ..functions.numeric import round_half_away as _scalar_rha
 
-    return float(_round_half_away(float(x), 6))
+
+def _rha6(x):
+    return _scalar_rha(float(x), 6)
 
 def to_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Model a binary media column: (id, payload binary).  In production
@@ -179,9 +180,23 @@ def decode_wav_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 sr = w.getframerate()
                 ch = w.getnchannels()
                 n = w.getnframes()
-                data = np.frombuffer(
-                    w.readframes(n), dtype=np.int16
-                ).astype(np.float64)
+                sw = w.getsampwidth()
+                # fail loud, not silently-wrong: frombuffer(int16) on
+                # 8/24/32-bit PCM decodes garbage with no error, and a
+                # zero framerate divides below (round-13 review)
+                if sw != 2:
+                    raise ValueError(
+                        f"decode_wav_real: only 16-bit PCM supported, "
+                        f"got sample width {sw} bytes")
+                if sr <= 0:
+                    raise ValueError(
+                        f"decode_wav_real: invalid frame rate {sr}")
+                frames = w.readframes(n)
+                if len(frames) % 2:
+                    raise ValueError(
+                        "decode_wav_real: truncated PCM frame data")
+                data = np.frombuffer(frames, dtype=np.int16) \
+                    .astype(np.float64)
             out["doc_id"].append(doc_id)
             out["sample_rate"].append(sr)
             out["n_channels"].append(ch)
@@ -258,6 +273,16 @@ def _parse_netpbm_header(raw: bytes) -> tuple[bytes, int, int, int, int]:
         raise ValueError("truncated netpbm header")
     pos += 1  # single whitespace byte after maxval, then the raster
     width, height, maxval = tokens
+    # spec-legal maxval > 255 means 2-BYTE samples: frombuffer(uint8)
+    # would silently read the MSB/LSB-interleaved first half as pixels
+    # (round-13 review repro: mean_px 0.0, no error); zero dims divide
+    # downstream — both are loud ValueErrors, the decoder's contract
+    if width <= 0 or height <= 0:
+        raise ValueError(
+            f"invalid netpbm dimensions {width}x{height}")
+    if not 0 < maxval <= 255:
+        raise ValueError(
+            f"unsupported netpbm maxval {maxval} (only 1-byte samples)")
     return magic, width, height, maxval, pos
 
 
@@ -496,6 +521,11 @@ def decode_png_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 if crc != zlib.crc32(tag + data):
                     raise ValueError(f"CRC mismatch in {tag!r}")
                 if tag == b"IHDR":
+                    if length != 13:
+                        # wrong-length IHDR with a VALID crc escaped as
+                        # struct.error (round-13 review)
+                        raise ValueError(
+                            f"bad IHDR length {length} (want 13)")
                     ihdr = struct.unpack(">IIBBBBB", data)
                 elif tag == b"IDAT":
                     idat.extend(data)
@@ -509,10 +539,22 @@ def decode_png_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 raise ValueError(
                     f"unsupported PNG variant: depth={depth} "
                     f"color_type={ctype} interlace={interlace}")
+            if width <= 0 or height <= 0:
+                raise ValueError(
+                    f"invalid PNG dimensions {width}x{height}")
+            if not idat:
+                raise ValueError("missing IDAT")
             bpp = 1 if ctype == 0 else 3
             stride = width * bpp
-            stream = zlib.decompress(bytes(idat))
-            if len(stream) != (stride + 1) * height:
+            expected = (stride + 1) * height
+            try:
+                # bufsize+1 cap: a zip-bomb IDAT declaring huge dims
+                # must not allocate unbounded memory before the length
+                # check; one extra byte distinguishes over-long streams
+                stream = zlib.decompress(bytes(idat), bufsize=expected + 1)
+            except zlib.error as exc:
+                raise ValueError(f"bad PNG IDAT stream: {exc}") from None
+            if len(stream) != expected:
                 raise ValueError("truncated PNG raster")
             prior = bytearray(stride)
             total = 0

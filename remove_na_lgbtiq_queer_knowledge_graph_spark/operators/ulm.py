@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_PIECE_LEN = 4
@@ -70,7 +70,11 @@ def substring_counts(words: DataFrame, max_len: int = MAX_PIECE_LEN) -> DataFram
     """(word, cnt) → (piece, n): every substring occurrence of length
     1..max_len, frequency-weighted — the seed-vocabulary statistic.
     Pure explode over (position, length); one shuffle, piece-keyed."""
-    pos = words.select(
+    # empty words must be dropped FIRST: Spark's sequence(1, 0) yields
+    # a DESCENDING [1, 0] (DuckDB's range(1, 1) is empty), which would
+    # emit spurious empty-string pieces only on the Spark side
+    # (round-13 review repro)
+    pos = words.filter(F.length("word") > 0).select(
         "word", "cnt",
         F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"))
     pk = pos.select(
@@ -121,8 +125,6 @@ def viterbi_usage(words: DataFrame, scores: dict[str, float],
     current model.  One Arrow-batched pass over the (vocabulary-sized)
     word table with the (model-sized) score table in the closure; the
     M-step sum is an ordinary map-side-combinable aggregate."""
-    import pandas as pd  # noqa: F401 — imported for the UDF body
-
     sc = dict(scores)
 
     def seg(batches):
@@ -193,7 +195,15 @@ def ulm_fit(
     Driver-side state is MODEL-sized only (retained pieces + counts,
     like BPE's collected merge rules); the corpus-scale work — seed
     counting, each E-step, the M-step aggregate — all runs distributed.
+    The word table is MATERIALIZED once up front: the fit launches
+    2 + |schedule| jobs over it (seed singles, seed top-k, one E-step
+    per round), and without the materialize each re-ran the corpus
+    explode+groupBy scan (round-13 review: 3-4x redundant corpus I/O
+    at the module's own 100 TB framing).
     """
+    from ..spec import materialize
+
+    words = materialize(words.select("word", "cnt"))
     sub = substring_counts(words, max_len)
     singles = sorted(
         (r.piece, r.n)

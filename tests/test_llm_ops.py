@@ -1776,6 +1776,75 @@ def test_whitespace_class_portable_across_engines(spark):
     assert spark_toks == duck_toks == ["foo", "bar", "baz", "qux"]
 
 
+def test_real_decoders_fail_loud_on_malformed_payloads(spark):
+    """Round-13 review: spec-legal-but-unsupported payloads must raise
+    ValueError, never silently decode garbage or escape with
+    struct/zlib/ZeroDivision errors — (a) netpbm maxval > 255 (2-byte
+    samples would frombuffer(uint8) to nonsense), (b) zero dims,
+    (c) non-16-bit WAV, (d) PNG with a wrong-length-but-CRC-valid IHDR,
+    (e) PNG with no IDAT."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import (
+        multimodal as mm,
+    )
+
+    def run(fn, payload):
+        pdf = pd.DataFrame({"doc_id": [1], "payload": [payload]})
+        return list(fn(iter([pdf])))
+
+    # (a) 2-byte-sample netpbm: enough bytes to pass the length check
+    deep = b"P6\n2 2\n65535\n" + bytes(24)
+    with pytest.raises(ValueError, match="maxval"):
+        run(mm.decode_ppm_real, deep)
+    # (b) zero dimensions
+    with pytest.raises(ValueError, match="dimensions"):
+        run(mm.decode_ppm_real, b"P6\n0 0\n255\n\n")
+    # (c) 8-bit WAV decodes to garbage under a hardcoded int16 read
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(np.full(4, 130, dtype=np.uint8).tobytes())
+    with pytest.raises(ValueError, match="16-bit"):
+        run(mm.decode_wav_real, buf.getvalue())
+    # (d) wrong-length IHDR with a VALID CRC escaped as struct.error
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad_ihdr = sig + chunk(b"IHDR", b"\x00" * 5) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        run(mm.decode_png_real, bad_ihdr)
+    # (e) IHDR but no IDAT escaped as zlib.error
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    no_idat = sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT"):
+        run(mm.decode_png_real, no_idat)
+
+
+def test_ulm_substring_counts_skips_empty_words(spark):
+    """Round-13 review: Spark's sequence(1, 0) is DESCENDING [1, 0]
+    (DuckDB's range(1,1) is empty) — an empty word must contribute no
+    pieces, not spurious empty strings."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ulm import (
+        substring_counts,
+    )
+
+    words = spark.createDataFrame(
+        [("", 5), ("ab", 2)], "word string, cnt long")
+    got = {r.piece: r.n for r in substring_counts(words).collect()}
+    assert got == {"a": 2, "b": 2, "ab": 2}
+
+
 def test_mean_token_len_ignores_whitespace_runs(spark):
     """Round-13 review fix: mean token length is Σ token chars /
     n_tokens, not (n_chars − n_tokens + 1) / n_tokens — the old
