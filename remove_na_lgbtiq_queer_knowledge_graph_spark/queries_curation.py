@@ -52,8 +52,14 @@ def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL, and explode silently DROPS the document; under ANSI the
     # bare cast throws a generic CAST_INVALID_INPUT.  try_cast + the
     # in-plan raise (the interval_join bins-guard pattern) gives the
-    # same loud, named failure in EITHER mode — matching the DuckDB
-    # oracle's hard CAST error.  NEGATIVE suffixes are malformed too:
+    # same loud, named failure in EITHER mode.  The DuckDB oracle hard-
+    # errors on a non-numeric suffix but silently DROPS a NULL source
+    # (CAST(NULL) is NULL, generate_series(1, NULL) unnests to nothing)
+    # — this side stays deliberately STRICTER than the oracle on NULLs:
+    # loud beats silent on malformed data, and the divergence is
+    # unreachable on any row the two engines both accept (round-13
+    # review corrected the earlier claim that the oracle errors too).
+    # NEGATIVE suffixes are malformed too:
     # Spark's pmod is always non-negative while the oracle's % keeps
     # the sign (epochs ≤ 0 → empty generate_series → silent drop), so
     # admitting them would let the engines diverge silently — the

@@ -352,20 +352,29 @@ FROM ps"""
 
 
 
-def _doc_bigrams(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _doc_bigrams(spark: SparkSession,
+                 sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Shared bigram scaffolding for the LM scorers: cached
     (doc_id, w1, w2) adjacent-token pairs via
     :func:`operators.bpe.adjacent_elements` (ONE copy of the
     adjacent-pairs idiom — this module used to hand-roll it twice more,
-    review finding) plus the cached distinct-pair count frame."""
+    review finding) plus the cached distinct-pair count frame.
+    Memoized per (session, sf_dir, mtime): three registry entries
+    (add-one LM, KN LM, perplexity buckets) share this scaffolding and
+    each used to re-explode and re-checkpoint the corpus bigram stream
+    (round-13 review)."""
     from .operators.bpe import adjacent_elements
 
-    bg = _cache(adjacent_elements(
-        docs.select("doc_id", F.expr(_WORDS_SPARK).alias("w")),
-        "w", "w1", "w2", ["doc_id"]))
-    c12 = _cache(bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")))
-    return bg, c12
+    def build():
+        docs = t(spark, sf_dir, "documents")
+        bg = _cache(adjacent_elements(
+            docs.select("doc_id", F.expr(_WORDS_SPARK).alias("w")),
+            "w", "w1", "w2", ["doc_id"]))
+        c12 = _cache(bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("c12")))
+        return bg, c12
+
+    return _fit_memo(spark, sf_dir, "doc_bigrams", build)
 
 
 def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,7 +396,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bg feeds the count model AND the scoring join; c12 feeds its
     # marginal AND the join — both cached inside _doc_bigrams so the
     # corpus token stream is derived once (at scale: persist/checkpoint)
-    bg, c12 = _doc_bigrams(docs)
+    bg, c12 = _doc_bigrams(spark, sf_dir)
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     # V: one scalar — the vocabulary size of the training stream
     vocab_n = (
@@ -413,8 +422,12 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_SQL = f"""
-WITH toks AS MATERIALIZED (
+# the ONE copy of the bigram-universe CTEs (tokenize, adjacent pairs,
+# pair counts) shared by the add-one (_LM_SQL) and Kneser-Ney
+# (_KN_CTES) oracles — a tokenization or bigram-rule change must reach
+# both through this fragment (round-13 review: _LM_SQL carried a
+# character-identical copy that could silently drift)
+_BIGRAM_CTES = f"""toks AS MATERIALIZED (
   SELECT doc_id, w FROM (
     SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
   ) WHERE len(w) >= 2
@@ -423,7 +436,10 @@ WITH toks AS MATERIALIZED (
   FROM toks, unnest(range(1, len(w))) AS u(j)
 ), c12 AS MATERIALIZED (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
-), c1 AS MATERIALIZED (
+)"""
+
+_LM_SQL = f"""
+WITH {_BIGRAM_CTES}, c1 AS MATERIALIZED (
   SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
 ), vn AS (
   SELECT count(DISTINCT word) AS v FROM (
@@ -747,9 +763,14 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring core of ``lm_kn_bigram_score`` (which reports it) and
     ``lm_ppl_buckets`` (which buckets on it).  See
     ``lm_kn_bigram_score`` for the formula, scale shapes, and float
-    discipline."""
-    docs = t(spark, sf_dir, "documents")
-    bg, c12 = _doc_bigrams(docs)
+    discipline.  Memoized: lm_kn_bigram_score AND lm_ppl_buckets both
+    call this back to back in the sweep (round-13 review)."""
+    return _fit_memo(spark, sf_dir, "kn_doc_scores",
+                     lambda: _kn_doc_scores_build(spark, sf_dir))
+
+
+def _kn_doc_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg, c12 = _doc_bigrams(spark, sf_dir)
     t1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1f"))
@@ -835,16 +856,7 @@ def lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KN_CTES = f"""toks AS MATERIALIZED (
-  SELECT doc_id, w FROM (
-    SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
-  ) WHERE len(w) >= 2
-), bg AS MATERIALIZED (
-  SELECT doc_id, w[j] AS w1, w[j + 1] AS w2
-  FROM toks, unnest(range(1, len(w))) AS u(j)
-), c12 AS MATERIALIZED (
-  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
-), t1 AS MATERIALIZED (
+_KN_CTES = f"""{_BIGRAM_CTES}, t1 AS MATERIALIZED (
   SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
          CAST(count(*) AS BIGINT) AS n1f
   FROM c12 GROUP BY 1
@@ -873,10 +885,14 @@ def _bm25_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ranker fused with it (retrieval_rrf_fusion) must draw from
     the same universe or the fusion silently mixes rankings answered
     against different query sets."""
+    # memoized per (session, sf_dir, mtime): retrieval_rrf_fusion calls
+    # this directly AND through text_bm25_topk — without the memo each
+    # call paid its own corpus tokenization scan + localCheckpoint
+    # (round-13 review)
     docs = t(spark, sf_dir, "documents")
-    return _cache(
+    return _fit_memo(spark, sf_dir, "bm25_toks", lambda: _cache(
         docs.select("doc_id", "lang", F.expr(_WORDS_SPARK).alias("w"))
-        .filter(F.size("w") >= 1))
+        .filter(F.size("w") >= 1)))
 
 
 def bm25_query_docs(toks: DataFrame) -> DataFrame:
@@ -982,9 +998,16 @@ WITH {_BM25_PROBE_CTES}, post AS MATERIALIZED (
 ), scored AS (
   SELECT qid, doc_id,
          round(CAST(SUM(CAST(round(
+             -- constants CAST to DOUBLE and the tfn quotient
+             -- parenthesized: DuckDB's (1.2 + 1) is exact DECIMAL 2.2
+             -- while Spark adds doubles (differs for 528/999 tf
+             -- values pre-round), and ln*num/den associates the
+             -- divide last while Spark computes idf*(num/den) — both
+             -- ULP divergences feed the 9-dp round (round-13 review)
              ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-             * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75
-                + 0.75 * d.dlen / s.avgdl)), 9)
+             * ((p.tf * (CAST(1.2 AS DOUBLE) + 1))
+                / (p.tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * d.dlen / s.avgdl))), 9)
            AS DECIMAL(28,14))) AS DOUBLE), 6) AS score
   FROM qpost p
   JOIN dfq f USING (qid, term)
