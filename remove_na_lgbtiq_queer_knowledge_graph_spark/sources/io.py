@@ -53,7 +53,7 @@ def read_jdbc(
     partition_column: str | None = None,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     **options: str,
 ) -> DataFrame:
     """S1: JDBC scan — the seam SURVEY maps the Citavi SQLite / MySQL
@@ -79,13 +79,15 @@ def read_jdbc(
         .option("dbtable", table)
     )
     if partition_column is None and (
-            lower_bound is not None or upper_bound is not None):
-        # the inverse mistake of the check below: bounds without the
-        # column were silently DROPPED, giving the one-connection
-        # full-table read this docstring warns against
+            lower_bound is not None or upper_bound is not None
+            or num_partitions is not None):
+        # the inverse mistake of the check below: bounds (and, round-13
+        # review, an explicit num_partitions) without the column were
+        # silently DROPPED, giving the one-connection full-table read
+        # this docstring warns against
         raise ValueError(
-            "lower_bound/upper_bound have no effect without "
-            "partition_column — pass it (or drop the bounds)")
+            "lower_bound/upper_bound/num_partitions have no effect "
+            "without partition_column — pass it (or drop them)")
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError(
@@ -94,7 +96,7 @@ def read_jdbc(
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
+            .option("numPartitions", str(num_partitions or 8))
         )
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -165,27 +167,55 @@ def compact_parquet(
     store the same two-phase write-then-swap applies via the committer.
     Returns the new file count.
 
-    The swap is rename-based: original → ``__old``, compacted tmp →
-    path, delete ``__old``.  An in-process failure rolls back; a HARD
-    kill (SIGKILL, power loss) between the two renames can still leave
-    the path briefly absent — the recovery preamble below restores the
-    ``__old`` copy on the next call, so no data is ever lost and the
-    gap heals on re-entry.  (True atomic swap needs a catalog/manifest
-    layer — Iceberg/Delta commit protocol — not plain directories.)
+    The swap is rename-based: original → ``.<name>__old``, compacted
+    tmp → path, delete the old copy.  An in-process failure rolls
+    back; a HARD kill (SIGKILL, power loss) between the two renames
+    can still leave the path briefly absent — the recovery preamble
+    below restores the old copy on the next call, so no data is ever
+    lost and the gap heals on re-entry.  Swap dirs are DOT-PREFIXED
+    siblings: Spark's file index skips hidden (``.``/``_``-prefixed)
+    paths, so a crash-orphaned intermediate can never be partition-
+    discovered by a reader of the PARENT dataset — the round-13
+    review's data-loss window, where an orphaned ``__bkt=3__old``
+    parsed as partition value ``3__old``, turned ``__bkt`` into a
+    string column, and silently emptied bucket 3's change history.
+    (True atomic swap needs a catalog/manifest layer — Iceberg/Delta
+    commit protocol — not plain directories.)
+
+    Refuses a HIVE-PARTITIONED root: reading it would flatten the
+    ``k=v`` directory layout into plain data columns (losing the
+    PartitionFilters pruning ``write_partitioned`` exists to provide)
+    and re-infer partition value types.  Compact the leaf partition
+    directories individually — what `_scd2_apply_stream` does.
     """
     import math
     import os as _os
     import shutil
 
     base = path.rstrip("/")
-    tmp, old = base + "__compacting", base + "__old"
+    d, nm = _os.path.split(base)
+    tmp = _os.path.join(d, f".{nm}__compacting")
+    old = _os.path.join(d, f".{nm}__old")
     # recovery from a previously killed swap: restore the original if
     # the path vanished mid-rename, then clear stale intermediates
     if not _os.path.exists(base) and _os.path.exists(old):
         shutil.move(old, base)
-    for stale in (tmp, old):
+    # legacy (pre-round-13) visible-suffix intermediates from an old
+    # crash: same recovery, then clear
+    for legacy_old in (base + "__old",):
+        if not _os.path.exists(base) and _os.path.exists(legacy_old):
+            shutil.move(legacy_old, base)
+    for stale in (tmp, old, base + "__compacting", base + "__old"):
         if _os.path.exists(stale):
             shutil.rmtree(stale)
+    parts = [p for p in _os.listdir(base)
+             if "=" in p and _os.path.isdir(_os.path.join(base, p))]
+    if parts:
+        raise ValueError(
+            f"compact_parquet: {base} is a hive-partitioned root "
+            f"(found {sorted(parts)[:3]}...) — compacting it would "
+            "flatten the partition layout; compact the leaf "
+            "directories instead")
     df = spark.read.parquet(base)
     total = sum(
         f.stat().st_size

@@ -73,6 +73,28 @@ def scratch_dir(prefix: str) -> str:
 _TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 
+def source_memo(memo: dict, spark: SparkSession, path: str, build,
+                extra=None, cap: int = 512):
+    """The ONE copy of the source-keyed memo discipline: key on
+    (applicationId, path, mtime, extra) so a regenerated source file —
+    or a new session — invalidates instead of serving stale state, and
+    bound growth with FIFO eviction.  applicationId, not id(spark): a
+    stopped session's id() can be reused by a later allocation; the
+    string id is stable and unique per app.  Used by :func:`t`'s table
+    memo and streaming's schema memo (round-13 review: those were two
+    hand-synced copies that had already drifted on eviction order)."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime, extra)
+    if key not in memo:
+        if len(memo) >= cap:
+            memo.pop(next(iter(memo)))
+        memo[key] = build()
+    return memo[key]
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts``'s physical forms to TIMESTAMP — ONE copy
     of the two-branch conversion (see :func:`t`'s docstring for the
@@ -110,27 +132,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # round-3 failure class) invalidates the frozen plan instead of
     # serving it stale; the stat is one syscall per t() call
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = None
-    # applicationId, not id(spark): a stopped session's id() can be
-    # reused by a later allocation and would serve a frame bound to a
-    # dead SparkContext; the string id is stable and unique per app
-    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
-    if len(_TABLE_MEMO) >= 512:  # bound growth across sessions/mtimes
-        _TABLE_MEMO.pop(next(iter(_TABLE_MEMO)))
-    memo = _TABLE_MEMO.get(key)
-    if memo is not None:
-        return memo
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = normalize_event_ts(
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
-    else:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    _TABLE_MEMO[key] = df
-    return df
+
+    def build() -> DataFrame:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return normalize_event_ts(spark.read.parquet(path))
+        return spark.read.parquet(path)
+
+    return source_memo(_TABLE_MEMO, spark, path, build,
+                       extra=(sf_dir, name))
 
 
 def events_in_range(

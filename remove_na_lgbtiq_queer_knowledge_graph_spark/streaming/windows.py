@@ -23,10 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # (app, path, mtime) → inferred parquet schema: schema inference is a
-# driver-side file-footer job.  Keyed like spec.t's table memo —
-# applicationId (id(spark) can be reused after GC) and file mtime (a
-# driver that regenerates testdata in-session may flip the physical ts
-# form, the documented round-3 failure class).
+# driver-side file-footer job.  Keyed/evicted by spec.source_memo —
+# ONE copy of the memo discipline (round-13 review).
 _SCHEMA_MEMO: dict[tuple, object] = {}
 
 
@@ -36,19 +34,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, and TIMESTAMP_NTZ → TIMESTAMP (``withWatermark`` rejects
     NTZ; the session timezone is pinned to UTC in session.py, so the
     cast is value-identical)."""
+    from ..spec import source_memo
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = None
-    skey = (spark.sparkContext.applicationId, path, mtime)
-    schema = _SCHEMA_MEMO.get(skey)
-    if schema is None:
-        if len(_SCHEMA_MEMO) >= 512:  # same growth bound as spec._TABLE_MEMO
-            _SCHEMA_MEMO.pop(next(iter(_SCHEMA_MEMO)))
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_MEMO[skey] = schema
+    schema = source_memo(_SCHEMA_MEMO, spark, path,
+                         lambda: spark.read.parquet(path).schema)
     # the file-stream source wants a directory; glob-filter to the one file
     stream = (
         spark.readStream.schema(schema)
@@ -244,7 +235,7 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def streaming_cms_buckets(events: DataFrame, d: int = 4) -> DataFrame:
+def streaming_cms_buckets(events: DataFrame, d: int | None = None) -> DataFrame:
     """Count-min-sketch maintenance on an unbounded stream: per-bucket
     running totals over d=4 md5-derived 256-bucket hash rows.
 
@@ -257,10 +248,15 @@ def streaming_cms_buckets(events: DataFrame, d: int = 4) -> DataFrame:
     availableNow run equals the batch bucket totals.
     """
     # ONE copy of the hash scheme (review fix — this was the fourth
-    # inline copy of the md5 bucket derivation)
-    from ..queries_linking import cms_bucket_structs
+    # inline copy of the md5 bucket derivation).  d defaults to the
+    # SHARED _CMS_D, not a literal: a row-count change in
+    # queries_linking must reach the streaming sketch too (round-13
+    # review — the literal default was the same drift hazard in a
+    # different slot)
+    from ..queries_linking import _CMS_D, cms_bucket_structs
 
-    buckets = cms_bucket_structs(F.col("user_id"), d)
+    buckets = cms_bucket_structs(F.col("user_id"),
+                                 _CMS_D if d is None else d)
     return (
         events.select(F.explode(buckets).alias("b"))
         .select("b.r", "b.bucket")
@@ -306,6 +302,12 @@ def stateful_type_extrema(events: DataFrame) -> DataFrame:
     JVM; absent in this container, so the test skips — see
     tests/test_streaming.py).  Count and max are order-independent, so
     the bounded run is exact.
+
+    Split-invariance contract (the `stream_stateful_totals` rule): one
+    CUMULATIVE row per key per micro-batch lands in an append sink, so
+    a multi-batch source leaves stale partials next to the finals —
+    consumers must reduce to each key's max-``n`` row (n is strictly
+    increasing per key), as the test does.
     """
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle

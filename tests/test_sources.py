@@ -153,6 +153,40 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == nation.count()
 
 
+def test_compact_parquet_partition_safety(spark, sf_dir, tmp_path):
+    """Round-13 review: (a) a hive-partitioned ROOT is refused —
+    compacting it would flatten the k=v layout and kill pruning;
+    (b) a crash-orphaned swap dir must be invisible to partition
+    discovery of the parent dataset (dot-prefixed siblings), so a
+    bucket's history can never be silently retyped/emptied."""
+    import os
+
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.sources.io import (
+        compact_parquet,
+        load_table,
+        write_partitioned,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    root = str(tmp_path / "by_region")
+    write_partitioned(nation, root, ["n_regionkey"])
+    with pytest.raises(ValueError, match="partitioned root"):
+        compact_parquet(spark, root)
+    # leaf compaction works and leaves no visible intermediates
+    leaf = os.path.join(root, "n_regionkey=0")
+    compact_parquet(spark, leaf, target_file_bytes=512 * 1024 * 1024)
+    visible = [p for p in os.listdir(root)
+               if not p.startswith((".", "_"))]  # _SUCCESS is hidden too
+    assert all(p.startswith("n_regionkey=") for p in visible), visible
+    # a simulated crash-orphaned old copy is hidden from discovery
+    os.makedirs(os.path.join(root, ".n_regionkey=0__old"), exist_ok=True)
+    back = spark.read.parquet(root)
+    assert dict(back.dtypes)["n_regionkey"] != "string"
+    assert back.count() == nation.count()
+
+
 def test_events_in_range_matches_post_conversion_filter(spark, sf_dir):
     """The pushdown-friendly ranged loader returns exactly the rows the
     naive (non-pushdown) timestamp filter would."""

@@ -125,13 +125,17 @@ def test_transform_with_state_extrema(spark, sf_dir):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    got = {
-        r.event_type: (r.n, r.max_value)
-        for r in run_to_memory(
-            stateful_type_extrema(read_events_stream(spark, sf_dir)),
-            "mem_tws_extrema", "append",
-        ).collect()
-    }
+    # split-invariant reduction: the operator emits one CUMULATIVE row
+    # per key per micro-batch, so keep each key's max-n row (the
+    # stream_stateful_totals epilogue rule) — a multi-batch source
+    # would otherwise leave stale partials in the dict
+    got: dict = {}
+    for r in run_to_memory(
+        stateful_type_extrema(read_events_stream(spark, sf_dir)),
+        "mem_tws_extrema", "append",
+    ).collect():
+        if r.event_type not in got or r.n > got[r.event_type][0]:
+            got[r.event_type] = (r.n, r.max_value)
     want = {
         r.event_type: (r.n, r.mx)
         for r in t(spark, sf_dir, "events")
