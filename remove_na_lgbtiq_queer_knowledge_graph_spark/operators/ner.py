@@ -131,10 +131,17 @@ def model_ner_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     deterministic token tagger over the same interface (doc_id, text) →
     (doc_id, entity, label).
     """
+    import re
+
+    # the PORTABLE whitespace class, not str.split(): Python splits on
+    # Unicode whitespace (NBSP, \x85, \u2028...) that the oracle's
+    # [ \t\n\x0b\f\r]+ regex does not — 'spark\xa0next' tokenized
+    # differently across engines (round-13 review; the norm_tokens rule)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     for pdf in batches:
         out = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            for tok in str(text).split():
+            for tok in ws.split(str(text).strip()):
                 if tok in _MODEL_TERMS:
                     out.append((doc_id, tok, _MODEL_TERMS[tok]))
         yield pd.DataFrame(out, columns=["doc_id", "entity", "label"])

@@ -389,10 +389,19 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
     - ``on_error="raise"`` (default) fails the task with the URL in
       the exception message; ``on_error="null"`` emits a row of NULLs
       for the failed URL instead (``parse`` receives ``__json=None``
-      and ``__error=<message>``) so a long crawl surfaces per-row
-      diagnostics rather than dying on the first 404.
+      and ``__error=<message>`` and may build the diagnostic row
+      itself; if ``parse`` RAISES — e.g. a parse written for the
+      happy path indexing into ``__json`` — the row degrades to all
+      NULLs instead of killing the task, which round-13 review found
+      was the gap that defeated the per-row-diagnostics contract).
     """
     import json as _json
+
+    from pyspark.sql.types import StructType
+
+    # field names for the all-NULL fallback row (driver-side parse of
+    # the DDL handles nested types a naive comma-split would break on)
+    _fallback_fields = [f.name for f in StructType.fromDDL(out_schema)]
 
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
@@ -490,8 +499,16 @@ def fetch_json_source(df: DataFrame, url_col: str, out_schema: str,
                             f"fetch_json_source failed for {url!r}: {e}"
                         ) from e
                     payload, err = None, str(e)
-                out.append(parse(
-                    {**row.to_dict(), "__json": payload, "__error": err}))
+                try:
+                    out.append(parse(
+                        {**row.to_dict(), "__json": payload,
+                         "__error": err}))
+                except Exception as e:  # noqa: BLE001
+                    if on_error == "raise":
+                        raise RuntimeError(
+                            f"fetch_json_source parse failed for "
+                            f"{url!r}: {e}") from e
+                    out.append({k: None for k in _fallback_fields})
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, out_schema)

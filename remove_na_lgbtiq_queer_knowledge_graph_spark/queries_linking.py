@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.dates import parse_date_multi, wikibase_time
@@ -14,7 +14,7 @@ from .operators.linking import (
     quickstatements_long,
 )
 from .operators.ner import extract_span, gazetteer_match, model_ner
-from .spec import QuerySpec, dsum, t
+from .spec import QuerySpec, t
 
 
 # ---------------------------------------------------------------------------
@@ -444,31 +444,54 @@ def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Raw sketch values are engine-specific, so they can't hash-match a
     DuckDB oracle; instead the *error contract* is made oracle-checkable:
-    the query runs both sketch and exact aggregates in one pass and emits
-    exact values plus booleans asserting the sketch landed within 10% of
-    the exact answer (HLL default rsd 5%, KLL default accuracy 1e-4·n —
-    both comfortably inside).  The oracle states the same exact values
-    and literal TRUE, so a sketch regression breaks the hash.  The raw
-    sketch numbers stay covered by tests/test_llm_ops.py's error-bound
-    test.
+    exact values ride along, plus booleans asserting what the sketches
+    actually GUARANTEE — HLL within 10% of the exact distinct count
+    (rsd 5%; HLL register merge is commutative, so the value is
+    deterministic per dataset), and the quantile sketch's returned
+    element having a feasible RANK within ``n/accuracy + 1`` of the
+    median rank (the ``agg_quantile_sketch`` audit — a VALUE-closeness
+    claim was unfounded: GK rank accuracy bounds rank, not value, and a
+    2-row group with values {1, 100} returns the element 1 against an
+    interpolated exact median of 50.5; round-13 review).  The oracle
+    states the exact values and literal TRUE, so a sketch regression
+    breaks the hash.
     """
     e = t(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
+    acc = 10000
+    sk = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("hll_users"),
         F.countDistinct("user_id").alias("n_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median"),
-        F.expr("percentile(value, 0.5)").alias("exact_median"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc))
+         .alias("approx_median"),
         F.count("*").alias("n"),
     )
-    within = lambda approx, exact: (  # noqa: E731
-        F.abs(F.col(approx) - F.col(exact)) <= 0.1 * F.abs(F.col(exact))
+    j = e.select("event_type", "value").join(F.broadcast(sk), "event_type")
+    g = j.groupBy("event_type").agg(
+        F.first("n_users").alias("n_users"),
+        F.first("n").alias("n"),
+        F.first("hll_users").alias("hll_users"),
+        F.sum(F.when(F.col("value") < F.col("approx_median"), 1)
+              .otherwise(0)).cast("long").alias("__lt"),
+        F.sum(F.when(F.col("value") <= F.col("approx_median"), 1)
+              .otherwise(0)).cast("long").alias("__le"),
     )
-    return agg.select(
+    n = F.col("n").cast("double")
+    tol = n / F.lit(float(acc)) + F.lit(1.0)
+    rank_ok = (
+        (F.col("__lt").cast("double") + F.lit(1.0)
+         <= F.lit(0.5) * n + tol)
+        & (F.col("__le").cast("double") >= F.lit(0.5) * n - tol)
+    )
+    hll_ok = (
+        F.abs(F.col("hll_users") - F.col("n_users"))
+        <= 0.1 * F.abs(F.col("n_users"))
+    )
+    return g.select(
         "event_type",
         "n_users",
         "n",
-        within("hll_users", "n_users").alias("hll_within_10pct"),
-        within("approx_median", "exact_median").alias("median_within_10pct"),
+        hll_ok.alias("hll_within_10pct"),
+        rank_ok.alias("median_rank_ok"),
     )
 
 
@@ -477,7 +500,7 @@ SELECT event_type,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n,
        true AS hll_within_10pct,
-       true AS median_within_10pct
+       true AS median_rank_ok
 FROM events GROUP BY 1
 """
 
@@ -518,12 +541,18 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-order tie-break; the exact count rides along as the oracle
     anchor — at 100 TB you would drop it and keep only the sketch.
     """
+    from .spec import materialize
+
     e = t(spark, sf_dir, "events")
     exact = e.groupBy("user_id").agg(F.count("*").alias("exact"))
     rows_arr = cms_bucket_structs(F.col("user_id"))
-    keyed = exact.select(
+    # materialized: keyed feeds both the bucket-total aggregate and the
+    # estimate join, and Spark re-executes identical subplans per
+    # branch (the er_blocking_stats rule; round-13 review — the events
+    # scan + user shuffle + explode ran twice)
+    keyed = materialize(exact.select(
         "user_id", "exact", F.explode(rows_arr).alias("b")
-    ).select("user_id", "exact", "b.r", "b.bucket")
+    ).select("user_id", "exact", "b.r", "b.bucket"))
     cms = keyed.groupBy("r", "bucket").agg(F.sum("exact").alias("total"))
     est = (
         keyed.join(cms, ["r", "bucket"])
@@ -605,7 +634,11 @@ def qa_fk_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK-constraint examination report (`books.R:380`
     ``dm_examine_constraints``): one row per declared FK with the number
     of checked rows and of orphans — left-anti joins, so at scale each
-    check is one shuffle on the key (dims broadcast).  All-zero orphan
+    check is one shuffle on the key (genuine dims broadcast; the
+    orders parent side is NOT hinted — round-13 review: force-
+    broadcasting the second-largest table's distinct keys is exactly
+    the driver-OOM regime at scale, so that check lets AQE pick).
+    All-zero orphan
     counts on the driver's star schema, like the reference's passing
     constraints."""
     checks = [
@@ -622,9 +655,11 @@ def qa_fk_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = t(spark, sf_dir, parent).select(
             F.col(pk).alias(ck), F.lit(1).alias("__hit")
         )
+        if parent != "orders":  # bounded dims only; facts go to AQE
+            p = F.broadcast(p)
         row = (
             c.select(ck)
-            .join(F.broadcast(p), ck, "left")
+            .join(p, ck, "left")
             .agg(
                 F.count("*").alias("n_rows"),
                 F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(

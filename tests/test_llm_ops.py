@@ -201,7 +201,9 @@ def test_sketch_distinct_error_bounds(spark, sf_dir):
     }
     for et, row in got.items():
         assert row.n_users == exact[et]
-        assert row.hll_within_10pct and row.median_within_10pct
+        # median claim is the RANK guarantee now (round-13 review: a
+        # value-10% claim was unfounded for sparse/bimodal groups)
+        assert row.hll_within_10pct and row.median_rank_ok
         assert abs(raw[et] - exact[et]) <= max(3, 0.1 * exact[et])
 
 
