@@ -111,6 +111,10 @@ def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFra
                 ptabs = (obj.parent_table
                          if isinstance(obj.parent_table, (list, tuple))
                          else (obj.parent_table,))
+                if not ptabs:
+                    raise ValueError(
+                        "RefObjectMap with empty parent_table "
+                        f"(child key {obj.child_key!r})")
                 # multi-source parent: union the per-source frames
                 # BEFORE the join — selecting first aligns the schemas
                 # and keeps the union two narrow columns wide
@@ -124,7 +128,7 @@ def materialize(tables: dict[str, DataFrame], maps: list[TriplesMap]) -> DataFra
                 parent = pframes[0]
                 for extra in pframes[1:]:
                     parent = parent.unionByName(extra)
-                fn = getattr(obj, "function", "equal")
+                fn = obj.function  # dataclass default 'equal'
                 child_c = F.col(obj.child_key)
                 if fn == "equal":
                     cond = child_c == F.col("__pk")

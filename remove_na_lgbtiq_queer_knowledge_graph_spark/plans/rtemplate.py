@@ -35,9 +35,16 @@ def _find_paste0(src: str, func_name: str) -> str:
     if not m:
         raise ValueError(
             f"{func_name!r} <- function not found in R source")
-    start = src.find("paste0(", m.end())
+    # bound the scan at the NEXT top-level function assignment: without
+    # the bound, a template-less body silently extracted a LATER
+    # function's paste0 (round-13 review — violates the fail-loud
+    # contract)
+    nxt = re.search(r"(?<![\w.])[\w.]+\s*<-\s*function\b",
+                    src[m.end():])
+    limit = m.end() + nxt.start() if nxt else len(src)
+    start = src.find("paste0(", m.end(), limit)
     if start < 0:
-        raise ValueError(f"no paste0( call after {func_name!r}")
+        raise ValueError(f"no paste0( call in the body of {func_name!r}")
     i = start + len("paste0(")
     depth = 1
     quote: str | None = None
@@ -53,6 +60,13 @@ def _find_paste0(src: str, func_name: str) -> str:
                 ch = src[i]
             elif ch == quote:
                 quote = None
+        elif ch == "#":
+            # R comment to end-of-line: a quote or paren inside it must
+            # not enter the balance tracking (round-13 review), and the
+            # comment text must not leak into the template args
+            j = src.find("\n", i)
+            i = len(src) if j < 0 else j
+            continue
         elif ch in "'\"":
             quote = ch
         elif ch == "(":
@@ -93,8 +107,14 @@ def load_r_query_template(path: str, func_name: str) -> str:
             # the bare quote, not two literal characters
             chunk = (chunk.replace("\\\\", "\x00")
                      .replace("\\n", "\n").replace("\\t", "\t")
-                     .replace("\\'", "'").replace('\\"', '"')
-                     .replace("\x00", "\\"))
+                     .replace("\\r", "\r")
+                     .replace("\\'", "'").replace('\\"', '"'))
+            if "\\" in chunk:
+                # \x.., \u.., \0 etc: passing the two characters
+                # through silently diverges from R's parser — refuse
+                raise ValueError(
+                    f"unsupported R escape in paste0 string: {chunk!r}")
+            chunk = chunk.replace("\x00", "\\")
             # { } escaped so the chunk survives str.format untouched
             parts.append(chunk.replace("{", "{{").replace("}", "}}"))
             i = j + 1

@@ -102,7 +102,19 @@ def _object_term(o: str, prefixes: dict[str, str]):
         return m.group(1)             # column reference
     m = _PNAME_RE.match(o)
     if m and m.group(1) in prefixes:
+        if "$(" in m.group(2):
+            # ex:$(book-id): the narrow \w+ regexes rejected the
+            # hyphenated column and the pname fallback would have
+            # emitted the TEMPLATE TEXT as a constant — the same
+            # silent poisoning the undeclared-prefix guard refuses
+            raise ValueError(
+                f"unsupported template syntax in object {o!r} — "
+                "column names must match \\w+")
         return ("const", prefixes[m.group(1)] + m.group(2))
+    if "$(" in o:
+        raise ValueError(
+            f"unsupported template syntax in object {o!r} — "
+            "column names must match \\w+")
     return ("const", o)
 
 
@@ -138,6 +150,11 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
     for name, m in mappings.items():
         src = m["sources"]
         srcs = list(src) if isinstance(src, list) else [src]
+        if not srcs:
+            # an empty sources list silently emitted NO TriplesMap
+            # (and () parent_table crashed r2rml with a bare
+            # IndexError) — refuse with the mapping named
+            raise ValueError(f"mapping {name!r} has empty sources")
         heads[name] = (srcs, _subject_template(m["s"], prefixes))
 
     out = YarrrmlDoc(prefixes, sources)
@@ -146,9 +163,17 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
         po: list[tuple] = []
         for entry in m.get("po", []):
             if isinstance(entry, dict):
+                if isinstance(entry["p"], list):
+                    raise NotImplementedError(
+                        f"list-valued predicate not supported: "
+                        f"{entry['p']!r}")
                 pred = _predicate(str(entry["p"]), prefixes)
                 objs = entry["o"]
-                if isinstance(objs, dict):
+                if not isinstance(objs, list):
+                    # a scalar (str/dict) object wraps to a one-item
+                    # list — iterating a bare string looped over its
+                    # CHARACTERS and emitted one garbage constant
+                    # triple per char (round-13 review)
                     objs = [objs]
                 for obj in objs:
                     if isinstance(obj, dict) and "mapping" not in obj:
@@ -193,6 +218,10 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                         raise ValueError(
                             f"join condition of {name}.{pred} needs "
                             "str1/str2 parameters")
+                    if parent not in heads:
+                        raise ValueError(
+                            f"{name}.{pred} references undeclared "
+                            f"mapping {parent!r}")
                     p_srcs, p_subj = heads[parent]
                     # a multi-source parent joins against the UNION of
                     # its per-source frames (plans.r2rml materializes
@@ -204,6 +233,12 @@ def load_yarrrml(text: str) -> YarrrmlDoc:
                         child_key=child_key, parent_key=parent_key,
                         function=fn)))
                 continue
+            if isinstance(entry[0], list) or isinstance(entry[1], list):
+                # list-valued shorthand p/o would stringify to the
+                # Python list REPR and emit it as one constant triple
+                # (the dict-repr bug class, round-13 review) — refuse
+                raise NotImplementedError(
+                    f"list-valued shorthand p/o not supported: {entry!r}")
             pred = _predicate(str(entry[0]), prefixes)
             lang = dtype = None
             if len(entry) > 2:

@@ -318,3 +318,85 @@ mappings:
     po:
       - [ex:kind, ex:Parent]
 """)
+
+
+def test_scalar_string_object_is_one_triple():
+    """Round-13 review: a scalar string in the dict po form used to be
+    iterated CHARACTER-BY-CHARACTER (one garbage constant triple per
+    char); it must wrap to a single column-valued pair."""
+    doc = load_yarrrml("""
+prefixes: {ex: "http://ex/"}
+sources: {t: {table: t}}
+mappings:
+  m:
+    sources: t
+    s: ex:$(id)
+    po:
+      - p: ex:name
+        o: $(title)
+""")
+    (tm,) = doc.maps
+    assert len(tm.po) == 1 and tm.po[0][1] == "title"
+
+
+def test_malformed_templates_and_lists_refuse_loudly():
+    import pytest
+
+    base = """
+prefixes: {ex: "http://ex/"}
+sources: {t: {table: t}}
+mappings:
+  m:
+    sources: %s
+    s: ex:$(id)
+    po:
+      - %s
+"""
+    # hyphenated column in a prefixed template: silent constant before
+    with pytest.raises(ValueError, match="template syntax"):
+        load_yarrrml(base % ("t", "[ex:name, ex:$(book-id)]"))
+    with pytest.raises(ValueError, match="template syntax"):
+        load_yarrrml(base % ("t", "[ex:name, $(book-id)]"))
+    # list-valued shorthand object / predicate: was Python list repr
+    with pytest.raises(NotImplementedError, match="list-valued"):
+        load_yarrrml(base % ("t", '["ex:name", ["$(a)", "$(b)"]]'))
+    with pytest.raises(NotImplementedError, match="list-valued"):
+        load_yarrrml(base % ("t", "{p: [ex:a, ex:b], o: $(x)}"))
+    # empty sources: the mapping used to vanish silently
+    with pytest.raises(ValueError, match="empty sources"):
+        load_yarrrml(base % ("[]", "[ex:name, $(x)]"))
+    # undeclared parent mapping: bare KeyError before
+    with pytest.raises(ValueError, match="undeclared mapping"):
+        load_yarrrml(base % (
+            "t",
+            "{p: ex:rel, o: [{mapping: Nope, condition: {function: equal,"
+            " parameters: [[str1, $(a)], [str2, $(b)]]}}]}"))
+
+
+def test_rtemplate_scan_bounded_and_comment_aware(tmp_path):
+    """Round-13 review: (a) a template-less function must not silently
+    extract a LATER function's paste0; (b) quotes/parens inside R
+    comments must not corrupt the balance tracking."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.rtemplate import (
+        load_r_query_template,
+    )
+
+    src = tmp_path / "q.R"
+    src.write_text(
+        "query_a <- function(x) sprintf('no template %s', x)\n"
+        "query_b <- function(y) paste0('SELECT ', y)\n")
+    with pytest.raises(ValueError, match="no paste0"):
+        load_r_query_template(str(src), "query_a")
+    assert load_r_query_template(str(src), "query_b") == "SELECT {y}"
+
+    src2 = tmp_path / "q2.R"
+    src2.write_text(
+        "q <- function(item) paste0(\n"
+        "  'SELECT ?s WHERE { ?s ?p ', # user's favourite (really)\n"
+        "  item,  # another ( comment\n"
+        "  ' }'\n"
+        ")\n")
+    assert load_r_query_template(str(src2), "q") \
+        == "SELECT ?s WHERE {{ ?s ?p {item} }}"
