@@ -31,12 +31,26 @@ def _normalize_german(col: Column) -> Column:
 def parse_date_multi(col: Column) -> Column:
     """Multi-format cascade → struct(instant: date, precision: int).
 
-    Handles: ``d.M.yyyy`` (day, precision 11), ``M yyyy`` / ``Monthname
-    yyyy`` (month, 10), bare ``yyyy`` (year, 9), decade ``yyyy er``
-    (8).  Mirrors the case_when cascade at ``15-chronik-events.R:56-123``.
+    Handles: ``d.M.yyyy`` and German ``d. Monthname yyyy`` (day,
+    precision 11), ``M yyyy`` / ``Monthname yyyy`` (month, 10), bare
+    ``yyyy`` and circa ``um yyyy`` (year, 9), decade ``yyyy er`` (8),
+    and day ranges ``12. – 14. Mai 1982`` (the FROM side carries the
+    instant, day precision — the reference's from/to splitter's first
+    half).  Mirrors the case_when cascade at
+    ``15-chronik-events.R:56-123``; the German-day/range/circa forms
+    were round-13 review gaps (they returned a null struct).
     """
-    s = _normalize_german(F.trim(col))
-    day = F.try_to_date(s, "d.M.yyyy")
+    s0 = F.trim(col)
+    # circa prefix: 'um 1935' / 'ca. 1935' parse as the year
+    s0 = F.regexp_replace(s0, r"^(um|ca\.?)\s+", "")
+    s = _normalize_german(s0)
+    # range 'd. – d. <month> yyyy' → keep the FROM day ('$1. rest')
+    s = F.regexp_replace(
+        s, r"^([0-9]{1,2})\.\s*[–—-]\s*[0-9]{1,2}\.\s*", "$1. ")
+    day = F.coalesce(
+        F.try_to_date(s, "d.M.yyyy"),
+        # normalized German day form: '1. Mai 1982' → '1. 05 1982'
+        F.try_to_date(s, "d. M yyyy"))
     month = F.coalesce(F.try_to_date(s, "M yyyy"), F.try_to_date(s, "M.yyyy"))
     year = F.when(s.rlike(r"^[0-9]{4}$"), F.to_date(F.concat(s, F.lit("-01-01"))))
     decade = F.when(

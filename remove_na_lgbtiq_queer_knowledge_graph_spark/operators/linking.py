@@ -64,6 +64,15 @@ def quickstatements_long(
     from ..spec import materialize
     from .relational import dense_ids
 
+    if not statements:
+        raise ValueError(
+            "quickstatements_long: statements must be non-empty")
+    if batch_size <= 0:
+        # non-ANSI Spark turns /0 into NULL batch numbers — silent
+        # corruption of the upload chunking (round-13 review)
+        raise ValueError(
+            f"quickstatements_long: batch_size must be > 0, "
+            f"got {batch_size}")
     props = list(statements)
     wide = df.select(
         F.col(item_col).cast("string").alias("item"),

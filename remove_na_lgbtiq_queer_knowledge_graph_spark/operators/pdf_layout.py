@@ -32,13 +32,19 @@ class FormatRule:
     text_regex: str | None = None
     font_size: float | None = None
     font_name: str | None = None
+    #: compare round(font_size, 2) instead of the raw value — the
+    #: reference's ninth branch (`themengeschichtspfad.R:46`) guards
+    #: against pdftools' fractional sizes (7.1600001 vs 7.16)
+    round_size: bool = False
 
     def cond(self) -> Column:
         c = F.lit(True)
         if self.text_regex is not None:
             c = c & F.col("word").rlike(self.text_regex)
         if self.font_size is not None:
-            c = c & (F.col("font_size") == self.font_size)
+            size = (F.round(F.col("font_size"), 2) if self.round_size
+                    else F.col("font_size"))
+            c = c & (size == self.font_size)
         if self.font_name is not None:
             c = c & (F.col("font_name") == self.font_name)
         return c
@@ -54,6 +60,12 @@ TGP_RULES: tuple[FormatRule, ...] = (
     FormatRule("location_roof_line", font_size=7.0, font_name="AAAAAB+Univers-Bold"),
     FormatRule("image_caption", font_size=7.0, font_name="AAAAAC+Univers"),
     FormatRule("source", font_size=7.0, font_name="AAAAAD+Univers-Light"),
+    # the reference's NINTH branch (round(font_size,2) == 7.16,
+    # `themengeschichtspfad.R:46`) — omitted until round-13 review:
+    # 7.16pt Univers words classified 'none' and collapsed into a
+    # spurious (page, none) run instead of caption directions
+    FormatRule("image_caption_direction", font_size=7.16,
+               font_name="AAAAAC+Univers", round_size=True),
 )
 
 
@@ -63,6 +75,11 @@ def classify_layout(
 ) -> DataFrame:
     """S4 step 1: word-level format classification — the ``case_when``
     cascade as one chained ``when()`` expression (JVM codegen, no UDF)."""
+    if not rules:
+        # expr stays None below and .otherwise would AttributeError —
+        # an all-default classification is almost certainly a caller
+        # bug, so refuse loudly (round-13 review)
+        raise ValueError("classify_layout: rules must be non-empty")
     expr = None
     for r in rules:
         expr = (F.when(r.cond(), F.lit(r.fmt)) if expr is None

@@ -248,23 +248,37 @@ _GERMAN = {1: "Januar", 2: "Februar", 3: "März", 4: "April", 5: "Mai", 6: "Juni
 
 def fn_date_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: messy-archival-date parsing with precision — orders dates are
-    rendered into the reference's four formats (day 'd.M.yyyy', German
-    month-name 'Monat yyyy', bare year, decade 'yyyyer') and parsed back
-    into struct(instant, precision) + the Wikibase time literal
-    (`15-chronik-events.R:56-123`)."""
+    rendered into the reference's seven formats (day 'd.M.yyyy', German
+    day 'd. Monat yyyy', day RANGE 'd. – d. Monat yyyy', German
+    month-name 'Monat yyyy', bare year, circa 'um yyyy', decade
+    'yyyyer') and parsed back into struct(instant, precision) + the
+    Wikibase time literal (`15-chronik-events.R:56-123`; the
+    German-day/range/circa arms are round-13 additions covering the
+    formats the parser used to drop)."""
     o = t(spark, sf_dir, "orders")
     month_name = F.lit("?")
     for m, name in _GERMAN.items():
         month_name = F.when(F.month("o_orderdate") == m, name).otherwise(month_name)
+    k = F.col("o_orderkey") % 7
     raw = (
         F.when(
-            F.col("o_orderkey") % 4 == 0,
+            k == 0,
             F.concat(F.dayofmonth("o_orderdate"), F.lit("."),
                      F.month("o_orderdate"), F.lit("."), F.year("o_orderdate")),
         )
-        .when(F.col("o_orderkey") % 4 == 1,
+        .when(k == 1,
               F.concat(month_name, F.lit(" "), F.year("o_orderdate")))
-        .when(F.col("o_orderkey") % 4 == 2, F.year("o_orderdate").cast("string"))
+        .when(k == 2, F.year("o_orderdate").cast("string"))
+        .when(k == 4,
+              F.concat(F.dayofmonth("o_orderdate"), F.lit(". "),
+                       month_name, F.lit(" "), F.year("o_orderdate")))
+        .when(k == 5,
+              F.concat(F.dayofmonth("o_orderdate"), F.lit(". – "),
+                       F.least(F.dayofmonth("o_orderdate") + 2, F.lit(28)),
+                       F.lit(". "), month_name, F.lit(" "),
+                       F.year("o_orderdate")))
+        .when(k == 6, F.concat(F.lit("um "),
+                               F.year("o_orderdate").cast("string")))
         .otherwise(
             F.concat((F.floor(F.year("o_orderdate") / 10) * 10).cast("int"), F.lit("er"))
         )
@@ -284,26 +298,30 @@ _MONTH_DE = "CASE month(o_orderdate) " + " ".join(
 ) + " END"
 _DATE_PRECISION_SQL = f"""
 WITH cls AS (
-  SELECT o_orderkey, o_orderdate, o_orderkey % 4 AS m,
+  SELECT o_orderkey, o_orderdate, o_orderkey % 7 AS m,
          {_MONTH_DE} AS mname
   FROM orders
-)
-SELECT o_orderkey,
+), shaped AS (
+  SELECT o_orderkey, o_orderdate, m, mname,
        CASE WHEN m = 0 THEN CAST(day(o_orderdate) AS VARCHAR) || '.' || CAST(month(o_orderdate) AS VARCHAR) || '.' || CAST(year(o_orderdate) AS VARCHAR)
             WHEN m = 1 THEN mname || ' ' || CAST(year(o_orderdate) AS VARCHAR)
             WHEN m = 2 THEN CAST(year(o_orderdate) AS VARCHAR)
+            WHEN m = 4 THEN CAST(day(o_orderdate) AS VARCHAR) || '. ' || mname || ' ' || CAST(year(o_orderdate) AS VARCHAR)
+            WHEN m = 5 THEN CAST(day(o_orderdate) AS VARCHAR) || '. – ' || CAST(least(day(o_orderdate) + 2, 28) AS VARCHAR) || '. ' || mname || ' ' || CAST(year(o_orderdate) AS VARCHAR)
+            WHEN m = 6 THEN 'um ' || CAST(year(o_orderdate) AS VARCHAR)
             ELSE CAST(CAST(floor(year(o_orderdate) / 10) * 10 AS INTEGER) AS VARCHAR) || 'er' END AS raw_date,
-       CASE WHEN m = 0 THEN CAST(o_orderdate AS DATE)
+       CASE WHEN m IN (0, 4, 5) THEN CAST(o_orderdate AS DATE)
             WHEN m = 1 THEN CAST(date_trunc('month', o_orderdate) AS DATE)
-            WHEN m = 2 THEN CAST(date_trunc('year', o_orderdate) AS DATE)
+            WHEN m IN (2, 6) THEN CAST(date_trunc('year', o_orderdate) AS DATE)
             ELSE CAST(make_date(CAST(floor(year(o_orderdate) / 10) * 10 AS INTEGER), 1, 1) AS DATE) END AS instant,
-       CAST(CASE WHEN m = 0 THEN 11 WHEN m = 1 THEN 10 WHEN m = 2 THEN 9 ELSE 8 END AS BIGINT) AS precision,
-       '+' || strftime(CASE WHEN m = 0 THEN CAST(o_orderdate AS DATE)
-            WHEN m = 1 THEN CAST(date_trunc('month', o_orderdate) AS DATE)
-            WHEN m = 2 THEN CAST(date_trunc('year', o_orderdate) AS DATE)
-            ELSE CAST(make_date(CAST(floor(year(o_orderdate) / 10) * 10 AS INTEGER), 1, 1) AS DATE) END, '%Y-%m-%d')
-         || 'T00:00:00Z/' || CAST(CASE WHEN m = 0 THEN 11 WHEN m = 1 THEN 10 WHEN m = 2 THEN 9 ELSE 8 END AS VARCHAR) AS wikibase_literal
-FROM cls
+       CAST(CASE WHEN m IN (0, 4, 5) THEN 11 WHEN m = 1 THEN 10
+                 WHEN m IN (2, 6) THEN 9 ELSE 8 END AS BIGINT) AS precision
+  FROM cls
+)
+SELECT o_orderkey, raw_date, instant, precision,
+       '+' || strftime(instant, '%Y-%m-%d')
+         || 'T00:00:00Z/' || CAST(precision AS VARCHAR) AS wikibase_literal
+FROM shaped
 """
 
 

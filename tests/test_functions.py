@@ -120,3 +120,51 @@ def test_strip_markers_escapes_regex_metacharacters(spark):
     out = [r.o for r in df.select(strip_markers(
         F.col("s"), ["e.v.", "(reg)"]).alias("o")).collect()]
     assert out == ["verein münchen", "exvy stays", "club name"]
+
+
+def test_pdf_classifier_ninth_branch_and_guards(spark):
+    """Round-13 review: the reference classifier's ninth branch
+    (round(font_size,2)==7.16 & Univers -> image_caption_direction,
+    themengeschichtspfad.R:46) was missing — 7.16pt words classified
+    'none'; and an empty rules tuple must refuse, not AttributeError."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.pdf_layout import (
+        classify_layout,
+    )
+
+    words = spark.createDataFrame(
+        [(1, 1, "Richtung", 7.1600001, "AAAAAC+Univers"),
+         (1, 2, "caption", 7.0, "AAAAAC+Univers"),
+         (1, 3, "dem", 9.9, "Whatever")],
+        "page long, pos long, word string, font_size double,"
+        " font_name string")
+    got = {r.word: r.format for r in classify_layout(words).collect()}
+    assert got == {"Richtung": "image_caption_direction",
+                   "caption": "image_caption", "dem": "none"}
+    with pytest.raises(ValueError, match="non-empty"):
+        classify_layout(words, rules=())
+
+
+def test_parse_date_multi_german_range_circa(spark):
+    """Round-13 review: German day form, day ranges (FROM side), and
+    circa years parse instead of returning a null struct."""
+    from pyspark.sql import functions as F
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.dates import (
+        parse_date_multi,
+        wikibase_time,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "1. Mai 1982"), (2, "12. – 14. Mai 1982"), (3, "um 1935"),
+         (4, "ca. 1940"), (5, "garbage")],
+        "id long, raw string")
+    p = parse_date_multi(F.col("raw"))
+    got = {r.id: r.lit for r in df.select("id", wikibase_time(p)
+                                          .alias("lit")).collect()}
+    assert got[1] == "+1982-05-01T00:00:00Z/11"
+    assert got[2] == "+1982-05-12T00:00:00Z/11"   # range FROM side
+    assert got[3] == "+1935-01-01T00:00:00Z/9"
+    assert got[4] == "+1940-01-01T00:00:00Z/9"
+    assert got[5] is None
