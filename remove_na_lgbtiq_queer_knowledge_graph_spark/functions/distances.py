@@ -84,11 +84,20 @@ def _jaro_winkler(s1: str, s2: str, p: float = 0.1, threshold: float = 0.7) -> f
     return j
 
 
+# NULL inputs propagate NULL, matching DuckDB's distance functions and
+# Spark's builtin levenshtein — the old `x or ""` coercion returned
+# 0/0.0 for NULL names, silently diverging from both (round-13 review).
+# The coercion survives only for the empty STRING, where `x or ""` is
+# the identity.
 @F.pandas_udf(T.IntegerType())
 def osa_distance(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_osa(x or "", y or "") for x, y in zip(a, b)])
+    return pd.Series([
+        None if x is None or y is None else _osa(x, y)
+        for x, y in zip(a, b)], dtype="Int32")
 
 
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_sim(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_jaro_winkler(x or "", y or "") for x, y in zip(a, b)])
+    return pd.Series([
+        None if x is None or y is None else _jaro_winkler(x, y)
+        for x, y in zip(a, b)], dtype="float64")

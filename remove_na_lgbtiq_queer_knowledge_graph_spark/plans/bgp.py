@@ -96,11 +96,23 @@ class BGPQuery:
         return self
 
     def _group(self, patterns: tuple[tuple[str, str, str], ...]) -> DataFrame:
-        pats = sorted((Pattern(*p) for p in patterns),
-                      key=lambda p: -p.bound_count())
-        df = _scan(self._triples, pats[0])
-        for pat in pats[1:]:
-            nxt = _scan(self._triples, pat)
+        # most-bound-first seeds the frame with the most selective
+        # pattern; after that, prefer a pattern SHARING a variable with
+        # the accumulated frame (round-13 review: the pure greedy order
+        # cross-joined two connected patterns whenever their link
+        # pattern sorted later — correct result, quadratic
+        # intermediate; same rule the SPARQL compiler uses)
+        remaining = sorted((Pattern(*p) for p in patterns),
+                           key=lambda p: -p.bound_count())
+        df = _scan(self._triples, remaining.pop(0))
+        while remaining:
+            idx = 0
+            for i, p in enumerate(remaining):
+                cand = {t[1:] for t in (p.s, p.p, p.o) if _is_var(t)}
+                if cand & set(df.columns):
+                    idx = i
+                    break
+            nxt = _scan(self._triples, remaining.pop(idx))
             on = _join_vars(df, nxt)
             df = df.join(nxt, on) if on else df.crossJoin(nxt)
         return df
@@ -112,15 +124,29 @@ class BGPQuery:
         """G2: OPTIONAL group → left join on the shared variables."""
         return self._merge(self._group(patterns), "left")
 
-    def not_exists(self, *patterns: tuple[str, str, str]) -> "BGPQuery":
-        """G5/G6: FILTER NOT EXISTS / MINUS → anti join."""
+    def not_exists(self, *patterns: tuple[str, str, str],
+                    minus: bool = False) -> "BGPQuery":
+        """G5/G6: FILTER NOT EXISTS (default) / MINUS (``minus=True``)
+        → anti join on the shared variables.  The two differ ONLY with
+        disjoint domains (SPARQL 1.1 §8.3.3): MINUS removes NOTHING
+        (no compatible bindings to subtract), while NOT EXISTS is
+        all-or-nothing — any sub-pattern match removes every row
+        (round-13 review: this builder silently applied NOT EXISTS
+        semantics to both; the text front-end already distinguished
+        them)."""
         assert self._df is not None
         sub = self._group(patterns)
         on = _join_vars(self._df, sub)
-        # no shared vars: NOT EXISTS is all-or-nothing — any inner match
-        # removes every row (an empty on-list crashes DataFrame.join)
-        self._df = (self._df.join(sub, on, "left_anti") if on
-                    else self._df.join(sub, F.lit(True), "left_anti"))
+        if on:
+            self._df = self._df.join(sub, on, "left_anti")
+        elif not minus:
+            # all-or-nothing needs only sub-pattern NON-EMPTINESS: a
+            # 1-row broadcast probe, not an anti join against the
+            # fully evaluated sub-group (the front-end's shape)
+            self._df = self._df.join(
+                F.broadcast(sub.limit(1).select(F.lit(1).alias("__ne"))),
+                F.lit(True), "left_anti")
+        # disjoint-domain MINUS: no-op by spec
         return self
 
     def union(self, other: "BGPQuery") -> "BGPQuery":
@@ -166,6 +192,55 @@ def path_seq(triples: DataFrame, preds: list[str]) -> DataFrame:
     return df.select(F.col("h0").alias("src"), F.col(f"h{len(preds)}").alias("dst"))
 
 
+def _driver_closure(closure: DataFrame, reflexive: bool, spark,
+                    pair_cap: int) -> DataFrame | None:
+    """Driver BFS for ontology-sized edge sets (subclass/part-of
+    hierarchies stay ~10³ even when the instance data is 100 TB): one
+    pass beats 3 Spark jobs per squaring round.  Returns ``None`` when
+    the output pair count crosses ``pair_cap`` — the caller falls back
+    to the distributed fixpoint.  NULL endpoints (possible from a left
+    join upstream) ride through like the distributed branch: they join
+    to nothing but stay in the output edge set."""
+    adj: dict[str, set[str]] = {}
+    null_rows: list[tuple] = []
+    for r in closure.collect():
+        sv, dv = r["src"], r["dst"]
+        if sv is None or dv is None:
+            # None is not orderable/joinable — keep the row, skip BFS
+            null_rows.append((sv, dv))
+            continue
+        adj.setdefault(sv, set()).add(dv)
+    out: set[tuple[str, str]] = set()
+    for s in adj:
+        seen: set[str] = set()
+        stack = list(adj[s])
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            stack.extend(adj.get(d, ()))
+        out.update((s, d) for d in seen)
+        if len(out) > pair_cap:
+            return None
+    if reflexive:
+        nodes = set(adj)
+        nodes.update(d for ds in adj.values() for d in ds)
+        out.update((x, x) for x in nodes)
+        if len(out) > pair_cap:
+            return None
+    # preserve the input column TYPES — the distributed branch does,
+    # and a hardcoded string schema would make behavior depend on
+    # whether the edge count crossed the driver-BFS gate.  Sort key
+    # tolerates None (NULLs first, like Spark's default ordering).
+    rows = sorted(out) + sorted(
+        null_rows, key=lambda t: tuple((v is not None, v or "") for v in t))
+    schema = closure.schema
+    if rows:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame([], schema)
+
+
 def transitive_closure(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_iter: int = 20, reflexive: bool = False,
@@ -182,36 +257,16 @@ def transitive_closure(
     closure = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     closure = closure.localCheckpoint()
     n = closure.count()
-    if n <= 10_000:
-        # Ontology-sized edge sets (subclass/part-of hierarchies stay
-        # ~10³ even when the instance data is 100 TB): one driver BFS
-        # beats 3 Spark jobs per squaring round.  The distributed loop
-        # below remains the path for instance-scale edge sets.
-        adj: dict[str, set[str]] = {}
-        for r in closure.collect():
-            adj.setdefault(r["src"], set()).add(r["dst"])
-        out: set[tuple[str, str]] = set()
-        for s in adj:
-            seen: set[str] = set()
-            stack = list(adj[s])
-            while stack:
-                d = stack.pop()
-                if d in seen:
-                    continue
-                seen.add(d)
-                stack.extend(adj.get(d, ()))
-            out.update((s, d) for d in seen)
-        if reflexive:
-            nodes = set(adj)
-            nodes.update(d for ds in adj.values() for d in ds)
-            out.update((x, x) for x in nodes)
-        # preserve the input column TYPES — the distributed branch does,
-        # and a hardcoded string schema would make behavior depend on
-        # whether the edge count crossed the driver-BFS gate
-        schema = closure.schema
-        if out:
-            return edges.sparkSession.createDataFrame(sorted(out), schema)
-        return edges.sparkSession.createDataFrame([], schema)
+    # Output cap for the driver path: closure size is O(V²) — a 2k-edge
+    # LINEAR CHAIN yields ~2M pairs, and the old 10k-edge gate admitted
+    # ~50M-tuple driver heaps (round-13 review).  The edge gate bounds
+    # the INPUT; _PAIR_CAP aborts mid-BFS the moment the OUTPUT
+    # explodes and falls through to the distributed loop.
+    if n <= 2_000:
+        result = _driver_closure(closure, reflexive,
+                                 edges.sparkSession, pair_cap=500_000)
+        if result is not None:
+            return result
     for _ in range(max_iter):
         hop = (
             closure.alias("a")

@@ -100,3 +100,24 @@ def test_osa_properties():
                 assert _osa(b, t) == 1
 
     check()
+
+
+def test_distance_udfs_propagate_null(spark):
+    """Round-13 review: NULL input must yield NULL (DuckDB/builtin
+    levenshtein semantics), not 0/0.0 from an ''-coercion."""
+    from pyspark.sql import functions as F
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.distances import (
+        jaro_winkler_sim,
+        osa_distance,
+    )
+
+    df = spark.createDataFrame(
+        [("abc", None), (None, "abc"), ("", ""), ("ab", "ba")],
+        "a string, b string")
+    rows = df.select(osa_distance("a", "b").alias("d"),
+                     jaro_winkler_sim("a", "b").alias("j")).collect()
+    assert rows[0].d is None and rows[0].j is None
+    assert rows[1].d is None and rows[1].j is None
+    assert rows[2].d == 0 and rows[2].j == 0.0
+    assert rows[3].d == 1  # one transposition under OSA

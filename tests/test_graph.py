@@ -772,3 +772,42 @@ def test_sampled_betweenness_empty_result_keeps_id_types(spark):
                  for f in out.schema.fields}
         assert kinds == {"a": "bigint", "b": "bigint",
                          "betweenness": "double"}, depth
+
+
+def test_not_exists_vs_minus_disjoint_domains(spark):
+    """§8.3.3 (round-13 review): with NO shared variables, NOT EXISTS
+    is all-or-nothing while MINUS removes NOTHING — the builder used
+    to apply NOT EXISTS semantics to both."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.bgp import BGPQuery
+
+    rows = [("a", "knows", "b", None, None), ("x", "type", "T", None, None)]
+    tr = spark.createDataFrame(
+        rows, "subject string, predicate string, object string,"
+              " lang string, dtype string")
+    ne = (BGPQuery(tr).where(("?s", "knows", "?o"))
+          .not_exists(("?z", "type", "T")).select("s"))
+    assert ne.count() == 0          # sub-pattern matches → all die
+    mi = (BGPQuery(tr).where(("?s", "knows", "?o"))
+          .not_exists(("?z", "type", "T"), minus=True).select("s"))
+    assert mi.count() == 1          # disjoint MINUS removes nothing
+
+
+def test_transitive_closure_null_edges_and_cap(spark):
+    """Round-13 review: NULL endpoints must not crash the driver-BFS
+    branch (they ride through like the distributed one), and a closure
+    whose output explodes falls back to the distributed loop."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.plans.bgp import (
+        _driver_closure,
+        transitive_closure,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", None), (None, "c")], "src string, dst string")
+    got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    assert ("a", "b") in got and ("b", None) in got and (None, "c") in got
+    # output-cap escape: a 60-node clique-chain exceeds a tiny cap
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(60)], "src string, dst string")
+    assert _driver_closure(chain, False, spark, pair_cap=10) is None
+    # and the public function still returns the right closure
+    assert transitive_closure(chain).count() == 60 * 61 // 2
