@@ -25,7 +25,7 @@ flip a threshold comparison across engines/partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_away_col
@@ -101,6 +101,15 @@ def candidate_pairs(
     """
     from ..spec import materialize
 
+    # argument validation BEFORE any eager Spark work: an invalid
+    # metric used to surface only after two corpus-scale
+    # localCheckpoints (round-13 review)
+    if metric not in ("cosine", "jaccard", "both"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if metric == "both" and not (isinstance(min_sim, (tuple, list))
+                                 and len(min_sim) == 2):
+        raise ValueError(
+            "metric='both' takes min_sim=(min_cosine, min_jaccard)")
     block_cols = block_cols or []
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
@@ -117,18 +126,20 @@ def candidate_pairs(
     ids = materialize(base.withColumn("nk", nk))
     names = ids.select("nk", "txt", *block_cols).distinct()
 
-    if metric == "both" and not (isinstance(min_sim, (tuple, list))
-                                 and len(min_sim) == 2):
-        raise ValueError(
-            "metric='both' takes min_sim=(min_cosine, min_jaccard)")
     grams = gram_counts(names, "nk", "txt", n, block_cols)
     if metric == "jaccard":
         grams = grams.withColumn("cnt", F.lit(1))
     if max_df is not None:
-        heavy = grams.groupBy("gram").agg(F.count("*").alias("df")).filter(
+        # df per (block, gram): the join is keyed on (block, gram), so
+        # the posting length the join pays is BLOCK-local — a global
+        # count cut grams whose per-block lists were all tiny
+        # (round-13 review)
+        gkeys = block_cols + ["gram"]
+        heavy = grams.groupBy(*gkeys).agg(F.count("*").alias("df")).filter(
             F.col("df") > max_df
         )
-        grams = grams.join(F.broadcast(heavy.select("gram")), "gram", "left_anti")
+        grams = grams.join(F.broadcast(heavy.select(*gkeys)),
+                           gkeys, "left_anti")
     # referenced by the self-join (twice) and the norm aggregation —
     # materialize once instead of re-shingling three times
     grams = materialize(grams)
@@ -192,8 +203,8 @@ def candidate_pairs(
             .select("nk_1", "nk_2", "cosine", "jaccard")
         )
         value = None
-    else:
-        raise ValueError(f"unknown metric {metric!r}")
+    else:  # unreachable: validated at entry
+        raise AssertionError(metric)
 
     if metric != "both":
         name_pairs = (
@@ -214,6 +225,10 @@ def candidate_pairs(
             F.greatest("id_a", "id_b").alias("id_2"),
             *val_cols,
         )
+        # an id carrying TWO name variants that pair with each other
+        # would fabricate a self-pair through least/greatest
+        # (round-13 review, verified live)
+        .filter(F.col("id_1") < F.col("id_2"))
     )
     # same-name id pairs score exactly 1.0 (identical gram vectors);
     # names whose gram set is empty (letters-only strip) never pair,
@@ -224,6 +239,12 @@ def candidate_pairs(
             norms.select(F.col("id").alias("nk")), "nk", "left_semi"
         ).select("nk")
         s1 = ids.join(grammed, "nk", "left_semi")
+        # blocked semantics: a NULL block value matches NO row — the
+        # gram join's equi-keys already enforce that for cross-name
+        # pairs, but the nk equality here would pair two NULL-block
+        # rows with identical text (round-13 review, verified live)
+        for c in block_cols:
+            s1 = s1.filter(F.col(c).isNotNull())
         s2 = s1.select(F.col("nk"), F.col("id").alias("id_b"))
         same = (
             s1.select("nk", F.col("id").alias("id_a"))
@@ -235,7 +256,8 @@ def candidate_pairs(
             )
         )
         cross = cross.unionByName(same)
-    return cross
+    # duplicated input rows (same id + text) would duplicate pair rows
+    return cross.distinct()
 
 
 def candidate_pairs_lsh(

@@ -89,3 +89,45 @@ def test_lsh_agrees_with_exact_jaccard(spark):
         for r in candidate_pairs_lsh(df, "id", "name", min_sim=0.4).collect()
     }
     assert exact <= approx
+
+
+def test_candidate_pairs_null_block_and_duplicate_ids(spark):
+    """Round-13 review (both verified live before the fix): (a) two
+    NULL-block rows with identical text fabricated a similarity-1.0
+    pair although a NULL block matches NO row; (b) an id with two name
+    variants fabricated a SELF-pair through least/greatest, and
+    duplicated input rows duplicated pair rows."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.similarity import (
+        candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcd", None), (2, "abcd", None), (3, "abce", None)],
+        "id long, txt string, blk string")
+    got = candidate_pairs(df, "id", "txt", min_sim=0.1,
+                          block_cols=["blk"]).collect()
+    assert got == []
+
+    df2 = spark.createDataFrame(
+        [(7, "abcdef", "B"), (7, "abcdeg", "B"),
+         (1, "zzzz", "B"), (1, "zzzz", "B"), (2, "zzzz", "B")],
+        "id long, txt string, blk string")
+    rows = sorted((r.id_1, r.id_2, r.value) for r in candidate_pairs(
+        df2, "id", "txt", min_sim=0.1, block_cols=["blk"]).collect())
+    assert all(a < b for a, b, _ in rows)          # no self-pairs
+    assert len(rows) == len(set(rows))             # no duplicate rows
+    assert (1, 2, 1.0) in rows
+
+
+def test_candidate_pairs_validates_before_work(spark):
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.similarity import (
+        candidate_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "ab")], "id long, txt string")
+    with pytest.raises(ValueError, match="unknown metric"):
+        candidate_pairs(df, "id", "txt", metric="cosinee")
+    with pytest.raises(ValueError, match="min_cosine"):
+        candidate_pairs(df, "id", "txt", metric="both", min_sim=0.5)
