@@ -212,3 +212,76 @@ def isbn_parts(col: Column) -> tuple[Column, Column, Column, Column]:
     isbn13 = (F.when(valid13, clean).when(valid10, isbn13_from10)
               .otherwise(F.lit(None).cast("string")))
     return clean, fmt, valid, isbn13
+
+
+# Tracking parameters every canonicalizer strips (the Common-Crawl /
+# trafilatura convention: utm_* campaign tags plus the Facebook/Google
+# click ids and the bare "ref" referrer).  Kept as ONE pattern so the
+# Spark kernel and the DuckDB oracle mirror can share it verbatim.
+# Case-insensitive and value-optional: recrawl variants carry
+# "UTM_SOURCE=x" and bare valueless "?fbclid" — both must collide with
+# the clean URL (review finding; the first version required lowercase
+# and a literal '=').
+TRACKING_PARAM_RE = r"(?i)^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of an http(s) URL — the key a 100 TB crawl
+    pipeline dedupes on BEFORE any content hashing (URL-level dedupe
+    removes the bulk of recrawl duplicates for the cost of a string
+    kernel; cf. the CCNet/RefinedWeb preprocessing stacks).
+
+    Steps (RFC 3986 §6 normalization subset, ASCII URLs):
+
+    - scheme and host lowercase;
+    - default port stripped (``:443`` for https, ``:80`` for http —
+      non-default ports are significant and kept);
+    - fragment dropped (never sent to the server);
+    - tracking query params dropped (:data:`TRACKING_PARAM_RE`),
+      the rest sorted bytewise and re-joined (param order is
+      almost-always insignificant; sorting makes ``?a=1&id=2`` and
+      ``?id=2&a=1`` collide);
+    - trailing slashes stripped from a non-root path; an empty path
+      becomes ``/``.
+
+    Userinfo (``user:pw@host``) keeps its case — RFC 3986 §6.2.2.1
+    case-normalizes only scheme and host; lowercasing a credential
+    would both merge distinct resources and corrupt the credential for
+    any consumer that reuses the canonical URL (review finding).
+
+    Pure column expression — regexp/split/array_sort/filter all stay
+    inside whole-stage codegen; zero UDFs, zero shuffles.  NULL in →
+    NULL out, and a string with no ``scheme://`` prefix (relative or
+    malformed URL) also yields NULL: ``regexp_extract`` returns ``''``
+    on no match, so without the guard every scheme-less input would
+    collapse to the shared degenerate key ``:///…`` and keep-first
+    dedup would silently merge unrelated documents (review finding).
+    """
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    userinfo = F.regexp_extract(auth, r"^([^@]*@)", 1)  # case-SENSITIVE
+    hostport = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    host = F.when(
+        ((scheme == "https") & hostport.endswith(":443"))
+        | ((scheme == "http") & hostport.endswith(":80")),
+        F.regexp_replace(hostport, r":[0-9]+$", ""),
+    ).otherwise(hostport)
+    raw_path = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    trimmed = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    # anchored BEFORE the fragment: a '?' inside '#/view?tab=1' is part
+    # of the fragment, not a query (review finding — the unanchored
+    # r"\?([^#]*)" parsed SPA fragment-queries as real queries)
+    qs = F.regexp_extract(col, r"^[^#]*\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(kept), "&")
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme, F.lit("://"), userinfo, host, path,
+            F.when(query == "", F.lit(""))
+             .otherwise(F.concat(F.lit("?"), query)),
+        ))

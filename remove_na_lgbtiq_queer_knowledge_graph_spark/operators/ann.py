@@ -1090,3 +1090,110 @@ def ivf_pq_topk(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def _kcenter_fit(rows: list, k: int, decimals: int) -> list:
+    """Driver-side greedy farthest-point selection (Gonzalez, "Clustering
+    to minimize the maximum intercluster distance", TCS 1985) over an
+    already-collected (id, vec) sample — the 2-approximation every
+    coreset / diversity-selection pipeline starts from.
+
+    Oracle parity mirrors :func:`_fit_rows`: squared-L2 assembled from
+    the three sequential index-order dot folds (:func:`_seq_sqdist`),
+    each PAIRWISE distance rounded half-away to ``decimals`` BEFORE the
+    running min (the oracle's ``min(round(d2, 6))``), argmax ties to the
+    lowest id (rows pre-sorted by id, ``np.argmax`` takes the first
+    max).  Seed = the lowest sample id — deterministic, like the
+    k-means lowest-id init.
+
+    Selection stops EARLY when every sample vector sits at rounded
+    distance 0 from the selected set (all-duplicate tail): the argmax
+    would otherwise re-pick an already-selected index and return
+    duplicate exemplars (review finding).  The oracle's unrolled CTEs
+    keep unioning in that regime, but the row they add is the identical
+    (cent_id, cent_v) of the seed — the DISTINCT exemplar set, and
+    therefore the assignment, agree between the engines either way."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"_kcenter_fit: k must be >= 1, got {k}")
+    rows = sorted(rows, key=lambda r: r[0])
+    X = np.array([r[1] for r in rows], dtype="float64")
+    xid = [r[0] for r in rows]
+    sel = [0]
+    mind = _round_half_away(_seq_sqdist(X, X[0:1]), decimals)[:, 0]
+    while len(sel) < min(k, len(rows)):
+        nxt = int(np.argmax(mind))
+        if mind[nxt] == 0.0:
+            break  # remaining sample fully covered — no new exemplar
+        sel.append(nxt)
+        d = _round_half_away(_seq_sqdist(X, X[nxt:nxt + 1]), decimals)[:, 0]
+        mind = np.minimum(mind, d)
+    return [(xid[i], [float(x) for x in X[i]]) for i in sel]
+
+
+def kcenter_coreset(
+    vectors: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    sample_mod: int | None = None,
+    max_sample_rows: int = 1_000_000,
+) -> DataFrame:
+    """Greedy k-center coreset selection + full-corpus coverage
+    assignment — the diversity-sampling primitive (pick k maximally
+    spread exemplars, then attribute every vector to its nearest
+    exemplar; SemDeDup keeps ONE doc per near-dup cluster, k-center
+    keeps the SPREAD of the space — both are curation selectors).
+
+    Scale contract (the kmeans_centroids design, shared plumbing): the
+    selection runs driver-side over a BOUNDED deterministic sample
+    (:func:`_collect_fit_sample` hash-caps at ``max_sample_rows`` when
+    ``sample_mod`` is None); greedy k-center is inherently sequential
+    in k, so k tiny driver steps beat k full-corpus jobs.  Only the
+    final coverage assignment touches the full corpus — ONE shuffle-free
+    mapInPandas-shaped pass with the k×dim exemplar matrix in the UDF
+    closure.  The corpus is never collected, never self-joined.
+
+    Determinism: squared-L2 distances rounded half-away to ``decimals``
+    before every min/argmax/argmin; selection ties → lowest id;
+    assignment ties → lowest exemplar id.  Returns (vec_id, center_id,
+    d2_r) — exemplar ids in the corpus id's native type."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows, numeric_id = _collect_fit_sample(
+        vectors, id_col, vec_col, sample_mod, max_sample_rows,
+        "kcenter_coreset")
+    cent_rows = sorted(_kcenter_fit(rows, k, decimals), key=lambda r: r[0])
+    Cm = np.array([r[1] for r in cent_rows], dtype="float64")
+    id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
+
+    @pandas_udf("struct<idx: long, d2: double>")
+    def nearest(v):
+        if len(v) == 0:
+            return pd.DataFrame({"idx": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="float64")})
+        A = np.stack(v.to_numpy()).astype("float64")
+        d2 = _round_half_away(_seq_sqdist(A, Cm), decimals)
+        best = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            "idx": best.astype("int64"),
+            "d2": d2[np.arange(len(A)), best],
+        })
+
+    idt = "long" if numeric_id else "string"
+    out = (
+        vectors.select(
+            (F.col(id_col).cast("long") if numeric_id
+             else F.col(id_col)).alias("vec_id"),
+            nearest(_dvec(vec_col)).alias("n"))
+        .select(
+            "vec_id",
+            F.element_at(id_arr, (F.col("n.idx") + 1).cast("int"))
+             .cast(idt).alias("center_id"),
+            F.col("n.d2").alias("d2_r"))
+    )
+    return out

@@ -46,6 +46,8 @@ _MODULES = (
     "queries_curation",
     # round-12: unigram-LM tokenizer trainer + encoder
     "queries_ulm",
+    # round-13b: URL-canonical dedup + k-center diversity coreset
+    "queries_selection",
 )
 
 
