@@ -133,6 +133,7 @@ def connected_components(
         ctype in ("tinyint", "smallint", "int", "bigint")
         or re.fullmatch(r"decimal\(\d+,0\)", ctype))
     prev_total = None
+    converged = False
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "v"), "v"
@@ -180,6 +181,14 @@ def connected_components(
         labels = new
         if converged:
             break
+    if not converged:
+        # partially-merged labels are silently wrong components —
+        # fail loud like every other bounded iteration in this repo
+        # (review finding; the driver union-find path is exact and
+        # never hits this)
+        raise ValueError(
+            f"connected_components: labels still moving after "
+            f"max_iter={max_iter} rounds — raise max_iter")
     return labels
 
 
@@ -244,10 +253,25 @@ def connected_components_star(
     smallest neighbor-or-self; small-star: attaches itself and its
     smaller neighbors likewise.  Both shrink star height monotonically;
     fixpoint = forest of depth-1 stars rooted at component minima.
+
+    NULL node ids are REFUSED loudly (in-plan raise, zero extra jobs):
+    the star rounds route everything through equi-joins and </> filters,
+    where a NULL endpoint silently drops its edge — which would diverge
+    from :func:`connected_components` (whose driver union-find treats
+    NULL as a node) in exactly the "same contract" the docstring
+    promises (review finding).  Use propagation for graphs that may
+    carry NULL ids.
     """
+    null_guard = F.when(
+        F.col("a").isNull() | F.col("b").isNull(),
+        F.raise_error(F.lit(
+            "connected_components_star: NULL node ids are not supported "
+            "(equi-join rounds would silently drop their edges) — use "
+            "connected_components instead")).cast("boolean"),
+    ).otherwise(F.col("a") != F.col("b"))
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        .filter(null_guard)
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -281,12 +305,22 @@ def connected_components_star(
         ).first()
 
     prev = _sig(e)
+    converged = False
     for _ in range(max_iter):
         e = _round(_round(e, keep_larger=True), keep_larger=False)
         cur = _sig(e)
         if (cur.n, cur.h) == (prev.n, prev.h):
+            converged = True
             break
         prev = cur
+    if not converged:
+        # the star extraction below ASSUMES a depth-1 star forest, which
+        # only holds at fixpoint — falling out of the loop would return
+        # silently wrong components (review finding; same fail-loud
+        # contract as tree_edge_betweenness/sssp_weighted)
+        raise ValueError(
+            f"connected_components_star: not at fixpoint after "
+            f"max_iter={max_iter} rounds — raise max_iter")
 
     # fixpoint edges are (member, root) stars; roots map to themselves
     members = e.select(

@@ -28,12 +28,18 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 
 
 def in_out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("out_degree"))
-    in_d = edges.groupBy(F.col(dst).alias("node")).agg(F.count("*").alias("in_degree"))
+    # null-safe full join: a plain equi-join never matches NULL keys, so
+    # a graph with NULLs in both src and dst would emit TWO node=NULL
+    # rows (one per side) where degrees() merges them into one — the two
+    # degree views of the same graph must agree (review finding)
+    out_d = edges.groupBy(F.col(src).alias("__on")).agg(
+        F.count("*").alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("__in")).agg(
+        F.count("*").alias("in_degree"))
     return (
-        out_d.join(in_d, "node", "full")
+        out_d.join(in_d, F.col("__on").eqNullSafe(F.col("__in")), "full")
         .select(
-            "node",
+            F.coalesce("__on", F.col("__in")).alias("node"),
             F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
@@ -41,7 +47,8 @@ def in_out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation over an undirected graph —
     (node, n_triangles) for every node in ≥1 triangle.
@@ -53,19 +60,28 @@ def triangle_counts(
     every out-degree by O(√m) — so the wedge join is Σ outdeg² ≤ O(m^1.5)
     instead of Σ deg² (which a hub node makes quadratic).  Two
     equi-joins, one explode, one groupBy; no collect.
+
+    ``assume_canonical``: the input is already a canonical
+    (least, greatest)-oriented, deduped, MATERIALIZED edge set — skip
+    re-canonicalizing it (clustering_coefficient builds exactly that
+    frame for its degree aggregate and used to pay the full
+    shuffle + executor-storage copy a second time here — review batch).
     """
     from ..spec import materialize
 
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
-        .filter(F.col("a") != F.col("b"))
-    # materialize the deduped edge set: the oriented-edge plan below
-    # references it ~6× (twice in sym's union, deg from sym, two deg
-    # joins) and Spark does not share identical subplans across
-    # DataFrame branches — for the co-occurrence callers the input is
-    # itself a self-join + distinct that would re-run per reference
-    und = materialize(
-        e.select(F.least("a", "b").alias("a"),
-                 F.greatest("a", "b").alias("b")).distinct())
+    if assume_canonical:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+            .filter(F.col("a") != F.col("b"))
+        # materialize the deduped edge set: the oriented-edge plan below
+        # references it ~6× (twice in sym's union, deg from sym, two deg
+        # joins) and Spark does not share identical subplans across
+        # DataFrame branches — for the co-occurrence callers the input is
+        # itself a self-join + distinct that would re-run per reference
+        und = materialize(
+            e.select(F.least("a", "b").alias("a"),
+                     F.greatest("a", "b").alias("b")).distinct())
     sym = und.unionByName(und.select(F.col("b").alias("a"),
                                      F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count("*").alias("d"))
@@ -128,8 +144,15 @@ def tree_edge_betweenness(
     node-to-root chain is ≤ d hops, so the root-chase loop is covered
     by the same probe.  Two extra counts, both forest-table-sized.
     """
+    # dedupe rows first: a duplicated (child, parent) row is ONE edge,
+    # not two parents — without the distinct the multi-parent guard
+    # misdiagnoses it as "not a forest", and with the guard off the
+    # duplicate multiplies through the size-sum join and the final edge
+    # join (double-counted subtrees, duplicated output rows — review
+    # finding).  After distinct, rows-per-child == distinct parents, so
+    # the guard below is exact.
     e = child_parent.select(F.col(child).alias("c"), F.col(parent).alias("p"))
-    e = e.localCheckpoint(eager=True)
+    e = e.distinct().localCheckpoint(eager=True)
     if check_convergence:
         multi = e.groupBy("c").agg(F.count(F.lit(1)).alias("n")) \
                  .filter(F.col("n") > 1).count()
@@ -433,13 +456,19 @@ def neighborhood(
     frontier = sym.sparkSession.createDataFrame([(start, 0)], ["node", "dist"])
     seen = frontier
     for h in range(1, hops + 1):
+        # checkpoint the frontier itself, not just `seen`: the next
+        # round (and the union) otherwise re-executes this round's join
+        # from its lazy plan (review batch)
         nxt = (
             frontier.join(sym, frontier.node == sym.u)
             .select(F.col("v").alias("node"), F.lit(h).alias("dist"))
             .join(seen.select("node"), "node", "left_anti")
             .distinct()
+            .localCheckpoint()
         )
         seen = seen.unionByName(nxt).localCheckpoint()
+        if nxt.isEmpty():
+            break  # frontier exhausted — further rounds add nothing
         frontier = nxt
     return seen
 
@@ -694,7 +723,7 @@ def clustering_coefficient(
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    tris = triangle_counts(und, "a", "b")
+    tris = triangle_counts(und, "a", "b", assume_canonical=True)
     return (
         deg.filter(F.col("degree") >= 2)
         .join(tris, "node", "left")
@@ -786,6 +815,9 @@ def bfs_distances(
             .distinct()
             .join(visited.select("n"), "n", "anti")
         )
+        if nxt.isEmpty():
+            break  # empty frontier: remaining rounds are dead work
+            # (byte-identical output — nothing left to append)
         frontier = nxt
         visited = _spec.materialize(visited.unionAll(
             nxt.withColumn("dist", F.lit(depth).cast("long"))))
@@ -834,21 +866,27 @@ def sssp_weighted(
     convergence knob)."""
     from .. import spec as _spec
 
+    # The documented non-negative-LONG contract, ENFORCED in-plan (zero
+    # extra jobs, active in BOTH check modes — review finding: the old
+    # bare cast('long') silently TRUNCATED fractional weights to wrong
+    # shortest paths, a NULL weight propagated NULL distances, and the
+    # negative check cost a separate aggregate and only ran under
+    # check_convergence).  A negative weight forms a negative cycle on
+    # the symmetrized graph; a fractional or NULL weight is malformed
+    # input — all three raise with the offending value named.
+    wc = F.col(weight)
+    wl = wc.cast("long")
+    checked_w = F.when(
+        wc.isNotNull() & (wl >= 0) & (wl.cast("double") == wc.cast("double")),
+        wl,
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("sssp_weighted: weight must be a non-negative integral "
+              "value (exact integer arithmetic keeps min() total across "
+              "engines), got "),
+        F.coalesce(wc.cast("string"), F.lit("NULL")))).cast("long"))
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
-                     F.col(weight).cast("long").alias("w")) \
+                     checked_w.alias("w")) \
         .filter(F.col("a") != F.col("b"))
-    if check_convergence:
-        # the documented non-negativity contract, ENFORCED: a negative
-        # weight makes a negative cycle on the symmetrized graph — the
-        # probe below would then raise "rounds below the diameter"
-        # (wrong diagnosis), and with the guard off the result is
-        # silently non-shortest.  One min() aggregate.
-        mn = e.agg(F.min("w").alias("m")).first()["m"]
-        if mn is not None and mn < 0:
-            raise ValueError(
-                f"sssp_weighted: negative edge weight {mn} — weights "
-                "must be non-negative (a negative weight forms a "
-                "negative cycle on the symmetrized graph)")
     sym = _spec.materialize(
         e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"),
                             "w")))
@@ -942,8 +980,6 @@ def link_prediction_jaccard(
         ["u", "w"], "anti")
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dw = deg.select(F.col("x").alias("w"), F.col("d").alias("dw"))
-    from ..functions.numeric import round_half_away_col
-
     return (
         cand.join(du, "u").join(dw, "w")
         .select(
@@ -986,6 +1022,8 @@ def bfs_distances_per_source(
             .distinct()
             .join(visited.select("s", "n"), ["s", "n"], "anti")
         )
+        if nxt.isEmpty():
+            break  # every source's frontier exhausted — dead rounds
         frontier = nxt
         visited = _spec.materialize(visited.unionAll(
             nxt.withColumn("dist", F.lit(depth).cast("long"))))

@@ -567,3 +567,42 @@ def test_candidate_pairs_both_equals_two_single_calls(spark):
                  block_cols=["blk"]).collect()}
     want = {k: (cos[k], jac[k]) for k in cos if k in jac}
     assert fused == want and len(fused) >= 2
+
+
+def test_star_cc_refuses_null_node_ids(spark):
+    """Star's equi-join rounds silently DROP NULL-endpoint edges where
+    propagation treats NULL as a node — the 'same contract' promise
+    requires refusing rather than diverging (review batch)."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.er import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, None)], "src int, dst int")
+    with pytest.raises(Exception, match="NULL node ids"):
+        connected_components_star(edges).collect()
+
+
+def test_cc_max_iter_exhaustion_fails_loud(spark):
+    """Falling out of the round loop before fixpoint must raise, not
+    return partially-merged components (review batch).  Star's
+    extraction assumes a depth-1 star forest; propagation's labels are
+    mid-merge.  The driver union-find path is exact, so propagation is
+    forced distributed via a tiny gate monkeypatch."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators import er
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long")
+    with pytest.raises(ValueError, match="not at fixpoint"):
+        er.connected_components_star(chain, max_iter=1)
+    old = er._DRIVER_CC_EDGES
+    try:
+        er._DRIVER_CC_EDGES = 0  # force the distributed loop
+        with pytest.raises(ValueError, match="still moving"):
+            er.connected_components(chain, max_iter=1)
+    finally:
+        er._DRIVER_CC_EDGES = old

@@ -741,18 +741,36 @@ def test_tree_betweenness_guards_fail_loud(spark):
         tree_edge_betweenness(cycle, max_depth=4)
 
 
-def test_sssp_negative_weight_fails_loud(spark):
+def test_sssp_malformed_weight_fails_loud(spark):
+    """The non-negative-LONG weight contract is enforced IN-PLAN (review
+    finding: a bare cast('long') silently truncated fractional weights
+    to wrong shortest paths; NULL weights propagated NULL distances;
+    negatives were only caught under check_convergence)."""
     import pytest
 
     from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
         sssp_weighted,
     )
 
-    edges = spark.createDataFrame(
-        [(1, 2, 5), (2, 3, -1)], "src long, dst long, w long")
     seeds = spark.createDataFrame([(1,)], "node long")
-    with pytest.raises(ValueError, match="negative edge weight"):
-        sssp_weighted(edges, seeds, rounds=4)
+    neg = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, -1)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="non-negative integral"):
+        sssp_weighted(neg, seeds, rounds=4)
+    frac = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9)], "src long, dst long, w double")
+    with pytest.raises(Exception, match="non-negative integral"):
+        # guard fires even with the convergence probe OFF
+        sssp_weighted(frac, seeds, rounds=4, check_convergence=False)
+    nul = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, None)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="non-negative integral"):
+        sssp_weighted(nul, seeds, rounds=4)
+    # integral doubles are fine (exactly representable -> same longs)
+    ok = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 2.0)], "src long, dst long, w double")
+    got = {r.node: r.dist for r in sssp_weighted(ok, seeds, rounds=4).collect()}
+    assert got == {1: 0, 2: 5, 3: 7}
 
 
 def test_sampled_betweenness_empty_result_keeps_id_types(spark):
@@ -811,3 +829,59 @@ def test_transitive_closure_null_edges_and_cap(spark):
     assert _driver_closure(chain, False, spark, pair_cap=10) is None
     # and the public function still returns the right closure
     assert transitive_closure(chain).count() == 60 * 61 // 2
+
+
+def test_in_out_degrees_merges_null_node(spark):
+    """A graph with NULLs in BOTH src and dst must emit ONE node=NULL
+    row (matching degrees()' groupBy semantics), not one per join side
+    (review batch: plain full equi-join never matches NULL keys)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        degrees,
+        in_out_degrees,
+    )
+
+    edges = spark.createDataFrame(
+        [(None, 2), (3, None), (1, 2)], "src int, dst int")
+    rows = in_out_degrees(edges).collect()
+    null_rows = [r for r in rows if r.node is None]
+    assert len(null_rows) == 1
+    assert (null_rows[0].out_degree, null_rows[0].in_degree) == (1, 1)
+    # degree view of the same graph agrees on the node set
+    assert {r.node for r in rows} == \
+        {r.node for r in degrees(edges).collect()}
+
+
+def test_tree_betweenness_duplicate_edge_rows_collapse(spark):
+    """A duplicated (child, parent) row is ONE edge: it must neither
+    trip the multiple-parents guard nor double-count subtree sizes
+    (review batch)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        tree_edge_betweenness,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 2)], "child long, parent long")
+    got = {(r.src, r.dst): r.betweenness
+           for r in tree_edge_betweenness(dup, max_depth=3).collect()}
+    assert got == {(1, 2): 2, (3, 2): 2}
+
+
+def test_bfs_early_exit_keeps_results(spark):
+    """Early exit on an exhausted frontier is byte-identical to running
+    all max_depth rounds (review batch: diameter-3 graph, depth 20)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.graph import (
+        bfs_distances,
+        bfs_distances_per_source,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    deep = {r.node: r.dist
+            for r in bfs_distances(edges, seeds, max_depth=20).collect()}
+    shallow = {r.node: r.dist
+               for r in bfs_distances(edges, seeds, max_depth=3).collect()}
+    assert deep == shallow == {1: 0, 2: 1, 3: 2, 4: 3}
+    per = {(r.source, r.node): r.dist for r in bfs_distances_per_source(
+        edges, seeds, max_depth=20).collect()}
+    assert per == {(1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3}
