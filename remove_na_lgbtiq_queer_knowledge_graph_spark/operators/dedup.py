@@ -42,22 +42,31 @@ def ws_tokens(col: Column) -> Column:
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact dedup: md5 groupBy; groups with >1 member are duplicates."""
+    """Exact dedup: md5 groupBy; groups with >1 member are duplicates.
+
+    NULL text never forms a duplicate group: ``md5(NULL)`` is NULL for
+    every such row, so without the filter a corpus with many
+    missing-extraction documents would report them as ONE group and
+    keep-first would silently drop all but one — NULL means "content
+    unknown", not "content equal" (review batch)."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("hash"))
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("hash"))
         .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n") > 1)
     )
 
 
 def exact_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact dedup keeping the min-id representative per hash."""
+    """Exact dedup keeping the min-id representative per hash.  Rows
+    with NULL text are ALL kept (same rationale as
+    :func:`exact_dup_groups` — unknown content is not equal content)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter((F.col("__rn") == 1) | F.col(text_col).isNull())
         .drop("__rn")
     )
 
@@ -778,7 +787,15 @@ def remove_frequent_ngrams(
 
     from ..spec import materialize
 
-    toks = F.split(F.col(text_col), " ")
+    # whitespace-CLASS tokenization (the stack-wide ws_tokens kernel),
+    # not a raw single-space split: the same license blurb repeated
+    # with a tab or newline where another copy has a space must produce
+    # the same grams, and 'a  b' must be two words, not
+    # ['a', '', 'b'] — raw split both missed boilerplate and inflated
+    # n_words_before with empty-string tokens (review batch).
+    # Case-preserving (not norm_tokens): the docstring's contract is
+    # VERBATIM repetition, and the kept words rebuild clean_text.
+    toks = ws_tokens(F.col(text_col))
     # gram stream via posexplode + window lead (the shingles plan): a
     # per-row transform() lambda evaluates interpreted per element and
     # measured ~2x slower than the lead formulation at corpus scale.
@@ -907,11 +924,17 @@ def semantic_keep(
     cents = kmeans_centroids(
         vectors, n_centroids, iters, id_col, vec_col, sample_mod=sample_mod)
     # assigned feeds both pair-join sides AND the final left join —
-    # materialize so the corpus is scanned + UDF-assigned once, not 3×
-    assigned = materialize(
-        assign_cells(vectors, cents, id_col, vec_col)
-        .withColumn("cell", F.col("cell").cast("bigint"))
-    )
+    # materialize so the corpus is scanned + UDF-assigned once, not 3×.
+    # The bigint cast applies ONLY to numeric cell ids: assign_cells
+    # keeps the corpus id's native type, and casting a STRING-keyed
+    # corpus's cells would NULL every one of them — NULL join keys
+    # never match, so zero candidate pairs and every near-duplicate
+    # silently reported kept (review batch).
+    numeric_cell = dict(cents.dtypes)["cent_id"] not in ("string", "binary")
+    assigned = assign_cells(vectors, cents, id_col, vec_col)
+    if numeric_cell:
+        assigned = assigned.withColumn("cell", F.col("cell").cast("bigint"))
+    assigned = materialize(assigned)
     member = None
     if exact_prepass:
         cls = (assigned.groupBy("cell", "cv")

@@ -256,8 +256,22 @@ def candidate_pairs(
             )
         )
         cross = cross.unionByName(same)
-    # duplicated input rows (same id + text) would duplicate pair rows
-    return cross.distinct()
+    # ONE row per (id_1, id_2): an id carrying several name VARIANTS can
+    # reach the same partner through different variant pairs with
+    # DIFFERENT scores (e.g. 1.0 via a shared variant plus <1.0 via a
+    # near-variant), and a bare distinct() only removed exact-duplicate
+    # rows — downstream per-pair joins would fan out (review batch,
+    # the duplicate-pair sibling of the round-13 self-pair fix).  The
+    # pair's score is its BEST variant pair — the standard ER blocking
+    # semantics — taken as one lexicographic max struct so multi-metric
+    # values stay from the SAME variant pair; also collapses duplicated
+    # input rows, which the old distinct() handled.
+    return (
+        cross.groupBy("id_1", "id_2")
+        .agg(F.max(F.struct(*val_cols)).alias("__best"))
+        .select("id_1", "id_2",
+                *[F.col(f"__best.{c}").alias(c) for c in val_cols])
+    )
 
 
 def candidate_pairs_lsh(

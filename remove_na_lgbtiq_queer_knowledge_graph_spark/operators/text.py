@@ -27,8 +27,10 @@ def _hits(tokens: Column, words: list[str]) -> Column:
 
 def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     """N-gram/stopword language heuristic: argmax of per-language
-    stopword hit counts, 'und' (unknown) when nothing scores.  Ties break
-    by fixed language order — deterministic everywhere."""
+    stopword hit counts, the literal ``'unknown'`` when nothing scores
+    (NOT ISO-639 ``'und'`` — doc/code mismatch fixed in review; the
+    oracle emits the same literal).  Ties break by fixed language order
+    — deterministic everywhere."""
     toks = norm_tokens(F.col(text_col))
     out = df
     for lang, words in STOPWORDS.items():
@@ -47,13 +49,22 @@ def token_counts(text: Column) -> tuple[Column, Column]:
     """(whitespace token count, BPE-ish regex token count).
 
     The regex tokenizer splits into letter runs, digit runs, and single
-    punctuation marks — the shape of a byte-level BPE pre-tokenizer."""
-    ws = F.size(norm_tokens(text))
+    punctuation marks — the shape of a byte-level BPE pre-tokenizer.
+    Letter runs are UNICODE letters (``\\p{L}``, identical category in
+    Java and RE2): the old ``[a-z]`` class counted 'über' as two tokens
+    and every accented letter as punctuation, biasing features against
+    exactly the de/fr/es corpora :data:`STOPWORDS` supports (review
+    batch).  Blank text counts 0 tokens, not the phantom 1 that
+    ``split('')``'s ``['']`` produces."""
+    ws = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(norm_tokens(text)))
     # explicit whitespace class, NOT \s — Java/RE2 disagree on \x0b
     # (the norm_tokens portability rule; review fix)
     from ..functions.strings import lower_simple
 
-    bpe = F.size(F.regexp_extract_all(lower_simple(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"), 0))
+    bpe = F.size(F.regexp_extract_all(
+        lower_simple(text),
+        F.lit(r"[\p{L}]+|[0-9]+|[^\p{L}0-9 \t\n\x0b\f\r]"), 0))
     return ws, bpe
 
 
@@ -66,21 +77,35 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     re-joining on the id."""
     text = F.col(text_col)
     toks = norm_tokens(text)
-    n_tokens = F.size(toks)
+    # blank text is 0 tokens (split('') yields [''] — a phantom token
+    # that made empty docs indistinguishable from one-token docs and
+    # kept n_tokens==0 filters from ever firing; review batch).  The
+    # ratio denominators go NULL on 0 — mirrored by the oracle's
+    # nullif — and the tier's NULL comparison falls through to 'low'.
+    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
     n_chars = F.length(text)
+    # Unicode-aware punctuation class: Java \w is ASCII-only, so 'é'
+    # and 'ß' counted as punctuation and inflated punct_ratio on the
+    # non-English corpora the language heuristic exists for (review
+    # batch; \p{L} is the same category in Java and RE2)
     punct = F.size(F.regexp_extract_all(
-        text, F.lit(r"[^\w \t\n\x0b\f\r]"), 0))
+        text, F.lit(r"[^\p{L}0-9_ \t\n\x0b\f\r]"), 0))
     all_stop = [w for ws in STOPWORDS.values() for w in ws]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
     # Σ token lengths / n_tokens — NOT (n_chars - (n_tokens-1)) /
     # n_tokens, which assumes exactly one single-space separator and
     # inflates the feature on tab runs / trailing whitespace (round-13
-    # review: 'a\t\tb' scored 1.5 instead of 1.0)
+    # review: 'a\t\tb' scored 1.5 instead of 1.0).
+    # NULL-on-zero denominators (the oracle's nullif), stated
+    # explicitly rather than relying on non-ANSI /0→NULL: under ANSI
+    # (Spark 4's default) a bare /0 THROWS on the first empty document
+    tok_denom = F.when(n_tokens == 0, F.lit(None)).otherwise(n_tokens)
+    chr_denom = F.when(n_chars == 0, F.lit(None)).otherwise(n_chars)
     mean_tok = round_half_away_col(
-        F.length(F.concat_ws("", toks)) / n_tokens, 6
+        F.length(F.concat_ws("", toks)) / tok_denom, 6
     )
-    stop_ratio = round_half_away_col(stop_hits / n_tokens, 6)
-    punct_ratio = round_half_away_col(punct / n_chars, 6)
+    stop_ratio = round_half_away_col(stop_hits / tok_denom, 6)
+    punct_ratio = round_half_away_col(punct / chr_denom, 6)
     tier = (
         F.when((n_tokens >= 50) & (stop_ratio > 0), "high")
         .when(n_tokens >= 20, "medium")
@@ -127,10 +152,15 @@ def pii_mask(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     masked = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
         masked = F.regexp_replace(masked, pat, f"<{name.upper()}>")
+    # counts are of the placeholders ACTUALLY PRESENT in masked_text,
+    # not raw-text matches: masking is sequential, so a URL containing
+    # an email-shaped path segment yields one <URL> and zero <EMAIL> —
+    # counting the raw text reported a phantom unredacted email to any
+    # consumer auditing redaction completeness (review batch)
     counts = [
-        F.size(F.regexp_extract_all(text_col, F.lit(pat), 0))
+        F.size(F.regexp_extract_all(masked, F.lit(f"<{name.upper()}>"), 0))
         .cast("long")
         .alias(f"n_{name}")
-        for name, pat in PII_PATTERNS.items()
+        for name in PII_PATTERNS
     ]
     return df.select(F.col(id_col), masked.alias("masked_text"), *counts)

@@ -72,7 +72,8 @@ def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXACT_SQL = """
 SELECT md5(text) AS hash, count(*) AS n, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1
 """
 
 
@@ -85,7 +86,7 @@ _KEEPFIRST_SQL = """
 SELECT doc_id, text, lang, source, n_chars FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents
-) WHERE rn = 1
+) WHERE rn = 1 OR text IS NULL
 """
 
 
@@ -651,17 +652,20 @@ _QUALITY_SQL = f"""
 WITH f AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
          CAST(length(array_to_string({_TOKS}, '')) AS BIGINT) AS tok_chars,
-         CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text,
+              '[^\\p{{L}}0-9_ \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS n_punct,
          CAST(len(list_filter({_TOKS}, x -> x IN ({_ALL_STOP}))) AS BIGINT) AS stop_hits
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens, n_punct,
-       round(tok_chars / n_tokens, 6) AS mean_token_len,
-       round(stop_hits / n_tokens, 6) AS stopword_ratio,
-       round(n_punct / n_chars, 6) AS punct_ratio,
-       CASE WHEN n_tokens >= 50 AND round(stop_hits / n_tokens, 6) > 0 THEN 'high'
+       round(tok_chars / nullif(n_tokens, 0), 6) AS mean_token_len,
+       round(stop_hits / nullif(n_tokens, 0), 6) AS stopword_ratio,
+       round(n_punct / nullif(n_chars, 0), 6) AS punct_ratio,
+       CASE WHEN n_tokens >= 50
+                 AND round(stop_hits / nullif(n_tokens, 0), 6) > 0 THEN 'high'
             WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_tier
 FROM f
 """
@@ -678,8 +682,11 @@ def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_SQL = f"""
 SELECT doc_id,
-       CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS bpe_tokens
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len({_TOKS}) END AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '[\\p{{L}}]+|[0-9]+|[^\\p{{L}}0-9 \\t\\n\\x0b\\f\\r]'))
+            AS BIGINT) AS bpe_tokens
 FROM documents
 """
 
@@ -767,15 +774,19 @@ def text_pii_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMAIL_PAT = PII_PATTERNS["email"]
 _URL_PAT = PII_PATTERNS["url"]
+# counts are of the placeholders PRESENT in masked_text (sequential
+# masking can consume an email inside a later-masked URL — counting the
+# raw text reported phantom unredacted matches; review batch)
 _PII_SQL = (
-    "SELECT doc_id,\n"
+    "SELECT doc_id, masked_text,\n"
+    "  CAST(len(regexp_extract_all(masked_text, '<EMAIL>'))"
+    " AS BIGINT) AS n_email,\n"
+    "  CAST(len(regexp_extract_all(masked_text, '<URL>'))"
+    " AS BIGINT) AS n_url\n"
+    "FROM (SELECT doc_id,\n"
     "  regexp_replace(regexp_replace(text, '" + _EMAIL_PAT
-    + "', '<EMAIL>', 'g'), '" + _URL_PAT + "', '<URL>', 'g') AS masked_text,\n"
-    "  CAST(len(regexp_extract_all(text, '" + _EMAIL_PAT
-    + "')) AS BIGINT) AS n_email,\n"
-    "  CAST(len(regexp_extract_all(text, '" + _URL_PAT
-    + "')) AS BIGINT) AS n_url\n"
-    "FROM documents"
+    + "', '<EMAIL>', 'g'), '" + _URL_PAT + "', '<URL>', 'g') AS masked_text\n"
+    "  FROM documents)"
 )
 
 
@@ -817,7 +828,7 @@ WITH dedup AS (
     SELECT doc_id, text,
            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
     FROM documents
-  ) WHERE rn = 1
+  ) WHERE rn = 1 OR text IS NULL
 ),
 l AS (
   SELECT doc_id, CASE {_LANG_CASE} ELSE 'unknown' END AS predicted_lang
@@ -825,13 +836,15 @@ l AS (
 ),
 f AS (
   SELECT doc_id,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
          CAST(len(list_filter({_TOKS}, x -> x IN ({_ALL_STOP}))) AS BIGINT) AS stop_hits
   FROM dedup
 ),
 q AS (
   SELECT doc_id, n_tokens,
-         CASE WHEN n_tokens >= 50 AND round(stop_hits / n_tokens, 6) > 0 THEN 'high'
+         CASE WHEN n_tokens >= 50
+                   AND round(stop_hits / nullif(n_tokens, 0), 6) > 0 THEN 'high'
               WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_tier
   FROM f
 )

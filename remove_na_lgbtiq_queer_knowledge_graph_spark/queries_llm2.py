@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.numeric import round_half_away_col
+from .queries_llm import _TOKS_CASED
 
 from .functions.strings import transliterate
 from .spec import QuerySpec, t
@@ -377,7 +378,10 @@ def dedup_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOILERPLATE_SQL = """
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- whitespace-CLASS split mirroring ws_tokens (review batch: raw
+  -- single-space split missed tab/newline-separated boilerplate)
+  SELECT doc_id, """ + _TOKS_CASED + """ AS w
+  FROM documents
 ), grams AS (
   SELECT doc_id, u.pos AS pos, u.gram AS gram
   FROM (

@@ -1908,3 +1908,143 @@ def test_cosine_dup_pairs_zero_vectors_excluded(spark):
     got = {(r.id_1, r.id_2) for r in cosine_dup_pairs(
         v, 0.3, block_col="label").collect()}
     assert got == {(1, 2)}
+
+
+def test_exact_dedup_null_text_rows_all_kept(spark):
+    """NULL text means content UNKNOWN, not content EQUAL: md5(NULL) is
+    NULL for every such row, and the old window silently kept only one
+    of N missing-extraction documents (review batch)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        exact_dup_groups,
+        exact_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same"), (5, None)],
+        "doc_id long, text string")
+    kept = {r.doc_id for r in exact_keep_first(df, "doc_id", "text").collect()}
+    assert kept == {1, 2, 3, 5}
+    groups = exact_dup_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0].keep_id == 3
+
+
+def test_semantic_keep_string_ids_still_pair(spark):
+    """String-keyed corpora: the cell id keeps its native type — the
+    old unconditional cast('bigint') NULLed every string cell, the pair
+    join matched nothing, and every near-duplicate was silently kept
+    (review batch)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        semantic_keep,
+    )
+
+    rows = [("doc_a", [1.0, 0.0]), ("doc_b", [1.0, 0.01]),
+            ("doc_c", [0.0, 1.0])]
+    v = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = {r.vec_id: r for r in
+           semantic_keep(v, min_sim=0.99, n_centroids=2, iters=1,
+                         sample_mod=1).collect()}
+    # doc_a and doc_b are near-identical: exactly one of them dropped
+    assert not out["doc_b"].kept and out["doc_a"].kept
+    assert out["doc_b"].witness == "doc_a"
+    assert out["doc_c"].kept
+
+
+def test_candidate_pairs_multi_variant_one_row_per_pair(spark):
+    """An id with several name variants reaching the same partner must
+    yield ONE (id_1, id_2) row scored by the BEST variant pair — the
+    old distinct() let conflicting scores coexist (review batch)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.similarity import (
+        candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (1, "abce"), (2, "abcd")],
+        "id long, name string")
+    out = candidate_pairs(df, "id", "name", metric="cosine", min_sim=0.1)
+    rows = out.collect()
+    pairs = [(r.id_1, r.id_2) for r in rows]
+    assert pairs == [(1, 2)]
+    # the shared variant 'abcd' scores exactly 1.0 — the best pair wins
+    assert rows[0].value == 1.0
+
+
+def test_boilerplate_whitespace_class_tokenization(spark):
+    """The same blurb separated by tab vs space must produce the same
+    grams (review batch: raw split(' ') missed tab/newline variants and
+    counted empty-string tokens)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        remove_frequent_ngrams,
+    )
+
+    blurb = "all rights reserved"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {blurb}"), (2, f"beta\t{blurb}"),
+         (3, f"gamma  {blurb}\n"), (4, "unrelated text entirely here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_frequent_ngrams(
+        docs, "doc_id", "text", n=3, min_doc_freq=3).collect()}
+    for d in (1, 2, 3):
+        assert blurb not in out[d].clean_text
+        assert out[d].n_words_before == 4  # no empty-token inflation
+    assert out[4].clean_text == "unrelated text entirely here"
+
+
+def test_pii_counts_match_placeholders_in_masked_text(spark):
+    """Sequential masking can consume an email inside a URL: counts are
+    of placeholders PRESENT in masked_text, so audits reconcile
+    (review batch)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.text import (
+        pii_mask,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "see https://host/user@foo.com/x then mail a@b.co"),
+         (2, "plain text")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_mask(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1.masked_text.count("<URL>") == r1.n_url == 1
+    assert r1.masked_text.count("<EMAIL>") == r1.n_email == 1  # only a@b.co
+    assert out[2].n_email == 0 and out[2].n_url == 0
+
+
+def test_text_features_unicode_and_blank(spark):
+    """Unicode letters are letters (not punctuation / 2 bpe tokens) and
+    blank text is 0 tokens, matched live against the DuckDB oracle
+    mirror (review batch)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.text import (
+        quality_features,
+        token_counts,
+    )
+
+    texts = ["über café ß straße", "", "   ", "naïve — dash… 你好 1 a_b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    qf = {r.doc_id: r for r in
+          quality_features(df, "doc_id", "text").collect()}
+    assert qf[0].n_punct == 0          # umlauts are NOT punctuation
+    assert qf[1].n_tokens == 0 and qf[2].n_tokens == 0
+    assert qf[1].mean_token_len is None  # 0/0 -> NULL, not phantom 0
+    ws, bpe = token_counts(F.col("text"))
+    tc = {r.doc_id: (r.w, r.b) for r in
+          df.select("doc_id", ws.alias("w"), bpe.alias("b")).collect()}
+    assert tc[0] == (4, 4)             # 'über' is ONE letter run
+    assert tc[1] == (0, 0) and tc[2] == (0, 0)
+    # live oracle-mirror parity on the same strings
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_llm import (
+        _QUALITY_SQL,
+        _TOKEN_SQL,
+    )
+    duck_tc = {r[0]: (r[1], r[2]) for r in con.sql(_TOKEN_SQL).fetchall()}
+    assert duck_tc == tc
+    duck_q = {r[0]: r for r in con.sql(_QUALITY_SQL).fetchall()}
+    for i in range(len(texts)):
+        assert duck_q[i][2] == qf[i].n_tokens
+        assert duck_q[i][3] == qf[i].n_punct
