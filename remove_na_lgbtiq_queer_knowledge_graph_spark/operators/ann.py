@@ -71,13 +71,31 @@ def _pair_cosine_np():
         except ValueError:  # ragged — per-row index-order fold
             out = []
             for va, vb in zip(a, b):
+                # zip would silently TRUNCATE to the shorter vector (a
+                # cosine over a prefix, no error) where the oracle's
+                # list_dot_product errors on unequal lengths — loud
+                # matches loud (review batch)
+                if len(va) != len(vb):
+                    raise ValueError(
+                        f"_pair_cosine_np: mismatched vector dims "
+                        f"{len(va)} vs {len(vb)}")
                 acc = na = nb = 0.0
                 for x, y in zip(va, vb):
                     acc += x * y
                     na += x * x
                     nb += y * y
-                out.append(acc / ((na ** 0.5) * (nb ** 0.5)))
+                denom = (na ** 0.5) * (nb ** 0.5)
+                # pure-Python 0.0/0.0 RAISES where the vectorized path
+                # yields the NaN every downstream ~isnan guard expects
+                out.append(acc / denom if denom != 0.0 else float("nan"))
             return pd.Series(out, dtype="float64")
+        if A.shape[1] != B.shape[1]:
+            # uniform-within-column but mismatched ACROSS columns: the
+            # d-loop below would silently score a prefix (found while
+            # pinning the ragged-path guard — same defect, vectorized)
+            raise ValueError(
+                f"_pair_cosine_np: mismatched vector dims "
+                f"{A.shape[1]} vs {B.shape[1]}")
         dots = np.zeros(len(A))
         na = np.zeros(len(A))
         nb = np.zeros(len(A))
@@ -107,6 +125,23 @@ def cosine(a: Column, b: Column) -> Column:
     if _PAIR_COSINE is None:
         _PAIR_COSINE = _pair_cosine_np()
     return round_half_away_col(_PAIR_COSINE(a, b), 6)
+
+
+def _nan_score_to_null(c: Column) -> Column:
+    """NaN score (zero vector: cosine 0/0) → NULL before any rank/emit.
+
+    Spark's ``DESC`` orders NaN ABOVE every double while the oracle's
+    ``0/0`` is NULL and sorts LAST (DuckDB default NULLS LAST, same as
+    Spark's ``desc``) — a NaN reaching the rank window would take rk=1
+    and displace genuinely better candidates.  In practice the pandas→
+    Arrow boundary already surfaces the scorers' NaN as NULL (pandas
+    float64 uses NaN as its null sentinel — verified live), so this is
+    DEFENSE IN DEPTH: the NULLS-LAST contract must not silently depend
+    on a transport-layer conversion detail, and any future JVM-side
+    score expression gets the same semantics (review batch; the
+    filter-path twins ``cosine_dup_pairs``/``semantic_keep`` guard
+    their comparisons the same way)."""
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
 def brute_force_topk(
@@ -180,7 +215,8 @@ def brute_force_topk(
                 "cos_sim": pd.Series(out_s, dtype="float64"),
             })
 
-    local = c.mapInPandas(score, out_schema)
+    local = c.mapInPandas(score, out_schema) \
+        .withColumn("cos_sim", _nan_score_to_null(F.col("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
@@ -219,7 +255,9 @@ def bucketed_topk(
     scored = (
         c.join(q, "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select("query_id", "cand_id",
+                _nan_score_to_null(
+                    cosine(F.col("qv"), F.col("cv"))).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -345,6 +383,7 @@ def ivf_topk(
         .applyInPandas(
             cell_topk,
             f"query_id {id_type}, cand_id {id_type}, cos_sim double")
+        .withColumn("cos_sim", _nan_score_to_null(F.col("cos_sim")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -419,28 +458,54 @@ def _seq_cosine(A, B):
         return dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
 
 
-def _nearest_index_udf(C, decimals: int | None = None):
-    """Vectorized nearest-centroid ARGMAX INDEX against a driver-held
-    k×dim matrix whose rows are already in tie-break order (ties go to
-    the lowest index; callers sort by centroid id before building
-    ``C``).  Returning the index instead of an id keeps the caller free
-    to map back to ids of ANY orderable type — string centroid ids work
-    the same as numeric ones.  Same sequential-fold cosine and
-    half-away-from-zero rounding as every other scorer here."""
+def _nearest_index_udf(C, decimals: int | None = None,
+                       metric: str = "cosine", with_score: bool = False):
+    """Vectorized nearest-centroid ARG-EXTREME INDEX against a
+    driver-held k×dim matrix whose rows are already in tie-break order
+    (ties go to the lowest index; callers sort by centroid id before
+    building ``C``).  Returning the index instead of an id keeps the
+    caller free to map back to ids of ANY orderable type — string
+    centroid ids work the same as numeric ones.  Same sequential-fold
+    kernels and half-away-from-zero rounding as every other scorer
+    here.
+
+    ``metric``: ``"cosine"`` (argmax similarity) or ``"l2"`` (argmin
+    squared distance — the PQ/k-center metric).  ``with_score=True``
+    returns ``struct<idx, score>`` with the winning score alongside
+    the index — the ONE parity-critical nearest kernel, shared so a
+    rounding or tie-break fix can't miss a private copy (review
+    batch: kcenter_coreset had hand-rolled the l2+score variant)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def assign(v):
         if len(v) == 0:
+            if with_score:
+                return pd.DataFrame(
+                    {"idx": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")})
             return pd.Series([], dtype="int64")
         A = np.stack(v.to_numpy()).astype("float64")
-        sims = _seq_cosine(A, C)
-        if decimals is not None:
-            sims = _round_half_away(sims, decimals)
-        return pd.Series(np.argmax(sims, axis=1).astype("int64"))
+        if metric == "cosine":
+            s = _seq_cosine(A, C)
+            if decimals is not None:
+                s = _round_half_away(s, decimals)
+            best = np.argmax(s, axis=1)
+        else:
+            s = _seq_sqdist(A, C)
+            if decimals is not None:
+                s = _round_half_away(s, decimals)
+            best = np.argmin(s, axis=1)
+        if with_score:
+            return pd.DataFrame({
+                "idx": best.astype("int64"),
+                "score": s[np.arange(len(A)), best],
+            })
+        return pd.Series(best.astype("int64"))
 
-    return pandas_udf(assign, "long")
+    return pandas_udf(
+        assign, "struct<idx: long, score: double>" if with_score else "long")
 
 
 def _seq_sqdist(A, B):
@@ -533,7 +598,24 @@ def _collect_fit_sample(
         sample = vectors if sample_mod <= 1 else \
             vectors.filter(F.col(id_col) % sample_mod == 0)
     id_type = vectors.schema[id_col].dataType.simpleString()
-    numeric_id = id_type not in ("string", "binary")
+    # integral ALLOWLIST, not a string/binary denylist (the
+    # connected_components review-fix class): a double/decimal(p,s>0)
+    # id would silently TRUNCATE through the long cast below — two
+    # distinct ids 1.2 and 1.7 collapse onto key 1 — and a decimal
+    # beyond long range casts to NULL and dies on int(None).  Anything
+    # not exactly-representable as long and not a string is refused
+    # loudly (review batch).
+    import re
+
+    numeric_id = bool(
+        id_type in ("tinyint", "smallint", "int", "bigint")
+        or re.fullmatch(r"decimal\((\d|1[0-8]),0\)", id_type))
+    if not numeric_id and id_type not in ("string",):
+        raise ValueError(
+            f"{caller}: id column type {id_type} is not supported — "
+            "use an integral (≤ decimal(18,0)) or string id; a "
+            "fractional id would silently truncate through the long "
+            "cast")
     rows = [
         ((int(r["i"]) if numeric_id else r["i"]),
          [float(x) for x in r["v"]])
@@ -1161,8 +1243,6 @@ def kcenter_coreset(
     assignment ties → lowest exemplar id.  Returns (vec_id, center_id,
     d2_r) — exemplar ids in the corpus id's native type."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     rows, numeric_id = _collect_fit_sample(
         vectors, id_col, vec_col, sample_mod, max_sample_rows,
@@ -1170,22 +1250,10 @@ def kcenter_coreset(
     cent_rows = sorted(_kcenter_fit(rows, k, decimals), key=lambda r: r[0])
     Cm = np.array([r[1] for r in cent_rows], dtype="float64")
     id_arr = F.array(*[F.lit(i) for (i, _) in cent_rows])
-
-    @pandas_udf("struct<idx: long, d2: double>")
-    def nearest(v):
-        if len(v) == 0:
-            return pd.DataFrame({"idx": pd.Series([], dtype="int64"),
-                                 "d2": pd.Series([], dtype="float64")})
-        A = np.stack(v.to_numpy()).astype("float64")
-        d2 = _round_half_away(_seq_sqdist(A, Cm), decimals)
-        best = np.argmin(d2, axis=1)
-        return pd.DataFrame({
-            "idx": best.astype("int64"),
-            "d2": d2[np.arange(len(A)), best],
-        })
-
+    nearest = _nearest_index_udf(Cm, decimals=decimals, metric="l2",
+                                 with_score=True)
     idt = "long" if numeric_id else "string"
-    out = (
+    return (
         vectors.select(
             (F.col(id_col).cast("long") if numeric_id
              else F.col(id_col)).alias("vec_id"),
@@ -1194,6 +1262,5 @@ def kcenter_coreset(
             "vec_id",
             F.element_at(id_arr, (F.col("n.idx") + 1).cast("int"))
              .cast(idt).alias("center_id"),
-            F.col("n.d2").alias("d2_r"))
+            F.col("n.score").alias("d2_r"))
     )
-    return out

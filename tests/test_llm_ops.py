@@ -2048,3 +2048,82 @@ def test_text_features_unicode_and_blank(spark):
     for i in range(len(texts)):
         assert duck_q[i][2] == qf[i].n_tokens
         assert duck_q[i][3] == qf[i].n_punct
+
+
+def test_topk_zero_vector_ranks_last_as_null(spark):
+    """A zero-vector candidate (cosine 0/0) must rank LAST with a NULL
+    score — Spark orders NaN ABOVE every double, so the raw UDF output
+    would give it rk=1 where the oracle's NULL sorts last (review
+    batch).  Checked on all three top-k paths."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
+        brute_force_topk,
+        bucketed_topk,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]),
+            (4, [0.5, 0.5])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = v.filter("vec_id = 1")
+    got = brute_force_topk(v, q, k=3).orderBy("rk").collect()
+    assert [r.cand_id for r in got][:2] == [2, 4]
+    last = got[-1]
+    assert last.cand_id == 3 and last.cos_sim is None and last.rk == 3
+    # bucketed path: same bucket for all (first dim sign), same contract
+    got_b = bucketed_topk(v, q, k=3, n_bits=1).orderBy("rk").collect()
+    assert got_b[-1].cand_id == 3 and got_b[-1].cos_sim is None
+
+
+def test_fit_sample_refuses_fractional_id_type(spark):
+    """A double id column would silently truncate through the long cast
+    (ids 1.2 and 1.7 collapse onto key 1) — refused loudly, the
+    connected_components allowlist fix class (review batch)."""
+    import pytest
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
+        kcenter_coreset,
+        kmeans_centroids,
+    )
+
+    v = spark.createDataFrame(
+        [(1.2, [1.0]), (1.7, [2.0])], "vec_id double, embedding array<float>")
+    with pytest.raises(ValueError, match="not supported"):
+        kcenter_coreset(v, k=2, sample_mod=1)
+    with pytest.raises(ValueError, match="not supported"):
+        kmeans_centroids(v, n_centroids=2, iters=1, sample_mod=1)
+
+
+def test_pair_cosine_ragged_fallback(spark):
+    """Ragged Arrow batches take the per-row fold: a zero vector yields
+    NaN (filtered downstream), and a MISMATCHED-dims pair raises
+    instead of silently scoring a prefix (review batch)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.ann import (
+        cosine,
+    )
+
+    # ragged batch, equal dims WITHIN each pair, one zero vector; the
+    # fallback's NaN surfaces as NULL at the Arrow boundary (pandas
+    # float64 NaN == null sentinel), same as the vectorized path
+    ok = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0]), ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+        "a array<double>, b array<double>").coalesce(1)
+    vals = [r.c for r in ok.select(cosine(F.col("a"), F.col("b"))
+                                   .alias("c")).collect()]
+    assert None in vals
+    assert any(v is not None for v in vals)
+    # mismatched dims raise in BOTH shapes: across uniform columns
+    # (vectorized path) and within a ragged batch (fallback path)
+    bad_uniform = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0])],
+        "a array<double>, b array<double>").coalesce(1)
+    with pytest.raises(Exception, match="mismatched vector dims"):
+        bad_uniform.select(cosine(F.col("a"), F.col("b"))
+                           .alias("c")).collect()
+    bad_ragged = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0]), ([1.0], [1.0])],
+        "a array<double>, b array<double>").coalesce(1)
+    with pytest.raises(Exception, match="mismatched vector dims"):
+        bad_ragged.select(cosine(F.col("a"), F.col("b"))
+                          .alias("c")).collect()
