@@ -704,10 +704,7 @@ def graph_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= _BTX_CAP)
     n = t(spark, sf_dir, "nation")
     li = t(spark, sf_dir, "lineitem")
-
-    def tag(prefix: str, col: str):
-        return F.concat(F.lit(prefix), F.col(col).cast("string"))
-
+    tag = _tag  # module-level helper; the local copy was byte-identical
     x = li.select(F.col("l_orderkey").alias("o"),
                   F.col("l_suppkey").alias("sa")) \
         .filter(F.col("sa") <= _BTX_CAP)
@@ -968,13 +965,30 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
                          src="p1", dst="p2", node="node")
 
 
-_BFS_SQL = f"""
-WITH RECURSIVE rep_pairs AS MATERIALIZED (
+# ONE copy of the repeated-co-order pair CTE body — the Spark side was
+# already consolidated into _repeated_coorder_pairs, but five oracle
+# SQL strings carried hand-synced copies that required lockstep edits
+# (review batch).  _REP_PAIRS_W_BODY is the weighted variant (keeps the
+# co-order count for SSSP's 1000000 div c edge weights).
+_REP_PAIRS_BODY = """
   SELECT a, b FROM (
-    SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS a, b.l_partkey AS b
-    FROM lineitem a JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  ) GROUP BY 1, 2 HAVING count(*) >= 2
+    SELECT DISTINCT x.l_orderkey AS o, x.l_partkey AS a, y.l_partkey AS b
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  ) GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+_REP_PAIRS_W_BODY = """
+  SELECT a, b, CAST(1000000 // c AS BIGINT) AS w FROM (
+    SELECT a, b, count(*) AS c FROM (
+      SELECT DISTINCT x.l_orderkey AS o, x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ) GROUP BY 1, 2 HAVING count(*) >= 2
+  )"""
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE rep_pairs AS MATERIALIZED ({_REP_PAIRS_BODY}
 ),
 edges AS MATERIALIZED (
   SELECT a, b FROM rep_pairs UNION SELECT b, a FROM rep_pairs
@@ -1022,14 +1036,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sssp_oracle_sql(rounds: int) -> str:
-    parts = ["""WITH rep AS MATERIALIZED (
-  SELECT a, b, CAST(1000000 // c AS BIGINT) AS w FROM (
-    SELECT a, b, count(*) AS c FROM (
-      SELECT DISTINCT x.l_orderkey AS o, x.l_partkey AS a, y.l_partkey AS b
-      FROM lineitem x JOIN lineitem y
-        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-    ) GROUP BY 1, 2 HAVING count(*) >= 2
-  )
+    parts = [f"""WITH rep AS MATERIALIZED ({_REP_PAIRS_W_BODY}
 ),
 edges AS MATERIALIZED (
   SELECT a, b, w FROM rep UNION ALL SELECT b, a, w FROM rep
@@ -1090,12 +1097,7 @@ def graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HARMONIC_SQL = f"""
-WITH RECURSIVE rep_pairs AS MATERIALIZED (
-  SELECT a, b FROM (
-    SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS a, b.l_partkey AS b
-    FROM lineitem a JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  ) GROUP BY 1, 2 HAVING count(*) >= 2
+WITH RECURSIVE rep_pairs AS MATERIALIZED ({_REP_PAIRS_BODY}
 ),
 edges AS MATERIALIZED (
   SELECT a, b FROM rep_pairs UNION SELECT b, a FROM rep_pairs
@@ -1130,15 +1132,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    min_common=1)
 
 
-_LINKPRED_SQL = """
-WITH rep AS MATERIALIZED (
-  SELECT a, b FROM (
-    SELECT a, b, count(*) AS c FROM (
-      SELECT DISTINCT x.l_orderkey AS o, x.l_partkey AS a, y.l_partkey AS b
-      FROM lineitem x JOIN lineitem y
-        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-    ) GROUP BY 1, 2 HAVING count(*) >= 2
-  )
+_LINKPRED_SQL = f"""
+WITH rep AS MATERIALIZED ({_REP_PAIRS_BODY}
 ),
 nb AS MATERIALIZED (
   SELECT a AS m, b AS x FROM rep UNION ALL SELECT b, a FROM rep
@@ -1181,12 +1176,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
-    parts = ["""WITH rep_pairs AS MATERIALIZED (
-  SELECT a, b FROM (
-    SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS a, b.l_partkey AS b
-    FROM lineitem a JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  ) GROUP BY 1, 2 HAVING count(*) >= 2
+    parts = [f"""WITH rep_pairs AS MATERIALIZED ({_REP_PAIRS_BODY}
 ),
 s0 AS MATERIALIZED (
   SELECT a, b FROM rep_pairs

@@ -490,11 +490,13 @@ WHERE rk = 1
 """
 
 
-def self_join_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6/J7: self-join candidate pairs with a blocking key — suppliers
-    paired within a nation, id_1 < id_2 (`expand_grid` + first-letter
-    block at `entities/03:64-78`).  The equi-join on the block key is
-    what keeps this from being a cross join at scale."""
+def _blocked_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE copy of the nation-blocked supplier pair construction
+    (block, id_1 < id_2, both names) shared by
+    ``self_join_blocked_pairs`` and ``levenshtein_blocked_join`` —
+    the bodies were verbatim duplicates, so a blocking-key change to
+    one entry would silently leave the other joining a different pair
+    set (review batch; the `_membership_coorder_edges` fix class)."""
     s = t(spark, sf_dir, "supplier")
     a = s.select(
         F.col("s_suppkey").alias("id_1"),
@@ -506,7 +508,15 @@ def self_join_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name_2"),
         F.col("s_nationkey").alias("block"),
     )
-    return a.join(b, "block").filter(F.col("id_1") < F.col("id_2")).select(
+    return a.join(b, "block").filter(F.col("id_1") < F.col("id_2"))
+
+
+def self_join_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7: self-join candidate pairs with a blocking key — suppliers
+    paired within a nation, id_1 < id_2 (`expand_grid` + first-letter
+    block at `entities/03:64-78`).  The equi-join on the block key is
+    what keeps this from being a cross join at scale."""
+    return _blocked_supplier_pairs(spark, sf_dir).select(
         "block", "id_1", "id_2", "name_1", "name_2"
     )
 
@@ -523,15 +533,11 @@ def levenshtein_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/F8: fuzzy string-distance join, blocked — pairs of supplier
     names within edit distance 2, same nation block
     (`stringdist_inner_join` max_dist=2 at `lobid/01:97`).  Blocking +
-    the builtin `levenshtein` keeps it JVM-side and sub-quadratic."""
-    s = t(spark, sf_dir, "supplier")
-    a = s.select(F.col("s_suppkey").alias("id_1"), F.col("s_name").alias("name_1"),
-                 F.col("s_nationkey").alias("block"))
-    b = s.select(F.col("s_suppkey").alias("id_2"), F.col("s_name").alias("name_2"),
-                 F.col("s_nationkey").alias("block"))
+    the builtin `levenshtein` keeps it JVM-side and sub-quadratic.
+    Pair construction shared with ``self_join_blocked_pairs`` via
+    :func:`_blocked_supplier_pairs` (one copy, review batch)."""
     return (
-        a.join(b, "block")
-        .filter(F.col("id_1") < F.col("id_2"))
+        _blocked_supplier_pairs(spark, sf_dir)
         .withColumn("dist", F.levenshtein("name_1", "name_2").cast("long"))
         .filter(F.col("dist") <= 2)
         .select("id_1", "id_2", "name_1", "name_2", "dist")
@@ -1739,30 +1745,38 @@ FROM per_island GROUP BY 1
 def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis over the event stream: per user, the earliest
     view, the earliest click within ONE HOUR after that view, and the
-    earliest purchase within ONE HOUR after that click — conditional
-    array-min steps over per-user event-time lists, each built by a
-    map-side-combinable groupBy; the event table is never self-joined.
-    Emits the funnel report: users per reached depth."""
+    earliest purchase within ONE HOUR after that click.  Emits the
+    funnel report: users per reached depth.
+
+    Bounded-state shape (review batch): each step is a user-keyed join
+    of the raw step events against the PREVIOUS step's one-row-per-user
+    aggregate, windowed filter, then a map-side-combinable ``min`` —
+    per-key state is O(1).  The first version collected every click and
+    purchase timestamp into per-user ``collect_list`` arrays, which a
+    single hot user (bot account with millions of events) turns into a
+    multi-hundred-MB row at the 100 TB regime this module targets —
+    exactly the unbounded-state shape the oracle's join formulation
+    avoids."""
     e = t(spark, sf_dir, "events")
     sec = F.col("ts").cast("double")
     base = e.select("user_id", "event_type", sec.alias("s"))
     v = base.filter(F.col("event_type") == "view") \
         .groupBy("user_id").agg(F.min("s").alias("t_view"))
-    c = base.filter(F.col("event_type") == "click") \
-        .groupBy("user_id").agg(F.collect_list("s").alias("cs"))
-    p = base.filter(F.col("event_type") == "purchase") \
-        .groupBy("user_id").agg(F.collect_list("s").alias("ps"))
-    stepped = (
-        v.join(c, "user_id", "left").join(p, "user_id", "left")
-        .withColumn("t_click", F.array_min(F.filter(
-            F.coalesce("cs", F.array()),
-            lambda x: (x >= F.col("t_view"))
-            & (x <= F.col("t_view") + 3600))))
-        .withColumn("t_purchase", F.array_min(F.filter(
-            F.coalesce("ps", F.array()),
-            lambda x: (x >= F.col("t_click"))
-            & (x <= F.col("t_click") + 3600))))
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("s") >= F.col("t_view"))
+                & (F.col("s") <= F.col("t_view") + 3600))
+        .groupBy("user_id").agg(F.min("s").alias("t_click"))
     )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("s") >= F.col("t_click"))
+                & (F.col("s") <= F.col("t_click") + 3600))
+        .groupBy("user_id").agg(F.min("s").alias("t_purchase"))
+    )
+    stepped = v.join(c, "user_id", "left").join(p, "user_id", "left")
     depth = (
         F.when(F.col("t_purchase").isNotNull(), 3)
         .when(F.col("t_click").isNotNull(), 2)
@@ -1836,6 +1850,33 @@ GROUP BY 1, 2
 """
 
 
+def _merge_delta(c: DataFrame, include_noop: bool = False) -> DataFrame:
+    """The deterministic MERGE delta batch shared by
+    ``sink_merge_upsert`` and ``sink_scd2_merge`` (the two entries are
+    documented siblings over the SAME batch; their near-verbatim copies
+    could silently drift on the update modulus or insert key-offset —
+    review batch, one-copy rule): every 3rd custkey changes balance
+    (+100); keys ≡ 7 (mod 1000) shifted by 2⁴⁰ (far above any real
+    custkey) are brand new.  ``include_noop`` adds the
+    arrived-but-UNCHANGED rows (custkey ≡ 7 mod 5, excluding the
+    changed set) that SCD2 must suppress."""
+    changed = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name",
+                (F.col("c_acctbal") + 100).alias("c_acctbal"))
+    )
+    inserts = c.filter(F.col("c_custkey") % 1000 == 7).select(
+        (F.col("c_custkey") + (1 << 40)).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    if include_noop:
+        noop = c.filter((F.col("c_custkey") % 5 == 7 % 5)
+                        & (F.col("c_custkey") % 3 != 0))
+        return changed.unionByName(noop).unionByName(inserts)
+    return changed.unionByName(inserts)
+
+
 def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE / upsert (S10's set-level sibling — the lakehouse staple)
     re-expressed as ONE full outer join + per-column coalesce: a delta
@@ -1846,18 +1887,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the shuffle-on-key plan Delta/Iceberg MERGE compiles to."""
     c = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal")
-    updates = (
-        c.filter(F.col("c_custkey") % 3 == 0)
-        .select("c_custkey", "c_name",
-                (F.col("c_acctbal") + 100).alias("c_acctbal"))
-    )
-    mx = 1 << 40  # key offset far above any real custkey
-    inserts = c.filter(F.col("c_custkey") % 1000 == 7).select(
-        (F.col("c_custkey") + mx).alias("c_custkey"),
-        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
-        F.lit(0.0).alias("c_acctbal"),
-    )
-    delta = updates.unionByName(inserts)
+    delta = _merge_delta(c)
     return (
         c.alias("t").join(delta.alias("s"), "c_custkey", "full_outer")
         .select(
@@ -1917,19 +1947,7 @@ def sink_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_date, batch_date = "2020-01-01", "2024-06-01"
     c = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal")
-    changed = (
-        c.filter(F.col("c_custkey") % 3 == 0)
-        .select("c_custkey", "c_name",
-                (F.col("c_acctbal") + 100).alias("c_acctbal"))
-    )
-    noop = c.filter((F.col("c_custkey") % 5 == 7 % 5)
-                    & (F.col("c_custkey") % 3 != 0))
-    inserts = c.filter(F.col("c_custkey") % 1000 == 7).select(
-        (F.col("c_custkey") + (1 << 40)).alias("c_custkey"),
-        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
-        F.lit(0.0).alias("c_acctbal"),
-    )
-    delta = changed.unionByName(noop).unionByName(inserts)
+    delta = _merge_delta(c, include_noop=True)
     j = c.alias("t").join(delta.alias("s"), "c_custkey", "full_outer")
     # value comparison on cents (exact integers) — a double != would
     # hinge on representation bits; half-AWAY-from-zero like
