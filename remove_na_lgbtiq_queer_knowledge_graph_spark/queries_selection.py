@@ -35,12 +35,12 @@ from .functions.strings import canonical_url
 from .spec import QuerySpec, t
 
 
-def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-canonicalization dedup: synthesize the messy URL, canonicalize
-    with the codegen kernel, keep-first (min doc_id) per canonical key
-    with the duplicate-group size.  One narrow projection + one
-    map-side-combinable groupBy — no window, no self-join; at 100 TB the
-    shuffle carries only (canonical_url, partial min, partial count)."""
+def _synth_messy_url() -> F.Column:
+    """The deterministic messy-URL synthesis shared by the batch dedup
+    and its streaming twin (ONE copy — the oracle mirror lives in
+    :data:`_URL_CANON_CTES`): mixed-case scheme/host, default port,
+    tracking params, unordered params, fragment, trailing slash, all
+    keyed on doc_id arithmetic."""
     d = F.col("doc_id")
     h = F.pmod(d, F.lit(3)).cast("string")
     scheme = F.when(F.pmod(d, F.lit(2)) == 0, F.lit("https")) \
@@ -61,21 +61,32 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(qs, F.lit("&fbclid=AbC123"))).otherwise(qs)
     frag = F.when(F.pmod(d, F.lit(6)) == 0,
                   F.concat(F.lit("#sec"), h)).otherwise(F.lit(""))
-    raw = F.concat(scheme, F.lit("://"), host, port, path, F.lit("?"), qs,
-                   frag)
+    return F.concat(scheme, F.lit("://"), host, port, path, F.lit("?"), qs,
+                    frag)
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: synthesize the messy URL, canonicalize
+    with the codegen kernel, keep-first (min doc_id) per canonical key
+    with the duplicate-group size.  One narrow projection + one
+    map-side-combinable groupBy — no window, no self-join; at 100 TB the
+    shuffle carries only (canonical_url, partial min, partial count)."""
     return (
         t(spark, sf_dir, "documents")
-        .select(canonical_url(raw).alias("canonical_url"), "doc_id")
+        .select(canonical_url(_synth_messy_url()).alias("canonical_url"),
+                "doc_id")
         .groupBy("canonical_url")
         .agg(F.min("doc_id").cast("bigint").alias("kept_doc_id"),
              F.count("*").cast("bigint").alias("n_dupes"))
     )
 
 
-# The oracle mirrors BOTH halves — synthesis (same doc_id arithmetic)
-# and canonicalization (same regexes, same tracking-param pattern as
-# functions/strings.TRACKING_PARAM_RE, same sort-and-rejoin).
-_URL_SQL = r"""
+# The oracle mirrors BOTH halves — synthesis (same doc_id arithmetic as
+# _synth_messy_url) and canonicalization (same regexes, same
+# tracking-param pattern as functions/strings.TRACKING_PARAM_RE, same
+# sort-and-rejoin).  ONE copy of the CTE prefix, shared by the batch
+# dedup oracle and the streaming twin's oracle.
+_URL_CANON_CTES = r"""
 WITH raw AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
@@ -120,11 +131,106 @@ WITH raw AS (
     || (CASE WHEN pth0 = '' THEN '/' ELSE pth0 END)
     || (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS canonical_url
   FROM parts
-)
+)"""
+
+_URL_SQL = _URL_CANON_CTES + """
 SELECT canonical_url,
        CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
        CAST(count(*) AS BIGINT) AS n_dupes
 FROM canon GROUP BY canonical_url
+"""
+
+
+def _url_dedupe_stream(stream: DataFrame, scratch: str) -> DataFrame:
+    """Streaming first-seen-wins URL-canonical dedupe — the stream twin
+    of :func:`dedup_url_canonical`, and the FIRST pass a recrawl stream
+    runs (before any content shingling): each micro-batch canonicalizes
+    its URLs with the same codegen kernel, drops docs whose canonical
+    key exists in the ACCUMULATED canonical store (all earlier batches)
+    or belongs to a lower-id doc inside the batch, emits the keepers,
+    and appends its distinct canonicals to the store.
+
+    First-seen-wins is doc_id order (arrival order), so the result is
+    identical under any id-ordered micro-batch split — the
+    ``_dedup_minhash_stream`` determinism contract, pinned by the
+    stream≡batch equality test.
+
+    100 TB design: state is the DISTINCT canonical-URL set — ONE row
+    per unique page, the smallest state any dedupe tier carries (the
+    ``stream_cms_buckets`` bounded-state discipline) — and the
+    per-batch check is an equi-join of batch canonicals against it,
+    never batch×corpus.  In production the store is a bucketed table
+    compacted on the ``_scd2_apply_stream`` changelog schedule."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    spark = stream.sparkSession
+    store = _os.path.join(scratch, "canon_store")
+    kept_dir = _os.path.join(scratch, "kept")
+    state = {"has_store": False, "has_kept": False}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        canon = batch.select(
+            "doc_id",
+            canonical_url(_synth_messy_url()).alias("canonical_url"))
+        from .spec import materialize
+
+        canon = materialize(canon)  # feeds the check, the emit, the store
+        if state["has_store"]:
+            prev = sp.read.parquet(store)
+            seen = canon.join(prev, "canonical_url", "left_semi") \
+                        .select("doc_id")
+        else:
+            seen = canon.select("doc_id").limit(0)
+        w = Window.partitionBy("canonical_url")
+        dup_in = (canon.withColumn("__min", F.min("doc_id").over(w))
+                  .filter(F.col("doc_id") > F.col("__min"))
+                  .select("doc_id"))
+        dropped = seen.unionByName(dup_in).distinct()
+        kept = canon.join(dropped, "doc_id", "left_anti")
+        kept.write.mode("append").parquet(kept_dir)
+        state["has_kept"] = True
+        # append AFTER the check — a batch must not collide with itself
+        # through the store
+        canon.select("canonical_url").distinct() \
+             .write.mode("append").parquet(store)
+        state["has_store"] = True
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", _os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not state["has_kept"]:
+        return spark.createDataFrame(
+            [], "doc_id long, canonical_url string")
+    return spark.read.parquet(kept_dir)
+
+
+def stream_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen-wins URL-canonical dedupe over the documents
+    stream — see :func:`_url_dedupe_stream`."""
+    from .queries_streaming import read_documents_stream
+    from .spec import scratch_dir
+
+    return _url_dedupe_stream(
+        read_documents_stream(spark, sf_dir),
+        scratch_dir("url_dedupe_stream_"))
+
+
+_STREAM_URL_SQL = _URL_CANON_CTES + """
+SELECT doc_id, canonical_url FROM (
+  SELECT doc_id, canonical_url,
+         ROW_NUMBER() OVER (PARTITION BY canonical_url
+                            ORDER BY doc_id) AS rn
+  FROM canon
+) WHERE rn = 1
 """
 
 
@@ -194,4 +300,8 @@ SPECS: dict[str, QuerySpec] = {
     "select_kcenter_coreset": QuerySpec(
         select_kcenter_coreset_q, _KCENTER_SQL,
         "greedy k-center diversity coreset + nearest-exemplar coverage"),
+    "stream_url_dedupe": QuerySpec(
+        stream_url_dedupe, _STREAM_URL_SQL,
+        "streaming first-seen-wins URL-canonical dedupe (bounded "
+        "canonical-set state, stream ≡ batch)"),
 }

@@ -182,3 +182,55 @@ def test_registry_has_selection_entries():
     specs = all_specs()
     for name in ("dedup_url_canonical", "select_kcenter_coreset"):
         assert name in specs and specs[name].oracle is not None
+
+
+def test_stream_url_dedupe_equals_batch(spark, tmp_path):
+    """First-seen-wins URL dedupe must be identical whether documents
+    arrive as one batch or as id-ordered micro-batches with duplicate
+    canonical URLs CROSSING batch boundaries (the accumulated canonical
+    store suppresses a later batch's copy) and inside one batch (the
+    lower-id window suppresses the sibling)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_selection import (
+        _url_dedupe_stream,
+    )
+
+    # doc_ids chosen so the synthesized canonical key (doc_id mod 300
+    # for same source-class; here mod lcm(3,25,4)=300) collides for
+    # (0, 300) across batches and (1, 301) inside one batch
+    ids = [0, 1, 5, 7, 301, 300, 310, 601]
+    rows = [(i, f"text {i}", "en", f"src{i % 3}", 10) for i in ids]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    src = str(tmp_path / "docs_src")
+    for j, batch_ids in enumerate(([0, 1, 5, 7], [301, 300, 310], [601])):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        df.filter(F.col("doc_id").isin(batch_ids)) \
+          .coalesce(1).write.mode("append").parquet(src)
+        for p in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(p, (1_700_000_000 + j * 10, 1_700_000_000 + j * 10))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    got = {r.doc_id for r in
+           _url_dedupe_stream(stream, str(tmp_path / "url_dd")).collect()}
+    # batch semantics: min doc_id per canonical key
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.functions.strings import (
+        canonical_url,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_selection import (
+        _synth_messy_url,
+    )
+
+    want = {r.k for r in
+            df.select(canonical_url(_synth_messy_url()).alias("c"), "doc_id")
+              .groupBy("c").agg(F.min("doc_id").alias("k")).collect()}
+    assert got == want
+    # the cross-batch duplicate 300 and within-run later ids were dropped
+    assert 0 in got and 300 not in got
