@@ -317,6 +317,26 @@ class _Parser:
             return ("lit", t.text, None, dt)
         raise SyntaxError(f"unexpected term token {t}")
 
+    # SPARQL ECHAR escapes (§19.8 grammar rule [160]) — the first
+    # version unescaped only the quote char and backslash, so "a\nb"
+    # compiled the two-character backslash+n into comparisons and
+    # CONSTRUCT output (review batch: the tokenizer admits every ECHAR,
+    # so they parsed and then silently mis-evaluated).
+    _ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+              '"': '"', "'": "'", "\\": "\\"}
+
+    @classmethod
+    def _unescape(cls, s: str) -> str:
+        def sub(m: "re.Match[str]") -> str:
+            g = m.group(0)
+            if g[1] in ("u", "U"):
+                return chr(int(g[2:], 16))
+            if g[1] not in cls._ECHAR:
+                raise SyntaxError(f"unsupported string escape {g!r}")
+            return cls._ECHAR[g[1]]
+
+        return re.sub(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\.", sub, s)
+
     def _parse_string(self, raw: str) -> Term:
         qc = raw[0]  # '"' or "'" — SPARQL allows both quote styles
         m = re.match(
@@ -324,7 +344,7 @@ class _Parser:
             + r"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^(\S+))?$",
             raw,
         )
-        value = m.group(1).replace("\\" + qc, qc).replace("\\\\", "\\")
+        value = self._unescape(m.group(1))
         lang = m.group(2)
         dtype = m.group(3)
         if dtype and dtype.startswith("<"):
@@ -892,6 +912,17 @@ class _Compiler:
         self.auto_language = auto_language
         self.has_lang = "lang" in triples.columns
         self.label_langs: list[str] = []
+        # Variables that may be UNBOUND (NULL) in some solution: filled
+        # by the two structural NULL sources — OPTIONAL-introduced vars
+        # and vars missing from some UNION branch.  _join switches those
+        # shared keys from plain equality to the §8.3 compatibility
+        # form (equal OR either side unbound, merged by coalesce) — a
+        # plain equi-join key silently DROPPED every solution whose
+        # binding arrived NULL from the other branch (review batch).
+        # Over-approximation is safe: the compatibility form equals the
+        # equi-join whenever no NULLs actually occur; bound shared vars
+        # keep the hash-join backbone.
+        self._maybe_unbound: set[str] = set()
 
     # -- single pattern scan -------------------------------------------------
 
@@ -1201,7 +1232,9 @@ class _Compiler:
             # documented approximation.)  crossJoin discarded `how`.
             return env.join(df, F.lit(True), how)
         langs = [c for c in on if c.startswith("__lang__")]
-        if not langs:
+        nullable = [c for c in on if c in self._maybe_unbound
+                    and c not in langs]
+        if not langs and not nullable:
             return env.join(df, on, how)
         # Shared ``__lang__`` companions need NULL-SAFE equality: RDF
         # term equality includes the language tag, but two IRI/plain
@@ -1210,23 +1243,66 @@ class _Compiler:
         # OPTIONAL that re-binds the same variable
         # (get_wiki_sitelinks.rq's five sitelink blocks all re-bind
         # ?fg_item as an object).
-        norm = [c for c in on if c not in langs]
+        #
+        # Shared MAYBE-UNBOUND vars (OPTIONAL/UNION provenance — see
+        # __init__) use the §8.3 COMPATIBILITY form instead: solutions
+        # merge when the bindings are equal OR either side is unbound,
+        # and the merged binding is coalesce(left, right).  Their lang
+        # companions escape the same way (an unbound var's companion is
+        # NULL but must not veto a merge with a tagged binding).  Bound
+        # shared vars stay plain equi-keys, so the join keeps a hash
+        # backbone whenever at least one shared var is always-bound.
+        norm = [c for c in on if c not in langs and c not in nullable]
         left, right = env.alias("__jl"), df.alias("__jr")
+
+        def lcol(c):  # noqa: E306
+            return F.col(f"__jl.{c}")
+
+        def rcol(c):
+            return F.col(f"__jr.{c}")
+
         cond = None
         for c in norm:
-            p = F.col(f"__jl.{c}") == F.col(f"__jr.{c}")
+            p = lcol(c) == rcol(c)
+            cond = p if cond is None else cond & p
+        for c in nullable:
+            p = (lcol(c).eqNullSafe(rcol(c))
+                 | lcol(c).isNull() | rcol(c).isNull())
             cond = p if cond is None else cond & p
         for c in langs:
-            p = F.col(f"__jl.{c}").eqNullSafe(F.col(f"__jr.{c}"))
+            base = c[len("__lang__"):]
+            p = lcol(c).eqNullSafe(rcol(c))
+            if base in nullable:
+                p = p | lcol(base).isNull() | rcol(base).isNull()
             cond = p if cond is None else cond & p
+        if how == "left_anti" and not norm and nullable:
+            # §8.3.3 MINUS (and the NOT EXISTS this engine maps to it):
+            # removal requires ≥1 shared var bound on BOTH sides —
+            # all-unbound overlap removes nothing
+            dom = None
+            for c in nullable:
+                p = lcol(c).isNotNull() & rcol(c).isNotNull()
+                dom = p if dom is None else dom | p
+            cond = cond & dom
         out = left.join(right, cond, how)
         if how in ("left_anti", "left_semi"):
             # semi/anti joins produce LEFT columns only — the __jr
             # re-select below would crash on them (review fix: the
             # lang-companion FILTER EXISTS path hit exactly that)
             return out
-        cols = [F.col(f"__jl.{c}").alias(c) for c in env.columns]
-        cols += [F.col(f"__jr.{c}").alias(c) for c in df.columns
+        cols = []
+        for c in env.columns:
+            if c in nullable:
+                cols.append(F.coalesce(lcol(c), rcol(c)).alias(c))
+            elif (c in langs
+                  and c[len("__lang__"):] in nullable
+                  and c in df.columns):
+                base = c[len("__lang__"):]
+                cols.append(F.when(lcol(base).isNull(), rcol(c))
+                             .otherwise(lcol(c)).alias(c))
+            else:
+                cols.append(lcol(c).alias(c))
+        cols += [rcol(c).alias(c) for c in df.columns
                  if c not in env.columns]
         return out.select(*cols)
 
@@ -1244,6 +1320,38 @@ class _Compiler:
             dt = node[1][3] if len(node[1]) > 3 else None
             return dt in _NUMERIC_DTYPES
         return False
+
+    def _lang_expr(self, node: tuple, env: DataFrame | None) -> Column:
+        """The language tag of an expression operand, as a Column —
+        '' for untagged (plain literal / IRI / any computed value, since
+        every implemented operator returns a simple or typed literal;
+        STRLANG is not implemented).  Used by the term-equality forms
+        (=/!=/IN/SAMETERM): §17.4.1.7 RDFterm-equal includes the tag,
+        so FILTER(?l = "Berlin"@de) must NOT pass "Berlin"@en or plain
+        "Berlin" — the scan and VALUES paths already enforced this; the
+        FILTER path compared lexical forms only (review batch)."""
+        if node[0] == "term":
+            t = node[1]
+            if t[0] == "var":
+                col = _lang_col(t[1])
+                if env is not None and col in env.columns:
+                    return F.coalesce(F.col(col), F.lit(""))
+                return F.lit("")
+            if t[0] == "lit":
+                return F.lit((t[2] if len(t) > 2 else None) or "")
+        return F.lit("")
+
+    @staticmethod
+    def _statically_tagged(node: tuple) -> bool:
+        """True when the operand can carry a language tag at all: a
+        variable (runtime companion) or a tagged literal.  Everything
+        else is tag-free, letting the comparison fast-path skip the
+        companion conjunct."""
+        if node[0] != "term":
+            return False
+        t = node[1]
+        return t[0] == "var" or (t[0] == "lit"
+                                 and len(t) > 2 and bool(t[2]))
 
     def _expr(self, node: tuple, env: DataFrame | None) -> Column:
         kind = node[0]
@@ -1271,6 +1379,18 @@ class _Compiler:
                 # type error, and an errored comparison drops the row
                 # (NULL) per §17.2 — never kills the job.
                 a, b = a.try_cast("double"), b.try_cast("double")
+            elif op in ("=", "!=") and (self._statically_tagged(node[2])
+                                        or self._statically_tagged(node[3])):
+                # §17.4.1.7 RDFterm-equal includes the language tag —
+                # term (in)equality conjoins the companion comparison
+                # (both sides '' when untagged, so plain comparisons
+                # are unchanged); ordering ops stay lexical (review
+                # batch)
+                la = self._lang_expr(node[2], env)
+                lb = self._lang_expr(node[3], env)
+                if op == "=":
+                    return (a == b) & (la == lb)
+                return (a != b) | (la != lb)
             return {"=": a == b, "!=": a != b, "<": a < b, ">": a > b,
                     "<=": a <= b, ">=": a >= b}[op]
         if kind == "inlist":
@@ -1281,7 +1401,18 @@ class _Compiler:
             if not items:
                 return F.lit(bool(neg))
             e = self._expr(node[2], env)
-            mem = e.isin(*[self._expr(i, env) for i in items])
+            if self._statically_tagged(node[2]) \
+                    or any(self._statically_tagged(i) for i in items):
+                # term equality per element (tag included) — the isin
+                # fast path below compares lexical forms only
+                el = self._lang_expr(node[2], env)
+                mem = None
+                for i in items:
+                    p = ((e == self._expr(i, env))
+                         & (el == self._lang_expr(i, env)))
+                    mem = p if mem is None else mem | p
+            else:
+                mem = e.isin(*[self._expr(i, env) for i in items])
             return ~mem if neg else mem
         if kind == "arith":
             # arithmetic evaluates in double: RDF objects are lexical
@@ -1304,11 +1435,18 @@ class _Compiler:
         if kind == "call":
             name, args = node[1], node[2]
             if name == "LANG":
-                v = args[0][1][1]  # ("term", ("var", name))
-                col = _lang_col(v)
-                if env is not None and col in env.columns:
-                    return F.coalesce(F.col(col), F.lit(""))
-                return F.lit("")
+                a0 = args[0]
+                if a0[0] == "term" and a0[1][0] in ("var", "lit"):
+                    # variable → runtime companion; literal → its
+                    # static tag.  Anything else used to index into the
+                    # inner node blindly (LANG(COALESCE(?a, ?b)) read
+                    # the string "O" out of "COALESCE" and silently
+                    # compiled to '' — review batch); computed operands
+                    # are simple literals per the implemented function
+                    # set, but refusing is safer than guessing.
+                    return self._lang_expr(a0, env)
+                raise NotImplementedError(
+                    "LANG: only variable or literal arguments supported")
             if name == "STR":
                 # xsd casts to string — numeric BIND results (YEAR)
                 # become plain literals, string inputs pass through
@@ -1396,7 +1534,13 @@ class _Compiler:
             if name == "COALESCE":
                 return F.coalesce(*[self._expr(a, env) for a in args])
             if name == "SAMETERM":
-                return self._expr(args[0], env) == self._expr(args[1], env)
+                # same TERM = same lexical form AND same language tag
+                # (SAMETERM("x"@de, "x"@en) was true — review batch);
+                # per-binding datatypes aren't tracked, documented gap
+                return ((self._expr(args[0], env)
+                         == self._expr(args[1], env))
+                        & (self._lang_expr(args[0], env)
+                           == self._lang_expr(args[1], env)))
             if name in ("ABS", "CEIL", "FLOOR", "ROUND"):
                 fn = {"ABS": F.abs, "CEIL": F.ceil, "FLOOR": F.floor,
                       "ROUND": F.round}[name]
@@ -1462,6 +1606,14 @@ class _Compiler:
         name, distinct, arg = node[1], node[2], node[3]
         if name == "COUNT":
             if arg is None:
+                if distinct:
+                    # COUNT(DISTINCT *) = number of DISTINCT solutions
+                    # (§18.5.1.1) — DISTINCT was silently ignored for *
+                    # (review batch).  Struct-wrapped: a bare
+                    # multi-column count_distinct skips any-NULL rows,
+                    # but unbound variables are legal in solutions.
+                    return F.count_distinct(F.struct(
+                        *[F.col(c) for c in env.columns])).cast("long")
                 return F.count(F.lit(1)).cast("long")
             col = self._expr(arg, env)
             return (F.countDistinct(col) if distinct
@@ -1508,6 +1660,12 @@ class _Compiler:
         triples = triples if triples is not None else self.triples
         run: list[TriplePat] = []
         deferred_filters: list[tuple] = []
+        # group-LEADING FILTER (NOT) EXISTS deferred like plain filters
+        # (§18.2.2.2 scopes filters to the whole group regardless of
+        # position; these were silently DROPPED when env was None —
+        # review batch).  Leading MINUS stays a no-op: §8.3.3's
+        # disjoint-domain rule makes {μ0} MINUS anything = {μ0}.
+        deferred_guards: list[tuple[str, object]] = []
 
         def flush(env: DataFrame | None) -> DataFrame | None:
             if not run:
@@ -1551,6 +1709,11 @@ class _Compiler:
             if isinstance(item, OptionalPat):
                 sub = self._compile_group(item.group, triples)
                 if sub is not None:
+                    if env is not None:
+                        self._maybe_unbound |= {
+                            c for c in sub.columns
+                            if c not in env.columns
+                            and not c.startswith("__")}
                     env = self._join(env, sub, "left")
             elif isinstance(item, GroupPat):
                 # nested `{ ... }` scope (companions_and_relations.rq:48
@@ -1574,6 +1737,23 @@ class _Compiler:
                 # equi-joins on each branch's actually-bound keys, not a
                 # SPARQL-compatibility theta-join, which is the plan you
                 # want at scale.
+                if not parts:
+                    # every branch compiled to no bindings (filter-only
+                    # branches): per spec each branch is one empty
+                    # solution restricted by its filter — unsupported
+                    # shape; fail loud instead of IndexError (review
+                    # batch)
+                    raise NotImplementedError(
+                        "UNION: every branch is binding-free "
+                        "(filter-only branches are not supported)")
+                if len(parts) > 1:
+                    allc = set().union(*(set(p.columns) for p in parts))
+                    common = set(parts[0].columns)
+                    for p in parts[1:]:
+                        common &= set(p.columns)
+                    self._maybe_unbound |= {
+                        c for c in allc - common
+                        if not c.startswith("__")}
                 if env is not None and len(parts) > 1:
                     env = self._hint_small(env)
                 joined = [self._join(env, p) for p in parts] \
@@ -1584,49 +1764,32 @@ class _Compiler:
                 env = u
             elif isinstance(item, NotExistsPat):
                 sub = self._compile_group(item.group, triples)
-                if env is None or sub is None:
+                if env is None:
+                    if not item.is_minus and sub is not None:
+                        deferred_guards.append(("not_exists", sub))
                     continue
-                if self._shared(env, sub):
-                    env = self._join(env, sub, "left_anti")
-                elif not item.is_minus:
-                    # FILTER NOT EXISTS with disjoint vars: every
-                    # solution dies iff the sub-pattern matches at all
-                    # (dual of the EXISTS cross below); MINUS with
-                    # disjoint domains removes NOTHING (§8.3.3) and
-                    # stays the no-op above
-                    env = env.join(
-                        F.broadcast(sub.limit(1).select(
-                            F.lit(1).alias("__ne"))),
-                        F.lit(True), "left_anti")
+                env = self._apply_not_exists(env, sub, item.is_minus)
             elif isinstance(item, ExistsPat):
                 # dual of NOT EXISTS: keep solutions with ≥1 compatible
                 # binding in the sub-group → left-semi join on shared
                 # vars (SPARQL 1.1 §8.1.1)
                 sub = self._compile_group(item.group, triples)
                 if env is None:
+                    deferred_guards.append(("exists", sub))
                     continue
-                if sub is None:
-                    # sub-group yields no bindings → EXISTS is false
-                    # for every solution
-                    env = env.filter(F.lit(False))
-                elif self._shared(env, sub):
-                    env = self._join(env, sub, "left_semi")
-                else:
-                    # no shared vars: keep all solutions iff the
-                    # sub-pattern has any match at all — a 1-row
-                    # broadcast cross join (empty sub → empty result)
-                    env = env.crossJoin(
-                        F.broadcast(sub.limit(1).select(
-                            F.lit(1).alias("__exists"))))
-                    env = env.drop("__exists")
+                env = self._apply_exists(env, sub)
             elif isinstance(item, FilterPat):
-                if env is None:
-                    # no bindings YET — but §18.2.2.2 scopes filters to
-                    # the WHOLE group regardless of position, so a
-                    # group-LEADING filter must constrain the bindings
-                    # that arrive later (review fix: it was dropped).
-                    # A filter-only group (e.g. MINUS {FILTER(...)},
-                    # companions_and_relations.rq:124) still no-ops:
+                if env is None or any(
+                        v not in env.columns
+                        for v in self._expr_free_vars(item.expr)):
+                    # §18.2.2.2 scopes filters to the WHOLE group
+                    # regardless of position: defer when there are no
+                    # bindings yet (review fix: leading filters were
+                    # dropped) OR when the filter references a variable
+                    # a LATER pattern binds — applying it now would
+                    # either crash on the missing column or wrongly
+                    # treat a later-bound var as unbound (review
+                    # batch).  A filter-only group still no-ops:
                     # deferred filters die with env == None at the end.
                     deferred_filters.append(item.expr)
                     continue
@@ -1817,10 +1980,16 @@ class _Compiler:
             else:
                 raise NotImplementedError(f"pattern {item}")
         env = flush(env)
-        # group-leading filters deferred above: §18.2.2.2 scopes them
-        # to the whole group, so apply them over the final bindings
-        # (env still None == filter-only group == no-op, unchanged)
+        # group-leading guards/filters deferred above: §18.2.2.2 scopes
+        # them to the whole group, so apply them over the final
+        # bindings (env still None == filter-only group == no-op,
+        # unchanged)
         if env is not None:
+            for kind, sub in deferred_guards:
+                if kind == "not_exists":
+                    env = self._apply_not_exists(env, sub, False)
+                else:
+                    env = self._apply_exists(env, sub)
             for expr in deferred_filters:
                 # a variable never bound ANYWHERE in the group is
                 # unbound for every solution (§17.2: evaluating it is
@@ -1840,6 +2009,40 @@ class _Compiler:
                 else:
                     env = env.filter(self._expr(expr, env))
         return env
+
+    def _apply_not_exists(self, env: DataFrame, sub: DataFrame | None,
+                          is_minus: bool) -> DataFrame:
+        """Apply FILTER NOT EXISTS / MINUS over accumulated bindings
+        (factored so group-LEADING forms can defer to group end)."""
+        if sub is None:
+            return env  # empty sub-pattern never matches; MINUS: noop
+        if self._shared(env, sub):
+            return self._join(env, sub, "left_anti")
+        if not is_minus:
+            # FILTER NOT EXISTS with disjoint vars: every solution dies
+            # iff the sub-pattern matches at all (dual of the EXISTS
+            # cross below); MINUS with disjoint domains removes NOTHING
+            # (§8.3.3) and stays the no-op
+            return env.join(
+                F.broadcast(sub.limit(1).select(F.lit(1).alias("__ne"))),
+                F.lit(True), "left_anti")
+        return env
+
+    def _apply_exists(self, env: DataFrame,
+                      sub: DataFrame | None) -> DataFrame:
+        """Apply FILTER EXISTS over accumulated bindings (factored so
+        group-LEADING forms can defer to group end)."""
+        if sub is None:
+            # sub-group yields no bindings → EXISTS is false everywhere
+            return env.filter(F.lit(False))
+        if self._shared(env, sub):
+            return self._join(env, sub, "left_semi")
+        # no shared vars: keep all solutions iff the sub-pattern has
+        # any match at all — a 1-row broadcast cross join (empty sub →
+        # empty result)
+        return env.crossJoin(
+            F.broadcast(sub.limit(1).select(F.lit(1).alias("__exists")))
+        ).drop("__exists")
 
     @staticmethod
     def _expr_free_vars(node) -> set[str]:
@@ -2198,6 +2401,13 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
     pre_group_vars.extend(q.group_by)
     for h in q.having:
         term_vars(h, pre_group_vars)
+    for s in q.select:
+        # label-service vars referenced INSIDE computed projections
+        # (SELECT (UCASE(?itemLabel) AS ?u)) need the same pre-attach
+        # as bare select items — c._expr would otherwise raise on the
+        # missing column (review batch)
+        if isinstance(s, SelectExpr):
+            term_vars(s.expr, pre_group_vars)
     for v in pre_group_vars:
         if v in env.columns:
             continue
@@ -2297,6 +2507,15 @@ def _project_query(c: "_Compiler", env: DataFrame, q: Query) -> DataFrame:
     # ordering by non-projected vars, so there is nothing to carry.
     sort_extras = []
     if q.order_by and not q.distinct:
+        # a label-service sort key is bindable even when not projected
+        # (ORDER BY ?itemLabel with only ?item selected) — attach it
+        # before the in-env test silently drops it (review batch)
+        for v, _ in q.order_by:
+            if v not in env.columns:
+                if v.endswith("AltLabel") and v[:-8] in env.columns:
+                    env = c._attach_alt_label(env, v[:-8], v)
+                elif v.endswith("Label") and v[:-5] in env.columns:
+                    env = c._attach_label(env, v[:-5], v)
         sort_extras = list(dict.fromkeys(
             v for v, _ in q.order_by
             if v not in select and v in env.columns))

@@ -1441,3 +1441,182 @@ SELECT ?s ?kind WHERE { ?s rdfs:label ?l
     assert _vals(df, "s", "kind") == [
         ("http://ex.org/a", "any"), ("http://ex.org/a", "any"),
         ("http://ex.org/a", "german"), ("http://ex.org/b", "any")]
+
+
+# ---------------------------------------------------------------------------
+# round-13 continuation review batch: compatibility joins, term equality
+# in FILTER, deferred EXISTS guards, escapes, label-service reach
+# ---------------------------------------------------------------------------
+
+
+def test_union_null_var_rejoins_compatibly(triples):
+    """§8.3 join compatibility: a var NULL-filled by a UNION branch must
+    MERGE with (not veto) a later pattern's binding — plain equi-join
+    keys silently dropped every second-branch solution (review batch)."""
+    df = compile_sparql(_PFX + """
+SELECT ?s ?t WHERE {
+  { ?s ex:knows ex:b . ?s a ?t }
+  UNION
+  { ?s ex:knows ex:c }
+  ?s a ?t .
+}""", triples)
+    # branch 1: a (knows b, type Person); branch 2: b (knows c) with ?t
+    # unbound -> must still merge with `?s a ?t` and take t=Person
+    assert _vals(df, "s", "t") == [
+        ("http://ex.org/a", "http://ex.org/Person"),
+        ("http://ex.org/b", "http://ex.org/Person"),
+    ]
+
+
+def test_optional_var_rejoins_compatibly(triples):
+    """An OPTIONAL-introduced var left NULL must not veto a later
+    pattern that binds it (same §8.3 class as the UNION case)."""
+    df = compile_sparql(_PFX + """
+SELECT ?s ?t WHERE {
+  ?s ex:knows ?o .
+  OPTIONAL { ?s a ?t . FILTER(?t = ex:Robot) }
+  ?s a ?t .
+}""", triples)
+    # c: optional binds t=Robot (matches); a, b: optional leaves t NULL,
+    # later pattern binds Person — compatibility merge keeps them
+    assert _vals(df, "s", "t") == [
+        ("http://ex.org/a", "http://ex.org/Person"),
+        ("http://ex.org/b", "http://ex.org/Person"),
+        ("http://ex.org/c", "http://ex.org/Robot"),
+    ]
+
+
+def test_filter_term_equality_includes_lang(triples):
+    """§17.4.1.7 RDFterm-equal: FILTER(?l = "Alice"@en) must not pass
+    "Alix"@de or a hypothetical plain "Alice" (review batch — the
+    FILTER path compared lexical forms only)."""
+    q = _PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l . FILTER(?l = "Alice"@en) }"""
+    df = compile_sparql(q, triples)
+    assert _vals(df, "s") == [("http://ex.org/a",)]
+    # cross-tag comparison finds nothing
+    df2 = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l . FILTER(?l = "Alice"@de) }""", triples)
+    assert df2.count() == 0
+    # != is the negation of term equality: Alice@en differs from
+    # "Alice"@de by TAG alone and must pass
+    df3 = compile_sparql(_PFX + """
+SELECT ?l WHERE { ex:a rdfs:label ?l . FILTER(?l != "Alice"@de) }""",
+                         triples)
+    assert _vals(df3, "l") == [("Alice",), ("Alix",)]
+    # IN honors tags per element
+    df4 = compile_sparql(_PFX + """
+SELECT ?l WHERE { ex:a rdfs:label ?l .
+                  FILTER(?l IN ("Alice"@de, "Alix"@de)) }""", triples)
+    assert _vals(df4, "l") == [("Alix",)]
+    # SAMETERM includes the tag
+    df5 = compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l . FILTER(SAMETERM(?l, "Alix"@de)) }""",
+                         triples)
+    assert _vals(df5, "s") == [("http://ex.org/a",)]
+
+
+def test_leading_filter_not_exists_applies(triples):
+    """A group-LEADING FILTER NOT EXISTS was silently dropped (env was
+    None); §18.2.2.2 scopes it to the whole group (review batch)."""
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE {
+  FILTER NOT EXISTS { ?s ex:knows ex:b }
+  ?s a ex:Person .
+}""", triples)
+    assert _vals(df, "s") == [("http://ex.org/b",)]
+    df2 = compile_sparql(_PFX + """
+SELECT ?s WHERE {
+  FILTER EXISTS { ?s ex:knows ex:b }
+  ?s a ex:Person .
+}""", triples)
+    assert _vals(df2, "s") == [("http://ex.org/a",)]
+
+
+def test_positional_filter_on_later_bound_var(triples):
+    """A filter placed BEFORE the pattern that binds its variable must
+    still see the binding (§18.2.2.2) — it used to raise
+    AnalysisException on the missing column (review batch)."""
+    df = compile_sparql(_PFX + """
+SELECT ?s WHERE {
+  ?s ex:knows ?o .
+  FILTER(?t = ex:Person)
+  ?s a ?t .
+}""", triples)
+    assert _vals(df, "s") == [("http://ex.org/a",), ("http://ex.org/b",)]
+
+
+def test_string_escapes_unescape(triples):
+    """SPARQL ECHAR + \\uXXXX escapes evaluate to their characters —
+    they used to stay as literal backslash pairs (review batch)."""
+    df = compile_sparql(_PFX + r"""
+SELECT ?x WHERE { BIND(CONCAT("a\nb", "A", "\t") AS ?x) }""", triples)
+    assert [r.x for r in df.collect()] == ["a\nbA\t"]
+
+
+def test_count_distinct_star(triples):
+    """COUNT(DISTINCT *) counts DISTINCT solutions — DISTINCT was
+    silently ignored for * (review batch)."""
+    # ?s bound to knowers: a,b,c each once; join against type makes
+    # duplicates: use labels of ex:a (2 rows) paired with type (1) -> 2
+    df = compile_sparql(_PFX + """
+SELECT (COUNT(DISTINCT *) AS ?n) WHERE {
+  ?s ex:knows ?o . ?s ex:knows ?o .
+}""", triples)
+    assert [r.n for r in df.collect()] == [3]
+
+
+def test_lang_fn_literal_and_unsupported(triples):
+    """LANG of a tagged literal is its tag; non-term arguments are
+    refused loudly instead of silently compiling to '' (review batch:
+    LANG(COALESCE(...)) indexed into the string \"COALESCE\")."""
+    df = compile_sparql(_PFX + """
+SELECT ?x WHERE { BIND(LANG("hi"@de) AS ?x) }""", triples)
+    assert [r.x for r in df.collect()] == ["de"]
+    with pytest.raises(NotImplementedError, match="LANG"):
+        compile_sparql(_PFX + """
+SELECT ?s WHERE { ?s rdfs:label ?l .
+                  FILTER(LANG(COALESCE(?l, ?l)) = "de") }""", triples)
+
+
+def test_union_all_filter_only_branches_fails_loud(triples):
+    with pytest.raises(NotImplementedError, match="UNION"):
+        compile_sparql(_PFX + """
+SELECT ?x WHERE {
+  ?x a ex:Person .
+  { FILTER(?x > 1) } UNION { FILTER(?x < 1) }
+}""", triples)
+
+
+_WB = """\
+PREFIX ex: <http://ex.org/>
+PREFIX wikibase: <http://wikiba.se/ontology#>
+PREFIX bd: <http://www.bigdata.com/rdf#>
+"""
+
+
+def test_label_var_in_computed_projection(triples):
+    """A label-service var referenced INSIDE a computed projection
+    (UCASE(?sLabel)) must trigger the label attach — it used to raise
+    on the missing column (review batch)."""
+    df = compile_sparql(_WB + """
+SELECT ?s (UCASE(?sLabel) AS ?u) WHERE {
+  ?s ex:knows ex:b .
+  SERVICE wikibase:label { bd:serviceParam wikibase:language "en". }
+}""", triples)
+    assert _vals(df, "s", "u") == [("http://ex.org/a", "ALICE")]
+
+
+def test_order_by_unprojected_label_var(triples):
+    """ORDER BY on a non-projected label-service var must attach the
+    label and sort — it was silently dropped (review batch)."""
+    df = compile_sparql(_WB + """
+SELECT ?s WHERE {
+  ?s ex:knows ?o .
+  SERVICE wikibase:label { bd:serviceParam wikibase:language "en". }
+} ORDER BY DESC(?sLabel)""", triples)
+    rows = [r.s for r in df.collect()]
+    # labels: a->Alice, b->Bob, c falls back to its local name "c" (the
+    # label service's QID fallback) -> DESC is "c" > "Bob" > "Alice"
+    assert rows == ["http://ex.org/c", "http://ex.org/b", "http://ex.org/a"]
+    assert set(df.columns) == {"s"}
