@@ -137,7 +137,13 @@ _SESSION_SQL = """
 WITH marked AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                -- STRICT '>' : Spark's session_window MERGES two
+                -- events exactly gap-apart (verified empirically:
+                -- 00:00 + 00:30 with a 30-min gap is ONE session,
+                -- split only at gap + 1us) — '>=' split the oracle a
+                -- boundary early (review batch; the batch sessionize
+                -- convention _SESSIONIZE_SQL already used '>')
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -602,12 +608,18 @@ def _dedup_minhash_stream(stream: DataFrame, scratch: str,
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet as a file stream (schema from a batch read,
-    the ``read_events_stream`` pattern — no ts column to normalize)."""
+    """documents.parquet as a file stream (schema via the shared
+    source-keyed memo, the ``read_events_stream`` pattern — no ts
+    column to normalize; the unmemoized batch read paid a ~0.5 s
+    schema-inference job per invocation, review batch)."""
     import os as _os
 
+    from .spec import source_memo
+    from .streaming.windows import _SCHEMA_MEMO
+
     path = _os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = source_memo(_SCHEMA_MEMO, spark, path,
+                         lambda: spark.read.parquet(path).schema)
     return (spark.readStream.schema(schema)
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir))

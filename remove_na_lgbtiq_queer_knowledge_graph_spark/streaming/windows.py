@@ -217,19 +217,25 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     import pandas as pd
 
     def update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        # nv tracks NON-NULL values seen: pandas' skipna sum over an
+        # all-NULL column is 0.0, but SQL sum(value) is NULL — a user
+        # whose every value is NULL must emit NULL, not 0.0 (review
+        # batch; NULL-semantics parity is a repo contract)
+        n, nv, total = state.get if state.exists else (0, 0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
+            nv += int(pdf["value"].notna().sum())
             total += float(pdf["value"].sum())
-        state.update((n, total))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-        )
+        state.update((n, nv, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "total_value": [round(total, 2) if nv else None],
+        })
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, total double",
+        stateStructType="n bigint, nv bigint, total double",
         outputMode="append",
         timeoutConf="NoTimeout",
     )

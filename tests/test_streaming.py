@@ -394,3 +394,68 @@ def test_stateful_totals_split_invariant(spark, tmp_path):
                        .agg(F.count("*").alias("n"),
                             F.sum("value").alias("tv")).collect()}
     assert final == want
+
+
+def test_session_gap_boundary_matches_spark_semantics(spark):
+    """Spark's session_window MERGES events exactly gap-apart (split
+    only beyond the gap); the oracle's break condition must be STRICT
+    '>' to agree at the boundary (review batch — '>=' split one
+    session early).  Pinned live against the oracle SQL."""
+    import duckdb
+
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.queries_streaming import (
+        _SESSION_SQL,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.streaming.windows import (
+        session_aggregate,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),   # gap to next: exactly 30 min
+        (1, "2024-01-01 00:30:00", 2),   # -> SAME session
+        (1, "2024-01-01 01:00:00.000001", 3),  # 30min + 1us -> NEW
+        (2, "2024-01-01 00:00:00", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id")
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_aggregate(df, "30 minutes").collect())
+    assert got == [(1, 1704067200, 2), (1, 1704070800, 1),
+                   (2, 1704067200, 1)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, ts TIMESTAMP, "
+                "event_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)",
+                    [(u, t, e) for u, t, e in rows])
+    want = sorted(tuple(r) for r in con.sql(_SESSION_SQL).fetchall())
+    assert got == want
+
+
+def test_stateful_totals_all_null_values_emit_null(spark, tmp_path):
+    """A user whose every value is NULL must emit total_value NULL
+    (SQL sum semantics), not pandas' skipna 0.0 (review batch)."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.streaming.windows import (
+        stateful_user_totals,
+    )
+
+    src = str(tmp_path / "ev_src")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 100, "x", None),
+         (2, "2024-01-01 00:00:00", 101, "x", 5.0)],
+        "user_id long, ts string, event_id long, event_type string, "
+        "value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id",
+                 "event_type", "value") \
+     .coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stateful_user_totals(stream)
+         .writeStream.format("memory").queryName("mem_null_totals")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+    got = {r.user_id: r.total_value
+           for r in spark.sql("SELECT * FROM mem_null_totals").collect()}
+    assert got[1] is None and got[2] == 5.0
