@@ -56,8 +56,14 @@ def token_counts(text: Column) -> tuple[Column, Column]:
     exactly the de/fr/es corpora :data:`STOPWORDS` supports (review
     batch).  Blank text counts 0 tokens, not the phantom 1 that
     ``split('')``'s ``['']`` produces."""
-    ws = F.when(F.trim(text) == "", F.lit(0)).otherwise(
-        F.size(norm_tokens(text)))
+    # size(toks) minus a blank-text indicator: split('') yields ['']
+    # (one phantom token) and norm_tokens never produces empty tokens
+    # otherwise, so subtracting the indicator counts 0 for blank text.
+    # Arithmetic, not a when() AROUND the tokenizer (defeats codegen
+    # CSE — the chain re-evaluates per use, measured 2×) and not a
+    # higher-order filter (interpreted per element).
+    ws = (F.size(norm_tokens(text))
+          - F.when(F.trim(text) == "", F.lit(1)).otherwise(F.lit(0)))
     # explicit whitespace class, NOT \s — Java/RE2 disagree on \x0b
     # (the norm_tokens portability rule; review fix)
     from ..functions.strings import lower_simple
@@ -82,7 +88,12 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     # kept n_tokens==0 filters from ever firing; review batch).  The
     # ratio denominators go NULL on 0 — mirrored by the oracle's
     # nullif — and the tier's NULL comparison falls through to 'low'.
-    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
+    # Counted as size(toks) minus a blank indicator — unconditional
+    # size keeps the tokenizer chain CSE-shareable (a when() around it
+    # re-evaluated the split per consumer: measured 2×), and the
+    # indicator branches only on trim(text), not the chain.
+    n_tokens = (F.size(toks)
+                - F.when(F.trim(text) == "", F.lit(1)).otherwise(F.lit(0)))
     n_chars = F.length(text)
     # Unicode-aware punctuation class: Java \w is ASCII-only, so 'é'
     # and 'ß' counted as punctuation and inflated punct_ratio on the

@@ -652,8 +652,8 @@ _QUALITY_SQL = f"""
 WITH f AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-                   ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
+         CAST(len({_TOKS}) - CASE WHEN trim(text) = '' THEN 1
+                   ELSE 0 END AS BIGINT) AS n_tokens,
          CAST(length(array_to_string({_TOKS}, '')) AS BIGINT) AS tok_chars,
          CAST(len(regexp_extract_all(text,
               '[^\\p{{L}}0-9_ \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS n_punct,
@@ -682,8 +682,8 @@ def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_SQL = f"""
 SELECT doc_id,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len({_TOKS}) END AS BIGINT) AS ws_tokens,
+       CAST(len({_TOKS}) - CASE WHEN trim(text) = '' THEN 1
+                 ELSE 0 END AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text),
             '[\\p{{L}}]+|[0-9]+|[^\\p{{L}}0-9 \\t\\n\\x0b\\f\\r]'))
             AS BIGINT) AS bpe_tokens
@@ -836,8 +836,8 @@ l AS (
 ),
 f AS (
   SELECT doc_id,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-                   ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
+         CAST(len({_TOKS}) - CASE WHEN trim(text) = '' THEN 1
+                   ELSE 0 END AS BIGINT) AS n_tokens,
          CAST(len(list_filter({_TOKS}, x -> x IN ({_ALL_STOP}))) AS BIGINT) AS stop_hits
   FROM dedup
 ),
