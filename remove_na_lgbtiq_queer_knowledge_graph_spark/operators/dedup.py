@@ -209,18 +209,35 @@ def minhash_band_pairs(
     collide w.p. ≥ 95%, jaccard 0.3 pairs w.p. ~10% — the standard
     near-dup operating point.
 
-    Bands come from :func:`minhash_bands` (one array projection); the
-    band table is materialized once for the two self-join sides.
+    Bands come from :func:`minhash_bands` (one array projection).
+    Pairs are generated by grouping ids per (band, bucket) and
+    exploding in-bucket combinations — NOT a bucket-keyed self-join
+    (r13 optimization).  The self-join shape shuffled the band table
+    twice (or paid an eager localCheckpoint: without it Catalyst
+    re-computed the whole shingle→signature chain for the second join
+    side, since a broadcast build side shares no exchange), and the
+    join's output is exactly the per-bucket pair cliques this explode
+    produces in place.  Same skew envelope: a hot bucket's B² pairs
+    landed in ONE join task before and land in one explode task now —
+    bucket size is the thing LSH banding keeps small by design; the
+    sort_array guarantees id_1 < id_2 without a filter.
     """
-    from ..spec import materialize
-
-    bands = materialize(minhash_bands(sig, num_hashes, band_size))
-    a = bands.select(F.col("id").alias("id_1"), "band", "bucket")
-    b2 = bands.select(F.col("id").alias("id_2"), "band", "bucket")
+    bands = minhash_bands(sig, num_hashes, band_size)
+    ids = F.sort_array(F.collect_list("id"))
+    pairs = F.flatten(F.transform(
+        F.col("__ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__ids"), i + 2,
+                    F.greatest(F.size(F.col("__ids")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+        ),
+    ))
     return (
-        a.join(b2, ["band", "bucket"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
+        bands.groupBy("band", "bucket").agg(ids.alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.id_1").alias("id_1"),
+                F.col("__p.id_2").alias("id_2"))
         .distinct()
     )
 
