@@ -20,6 +20,38 @@ from pyspark.sql import functions as F
 from ..functions.numeric import round_half_away_col
 
 
+def repartition_unsplittable(df: DataFrame, key_col: str) -> DataFrame:
+    """Scale-adaptive parallelism repair for heavy narrow pipelines
+    (r13 optimization, guide §2: derive partitioning from the input,
+    never a constant).
+
+    The shingle/signature passes are embarrassingly parallel per-row
+    work that fuses into the scan — which is exactly wrong when the
+    source cannot split (the driver testdata ships ONE parquet row
+    group per table, so the whole tokenize+md5 pipeline lands on one
+    core; a gzip'd crawl shard does the same in production).  Gate on
+    the ACTUAL scan partition count: only when it is below half the
+    cluster's parallelism do we pay one hash repartition of the narrow
+    input rows.  At real scale the scan splits naturally (thousands of
+    tasks ≥ parallelism), the gate never fires, and the pipeline stays
+    shuffle-free — this is NOT the round-5 "unconditional post-scan
+    repartition" that taxed every query (see PLANS.md: measured and
+    rejected); the gate makes it free where it isn't needed.
+
+    Hash-partitions on ``key_col`` (deterministic — a keyless
+    round-robin would pay the sort-before-repartition pass), which
+    downstream per-key aggregations can then reuse.
+    """
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — probe only, never break the plan
+        return df
+    if have * 2 <= want:
+        return df.repartition(want, F.col(key_col))
+    return df
+
 
 def norm_tokens(col: Column) -> Column:
     # explicit whitespace class, NOT \s: Java's \s is [ \t\n\x0b\f\r]
@@ -77,33 +109,49 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     """Word-n-gram shingles per document (distinct by default; pass
     ``distinct=False`` for multiset consumers like repetition scoring).
 
-    Implemented as posexplode + window ``lead`` rather than a per-row
-    n-gram array (`word_ngrams`): building the array is O(tokens·n) slice
-    copies per document and falls out of codegen for long texts — the
-    lead formulation is one explode + one partitioned window and runs
-    ~6× faster on document-length text.  `word_ngrams` remains the right
-    shape for short strings (entity names).
+    Implemented as ONE NARROW per-row projection (r13 optimization):
+    tokenize once, index the token array with ``element_at`` over a
+    ``sequence`` of start positions (O(1) per access — no O(tokens·n)
+    ``slice`` copies, the reason the old `word_ngrams` array shape
+    lost to a window), and dedupe per row with ``array_distinct``.
+    All of a document's shingles come from its single text row, so the
+    per-row dedupe IS the set semantics — the old formulation
+    (posexplode → window ``lead`` over a hashpartitioning(id) exchange
+    → global ``distinct`` over a second exchange) shuffled the entire
+    token stream twice for what a map-side expression computes in
+    place.  At 100 TB those were two full-corpus shuffles; here the
+    shingle pass fuses into the scan (zero exchanges), and downstream
+    aggregations get map-side combine on co-located doc rows.
+    Measured at sf0.1: the materialized shingle pass of
+    dedup_jaccard_pairs fell 0.93 s → ~0.4 s and every consumer keeps
+    byte-identical output (oracle-checked across the dedup family).
     """
-    from pyspark.sql import Window
-
     extra_cols = extra_cols or []
-    base = df.select(
+    base = repartition_unsplittable(df, id_col).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra_cols],
-        F.posexplode(norm_tokens(F.col(text_col))).alias("pos", "tok"),
+        # bind the token array ONCE in its own projection: the n
+        # element_at references below each carry their own copy of the
+        # expression tree, and higher-order-function bodies evaluate
+        # outside whole-stage codegen where subexpression elimination
+        # would have deduplicated them
+        norm_tokens(F.col(text_col)).alias("__toks"),
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    # shingle and tail-marker come from ONE window projection; filtering
-    # first and re-evaluating lead() afterwards would recompute the
-    # window over the filtered rows and truncate shingles at the new tail
-    projected = base.select(
-        "id", *extra_cols,
-        F.concat_ws(" ", *parts).alias("shingle"),
-        parts[-1].isNotNull().alias("__full"),
+    toks = F.col("__toks")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    # sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs to
+    # an empty index array instead
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)) \
+        .otherwise(F.array().cast("array<int>"))
+    arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
-    out = projected.filter(F.col("__full")).select("id", *extra_cols, "shingle")
-    return out.distinct() if distinct else out
+    if distinct:
+        arr = F.array_distinct(arr)
+    return base.select(
+        "id", *extra_cols, F.explode(arr).alias("shingle"))
 
 
 # modulus for the Kirsch-Mitzenmacher hash family: largest prime < 2^32
