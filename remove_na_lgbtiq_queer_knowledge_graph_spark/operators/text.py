@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_away_col
 
-from .dedup import norm_tokens
+from .dedup import norm_tokens, repartition_unsplittable
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a"],
@@ -81,6 +81,10 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     ``keep`` passes extra columns through, so upstream per-row results
     (e.g. ``lang_id``) can ride the same single corpus pass instead of
     re-joining on the id."""
+    # parallelism repair for the regex-heavy narrow pass (no-op on
+    # already-distributed input — e.g. corpus_curation's post-window
+    # frame — and on any splittable source; see repartition_unsplittable)
+    df = repartition_unsplittable(df, id_col)
     text = F.col(text_col)
     toks = norm_tokens(text)
     # blank text is 0 tokens (split('') yields [''] — a phantom token
@@ -139,6 +143,7 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 over the sorted distinct token set —
     the document-level analogue of the OpenRefine key fingerprint
     (`open-refine-fingerprint.R:15-23`), order/whitespace-insensitive."""
+    df = repartition_unsplittable(df, id_col)
     toks = norm_tokens(F.col(text_col))
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
@@ -161,6 +166,7 @@ def pii_mask(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the op is embarrassingly parallel at 100 TB.
     """
     masked = F.col(text_col)
+    df = repartition_unsplittable(df, id_col)
     for name, pat in PII_PATTERNS.items():
         masked = F.regexp_replace(masked, pat, f"<{name.upper()}>")
     # counts are of the placeholders ACTUALLY PRESENT in masked_text,
