@@ -127,15 +127,22 @@ def strip_markers(col: Column, markers: list[str]) -> Column:
     return F.trim(F.regexp_replace(out, r"[ \t\n\x0b\f\r]+", " "))
 
 
-def char_ngrams(col: Column, n: int = 2) -> Column:
-    """Character n-gram array (letters only), the reference's shingling.
+def clean_letters(col: Column) -> Column:
+    """The char-gram cleaning step (lowercase, letters only) — split
+    out of :func:`char_ngrams` so callers can BIND it once in a
+    projection before gramming (r13 optimization): an expression
+    referenced inside a higher-order-function lambda is copied into
+    every element evaluation, so the inline form re-ran this
+    regexp chain once per GRAM (measured 0.42 s → 0.23 s median for
+    the part-name gram explode at sf0.1 after pre-binding)."""
+    return F.regexp_replace(lower_simple(col), r"[^a-z]", "")
 
-    Reference: ``tokens(what="character") %>% tokens_keep("[A-Za-z]") %>%
-    tokens_ngrams(n=2)`` (``01-within-entities.R:40-44``).  Expressed with
-    higher-order functions so it stays JVM-side: strip non-letters, then
-    slide a window of ``n`` over the char sequence.
-    """
-    s = F.regexp_replace(lower_simple(col), r"[^a-z]", "")
+
+def char_ngrams_clean(s: Column, n: int = 2) -> Column:
+    """Char n-gram array over an ALREADY-CLEANED column (a bound
+    reference to :func:`clean_letters` output — pass ``F.col(...)``,
+    not the cleaning expression itself, or the per-element re-eval
+    this split exists to avoid comes right back)."""
     # sequence(1, len-n+1) → substr(s, i, n); empty array when too short
     return F.when(
         F.length(s) >= n,
@@ -144,6 +151,22 @@ def char_ngrams(col: Column, n: int = 2) -> Column:
             lambda i: s.substr(i, F.lit(n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column, n: int = 2) -> Column:
+    """Character n-gram array (letters only), the reference's shingling.
+
+    Reference: ``tokens(what="character") %>% tokens_keep("[A-Za-z]") %>%
+    tokens_ngrams(n=2)`` (``01-within-entities.R:40-44``).  Expressed with
+    higher-order functions so it stays JVM-side: strip non-letters, then
+    slide a window of ``n`` over the char sequence.
+
+    NOTE (r13): the cleaning chain embedded here re-evaluates once per
+    gram inside the transform lambda; hot paths should project
+    :func:`clean_letters` into a column first and call
+    :func:`char_ngrams_clean` on the bound reference.
+    """
+    return char_ngrams_clean(clean_letters(col), n)
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:

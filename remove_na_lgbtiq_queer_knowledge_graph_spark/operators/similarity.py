@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_away_col
 
-from ..functions.strings import char_ngrams
+from ..functions.strings import char_ngrams, char_ngrams_clean, clean_letters
 
 
 def gram_counts(
@@ -39,11 +39,18 @@ def gram_counts(
 ) -> DataFrame:
     """(id, block…, gram, cnt) char-n-gram term counts (quanteda dfm)."""
     block_cols = block_cols or []
+    # bind the cleaned string ONCE before gramming — the inline
+    # char_ngrams form re-evaluated the regexp clean per gram inside
+    # the transform lambda (r13; see functions/strings.clean_letters)
     return (
         df.select(
             F.col(id_col).alias("id"),
             *[F.col(c) for c in block_cols],
-            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+            clean_letters(F.col(text_col)).alias("__s"),
+        )
+        .select(
+            "id", *block_cols,
+            F.explode(char_ngrams_clean(F.col("__s"), n)).alias("gram"),
         )
         .groupBy("id", *block_cols, "gram")
         .agg(F.count("*").alias("cnt"))
@@ -294,7 +301,9 @@ def candidate_pairs_lsh(
 
     feats = df.select(
         F.col(id_col).alias("id"),
-        char_ngrams(F.col(text_col), n).alias("grams"),
+        clean_letters(F.col(text_col)).alias("__s"),
+    ).select(
+        "id", char_ngrams_clean(F.col("__s"), n).alias("grams"),
     ).filter(F.size("grams") > 0)
     tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=vocab_size, binary=True)
     fdf = tf.transform(feats)
@@ -362,12 +371,30 @@ def candidate_pairs_minhash(
     MinHash dedup pipelines use before LSH.
     """
     from ..spec import materialize
+    from .dedup import repartition_unsplittable
 
+    # Per-row set semantics (r13 optimization): every id's grams come
+    # from its single text row, so array_distinct IS the distinct
+    # (id, gram) set — the old explode().distinct() paid a full
+    # shuffle for it.  The cleaned string is bound once before
+    # gramming (see functions/strings.clean_letters), and the
+    # parallelism gate distributes the narrow md5-heavy chain when the
+    # scan cannot split.  Precondition (holds for every caller —
+    # keyed entity tables): ids are unique in ``df``; duplicated id
+    # rows would union their gram sets under the old distinct and no
+    # longer do.
     gset = materialize(
-        df.select(
+        repartition_unsplittable(df, id_col)
+        .select(
             F.col(id_col).alias("id"),
-            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
-        ).distinct()
+            clean_letters(F.col(text_col)).alias("__s"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(char_ngrams_clean(F.col("__s"), n))
+            ).alias("gram"),
+        )
     )
     # Equivalence classes of identical gram sets: cls = hash of the
     # sorted gram set (map-side combinable collect_set, one shuffle).
