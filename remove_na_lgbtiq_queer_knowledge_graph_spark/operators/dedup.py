@@ -861,25 +861,35 @@ def remove_frequent_ngrams(
     # Case-preserving (not norm_tokens): the docstring's contract is
     # VERBATIM repetition, and the kept words rebuild clean_text.
     toks = ws_tokens(F.col(text_col))
-    # gram stream via posexplode + window lead (the shingles plan): a
-    # per-row transform() lambda evaluates interpreted per element and
-    # measured ~2x slower than the lead formulation at corpus scale.
+    # gram stream as ONE NARROW per-row projection over the BOUND token
+    # array (r13 — the shingles() rewrite): the old posexplode + window
+    # ``lead`` shape shuffled the whole token stream on id first.  (The
+    # earlier "transform is ~2x slower" measurement was the UNBOUND
+    # lambda re-evaluating the tokenizer chain per element — binding
+    # __tk in its own projection fixes that; see shingles().)
     # grams feed BOTH the doc-frequency aggregation and the coverage
     # semi-join — materialize the explode once instead of running the
     # token-scale pass per consumer (Spark shares no identical subplans
     # across branches).
-    base = df.select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    gbase = repartition_unsplittable(df, id_col).select(
+        F.col(id_col), toks.alias("__tk"))
+    tk = F.col("__tk")
+    gcnt = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+    gidx = F.when(gcnt >= 1, F.sequence(F.lit(0), gcnt - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    garr = F.transform(
+        gidx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
+            ).alias("gram"),
+        ),
+    )
     grams = materialize(
-        base.select(
-            id_col, "pos",
-            F.concat_ws(" ", *parts).alias("gram"),
-            parts[-1].isNotNull().alias("__full"),
-        )
-        .filter(F.col("__full"))
-        .select(id_col, "pos", F.xxhash64("gram").alias("gram_hash"))
+        gbase.select(id_col, F.explode(garr).alias("__g"))
+        .select(id_col, F.col("__g.pos").alias("pos"),
+                F.xxhash64("__g.gram").alias("gram_hash"))
     )
     frequent = (
         grams.groupBy("gram_hash")

@@ -35,7 +35,11 @@ def _word_grams(docs: DataFrame, n: int) -> DataFrame:
     arbitrarily long phrase string keeps the contamination join's
     shuffle narrow at corpus scale (and md5 is engine-independent, so
     the DuckDB oracle joins on identical bytes)."""
-    w = F.expr(_WORDS_SPARK)
+    # bind the tokenizer chain ONCE before gramming: an expression
+    # referenced inside a transform lambda is copied into every element
+    # evaluation (r13; same fix as functions/strings.clean_letters)
+    base = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("__w"))
+    w = F.col("__w")
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
     ).otherwise(F.expr("array()").cast("array<int>"))
@@ -43,7 +47,7 @@ def _word_grams(docs: DataFrame, n: int) -> DataFrame:
         F.transform(idx, lambda j: F.array_join(F.slice(w, j + 1, n), " "))
     )
     return (
-        docs.select("doc_id", gram.alias("gram"))
+        base.select("doc_id", gram.alias("gram"))
         .select("doc_id", F.md5("gram").alias("g"))
         .distinct()
     )
