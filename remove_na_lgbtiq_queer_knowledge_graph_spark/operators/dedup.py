@@ -691,20 +691,30 @@ def overlap_spans(
     from ..spec import materialize
 
     def kgrams(frame: DataFrame, reused: bool) -> DataFrame:
-        toks = frame.select(
+        # narrow bound-array k-gram stream (r13 — the shingles()
+        # rewrite): the old posexplode + window ``lead`` shape shuffled
+        # the whole token stream on id before hashing
+        base = repartition_unsplittable(frame, id_col).select(
             F.col(id_col).alias("id"),
-            F.posexplode(norm_tokens(F.col(text_col))).alias("pos", "tok"),
+            norm_tokens(F.col(text_col)).alias("__tk"),
         )
-        w = Window.partitionBy("id").orderBy("pos")
-        parts = [F.col("tok")] + [F.lead("tok", i).over(w)
-                                  for i in range(1, k)]
+        tk = F.col("__tk")
+        cnt = F.greatest(F.size(tk) - (k - 1), F.lit(0))
+        idx = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        garr = F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(
+                    " ", *[F.element_at(tk, i + j + 1) for j in range(k)]
+                )).alias("h"),
+            ),
+        )
         kg = (
-            toks.select(
-                "id", "pos",
-                F.md5(F.concat_ws(" ", *parts)).alias("h"),
-                parts[-1].isNotNull().alias("__full"))
-            .filter(F.col("__full"))
-            .select("id", "pos", "h")
+            base.select("id", F.explode(garr).alias("__g"))
+            .select("id", F.col("__g.pos").alias("pos"),
+                    F.col("__g.h").alias("h"))
         )
         # materialize BEFORE the heavy-gram cut, but only when something
         # actually consumes kg twice (the df aggregation + anti-join
