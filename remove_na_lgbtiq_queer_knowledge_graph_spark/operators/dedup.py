@@ -433,9 +433,9 @@ def jaccard_pairs_direct(
 
     Tiny-data fast path: shuffle is Σ df(gram)², so ONLY safe when no
     gram is hot — prefer :func:`jaccard_pairs` (prefix default)."""
-    from ..spec import materialize
-
-    sh = materialize(sh)  # used by both join sides + the cardinality agg
+    # NOT materialized (r13): with the narrow shingles() rewrite the
+    # per-consumer recompute is a shuffle-free projection, measured
+    # cheaper than the eager checkpoint it used to amortize
     blk = [block_col] if block_col else []
     keys = blk + ["shingle"]
     # block-scoped cardinalities, matching jaccard_pairs_prefix: an id
@@ -530,9 +530,11 @@ def jaccard_pairs_prefix(
     O(card)), so post-filter cost ∝ candidates, not Σ df².
     ``sh`` must be a (id, shingle) SET (the :func:`shingles` default).
     """
-    from ..spec import materialize
-
-    sh = materialize(sh)
+    # sh is NOT materialized (r13): the narrow shingles() rewrite made
+    # the per-consumer recompute a shuffle-free projection — the eager
+    # checkpoint that amortized the old window+distinct chain now costs
+    # more than it saves (interleaved A/B at sf0.1: 2.29/3.15 →
+    # 1.76/2.41 min/med for the full prefix-jaccard plan)
     blk = [block_col] if block_col else []
     # document frequency is a COUNT window over the gram key inside
     # _rarest_first_prefix, not a groupBy + join back: both shapes
@@ -562,9 +564,13 @@ def jaccard_pairs_prefix(
     # block-local, so an id that appears under several block values
     # must verify against its per-block gram set — grouping on id
     # alone would merge cardinalities/intersections across blocks
-    gsets = materialize(sh.groupBy(*blk, "id").agg(
+    # gsets NOT materialized (r13): its two consumers are branches of
+    # ONE final plan whose subtrees canonicalize to the same exchange
+    # (ReusedExchange), and the upstream sh is now a shuffle-free
+    # projection — part of the same measured A/B as the sh checkpoint
+    gsets = sh.groupBy(*blk, "id").agg(
         F.sort_array(F.collect_list("shingle")).alias("__g"),
-        F.count("*").alias("__card")))
+        F.count("*").alias("__card"))
     g1 = gsets.select(*blk, F.col("id").alias("id_1"),
                       F.col("__g").alias("__g1"),
                       F.col("__card").alias("__c1"))
@@ -610,9 +616,9 @@ def containment_pairs(
     term at hot-gram df × rare-prefix df instead of df².
     Verification is the same per-pair sorted-array intersect, cost ∝
     candidates."""
-    from ..spec import materialize
-
-    sh = materialize(sh)
+    # sh / gsets NOT materialized (r13): same reasoning and A/B as
+    # jaccard_pairs_prefix — the narrow shingles() recompute is cheaper
+    # than the eager checkpoints it used to amortize
     blk = [block_col] if block_col else []
     prefix = _rarest_first_prefix(sh, blk, min_cont)
     cand = (
@@ -627,9 +633,9 @@ def containment_pairs(
     # block + id): candidates and __df are block-local, so grouping on
     # id alone would merge cardinalities and intersections across
     # blocks for any id appearing under several block values
-    gsets = materialize(sh.groupBy(*blk, "id").agg(
+    gsets = sh.groupBy(*blk, "id").agg(
         F.sort_array(F.collect_list("shingle")).alias("__g"),
-        F.count("*").alias("__card")))
+        F.count("*").alias("__card"))
     g1 = gsets.select(*blk, F.col("id").alias("id_1"),
                       F.col("__g").alias("__g1"),
                       F.col("__card").alias("__c1"))
