@@ -383,7 +383,11 @@ def candidate_pairs_minhash(
     # keyed entity tables): ids are unique in ``df``; duplicated id
     # rows would union their gram sets under the old distinct and no
     # longer do.
-    gset = materialize(
+    # gset NOT materialized (r13): the narrow per-row form is a
+    # shuffle-free projection, so its two consumers (the class
+    # aggregation and the representative join) recompute it for less
+    # than the old checkpoint cost
+    gset = (
         repartition_unsplittable(df, id_col)
         .select(
             F.col(id_col).alias("id"),
