@@ -130,7 +130,10 @@ def candidate_pairs(
     nk = F.md5(F.to_json(F.array(
         *[F.col(c).cast("string") for c in block_cols],
         F.col("txt").cast("string"))))
-    ids = materialize(base.withColumn("nk", nk))
+    # NOT materialized (r13): a narrow scan-fused projection — its
+    # consumers (name distinct, the two id-expansion sides, the
+    # same-name path) recompute it for less than a checkpoint costs
+    ids = base.withColumn("nk", nk)
     names = ids.select("nk", "txt", *block_cols).distinct()
 
     grams = gram_counts(names, "nk", "txt", n, block_cols)
