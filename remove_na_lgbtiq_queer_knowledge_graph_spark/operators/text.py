@@ -30,9 +30,16 @@ def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     stopword hit counts, the literal ``'unknown'`` when nothing scores
     (NOT ISO-639 ``'und'`` — doc/code mismatch fixed in review; the
     oracle emits the same literal).  Ties break by fixed language order
-    — deterministic everywhere."""
-    toks = norm_tokens(F.col(text_col))
-    out = df
+    — deterministic everywhere.
+
+    The token array is BOUND in its own projection first (r13
+    optimization): the four per-language ``filter`` higher-order calls
+    evaluate outside whole-stage codegen, where each inlined copy of
+    the tokenizer chain would re-run split+regexp per call —
+    CollapseProject keeps a non-cheap alias referenced 4× bound, so
+    the chain runs once per row."""
+    out = df.select("*", norm_tokens(F.col(text_col)).alias("__lang_toks"))
+    toks = F.col("__lang_toks")
     for lang, words in STOPWORDS.items():
         out = out.withColumn(f"__{lang}", _hits(toks, words))
     best = F.greatest(*[F.col(f"__{lang}") for lang in STOPWORDS])
@@ -42,7 +49,7 @@ def lang_id(df: DataFrame, text_col: str) -> DataFrame:
             (F.col(f"__{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(pred)
     out = out.withColumn("predicted_lang", pred)
-    return out.drop(*[f"__{lang}" for lang in STOPWORDS])
+    return out.drop("__lang_toks", *[f"__{lang}" for lang in STOPWORDS])
 
 
 def token_counts(text: Column) -> tuple[Column, Column]:
@@ -86,7 +93,18 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     # frame — and on any splittable source; see repartition_unsplittable)
     df = repartition_unsplittable(df, id_col)
     text = F.col(text_col)
-    toks = norm_tokens(text)
+    # Bind the token array ONCE in its own projection (r13
+    # optimization, same rationale as lang_id/shingles): stop_hits and
+    # mean_token_len reference it through higher-order / multi-use
+    # expressions that would otherwise inline the tokenizer chain per
+    # use; CollapseProject keeps a non-cheap multiply-referenced alias
+    # bound, so the chain runs once per row.  The pass-through columns
+    # are deduped so keep=[text_col] cannot double-select.
+    passthru = [c for c in dict.fromkeys([*(keep or []), text_col])
+                if c != id_col]
+    df = df.select(F.col(id_col), *[F.col(c) for c in passthru],
+                   norm_tokens(text).alias("__qf_toks"))
+    toks = F.col("__qf_toks")
     # blank text is 0 tokens (split('') yields [''] — a phantom token
     # that made empty docs indistinguishable from one-token docs and
     # kept n_tokens==0 filters from ever firing; review batch).  The

@@ -20,6 +20,8 @@ from .operators.dedup import (
     jaccard_pairs,
     minhash_band_pairs,
     minhash_signature,
+    norm_tokens,
+    repartition_unsplittable,
     shingles,
     simhash,
     simhash_pairs,
@@ -805,21 +807,59 @@ FROM documents
 def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end LLM-corpus curation pipeline as ONE declarative
     plan: exact dedup (keep min-id) → language ID → quality features →
-    keep confident-language, medium+ tier docs.  Composes the individual
-    operators in ONE pass: ``lang_id`` keeps its input columns and
-    ``quality_features(keep=...)`` carries the language through, so the
-    md5-dedup window is the only shuffle — no id re-join, no
-    materialized intermediate."""
+    keep confident-language, medium+ tier docs.  The md5-dedup window
+    is the only required shuffle — no id re-join, no materialized
+    intermediate.
+
+    r13 optimization (guide §1.2 "the distributed algorithm first"):
+    built from the bound-token building blocks instead of composing
+    ``lang_id``+``quality_features``, so the survivor filter can run on
+    CHEAP bound columns BEFORE the per-language scoring.  The filter is
+    row-identical to the declared ``quality_tier != 'low' AND
+    predicted_lang != 'unknown'`` (oracle-hash-checked ×3 scales, and
+    pinned in tests/test_text_ops.py):
+
+    - ``quality_tier != 'low'``  ⇔  ``n_tokens >= 20`` — 'high' requires
+      ``n_tokens >= 50`` (⊂ >= 20), 'medium' IS ``n_tokens >= 20``, and a
+      NULL n_tokens (NULL text) fails both forms;
+    - ``predicted_lang != 'unknown'``  ⇔  ``stop_hits > 0`` over the
+      UNION stopword list — the argmax is non-'unknown' exactly when
+      greatest(per-lang hits) > 0, i.e. when any union hit exists.
+
+    Per-language hits then run on survivors only, and every feature
+    references the one bound ``__toks`` array (the HOF args evaluate
+    outside codegen CSE).  Measured at sf0.1 interleaved: 1.74/1.93 →
+    0.73/0.76 s min/med with byte-identical output."""
     d = exact_keep_first(t(spark, sf_dir, "documents"), "doc_id", "text")
-    return (
-        quality_features(lang_id(d, "text"), "doc_id", "text",
-                         keep=["predicted_lang"])
-        .filter(
-            (F.col("quality_tier") != "low")
-            & (F.col("predicted_lang") != "unknown")
-        )
-        .select("doc_id", "predicted_lang", "n_tokens", "quality_tier")
-    )
+    d = repartition_unsplittable(d, "doc_id")
+    text = F.col("text")
+    b = d.select("doc_id", "text", norm_tokens(text).alias("__toks"))
+    toks = F.col("__toks")
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    n_tokens = (F.size(toks)
+                - F.when(F.trim(text) == "", F.lit(1)).otherwise(F.lit(0)))
+    stop_hits = F.size(F.filter(toks, lambda tk: tk.isin(all_stop)))
+    b = b.select("doc_id", "__toks", n_tokens.alias("__nt"),
+                 stop_hits.alias("__sh"))
+    b = b.filter((F.col("__nt") >= 20) & (F.col("__sh") > 0))
+    b = b.select(
+        "doc_id", "__nt", "__sh",
+        *[F.size(F.filter(toks, lambda tk: tk.isin(words))).alias(f"__{lang}")
+          for lang, words in STOPWORDS.items()])
+    best = F.greatest(*[F.col(f"__{lang}") for lang in STOPWORDS])
+    pred = F.lit("unknown")
+    for lang in reversed(list(STOPWORDS)):
+        pred = F.when((F.col(f"__{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    b = b.select("doc_id", "__nt", "__sh", pred.alias("predicted_lang"))
+    nt, sh = F.col("__nt"), F.col("__sh")
+    tok_denom = F.when(nt == 0, F.lit(None)).otherwise(nt)
+    stop_ratio = round_half_away_col(sh / tok_denom, 6)
+    tier = (F.when((nt >= 50) & (stop_ratio > 0), "high")
+            .when(nt >= 20, "medium").otherwise("low"))
+    return b.select("doc_id", "predicted_lang",
+                    nt.cast("long").alias("n_tokens"),
+                    tier.alias("quality_tier"))
 
 
 _CURATION_SQL = f"""

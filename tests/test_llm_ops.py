@@ -1866,6 +1866,55 @@ def test_mean_token_len_ignores_whitespace_runs(spark):
     assert abs(got[3] - 3.666667) < 1e-9, got  # 11 chars / 3 tokens
 
 
+def test_curation_filter_equivalence(spark):
+    """Pins the lemma the r13 corpus_curation restructure relies on:
+    over ANY input, (quality_tier != 'low' AND predicted_lang !=
+    'unknown') selects exactly the rows with (n_tokens >= 20 AND
+    union-stopword hits > 0) — 'high' implies n_tokens >= 50 ⊂ >= 20,
+    'medium' IS n_tokens >= 20, the argmax is non-'unknown' iff any
+    per-language list hits (i.e. the union list hits), and NULL/blank
+    text fails both forms identically."""
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.dedup import (
+        norm_tokens,
+    )
+    from remove_na_lgbtiq_queer_knowledge_graph_spark.operators.text import (
+        STOPWORDS,
+        lang_id,
+        quality_features,
+    )
+
+    docs = [
+        (1, None),                                   # NULL text
+        (2, ""),                                     # blank
+        (3, "the " + "x " * 18),                     # 19 toks, stop hit
+        (4, "the " + "x " * 19),                     # 20 toks, stop hit
+        (5, "x " * 25),                              # 25 toks, no stop
+        (6, "the and of " + "x " * 47),              # 50 toks, high tier
+        (7, "x " * 60),                              # 60 toks, no stop
+        (8, "la " + "x " * 30),                      # fr/es tie word
+        (9, "der die le la el y " + "x " * 20),      # multi-lang hits
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    declared = {
+        r.doc_id
+        for r in quality_features(lang_id(df, "text"), "doc_id", "text",
+                                  keep=["predicted_lang"])
+        .filter((F.col("quality_tier") != "low")
+                & (F.col("predicted_lang") != "unknown")).collect()
+    }
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    toks = norm_tokens(F.col("text"))
+    n_tokens = (F.size(toks)
+                - F.when(F.trim(F.col("text")) == "", F.lit(1))
+                .otherwise(F.lit(0)))
+    stop_hits = F.size(F.filter(toks, lambda tk: tk.isin(all_stop)))
+    rewritten = {
+        r.doc_id
+        for r in df.filter((n_tokens >= 20) & (stop_hits > 0)).collect()
+    }
+    assert declared == rewritten == {4, 6, 8, 9}
+
+
 def test_unicode_lowercase_portable_across_engines(spark):
     """Round-13 review fix (same class as the \\x0b finding): Java's
     FULL lowercase mapping (contextual final sigma, İ → i+U+0307)
