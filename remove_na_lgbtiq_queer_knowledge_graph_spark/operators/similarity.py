@@ -276,6 +276,14 @@ def candidate_pairs(
     # semantics — taken as one lexicographic max struct so multi-metric
     # values stay from the SAME variant pair; also collapses duplicated
     # input rows, which the old distinct() handled.
+    if len(val_cols) == 1:
+        # single metric: max over the bare value IS the lexicographic
+        # struct max, and a non-struct agg buffer keeps the final
+        # aggregation hash-based (max(struct) plans a SortAggregate —
+        # an extra per-partition sort on both sides of the exchange;
+        # r13 optimization, plan-verified HashAggregate after)
+        return cross.groupBy("id_1", "id_2").agg(
+            F.max(val_cols[0]).alias(val_cols[0]))
     return (
         cross.groupBy("id_1", "id_2")
         .agg(F.max(F.struct(*val_cols)).alias("__best"))

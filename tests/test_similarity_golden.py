@@ -131,3 +131,27 @@ def test_candidate_pairs_validates_before_work(spark):
         candidate_pairs(df, "id", "txt", metric="cosinee")
     with pytest.raises(ValueError, match="min_cosine"):
         candidate_pairs(df, "id", "txt", metric="both", min_sim=0.5)
+
+
+def test_single_metric_best_pair_hash_aggregates(spark):
+    """r13 optimization: the single-metric best-variant-pair agg is a
+    plain ``max(value)`` (lexicographic struct max of one field), so
+    the final aggregation stays HASH-based — ``max(struct(...))``
+    planned a SortAggregate with a per-partition sort on both sides of
+    the exchange.  Pins BOTH the plan shape and the best-variant
+    semantics (an id pairing the same partner through variants scoring
+    1.0 and <1.0 must keep the 1.0)."""
+    df = spark.createDataFrame(
+        [(1, "abcdef", "B"), (1, "abcdeg", "B"), (2, "abcdef", "B")],
+        "id long, txt string, blk string")
+    out = candidate_pairs(df, "id", "txt", min_sim=0.1, block_cols=["blk"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    rows = {(r.id_1, r.id_2): r.value for r in out.collect()}
+    assert rows[(1, 2)] == 1.0
+    # metric='both' keeps the struct max (two fields must travel from
+    # the SAME variant pair) — semantics unchanged there
+    both = candidate_pairs(df, "id", "txt", min_sim=(0.1, 0.1),
+                           metric="both", block_cols=["blk"])
+    brows = {(r.id_1, r.id_2): (r.cosine, r.jaccard) for r in both.collect()}
+    assert brows[(1, 2)] == (1.0, 1.0)
