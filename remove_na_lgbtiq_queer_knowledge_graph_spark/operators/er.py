@@ -33,13 +33,16 @@ from pyspark.sql import functions as F
 _DRIVER_CC_EDGES = 100_000
 
 
-def _driver_union_find(sym: DataFrame) -> DataFrame:
+def _driver_union_find(sym: DataFrame, rows: list | None = None) -> DataFrame:
     """Union-find over an already-bounded collected edge list; returns
     the same (node, comp = min reachable id) contract with the input's
-    id type preserved."""
+    id type preserved.  ``rows`` lets the caller hand over edges it has
+    already fetched (the take-probe gate) so they are not collected a
+    second time."""
     from pyspark.sql.types import StructField, StructType
 
-    rows = sym.collect()
+    if rows is None:
+        rows = sym.collect()
     parent: dict = {}
     saw_null = False
     null_neighbors: list = []
@@ -103,8 +106,15 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v"), F.col("u"))).distinct()
     sym = sym.localCheckpoint()
-    if sym.count() <= _DRIVER_CC_EDGES:
-        return _driver_union_find(sym)
+    # gate probe: ONE bounded fetch instead of count-then-collect — the
+    # take reads the checkpointed blocks only until it has gate+1 rows,
+    # and when the graph is small (the common ER case) the fetched rows
+    # ARE the union-find input, so the small path runs one cheap job
+    # where it ran two (r13 optimization).  The large path is
+    # unchanged: the fixpoint keeps iterating over the same checkpoint.
+    probe = sym.take(_DRIVER_CC_EDGES + 1)
+    if len(probe) <= _DRIVER_CC_EDGES:
+        return _driver_union_find(sym, rows=probe)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
