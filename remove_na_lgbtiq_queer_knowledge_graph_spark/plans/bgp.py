@@ -193,7 +193,8 @@ def path_seq(triples: DataFrame, preds: list[str]) -> DataFrame:
 
 
 def _driver_closure(closure: DataFrame, reflexive: bool, spark,
-                    pair_cap: int) -> DataFrame | None:
+                    pair_cap: int, rows: list | None = None
+                    ) -> DataFrame | None:
     """Driver BFS for ontology-sized edge sets (subclass/part-of
     hierarchies stay ~10³ even when the instance data is 100 TB): one
     pass beats 3 Spark jobs per squaring round.  Returns ``None`` when
@@ -203,7 +204,9 @@ def _driver_closure(closure: DataFrame, reflexive: bool, spark,
     to nothing but stay in the output edge set."""
     adj: dict[str, set[str]] = {}
     null_rows: list[tuple] = []
-    for r in closure.collect():
+    if rows is None:
+        rows = closure.collect()
+    for r in rows:
         sv, dv = r["src"], r["dst"]
         if sv is None or dv is None:
             # None is not orderable/joinable — keep the row, skip BFS
@@ -256,17 +259,27 @@ def transitive_closure(
     """
     closure = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     closure = closure.localCheckpoint()
-    n = closure.count()
+    # Gate probe: one bounded take instead of count-then-collect (same
+    # r13 optimization as connected_components) — when the edge set is
+    # ontology-sized the fetched rows ARE the BFS input; the count the
+    # distributed fixpoint needs is only computed when the gate fails
+    # (or the driver BFS aborts on the pair cap).
+    #
     # Output cap for the driver path: closure size is O(V²) — a 2k-edge
     # LINEAR CHAIN yields ~2M pairs, and the old 10k-edge gate admitted
     # ~50M-tuple driver heaps (round-13 review).  The edge gate bounds
     # the INPUT; _PAIR_CAP aborts mid-BFS the moment the OUTPUT
     # explodes and falls through to the distributed loop.
-    if n <= 2_000:
+    probe = closure.take(2_001)
+    if len(probe) <= 2_000:
         result = _driver_closure(closure, reflexive,
-                                 edges.sparkSession, pair_cap=500_000)
+                                 edges.sparkSession, pair_cap=500_000,
+                                 rows=probe)
         if result is not None:
             return result
+        n = len(probe)
+    else:
+        n = closure.count()
     for _ in range(max_iter):
         hop = (
             closure.alias("a")
