@@ -213,6 +213,24 @@ def minhash_signature(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _bucket_pair_structs(ids_col: str = "__ids"):
+    """Ordered (id_1 < id_2) combination structs over a SORTED id array
+    — the one copy of in-bucket pair explosion shared by the LSH
+    banding and prefix-filter candidate generators (both replaced a
+    bucket-keyed self-join with groupBy + explode; r13).  The array
+    must be sorted and duplicate-free: sortedness makes i < j imply
+    id_1 < id_2 with no post-filter, and a duplicate id would fabricate
+    a self-pair."""
+    c = F.col(ids_col)
+    return F.flatten(F.transform(
+        c,
+        lambda x, i: F.transform(
+            F.slice(c, i + 2, F.greatest(F.size(c) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+        ),
+    ))
+
+
 def minhash_bands(
     sig: DataFrame, num_hashes: int = 12, band_size: int = 3,
     id_col: str = "id",
@@ -271,19 +289,11 @@ def minhash_band_pairs(
     sort_array guarantees id_1 < id_2 without a filter.
     """
     bands = minhash_bands(sig, num_hashes, band_size)
-    ids = F.sort_array(F.collect_list("id"))
-    pairs = F.flatten(F.transform(
-        F.col("__ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("__ids"), i + 2,
-                    F.greatest(F.size(F.col("__ids")) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
-        ),
-    ))
     return (
-        bands.groupBy("band", "bucket").agg(ids.alias("__ids"))
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("__ids"))
         .filter(F.size("__ids") >= 2)
-        .select(F.explode(pairs).alias("__p"))
+        .select(F.explode(_bucket_pair_structs("__ids")).alias("__p"))
         .select(F.col("__p.id_1").alias("id_1"),
                 F.col("__p.id_2").alias("id_2"))
         .distinct()
@@ -550,7 +560,12 @@ def jaccard_pairs_prefix(
     # pays serialization plus per-scan block deserialization and saves
     # nothing the shuffle reuse wasn't already saving.  (This differs
     # from `sh`, whose consumers sit in SEPARATE queries/branches where
-    # no exchange reuse applies.)
+    # no exchange reuse applies.)  The minhash_band_pairs in-bucket
+    # pair EXPLOSION was also tried here and rejected by interleaved
+    # A/B (sf0.1: join 1.20/1.27 vs explode 1.50/1.76 min/med): prefix
+    # postings run longer than LSH buckets and the per-element
+    # transform/slice pair build evaluates interpreted, outside
+    # codegen, where the join's sorted merge stays vectorized.
     cand = (
         prefix.select(*blk, F.col("id").alias("id_1"), "shingle")
         .join(prefix.select(*blk, F.col("id").alias("id_2"), "shingle"),
