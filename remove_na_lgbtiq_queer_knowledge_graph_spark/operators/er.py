@@ -114,7 +114,16 @@ def connected_components(
     # unchanged: the fixpoint keeps iterating over the same checkpoint.
     probe = sym.take(_DRIVER_CC_EDGES + 1)
     if len(probe) <= _DRIVER_CC_EDGES:
-        return _driver_union_find(sym, rows=probe)
+        # The fast-path mapping is a driver-built local relation bounded
+        # by the gate (≤ 2×_DRIVER_CC_EDGES nodes — a few MB), but an
+        # ExistingRDD carries NO size stats, so consumers joining it
+        # against corpus-sized tables (docs/entities/hashes, all LEFT
+        # joins with this mapping on the build side) planned a
+        # SortMergeJoin that shuffled the CORPUS side.  The hint makes
+        # those joins BroadcastHashJoin — the corpus side stays
+        # unshuffled (guide §3.1).  The distributed path below stays
+        # unhinted: its label table is corpus-sized by definition.
+        return F.broadcast(_driver_union_find(sym, rows=probe))
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

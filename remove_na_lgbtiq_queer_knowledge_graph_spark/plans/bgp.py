@@ -276,7 +276,14 @@ def transitive_closure(
                                  edges.sparkSession, pair_cap=500_000,
                                  rows=probe)
         if result is not None:
-            return result
+            # Driver-built and bounded by pair_cap (≤500k pairs), but an
+            # ExistingRDD has no size stats, so the path-algebra joins
+            # that fold this relation against the (at scale TB-sized)
+            # triples frame planned SortMergeJoins shuffling the triples
+            # side.  Hint it broadcastable — same bounded-build-side
+            # argument as the connected_components fast path (guide
+            # §3.1).  The distributed fixpoint below stays unhinted.
+            return F.broadcast(result)
         n = len(probe)
     else:
         n = closure.count()

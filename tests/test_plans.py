@@ -215,6 +215,25 @@ def test_multi_key_join_preaggregates_fact(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2   # both dims broadcast
 
 
+def test_cc_fast_path_mapping_broadcasts(spark, sf_dir):
+    """The connected-components driver fast path returns a bounded
+    local relation (≤ 2×gate nodes), but an ExistingRDD has no size
+    stats — without the r13 broadcast hint its consumers planned a
+    SortMergeJoin that shuffled the CORPUS side (docs/entities) against
+    a few-MB mapping.  Pin the BroadcastHashJoin so a refactor cannot
+    silently reintroduce the corpus shuffle; the distributed CC path is
+    unhinted (its label table is corpus-sized) and unaffected here
+    because the test scale is far below the gate."""
+    for name in ("er_resolve_entities", "dedup_near_cluster_keep"):
+        plan = _plan(spark, name, sf_dir)
+        for block in plan.split("\n\n"):
+            head = block.strip().splitlines()[0] if block.strip() else ""
+            if "SortMergeJoin" in head:
+                raise AssertionError(
+                    f"{name}: CC-mapping join fell back to SortMergeJoin")
+        assert "BroadcastHashJoin LeftOuter BuildRight" in plan, name
+
+
 def test_rtemplate_handles_r_escapes(tmp_path):
     """R escape sequences in paste0 strings: \\' must not end the
     string, \\n must contribute a real newline (round-6 review
