@@ -127,6 +127,20 @@ def cosine(a: Column, b: Column) -> Column:
     return round_half_away_col(_PAIR_COSINE(a, b), 6)
 
 
+# NOTE (r13, measured and REJECTED): marking the pair-cosine UDF
+# non-deterministic at the filter-on-score sites (the guide-§4.4 fix
+# for the duplicated ArrowEvalPython visible in cosine_dup_pairs'
+# plan) made the query SLOWER on Spark 4.1.2 — interleaved A/B at
+# sf0.1: 1.42/1.51 min/med duplicated vs 2.04/2.23 fenced.  Plan
+# reading: with the marker, the filter's copy and the projection's
+# copy of the expression can no longer be CSE'd and land as TWO udf
+# slots in ONE ArrowEvalPython node BELOW the filter — every pair
+# pays the kernel twice — while the "duplicated" plan's second eval
+# runs only on filter SURVIVORS (N + K·selectivity < 2N whenever the
+# score filter prunes).  The duplicated shape is the cheaper one at
+# every scale here; do not re-apply the marker blindly.
+
+
 def _nan_score_to_null(c: Column) -> Column:
     """NaN score (zero vector: cosine 0/0) → NULL before any rank/emit.
 
@@ -416,6 +430,10 @@ def cosine_dup_pairs(
     joined = a.join(b, "blk") if block_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_1") < F.col("id_2"))
+        # the score filter duplicates this Arrow eval in the plan (one
+        # node below the filter + one for survivors) — measured CHEAPER
+        # than the §4.4 non-deterministic fence on Spark 4.1.2; see the
+        # rejection note above cosine()
         .select("id_1", "id_2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
         # NaN-safe: a zero vector's cosine is numpy NaN and Spark
         # orders NaN ABOVE every double, so a bare >= would emit

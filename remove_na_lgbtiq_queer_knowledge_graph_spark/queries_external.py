@@ -177,6 +177,13 @@ def fn_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "blk")
         .filter(F.col("id_1") < F.col("id_2"))
+        # the jw >= 0.9 filter duplicates the Arrow eval in the plan
+        # (below-filter + survivors-only copies).  The §4.4
+        # non-deterministic fence was tried and REJECTED: on Spark
+        # 4.1.2 it fuses BOTH expression copies into one pre-filter
+        # ArrowEvalPython node (2 evals on every pair; A/B was a wash
+        # here only because the block sizes are small) — see the
+        # rejection note at operators/ann.py::cosine.
         .withColumn("jw", round_half_away_col(jaro_winkler_sim(F.col("n1"), F.col("n2")), 6))
         .filter(F.col("jw") >= 0.9)
         .select("id_1", "id_2", "jw")
