@@ -188,7 +188,6 @@ def main() -> None:
         "passes": PASSES,
         "loadavg_before": loadavg_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-        "raw_times": raw_times,
     }
     if warmup_error:
         out["fixture_warmup_error"] = warmup_error
@@ -200,7 +199,6 @@ def main() -> None:
         spark_sub = sum(times[n] for n in duck_times if n in times)
         duck_total = sum(duck_times.values())
         out["duckdb_queries"] = duck_times
-        out["duckdb_raw_times"] = duck_raw_times
         out["duckdb_total"] = round(duck_total, 3)
         if duck_total > 0:
             out["spark_vs_duckdb_ratio"] = round(spark_sub / duck_total, 3)
@@ -225,6 +223,24 @@ def main() -> None:
             mid = len(srt) // 2
             med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
             out["median_query_ratio"] = round(med, 3)
+    # Per-pass raw times go to a SIDECAR file, not the one-line JSON
+    # (round-13 verdict #7): the driver archives only a bounded tail of
+    # the stdout line, and the r12 raw_times bloat pushed the per-query
+    # dict past that tail — losing round-over-round comparability.  The
+    # raw passes stay available for load-signature forensics in the
+    # sidecar; the printed line keeps every headline/summary field.
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR",
+                             "/tmp/bench_raw_times.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"raw_times": raw_times,
+                       "duckdb_raw_times": duck_raw_times}, f)
+        out["raw_times_sidecar"] = sidecar
+    except OSError:
+        # an unwritable sidecar path must not void the bench — fall
+        # back to inlining the raw passes as before
+        out["raw_times"] = raw_times
+        out["duckdb_raw_times"] = duck_raw_times
     print(json.dumps(out))
 
 

@@ -123,6 +123,13 @@ def connected_components(
         # those joins BroadcastHashJoin — the corpus side stays
         # unshuffled (guide §3.1).  The distributed path below stays
         # unhinted: its label table is corpus-sized by definition.
+        # Bound is ROW-count, not bytes (r13 ADVICE): worst case is
+        # 2×100k nodes × 2 wide-string ids — e.g. 200-byte URL ids give
+        # a ~80 MB relation, i.e. tens-to-low-hundreds of MB held on
+        # the driver and every executor where the SMJ only shuffled.
+        # Acceptable because the rows were ALREADY driver-resident
+        # (the union-find ran on them); corpora with multi-KB ids
+        # should lower the gate or derive it from probed key width.
         return F.broadcast(_driver_union_find(sym, rows=probe))
     labels = (
         sym.select(F.col("u").alias("node"))

@@ -283,6 +283,12 @@ def transitive_closure(
             # side.  Hint it broadcastable — same bounded-build-side
             # argument as the connected_components fast path (guide
             # §3.1).  The distributed fixpoint below stays unhinted.
+            # The cap is in PAIRS, not bytes (r13 ADVICE): 500k pairs of
+            # ~100-byte IRIs ≈ 100 MB framed — fine for a broadcast,
+            # but ontologies with multi-KB terms would need a byte-aware
+            # cap.  The rows were already driver-resident (the BFS ran
+            # on them), so the hint adds executor copies, not a new
+            # driver collect.
             return F.broadcast(result)
         n = len(probe)
     else:

@@ -817,7 +817,9 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHEAP bound columns BEFORE the per-language scoring.  The filter is
     row-identical to the declared ``quality_tier != 'low' AND
     predicted_lang != 'unknown'`` (oracle-hash-checked ×3 scales, and
-    pinned in tests/test_text_ops.py):
+    pinned in tests/test_llm_ops.py::test_curation_filter_equivalence;
+    end-to-end rewritten ≡ composed equality pinned in
+    tests/test_llm_ops.py::test_curation_matches_composed_operators):
 
     - ``quality_tier != 'low'``  ⇔  ``n_tokens >= 20`` — 'high' requires
       ``n_tokens >= 50`` (⊂ >= 20), 'medium' IS ``n_tokens >= 20``, and a

@@ -229,8 +229,15 @@ def test_cc_fast_path_mapping_broadcasts(spark, sf_dir):
         for block in plan.split("\n\n"):
             head = block.strip().splitlines()[0] if block.strip() else ""
             if "SortMergeJoin" in head:
+                # blanket negative check: at THIS fixture scale these
+                # two plans contain no legitimate SMJ anywhere, so any
+                # appearance is a regression — but it need not be the
+                # CC-mapping join itself (r13 ADVICE: a different join
+                # crossing the broadcast threshold would land here too,
+                # so the message must not presume the culprit)
                 raise AssertionError(
-                    f"{name}: CC-mapping join fell back to SortMergeJoin")
+                    f"{name}: unexpected SortMergeJoin in plan "
+                    f"(expected all-broadcast at test scale): {head}")
         assert "BroadcastHashJoin LeftOuter BuildRight" in plan, name
 
 
